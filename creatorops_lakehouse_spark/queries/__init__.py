@@ -1,0 +1,126 @@
+"""Driver-harness query registry.
+
+Each query is registered with a name, a callable ``(spark, sf_dir) ->
+DataFrame``, and (when SQL-expressible) a DuckDB-compatible ANSI-SQL oracle
+string over the same parquet tables. ``__spark_entry__.py`` exposes the
+registry to the driver.
+
+Determinism rules (SURVEY.md §5 / BASELINE.md):
+- no current_date()/current_timestamp() in checked queries,
+- exact ``percentile`` instead of ``percentile_approx``,
+- floating aggregates rounded to a fixed precision on BOTH engines,
+- identical column aliases on both engines (driver sorts columns by name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class RegisteredQuery:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # None => non-SQL-expressible, driver does rows-only check
+
+
+REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a driver-harness query (optionally with oracle SQL)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = RegisteredQuery(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one driver parquet table (TESTDATA.md layout).
+
+    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. We read it as raw nanos
+    (legacy.parquet.nanosAsLong) and rebuild a microsecond timestamp with
+    integer division (``div`` — double division would lose precision on
+    epoch-nanos magnitudes). The driver data is microsecond-grained, so the
+    conversion is exact.
+    """
+    # Driver-provided sessions may lack our defaults; pin UTC so date
+    # derivations match the (timezone-naive) DuckDB oracle on any host.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            import pyspark.sql.functions as F
+
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def exact_avg_expr(numer: str, denom: str, d: int):
+    """Spark Column: round(numer/denom, d), half-away-from-zero, in exact
+    int64 arithmetic.
+
+    Spark's ROUND rounds the shortest-decimal representation of a double
+    (via BigDecimal.valueOf) while DuckDB rounds the binary value — at an
+    exact decimal tie (e.g. 307.03/8 = 38.37875) they disagree. Doing the
+    scaled division in integers makes both engines produce the identical
+    double. ``numer``/``denom`` are SQL expressions yielding integral
+    (BIGINT-safe) values; denom must be > 0.
+    """
+    import pyspark.sql.functions as F
+
+    p = 10**d
+    return F.expr(
+        f"double(sign({numer}) * ((2 * abs({numer}) * {p} + ({denom}))"
+        f" div (2 * ({denom})))) / {p}"
+    )
+
+
+def exact_avg_sql(numer: str, denom: str, d: int) -> str:
+    """DuckDB SQL for the same exact integer-arithmetic rounded division."""
+    p = 10**d
+    return (
+        f"CAST((CASE WHEN ({numer}) < 0 THEN -1 WHEN ({numer}) > 0 THEN 1 ELSE 0 END)"
+        f" * ((2 * abs({numer}) * {p} + ({denom})) // (2 * ({denom}))) AS DOUBLE) / {p}"
+    )
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _ensure_imported()
+    return {name: rq.fn for name, rq in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_imported()
+    return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
+
+
+def _ensure_imported() -> None:
+    """Import all query modules so their decorators run."""
+    from creatorops_lakehouse_spark.queries import (  # noqa: F401
+        events,
+        relational,
+    )
+
+    try:
+        from creatorops_lakehouse_spark.queries import (  # noqa: F401
+            dedup,
+            similarity,
+            text,
+        )
+    except ImportError:  # pragma: no cover - during incremental build-out
+        pass

@@ -1,0 +1,388 @@
+"""Event-log queries over the driver ``events`` table.
+
+These realize the reference's silver/gold query semantics (SURVEY.md §2) over
+the driver's generic event stream (event_id, ts, user_id, event_type, value,
+props-json): contract-style JSON extraction, daily KPI aggregation,
+engagement/dropoff full-outer join, lead()-window sessionization, and
+row_number dedup — the same operator classes as
+pipelines/gold/kpis_local.py:36-83, retention_local.py:40-109 and
+bottlenecks_local.py:23-74 in the reference.
+
+Oracle-parity rule: every floating output is derived from an EXACT integer
+intermediate (decimal-cents sums, microsecond sums, counts) and any final
+rounding happens in integer arithmetic via exact_avg_expr/exact_avg_sql —
+double summation order and round-tie behavior differ between Spark and
+DuckDB otherwise (see queries/__init__.py).
+
+Scale notes: every aggregation here is a single hash-shuffle on its group
+keys with map-side partial aggregation; the window queries shuffle once on
+the partition key (user_id) and sort within partitions — at 100 TB both are
+embarrassingly parallel provided user_id/event-date keys are not
+pathologically skewed (AQE handles moderate skew; deliberate salting lives in
+operators/skew.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from creatorops_lakehouse_spark.queries import exact_avg_expr, exact_avg_sql, load, query
+
+#: value is 2-decimal money-like → exact integer cents for oracle parity.
+_CENTS = "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
+
+
+def _cents(col: str = "value") -> F.Column:
+    return (F.sum(F.col(col).cast("decimal(18,2)")) * 100).cast("long")
+
+
+@query(
+    "events_daily_type_counts",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST({_CENTS} AS DOUBLE) / 100 AS sum_value,
+           {exact_avg_sql(_CENTS, "100 * COUNT(*)", 4)} AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_daily_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: daily event counts/values by type (scan → project → agg).
+
+    Parity: gold KPI daily-grain aggregations (kpis_local.py:36-47).
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.to_date("ts").alias("event_date"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            _cents().alias("_sum_cents"),
+        )
+        .select(
+            "event_date",
+            "event_type",
+            "n_events",
+            "n_users",
+            (F.col("_sum_cents").cast("double") / 100).alias("sum_value"),
+            exact_avg_expr("_sum_cents", "100 * n_events", 4).alias("avg_value"),
+        )
+    )
+
+
+@query(
+    "events_json_extract_agg",
+    oracle=f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           {exact_avg_sql(
+               "CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)",
+               "COUNT(json_extract_string(props, '$.k'))",
+               4,
+           )} AS avg_k
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload extraction + typed cast + aggregate.
+
+    Parity: silver from_json + gold getItem().cast() metric typing
+    (transform_local.py:73, kpis_local.py:24-26). get_json_object stays
+    JVM-side (no Python UDF), matching the reference's native-function rule.
+    """
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        load(spark, sf_dir, "events")
+        .select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count("k").alias("_n_k"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "sum_k",
+            exact_avg_expr("sum_k", "_n_k", 4).alias("avg_k"),
+        )
+    )
+
+
+@query(
+    "events_engagement_dropoff_fullouter",
+    oracle=f"""
+    WITH eng AS (
+        SELECT CAST(ts AS DATE) AS event_date, user_id,
+               COUNT(*) AS engagement_events
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')
+        GROUP BY 1, 2
+    ),
+    drp AS (
+        SELECT CAST(ts AS DATE) AS event_date, user_id,
+               COUNT(*) AS dropoff_events
+        FROM events WHERE event_type = 'error'
+        GROUP BY 1, 2
+    )
+    SELECT COALESCE(eng.event_date, drp.event_date) AS event_date,
+           COALESCE(eng.user_id, drp.user_id) AS user_id,
+           COALESCE(engagement_events, 0) AS engagement_events,
+           COALESCE(dropoff_events, 0) AS dropoff_events,
+           COALESCE(engagement_events, 0) + COALESCE(dropoff_events, 0) AS total_events,
+           {exact_avg_sql(
+               "COALESCE(dropoff_events, 0)",
+               "COALESCE(engagement_events, 0) + COALESCE(dropoff_events, 0)",
+               6,
+           )} AS dropoff_rate
+    FROM eng FULL OUTER JOIN drp
+      ON eng.event_date = drp.event_date AND eng.user_id = drp.user_id
+    """,
+)
+def events_engagement_dropoff_fullouter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-4 dropoff-rate shape: two filtered aggregates full-outer joined.
+
+    Parity: retention_local.py:81-101 (full outer multi-key join J1 +
+    na.fill + zero-guarded ratio). Both sides derive from one scan; Spark
+    plans a sort-merge full outer on the two join keys.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"), "user_id", "event_type"
+    )
+    eng = (
+        ev.filter(F.col("event_type").isin("click", "view", "purchase"))
+        .groupBy("event_date", "user_id")
+        .agg(F.count("*").alias("engagement_events"))
+    )
+    drp = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("event_date", "user_id")
+        .agg(F.count("*").alias("dropoff_events"))
+    )
+    return (
+        eng.join(drp, on=["event_date", "user_id"], how="full")
+        .na.fill(0, subset=["engagement_events", "dropoff_events"])
+        .withColumn("total_events", F.col("engagement_events") + F.col("dropoff_events"))
+        .select(
+            "event_date",
+            "user_id",
+            "engagement_events",
+            "dropoff_events",
+            "total_events",
+            exact_avg_expr("dropoff_events", "total_events", 6).alias("dropoff_rate"),
+        )
+    )
+
+
+@query(
+    "events_sessionize_lead_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    durations AS (
+        SELECT event_type,
+               epoch_us(next_ts) - epoch_us(ts) AS micros_to_next
+        FROM seq
+        WHERE next_ts IS NOT NULL AND epoch_us(next_ts) >= epoch_us(ts)
+    )
+    SELECT event_type,
+           COUNT(*) AS hops,
+           ROUND(CAST(SUM(micros_to_next) AS DOUBLE) / COUNT(*) / 3600000000.0, 4)
+               AS avg_hours,
+           ROUND(quantile_cont(micros_to_next, 0.5) / 3600000000.0, 4) AS p50_hours,
+           ROUND(quantile_cont(micros_to_next, 0.9) / 3600000000.0, 4) AS p90_hours,
+           ROUND(CAST(MAX(micros_to_next) AS DOUBLE) / 3600000000.0, 4) AS max_hours
+    FROM durations
+    GROUP BY 1
+    """,
+)
+def events_sessionize_lead_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-5 stage-bottleneck shape: lead() sessionization → duration stats.
+
+    Parity: bottlenecks_local.py:38-61 (W1 lead window + A6 percentile agg).
+    Uses exact ``percentile`` over integer microseconds (not
+    percentile_approx over floats) so the DuckDB quantile_cont oracle
+    matches; ties on ts are broken by event_id so the window is
+    deterministic. Duration stats stay in integer micros until the final
+    double division (identical on both engines; micros/3.6e9 round-ties are
+    measure-zero for organic timestamps).
+    """
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    micros = (F.unix_micros("next_ts") - F.unix_micros("ts")).alias("micros_to_next")
+    durations = (
+        seq.filter(F.col("next_ts").isNotNull())
+        .select("event_type", micros)
+        .filter(F.col("micros_to_next") >= 0)
+    )
+    hours = F.lit(3600000000.0)
+    return durations.groupBy("event_type").agg(
+        F.count("*").alias("hops"),
+        F.round(F.sum("micros_to_next").cast("double") / F.count("*") / hours, 4).alias(
+            "avg_hours"
+        ),
+        F.round(F.expr("percentile(micros_to_next, 0.5)") / hours, 4).alias("p50_hours"),
+        F.round(F.expr("percentile(micros_to_next, 0.9)") / hours, 4).alias("p90_hours"),
+        F.round(F.max("micros_to_next").cast("double") / hours, 4).alias("max_hours"),
+    )
+
+
+@query(
+    "events_dedup_rownumber",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, ts, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    )
+    SELECT user_id, event_type, ts AS latest_ts, value AS latest_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_dedup_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documented dedup semantics D1: keep latest record per logical key.
+
+    Parity: docs/runbooks/silver-transform.md:114-122 ("keep record with
+    max(ingested_at)") via row_number() over a desc-ordered window. The
+    carried-through value needs no rounding (same stored double on both
+    engines).
+    """
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("latest_ts"),
+            F.col("value").alias("latest_value"),
+        )
+    )
+
+
+@query(
+    "events_value_band_distribution",
+    oracle=f"""
+    SELECT CAST(FLOOR(LEAST(GREATEST(value, 0), 100) / 10) * 10 AS INTEGER) AS score_band,
+           COUNT(*) AS band_events,
+           {exact_avg_sql(
+               "CAST(SUM(CAST(LEAST(GREATEST(value, 0), 100) AS DECIMAL(18,2))) * 100"
+               " AS BIGINT)",
+               "100 * COUNT(*)",
+               4,
+           )} AS avg_score_in_band
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_value_band_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-3 engagement-band shape: clamp + decile bucketize + agg.
+
+    Parity: retention_local.py:28-34,60-67 (F13 floor/least/greatest band
+    derivation used as a grouping key).
+    """
+    clamped = F.least(F.greatest(F.col("value"), F.lit(0.0)), F.lit(100.0))
+    band = (F.floor(clamped / 10) * 10).cast("int")
+    return (
+        load(spark, sf_dir, "events")
+        .select(band.alias("score_band"), clamped.alias("clamped"))
+        .groupBy("score_band")
+        .agg(
+            F.count("*").alias("band_events"),
+            _cents("clamped").alias("_sum_cents"),
+        )
+        .select(
+            "score_band",
+            "band_events",
+            exact_avg_expr("_sum_cents", "100 * band_events", 4).alias(
+                "avg_score_in_band"
+            ),
+        )
+    )
+
+
+@query(
+    "events_late_flag_counts",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE CAST(ts AS DATE) < DATE '2024-01-08') AS late_events,
+           COUNT(*) FILTER (WHERE CAST(ts AS DATE) >= DATE '2024-01-08') AS on_time_events,
+           COUNT(*) AS total_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_late_flag_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-event flagging as conditional aggregation.
+
+    Parity: transform_local.py:109 (datediff-based is_late_event flag, F8,
+    F12) with the as-of date parameterized (2024-01-08) instead of
+    current_date() for determinism.
+    """
+    is_late = F.to_date("ts") < F.lit("2024-01-08").cast("date")
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(is_late, 1)).alias("late_events"),
+            F.count(F.when(~is_late, 1)).alias("on_time_events"),
+            F.count("*").alias("total_events"),
+        )
+    )
+
+
+@query(
+    "events_hash_idempotency",
+    oracle="""
+    SELECT SUBSTR(sha256(CAST(event_id AS VARCHAR) || '||' || event_type
+                          || '||' || CAST(user_id AS VARCHAR)), 1, 8) AS hash_prefix,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    ORDER BY n DESC, hash_prefix
+    LIMIT 20
+    """,
+)
+def events_hash_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable-field idempotency hash (D6): sha2(concat_ws('||', ...), 256).
+
+    Parity: docs/runbooks/silver-transform.md:100-112 hash recipe /
+    transform_local.py:112 (F10).
+    """
+    h = F.sha2(
+        F.concat_ws(
+            "||",
+            F.col("event_id").cast("string"),
+            F.col("event_type"),
+            F.col("user_id").cast("string"),
+        ),
+        256,
+    )
+    return (
+        load(spark, sf_dir, "events")
+        .select(F.substring(h, 1, 8).alias("hash_prefix"))
+        .groupBy("hash_prefix")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("hash_prefix"))
+        .limit(20)
+    )

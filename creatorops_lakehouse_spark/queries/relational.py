@@ -1,0 +1,463 @@
+"""Relational query coverage over the TPC-H-style driver tables.
+
+Exercises the full relational operator surface from SURVEY.md §2: scans with
+pushed-down predicates (P4-P8), multi-way equi-joins with broadcast dims
+(§2.3), hash aggregations (§2.4), ranking windows (§2.5), sorts / top-k /
+set ops (§2.6), and rollup (§2.4 note).
+
+Oracle-parity rule: money aggregates go through exact DECIMAL arithmetic,
+are materialized as scaled BIGINTs, and any final rounding happens in
+integer arithmetic (exact_avg_expr/exact_avg_sql) — double summation order
+and round-tie behavior differ between Spark and DuckDB otherwise. Carried
+or min/max'ed raw doubles need no rounding (same stored value both sides).
+
+Scale notes: nation/region/supplier (and customer/part at these SFs) are
+broadcast joins — no shuffle of the fact table; lineitem⋈orders is the only
+shuffle-heavy join and AQE handles its skew. Filters are written directly
+against scan columns so Catalyst pushes them into the parquet reader
+(verified via explain(): PushedFilters).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from creatorops_lakehouse_spark.queries import exact_avg_expr, exact_avg_sql, load, query
+
+_MONEY = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+
+def _dec_revenue() -> F.Column:
+    """Exact-decimal l_extendedprice * (1 - l_discount), scale 4."""
+    return F.col("l_extendedprice").cast(_MONEY) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(_RATE)
+    )
+
+
+_SQL_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+#: scaled-integer revenue sum (scale 4 → x10^4)
+_SQL_REV_UNITS = f"CAST(SUM({_SQL_REVENUE}) * 10000 AS BIGINT)"
+_SQL_REVENUE_L = _SQL_REVENUE.replace("l_extendedprice", "l.l_extendedprice").replace(
+    "l_discount", "l.l_discount"
+)
+_SQL_REV_UNITS_L = f"CAST(SUM({_SQL_REVENUE_L}) * 10000 AS BIGINT)"
+
+
+def _rev_units() -> F.Column:
+    return (F.sum(_dec_revenue()) * 10000).cast("long")
+
+
+@query(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS sum_base_price,
+           {exact_avg_sql(_SQL_REV_UNITS, "10000", 2)} AS sum_disc_price,
+           {exact_avg_sql(
+               f"CAST(SUM({_SQL_REVENUE} * (CAST(1 AS DECIMAL(3,2))"
+               " + CAST(l_tax AS DECIMAL(4,2)))) * 1000000 AS BIGINT)",
+               "1000000",
+               2,
+           )} AS sum_charge,
+           {exact_avg_sql("CAST(SUM(l_quantity) AS BIGINT)", "COUNT(*)", 4)} AS avg_qty,
+           {exact_avg_sql(
+               "CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)",
+               "100 * COUNT(*)",
+               4,
+           )} AS avg_price,
+           {exact_avg_sql(
+               "CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) * 100 AS BIGINT)",
+               "100 * COUNT(*)",
+               4,
+           )} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: pushed-down range filter + wide hash aggregate (A1/A2)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    charge = _dec_revenue() * (
+        F.lit(1).cast("decimal(3,2)") + F.col("l_tax").cast(_RATE)
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("long").alias("_qty"),
+            (F.sum(F.col("l_extendedprice").cast(_MONEY)) * 100)
+            .cast("long")
+            .alias("_price_cents"),
+            _rev_units().alias("_rev_units"),
+            (F.sum(charge) * 1000000).cast("long").alias("_charge_micros"),
+            (F.sum(F.col("l_discount").cast(_RATE)) * 100).cast("long").alias("_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("_qty").cast("double").alias("sum_qty"),
+            (F.col("_price_cents").cast("double") / 100).alias("sum_base_price"),
+            exact_avg_expr("_rev_units", "10000", 2).alias("sum_disc_price"),
+            exact_avg_expr("_charge_micros", "1000000", 2).alias("sum_charge"),
+            exact_avg_expr("_qty", "count_order", 4).alias("avg_qty"),
+            exact_avg_expr("_price_cents", "100 * count_order", 4).alias("avg_price"),
+            exact_avg_expr("_disc_cents", "100 * count_order", 4).alias("avg_disc"),
+            "count_order",
+        )
+    )
+
+
+@query(
+    "tpch_q3_shipping_priority",
+    oracle=f"""
+    SELECT l.l_orderkey AS order_key,
+           {exact_avg_sql(_SQL_REV_UNITS_L, "10000", 2)} AS revenue,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           o.o_orderpriority AS order_priority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, order_key
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-k (§2.3, §2.6).
+
+    customer is small → broadcast into orders; only lineitem⋈orders
+    shuffles. The ORDER BY carries the unique order_key tiebreaker so the
+    LIMIT is deterministic on both engines.
+    """
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_rev_units().alias("_rev_units"))
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            exact_avg_expr("_rev_units", "10000", 2).alias("revenue"),
+            F.to_date("o_orderdate").alias("order_date"),
+            F.col("o_orderpriority").alias("order_priority"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("order_key"))
+        .limit(10)
+    )
+
+
+@query(
+    "tpch_q5_region_revenue",
+    oracle=f"""
+    SELECT n.n_name AS nation,
+           {exact_avg_sql(_SQL_REV_UNITS_L, "10000", 2)} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join, dims broadcast, facts shuffle once each.
+
+    nation/region/supplier/customer are broadcast (F.broadcast hint keeps
+    the plan stable regardless of statistics); the only big shuffle is
+    lineitem⋈orders on orderkey.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_rev_units().alias("_rev_units"))
+        .select(
+            F.col("n_name").alias("nation"),
+            exact_avg_expr("_rev_units", "10000", 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "top_parts_by_revenue",
+    oracle="""
+    SELECT p.p_brand AS brand, p.p_type AS part_type,
+           COUNT(*) AS n_lineitems,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS total_revenue
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size >= 20
+    GROUP BY 1, 2
+    ORDER BY total_revenue DESC, brand, part_type
+    LIMIT 25
+    """,
+)
+def top_parts_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim join + agg + top-k with full tiebreak ordering."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_size") >= 20)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"), F.col("p_type").alias("part_type"))
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            (F.sum(F.col("l_extendedprice").cast(_MONEY)) * 100)
+            .cast("long")
+            .alias("_cents"),
+        )
+        .select(
+            "brand",
+            "part_type",
+            "n_lineitems",
+            (F.col("_cents").cast("double") / 100).alias("total_revenue"),
+        )
+        .orderBy(F.desc("total_revenue"), F.asc("brand"), F.asc("part_type"))
+        .limit(25)
+    )
+
+
+@query(
+    "customers_without_orders_antijoin",
+    oracle=f"""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers,
+           {exact_avg_sql(
+               "CAST(SUM(CAST(c.c_acctbal AS DECIMAL(12,2))) * 100 AS BIGINT)",
+               "100 * COUNT(*)",
+               4,
+           )} AS avg_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY 1
+    """,
+)
+def customers_without_orders_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti join (documented dedup 'new vs existing keys' class, §2.3).
+
+    Parity: runbooks/silver-transform.md:114-122 MERGE-new-keys semantics.
+    acctbal can be negative — exact_avg handles sign (half-away-from-zero).
+    """
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            (F.sum(F.col("c_acctbal").cast(_MONEY)) * 100).cast("long").alias("_cents"),
+        )
+        .select(
+            "mktsegment",
+            "n_customers",
+            exact_avg_expr("_cents", "100 * n_customers", 4).alias("avg_acctbal"),
+        )
+    )
+
+
+@query(
+    "customers_with_orders_semijoin",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, COUNT(*) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderstatus = 'F')
+    GROUP BY 1
+    """,
+)
+def customers_with_orders_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi join (existence test without duplication)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "nation_rollup_order_stats",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def nation_rollup_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over (region, nation) — §2.4 extension.
+
+    Rollup is a single shuffle in Spark (grouping-set expansion map-side).
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            "o_totalprice",
+        )
+        .rollup("region", "nation")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(_MONEY)) * 100).cast("long").alias("_cents"),
+        )
+        .select(
+            "region",
+            "nation",
+            "n_orders",
+            (F.col("_cents").cast("double") / 100).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "orders_rank_topk_per_customer",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    )
+    SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+           o_totalprice AS totalprice, rn AS order_rank
+    FROM ranked WHERE rn <= 3
+    """,
+)
+def orders_rank_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via ranking window (§2.5 row_number class).
+
+    At scale this is the shuffle-once pattern for 'top N per key' — no
+    global sort, no driver collect. Carried-through doubles need no
+    rounding (same stored value on both engines).
+    """
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.col("rn").alias("order_rank"),
+        )
+    )
+
+
+@query(
+    "part_type_setops",
+    oracle="""
+    SELECT p_brand AS brand FROM part WHERE p_type LIKE '%BRASS%'
+    UNION
+    SELECT p_brand FROM part WHERE p_size < 10
+    EXCEPT
+    SELECT p_brand FROM part WHERE p_retailprice > 1900
+    """,
+)
+def part_type_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations: UNION (distinct) then EXCEPT (§2.6) + LIKE predicate."""
+    p = load(spark, sf_dir, "part")
+    brass = p.filter(F.col("p_type").like("%BRASS%")).select(F.col("p_brand").alias("brand"))
+    small = p.filter(F.col("p_size") < 10).select(F.col("p_brand").alias("brand"))
+    pricey = p.filter(F.col("p_retailprice") > 1900).select(F.col("p_brand").alias("brand"))
+    return brass.union(small).distinct().exceptAll(pricey.distinct())
+
+
+@query(
+    "order_priority_case_when",
+    oracle="""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'medium'
+                ELSE 'low' END AS priority_class,
+           o_orderstatus AS orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def order_priority_case_when(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-branch when/otherwise as a grouping key (F12 class).
+
+    MIN/MAX select existing stored doubles — no arithmetic, no rounding
+    needed.
+    """
+    priority = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "medium")
+        .otherwise("low")
+    )
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            priority.alias("priority_class"),
+            F.col("o_orderstatus").alias("orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast(_MONEY)) * 100).cast("long").alias("_cents"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "priority_class",
+            "orderstatus",
+            "n_orders",
+            (F.col("_cents").cast("double") / 100).alias("total_price"),
+            "min_price",
+            "max_price",
+        )
+    )
