@@ -1,0 +1,114 @@
+"""Lakehouse table layer: partitioned Parquet with Delta-ready semantics.
+
+The reference writes Delta tables (format("delta"), ingest_local.py:57,
+transform_local.py:190-204; DDL in sql/ddl/*.sql). delta-spark is not
+available in this environment, so the table layer is format-pluggable with
+partitioned Parquet as the default — every write goes through TableSpec so
+swapping ``format="delta"`` (and enabling the Delta session extension in
+session.py) is a one-line production change. Write modes mirror the
+reference exactly: Bronze append-only (S3), Silver/Gold overwrite (S4/S5).
+
+Scale notes (100 TB):
+- Partition columns mirror the reference layout (§1.4): Bronze by
+  p_ingest_date, Silver events by p_event_date, rejects by p_ingest_date,
+  daily gold KPIs by p_event_date — daily queries prune to one partition.
+- ``overwrite`` uses dynamic partition overwrite so an incremental run
+  (D7) replaces only the partitions it recomputed, not the whole table —
+  at 100 TB a static overwrite of silver would rewrite everything.
+- Writers avoid small files by coalescing per-partition output via AQE;
+  periodic compaction (reference: OPTIMIZE/ZORDER weekly,
+  runbooks/silver-transform.md:138) is ``compact_table``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class TableSpec:
+    name: str
+    path: str
+    partition_by: tuple[str, ...] = ()
+    format: str = "parquet"
+    properties: dict[str, str] = field(default_factory=dict)
+
+
+def read_table(spark: SparkSession, spec: TableSpec) -> DataFrame:
+    return spark.read.format(spec.format).load(spec.path)
+
+
+def write_table(
+    df: DataFrame,
+    spec: TableSpec,
+    mode: str = "overwrite",
+    dynamic: bool = True,
+) -> None:
+    """Write a table in the reference's mode semantics.
+
+    mode="append"    → Bronze-style immutable append (S3).
+    mode="overwrite" → Silver/Gold-style refresh (S4/S5); with ``dynamic``
+    and a partitioned spec, only the partitions present in ``df`` are
+    replaced (partitionOverwriteMode=dynamic) — the scalable form of the
+    reference's full overwrite.
+    """
+    writer = df.write.format(spec.format).mode(mode)
+    if spec.partition_by:
+        writer = writer.partitionBy(*spec.partition_by)
+        if mode == "overwrite" and dynamic:
+            writer = writer.option("partitionOverwriteMode", "dynamic")
+    writer.save(spec.path)
+
+
+def compact_table(
+    spark: SparkSession, spec: TableSpec, target_partitions: int | None = None
+) -> None:
+    """Small-file compaction — the Parquet stand-in for Delta OPTIMIZE
+    (reference guidance: sql/ddl/01_bronze.sql:25-26, weekly cadence).
+
+    Rewrites each table partition into ``target_partitions`` files. On Delta
+    this becomes ``OPTIMIZE ... [ZORDER BY ...]`` instead.
+    """
+    df = read_table(spark, spec)
+    if target_partitions:
+        df = df.repartition(target_partitions, *spec.partition_by) if spec.partition_by else df.repartition(target_partitions)
+    write_table(df, spec, mode="overwrite", dynamic=False)
+
+
+def lakehouse_specs(root: str) -> dict[str, TableSpec]:
+    """The medallion table set, mirroring the reference layout (§1.4/§1.5)."""
+    return {
+        "bronze_events_raw": TableSpec(
+            "bronze.creatorops_events_raw", f"{root}/bronze/creatorops_events_raw",
+            ("p_ingest_date",),
+        ),
+        "silver_events": TableSpec(
+            "silver.creatorops_events", f"{root}/silver/creatorops_events",
+            ("p_event_date",),
+        ),
+        "silver_rejects": TableSpec(
+            "silver.creatorops_events_rejects", f"{root}/silver/creatorops_rejects",
+            ("p_ingest_date",),
+        ),
+        "gold_writing_velocity": TableSpec(
+            "gold.kpi_writing_velocity_daily", f"{root}/gold/kpi_writing_velocity_daily",
+            ("p_event_date",),
+        ),
+        "gold_revision_churn": TableSpec(
+            "gold.kpi_revision_churn_daily", f"{root}/gold/kpi_revision_churn_daily",
+            ("p_event_date",),
+        ),
+        "gold_engagement_bands": TableSpec(
+            "gold.kpi_engagement_bands_daily", f"{root}/gold/kpi_engagement_bands_daily",
+            ("p_event_date",),
+        ),
+        "gold_dropoff_rate": TableSpec(
+            "gold.kpi_dropoff_rate_daily", f"{root}/gold/kpi_dropoff_rate_daily",
+            ("p_event_date",),
+        ),
+        "gold_stage_bottlenecks": TableSpec(
+            "gold.kpi_stage_bottlenecks", f"{root}/gold/kpi_stage_bottlenecks",
+        ),
+    }
