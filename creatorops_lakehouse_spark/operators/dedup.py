@@ -1,0 +1,300 @@
+"""Deduplication operators for training-data pipelines.
+
+Five families, all DataFrame-native (no Python in the hot path):
+
+- exact:        sha2 over selected columns → hash-groupBy            O(n)
+- fingerprint:  sha2 over normalized text (case/ws/punct-invariant)  O(n)
+- jaccard:      token-set inverted-index self-join + exact Jaccard   bounded by token df-pruning
+- MinHash+LSH:  k-permutation signatures → banded bucket join →
+                exact-Jaccard verification of candidates             O(n·k) + bounded join
+- SimHash:      64-bit sign-vote fingerprint → banded hamming join   O(n·64)
+
+Scale notes (100 TB):
+- The pairwise stages NEVER do an n² cross join: candidates come from
+  inverted-index / band-bucket equi-joins, which shuffle on token/bucket
+  keys. Stop-token pruning (``max_token_df``) bounds the fanout of hot
+  tokens — the classic skew killer for inverted-index joins; AQE skew-join
+  splitting handles the residue.
+- MinHash signature computation is a single projection (xxhash64 per
+  permutation seed, array_min over shingles) — no shuffle, no UDF.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from creatorops_lakehouse_spark.operators.text import (
+    fingerprint,
+    tokens,
+    word_ngrams,
+)
+
+
+def exact_dedup(df: DataFrame, cols: list[str], keep_order_col: str | None = None) -> DataFrame:
+    """Keep one row per exact (sha2-hashed) combination of ``cols``.
+
+    Deterministic winner: lowest ``keep_order_col`` (defaults to first col).
+    """
+    order = keep_order_col or cols[0]
+    key = F.sha2(
+        F.concat_ws(
+            "\x00", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in cols]
+        ),
+        256,
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col(order).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def duplicate_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact-duplicate clusters by content hash: (content_hash, n_docs,
+    min_doc_id as canonical representative)."""
+    h = F.sha2(F.col(text_col), 256).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("canonical_id"),
+        )
+    )
+
+
+def fingerprint_clusters(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Near-exact clusters via normalized-text fingerprint (case/whitespace/
+    punctuation-invariant)."""
+    return (
+        df.select(fingerprint(F.col(text_col)).alias("doc_fingerprint"), F.col(id_col))
+        .groupBy("doc_fingerprint")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("canonical_id"))
+    )
+
+
+def _token_sets(df: DataFrame, text_col: str, id_col: str, ngram: int) -> DataFrame:
+    tok = (
+        F.array_distinct(word_ngrams(F.col(text_col), ngram))
+        if ngram > 1
+        else F.array_distinct(tokens(F.col(text_col)))
+    )
+    return df.select(F.col(id_col).alias("doc_id"), tok.alias("toks")).withColumn(
+        "set_size", F.size("toks")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 1,
+    max_token_df: int | None = None,
+) -> DataFrame:
+    """Exact pairwise Jaccard ≥ threshold over token (or word-ngram) sets,
+    via inverted-index self-join — no cross join.
+
+    ``max_token_df`` drops tokens appearing in more than that many docs
+    (stop-token pruning): at scale these dominate join fanout while adding
+    almost no discriminative signal. Pairs are emitted once (a < b).
+    """
+    sets = _token_sets(df, text_col, id_col, ngram)
+    posts = sets.select("doc_id", "set_size", F.explode("toks").alias("tok"))
+    if max_token_df is not None:
+        hot = (
+            posts.groupBy("tok")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_token_df)
+            .select("tok")
+        )
+        posts = posts.join(F.broadcast(hot), on="tok", how="left_anti")
+    a = posts.select(
+        F.col("tok"),
+        F.col("doc_id").alias("a_id"),
+        F.col("set_size").alias("a_size"),
+    )
+    b = posts.select(
+        F.col("tok"),
+        F.col("doc_id").alias("b_id"),
+        F.col("set_size").alias("b_size"),
+    )
+    common = (
+        a.join(b, on="tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_size", "b_size")
+        .agg(F.count("*").alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("a_size") + F.col("b_size") - F.col("n_common"))
+    return common.select(
+        "a_id",
+        "b_id",
+        F.col("n_common"),
+        jac.alias("jaccard"),
+    ).filter(jac >= threshold)
+
+
+def minhash_signature(shingles: F.Column, num_perm: int = 64) -> F.Column:
+    """MinHash signature: per permutation seed i, min over shingle hashes
+    xxhash64(shingle, i). One projection, no shuffle."""
+
+    def hash_with_seed(i: int):
+        # single-arg lambda: a two-arg lambda would make transform() pass
+        # the array INDEX as the second argument
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    return F.array(
+        *[F.array_min(F.transform(shingles, hash_with_seed(i))) for i in range(num_perm)]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
+
+    rows = num_perm // bands per band; a pair collides if any band's slice
+    of the signature matches exactly. Candidates from the bucket join are
+    then verified against the exact Jaccard of their shingle sets, so the
+    output has no false positives (recall depends on the band geometry:
+    P(collide) = 1 - (1 - j^rows)^bands).
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sets = _token_sets(df, text_col, id_col, ngram)
+    sig = sets.withColumn("sig", minhash_signature(F.col("toks"), num_perm))
+    banded = sig.select(
+        "doc_id",
+        "toks",
+        "set_size",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "toks", "set_size", "bb.band", "bb.bucket")
+    left = banded.select(
+        "band", "bucket",
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
+        F.col("set_size").alias("a_size"),
+    )
+    right = banded.select(
+        "band", "bucket",
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"),
+        F.col("set_size").alias("b_size"),
+    )
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_toks", "b_toks", "a_size", "b_size")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    n_common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    jac = n_common / (F.col("a_size") + F.col("b_size") - n_common)
+    return cands.select(
+        "a_id", "b_id", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def simhash64(shingles: F.Column, n_bits: int = 64) -> F.Column:
+    """64-bit SimHash: per bit, sign-vote of shingle hashes; bit i set when
+    the vote is positive. Pure expression: fold shingles into an n_bits-long
+    vote array with aggregate + zip_with (bit offsets are Python ints —
+    shiftright/shiftleft take literal bit counts, not Columns)."""
+
+    def bit_votes(s: F.Column) -> F.Column:
+        h = F.xxhash64(s)
+        return F.array(
+            *[
+                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
+                .cast("long")
+                for b in range(n_bits)
+            ]
+        )
+
+    votes = F.aggregate(
+        shingles,
+        F.array_repeat(F.lit(0).cast("long"), n_bits),
+        lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, b: a + b),
+    )
+    sig = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sig = sig.bitwiseOR(
+            F.when(
+                F.element_at(votes, b + 1) > 0,
+                F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return sig
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    ngram: int = 2,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding: split the 64-bit hash into ``n_chunks`` equal chunks; by
+    pigeonhole any pair with hamming < n_chunks agrees on ≥1 chunk, so
+    recall is GUARANTEED for max_hamming ≤ n_chunks - 1 and probabilistic
+    above. Candidates come from equi-joins on chunk values, verified with
+    exact bit_count.
+    """
+    assert 64 % n_chunks == 0
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    sets = _token_sets(df, text_col, id_col, ngram)
+    sh = sets.select("doc_id", simhash64(F.col("toks")).alias("simhash"))
+    chunks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright(F.col("simhash"), c * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("cv"),
+    ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    a = chunks.select("chunk", "val", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
+    b = chunks.select("chunk", "val", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        a.join(b, on=["chunk", "val"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

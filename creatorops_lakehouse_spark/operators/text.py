@@ -1,0 +1,144 @@
+"""Text analysis operators: tokenization, language id, quality scoring,
+fingerprinting. All pure Column expressions (JVM-side, codegen-fused) — the
+per-document cost is one projection pass, embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+#: word tokens: lowercase alnum runs (same regex used by the DuckDB oracles)
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(text: Column) -> Column:
+    """Lowercased word tokens, empties removed."""
+    return F.filter(
+        F.split(F.lower(text), TOKEN_SPLIT_RE), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of the normalized text (shingles for
+    MinHash/Jaccard). Built with sequence+transform — no UDF."""
+    norm = normalize_text(text)
+    return F.filter(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.length(norm) - n, F.lit(0))),
+                lambda i: norm.substr(i + 1, F.lit(n)),
+            )
+        ),
+        lambda s: F.length(s) == n,
+    )
+
+
+def word_ngrams(text: Column, n: int = 2) -> Column:
+    """Distinct word n-grams (space-joined) — shingles for near-dup."""
+    toks = tokens(text)
+    k = F.size(toks)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - n, F.lit(0))),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        )
+    )
+
+
+def normalize_text(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse whitespace,
+    strip non-alphanumerics (keeps single spaces)."""
+    return F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(text), "[^a-z0-9\\s]", " "), "\\s+", " ")
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized-content fingerprint: sha2 of the canonical form — detects
+    duplicates that differ only in case/whitespace/punctuation."""
+    return F.sha2(normalize_text(text), 256)
+
+
+#: tiny per-language stopword profiles for the n-gram/stopword heuristic
+#: language id (public-knowledge word lists, deliberately minimal)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de": ("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "von", "zu"),
+    "es": ("el", "la", "de", "que", "los", "una", "por", "con", "para", "es"),
+    "fr": ("le", "la", "les", "des", "est", "une", "dans", "pour", "que", "avec"),
+}
+
+
+def lang_scores(text: Column) -> Column:
+    """MAP<lang, matched-stopword-count> over the token set."""
+    toks = F.array_distinct(tokens(text))
+    entries = []
+    for lang, words in LANG_PROFILES.items():
+        profile = F.array(*[F.lit(w) for w in words])
+        entries.extend([F.lit(lang), F.size(F.array_intersect(toks, profile))])
+    return F.create_map(*entries)
+
+
+def lang_id(text: Column, min_hits: int = 1) -> Column:
+    """Heuristic language id: the profile with the most stopword hits;
+    null when no profile reaches ``min_hits`` (unknown)."""
+    scores = lang_scores(text)
+    langs = list(LANG_PROFILES)
+    best = None
+    best_score = None
+    for lang in langs:
+        s = scores.getItem(lang)
+        if best is None:
+            best, best_score = F.lit(lang), s
+        else:
+            cond = s > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, s).otherwise(best_score)
+    return F.when(best_score >= min_hits, best)
+
+
+def quality_features(text: Column) -> dict[str, Column]:
+    """Raw quality signals (all exact integer/length-based, oracle-friendly)."""
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_punct = n_chars - F.length(F.regexp_replace(text, "[^\\w\\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(text, "[0-9]", ""))
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "n_distinct_tokens": n_distinct,
+        "n_punct": n_punct,
+        "n_digits": n_digit,
+    }
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length sweet-spot, lexical diversity,
+    low punctuation/digit noise. Weights are heuristic (documented, simple);
+    the signal columns above are the auditable parts."""
+    f = quality_features(text)
+    n_chars = f["n_chars"].cast("double")
+    n_tokens = f["n_tokens"].cast("double")
+    length_ok = F.least(n_chars / F.lit(200.0), F.lit(1.0))  # saturates at 200 chars
+    diversity = F.when(
+        f["n_tokens"] > 0, f["n_distinct_tokens"] / n_tokens
+    ).otherwise(F.lit(0.0))
+    punct_noise = F.when(
+        f["n_chars"] > 0, f["n_punct"].cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    digit_noise = F.when(
+        f["n_chars"] > 0, f["n_digits"].cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    raw = (
+        F.lit(0.4) * length_ok
+        + F.lit(0.4) * diversity
+        + F.lit(0.2) * (F.lit(1.0) - F.least(punct_noise + digit_noise, F.lit(1.0)))
+    )
+    return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))

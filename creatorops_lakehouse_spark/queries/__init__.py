@@ -112,15 +112,9 @@ def all_oracles() -> dict[str, str]:
 def _ensure_imported() -> None:
     """Import all query modules so their decorators run."""
     from creatorops_lakehouse_spark.queries import (  # noqa: F401
+        dedup,
         events,
         relational,
+        similarity,
+        text,
     )
-
-    try:
-        from creatorops_lakehouse_spark.queries import (  # noqa: F401
-            dedup,
-            similarity,
-            text,
-        )
-    except ImportError:  # pragma: no cover - during incremental build-out
-        pass

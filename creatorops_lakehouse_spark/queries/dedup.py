@@ -1,0 +1,139 @@
+"""Deduplication queries over the driver ``documents`` table.
+
+Exact hash dedup and token-set Jaccard pairs are oracle-checked in SQL;
+MinHash-LSH and SimHash use engine-specific hashing (xxhash64) so they get
+rows-only driver checks — their *correctness* is pinned by pytest
+(LSH/SimHash candidates ⊇ high-similarity Jaccard pairs, no false
+positives after verification; tests/test_operators_dedup.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from creatorops_lakehouse_spark.operators.dedup import (
+    duplicate_clusters,
+    fingerprint_clusters,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from creatorops_lakehouse_spark.queries import load, query
+
+_SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+
+
+@query(
+    "docs_exact_dedup_clusters",
+    oracle="""
+    SELECT content_hash, n_docs, canonical_id
+    FROM (
+        SELECT sha256(text) AS content_hash,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS canonical_id
+        FROM documents
+        GROUP BY 1
+    )
+    WHERE n_docs > 1
+    """,
+)
+def docs_exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate clusters: content-hash groupBy (scale: one shuffle
+    on the 256-bit hash; no pairwise work at all)."""
+    return duplicate_clusters(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    ).filter(F.col("n_docs") > 1)
+
+
+@query(
+    "docs_fingerprint_dedup",
+    oracle="""
+    SELECT doc_fingerprint, n_docs, canonical_id
+    FROM (
+        SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS doc_fingerprint,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS canonical_id
+        FROM documents
+        GROUP BY 1
+    )
+    WHERE n_docs > 1
+    """,
+)
+def docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint clusters (case/whitespace/punct-
+    invariant near-exact dedup)."""
+    return fingerprint_clusters(
+        load(spark, sf_dir, "documents"), "text", "doc_id"
+    ).filter(F.col("n_docs") > 1)
+
+
+@query(
+    "docs_jaccard_neardup_pairs",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(l) - 3, 0) + 1),
+                   i -> array_to_string(l[i + 1 : i + 3], ' '))) AS shingles
+        FROM toks
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sets),
+    posts AS (SELECT doc_id, set_size, unnest(shingles) AS tok FROM sized),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.set_size AS a_size, b.set_size AS b_size,
+               COUNT(*) AS n_common
+        FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_id, b_id, n_common,
+           CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) AS jaccard
+    FROM common
+    WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.6
+    """,
+)
+def docs_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram Jaccard near-dup pairs (≥0.6) via inverted-index
+    self-join — the verification layer under MinHash-LSH.
+
+    Trigram shingles (not unigrams): with a small vocabulary, unigram
+    posting lists approach |docs| and the self-join degenerates toward n² —
+    higher-order shingles keep document frequency per shingle low, which is
+    what bounds the join at scale. The ratio is an exact small-integer
+    division — identical doubles on both engines.
+    """
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.6,
+        ngram=3,
+    )
+
+
+@query("docs_minhash_lsh_pairs")  # engine-specific hashing → rows-only check
+def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64 perms) + 16-band LSH candidates, exact-Jaccard-verified
+    at ≥0.5 over word bigrams. The scale path for near-dedup: signature is
+    one projection; candidate generation is an equi-join on band buckets."""
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        ngram=2,
+        num_perm=64,
+        bands=16,
+    )
+
+
+@query("docs_simhash_pairs")  # engine-specific hashing → rows-only check
+def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs at hamming ≤ 12 over word bigrams,
+    candidates from 16-bit chunk collisions (pigeonhole)."""
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), max_hamming=12, ngram=2
+    )

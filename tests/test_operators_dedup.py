@@ -1,0 +1,122 @@
+"""Correctness pins for the dedup operator family: LSH candidates must
+recover high-similarity pairs (recall vs exact Jaccard), and verification
+must eliminate false positives."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from creatorops_lakehouse_spark.operators.dedup import (
+    duplicate_clusters,
+    exact_dedup,
+    fingerprint_clusters,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bank today"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy dog near the river bend today"),  # near dup of 1
+    (4, "The  quick brown fox, jumps over the lazy dog near the river bank today!"),  # fmt dup of 1
+    (5, "completely different content about spark query engines and distributed joins"),
+    (6, "another unrelated document discussing parquet file formats and columnar storage"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"]).persist()
+
+
+def test_exact_dedup_keeps_one_per_content(docs):
+    out = exact_dedup(docs, ["text"], keep_order_col="doc_id")
+    ids = {r.doc_id for r in out.collect()}
+    assert 1 in ids and 2 not in ids  # doc 2 is the exact dup, doc 1 kept
+    assert len(ids) == 5
+
+
+def test_duplicate_clusters(docs):
+    clusters = duplicate_clusters(docs, "text", "doc_id").filter(F.col("n_docs") > 1).collect()
+    assert len(clusters) == 1
+    assert clusters[0].n_docs == 2
+    assert clusters[0].canonical_id == 1
+
+
+def test_fingerprint_catches_format_dup(docs):
+    clusters = fingerprint_clusters(docs, "text", "doc_id").filter(F.col("n_docs") > 1).collect()
+    assert len(clusters) == 1
+    assert clusters[0].n_docs == 3  # docs 1, 2, 4 normalize identically
+
+
+def test_jaccard_pairs_exact(docs):
+    pairs = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.5, ngram=1).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 4) in pairs and pairs[(1, 4)] == 1.0
+    assert (1, 3) in pairs and 0.7 < pairs[(1, 3)] < 1.0
+    assert (5, 6) not in pairs
+
+
+def test_minhash_lsh_recall_and_precision(docs):
+    exact = {
+        (r.a_id, r.b_id)
+        for r in jaccard_pairs(docs, threshold=0.7, ngram=2).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.7, ngram=2, num_perm=64, bands=32).collect()
+    }
+    # recall: every exact pair ≥0.7 must be found by LSH at this band setting
+    assert exact <= set(lsh), f"missed: {exact - set(lsh)}"
+    # precision: verification step guarantees no pair below threshold
+    assert all(j >= 0.7 for j in lsh.values())
+
+
+def test_minhash_jaccard_matches_exact(docs):
+    exact = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in jaccard_pairs(docs, threshold=0.1, ngram=2).collect()
+    }
+    lsh = {
+        (r.a_id, r.b_id): r.jaccard
+        for r in minhash_lsh_pairs(docs, threshold=0.1, ngram=2, num_perm=64, bands=32).collect()
+    }
+    for pair, j in lsh.items():
+        assert abs(exact[pair] - j) < 1e-9  # verified value IS the exact jaccard
+
+
+def test_simhash_identical_and_near(docs):
+    pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(docs, max_hamming=7, ngram=1).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical docs, hamming 0
+    assert pairs.get((1, 4)) == 0  # normalization-identical
+    assert pairs.get((1, 3)) == 3  # one-word change → 3 bits
+    assert (5, 6) not in pairs
+
+
+def test_simhash_recall_guarantee(docs):
+    # pigeonhole: every pair with hamming <= n_chunks-1 MUST be found
+    all_pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(docs, max_hamming=64, ngram=1, n_chunks=64).collect()
+    }  # 1-bit chunks → exhaustive candidates
+    banded = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(docs, max_hamming=7, ngram=1, n_chunks=8).collect()
+    }
+    expected = {p: h for p, h in all_pairs.items() if h <= 7}
+    assert banded == expected
+
+
+def test_lsh_pairs_unique(docs):
+    out = minhash_lsh_pairs(docs, threshold=0.1, ngram=2).collect()
+    keys = [(r.a_id, r.b_id) for r in out]
+    assert len(keys) == len(set(keys))
+    assert all(a < b for a, b in keys)

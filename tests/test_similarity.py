@@ -1,0 +1,117 @@
+"""Similarity-search pins: brute-force correctness on hand-built vectors,
+ANN recall vs the exact baseline, multimodal plumbing shapes."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+import pytest
+
+from creatorops_lakehouse_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    fake_image_features,
+    to_asset_table,
+)
+from creatorops_lakehouse_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    embedding_neardup_pairs,
+)
+
+
+def _unit(i, dim=8):
+    v = [0.0] * dim
+    v[i] = 1.0
+    return v
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # close to 0
+        (2, [0.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # orthogonal to 0
+        (3, [1.0, 0.05, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # closest to 0
+        (4, [-1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),  # opposite of 0
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+
+
+def test_bruteforce_ordering(vectors):
+    out = cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=4).collect()
+    order = [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)]
+    assert order == [3, 1, 2, 4]
+    sims = {r.neighbor_id: r.cos_sim for r in out}
+    assert sims[3] == pytest.approx(1 / math.sqrt(1 + 0.05**2))
+    assert sims[2] == pytest.approx(0.0)
+    assert sims[4] == pytest.approx(-1.0)
+
+
+def test_ann_recall_against_bruteforce(spark):
+    # clustered corpus — the workload hyperplane LSH is built for: members
+    # of a tight cluster land in the same half-space bucket w.h.p.
+    import random
+
+    rng = random.Random(3)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(10)]
+    rows = []
+    for i in range(100):
+        c = centers[i % 10]
+        rows.append((i, [x + rng.gauss(0, 0.01) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_lsh_topk(df, queries, k=3, n_planes=6, dim=16).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"ANN recall too low on clustered data: {recall}"
+    assert all(q != n for q, n in approx)
+
+
+def test_neardup_pairs_threshold(vectors):
+    pairs = {
+        (r.a_id, r.b_id): r.cos_sim
+        for r in embedding_neardup_pairs(vectors, threshold=0.95, n_planes=2, dim=8).collect()
+    }
+    for (a, b), sim in pairs.items():
+        assert sim >= 0.95 and a < b
+    assert (0, 3) in pairs  # cos ≈ 0.9988 and same LSH bucket for any plane set
+
+
+def test_multimodal_asset_schema(spark):
+    docs = spark.createDataFrame([(1, "hello world"), (2, "spark")], ["doc_id", "text"])
+    assets = to_asset_table(docs, "doc_id", "text", "image")
+    rows = {r.asset_id: r for r in assets.collect()}
+    assert rows[1].content_length == 11
+    assert rows[1].media_type == "image"
+    assert len(rows[1].content_sha256) == 64
+    assert rows[1].meta_width is None
+
+
+def test_multimodal_feature_extraction_batches(spark):
+    docs = spark.createDataFrame(
+        [(i, f"payload number {i}") for i in range(100)], ["doc_id", "text"]
+    ).repartition(2)
+    feats = extract_features(to_asset_table(docs, "doc_id", "text", "image"))
+    rows = feats.collect()
+    assert len(rows) == 100
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(r.batch_rows >= 1 for r in rows)
+    # deterministic stand-in: same payload → same features
+    assert rows[0].feature == [
+        pytest.approx(x) for x in fake_image_features(f"payload number {rows[0].asset_id}".encode())
+    ]
+
+
+def test_decode_stub_raises():
+    from creatorops_lakehouse_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
