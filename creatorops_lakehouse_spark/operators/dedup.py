@@ -113,6 +113,9 @@ def jaccard_pairs(
             .select("tok")
         )
         posts = posts.join(F.broadcast(hot), on="tok", how="left_anti")
+    # both sides of the self-join read this subtree — materialize it once
+    # (at cluster scale: write to a temp table / checkpoint instead)
+    posts = posts.persist()
     a = posts.select(
         F.col("tok"),
         F.col("doc_id").alias("a_id"),
@@ -194,6 +197,7 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "toks", "set_size", "bb.band", "bb.bucket")
+    banded = banded.persist()  # self-join reads it twice
     left = banded.select(
         "band", "bucket",
         F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
@@ -217,37 +221,34 @@ def minhash_lsh_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
-def simhash64(shingles: F.Column, n_bits: int = 64) -> F.Column:
-    """64-bit SimHash: per bit, sign-vote of shingle hashes; bit i set when
-    the vote is positive. Pure expression: fold shingles into an n_bits-long
-    vote array with aggregate + zip_with (bit offsets are Python ints —
-    shiftright/shiftleft take literal bit counts, not Columns)."""
+def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
+    """(doc_id, simhash) via explode + sign-vote hash aggregation.
 
-    def bit_votes(s: F.Column) -> F.Column:
-        h = F.xxhash64(s)
-        return F.array(
-            *[
-                F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1))
-                .otherwise(F.lit(-1))
+    Spark-first formulation: explode shingles, hash each once, then one
+    hash aggregate with n_bits small SUM columns (map-side partial
+    aggregation, vectorized). The earlier array-fold formulation (aggregate
+    + 64-wide zip_with per shingle) built an expression tree deep enough to
+    kill executor tasks on long documents — per-bit aggregate columns keep
+    the generated code flat and the shuffle tiny (one row per doc).
+    """
+    hashed = sets.select("doc_id", F.explode("toks").alias("s")).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    votes = hashed.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
                 .cast("long")
-                for b in range(n_bits)
-            ]
-        )
-
-    votes = F.aggregate(
-        shingles,
-        F.array_repeat(F.lit(0).cast("long"), n_bits),
-        lambda acc, s: F.zip_with(acc, bit_votes(s), lambda a, b: a + b),
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
     )
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
-        sig = sig.bitwiseOR(
-            F.when(
-                F.element_at(votes, b + 1) > 0,
-                F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-        )
-    return sig
+        bit = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long")
+        sig = sig.bitwiseOR(F.when(F.col(f"v{b}") > 0, bit).otherwise(F.lit(0).cast("long")))
+    return votes.select("doc_id", sig.alias("simhash"))
 
 
 def simhash_pairs(
@@ -270,7 +271,7 @@ def simhash_pairs(
     width = 64 // n_chunks
     mask = (1 << width) - 1
     sets = _token_sets(df, text_col, id_col, ngram)
-    sh = sets.select("doc_id", simhash64(F.col("toks")).alias("simhash"))
+    sh = simhash_table(sets)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -288,6 +289,7 @@ def simhash_pairs(
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    chunks = chunks.persist()  # self-join reads it twice
     a = chunks.select("chunk", "val", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
     b = chunks.select("chunk", "val", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
