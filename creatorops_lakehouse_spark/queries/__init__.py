@@ -112,6 +112,7 @@ def all_oracles() -> dict[str, str]:
 def _ensure_imported() -> None:
     """Import all query modules so their decorators run."""
     from creatorops_lakehouse_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         events,
         relational,

@@ -1,0 +1,241 @@
+"""Advanced relational coverage: as-of join, interval self-join, correlated
+scalar subqueries (through the spark.sql entry path), cube grouping sets,
+running-window frames, and outer-join distributions.
+
+These extend SURVEY.md §2's inventory with the operator classes a user of
+the reference would reach for next (§2.3/§2.5/§2.6 notes + §7.4).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from creatorops_lakehouse_spark.operators.asof import asof_join
+from creatorops_lakehouse_spark.operators.rangejoin import event_pairs_within
+from creatorops_lakehouse_spark.queries import exact_avg_sql, load, query
+
+
+@query(
+    "events_asof_join_purchase_click",
+    oracle="""
+    WITH purchases AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'click'
+    )
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           c.ts AS last_click_ts,
+           epoch_us(p.ts) - epoch_us(c.ts) AS gap_micros
+    FROM purchases p
+    ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each purchase, the latest click at-or-before it.
+
+    Spark has no ASOF JOIN; operators/asof.py implements it as a union-tag
+    + last_value window (one shuffle) — checked here against DuckDB's
+    native ASOF JOIN.
+    """
+    ev = load(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(
+        purchases, clicks, on="user_id", right_payload=[], how="inner"
+    )
+    return joined.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_ts").alias("last_click_ts"),
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).alias("gap_micros"),
+    )
+
+
+@query(
+    "events_pairs_within_30min",
+    oracle="""
+    SELECT a.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(MIN(epoch_us(b.ts) - epoch_us(a.ts)) AS BIGINT) AS min_gap_micros
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800 * 1000000
+    GROUP BY 1
+    """,
+)
+def events_pairs_within_30min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval self-join: ordered event pairs within 30 minutes per user,
+    via bucketed equi-join (operators/rangejoin.py) — no cartesian plan."""
+    pairs = event_pairs_within(
+        load(spark, sf_dir, "events"), window_seconds=1800
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count("*").alias("n_pairs"),
+        F.min("gap_micros").alias("min_gap_micros"),
+    )
+
+
+@query(
+    "tpch_q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS small_qty_revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+          SELECT 0.5 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def tpch_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery, exercised through the
+    spark.sql entry path so Catalyst's subquery decorrelation runs (it
+    rewrites to an aggregate + join — the plan a hand-written DataFrame
+    version would build)."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))) * 100 AS BIGINT)
+                    AS DOUBLE) / 100 AS small_qty_revenue,
+               COUNT(*) AS n_lineitems
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#13'
+          AND l.l_quantity < (
+              SELECT 0.5 * AVG(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+          )
+        """
+    )
+
+
+@query(
+    "tpch_q13_order_count_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def tpch_q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: left outer join with a join-side predicate, then a
+    distribution over the grouped counts (two chained aggregations)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "lineitem_cube_returnflag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_items,
+           CAST(CAST(SUM(l_quantity) AS BIGINT) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def lineitem_cube_returnflag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets (§2.4 extension): all 4 grouping combinations in
+    one shuffle via grouping-set expansion."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").cast("long").cast("double").alias("sum_qty"),
+        )
+    )
+
+
+@query(
+    "events_running_user_totals",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, rn AS event_seq,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS running_value
+    FROM seq
+    WHERE rn <= 20
+    """,
+)
+def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running cumulative totals with an explicit ROWS frame (§2.5 frame
+    specs). The accumulation runs in exact integer cents so both engines
+    produce identical doubles at every prefix."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w_seq = Window.partitionBy("user_id").orderBy(*order)
+    w_run = w_seq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", cents.alias("cents"))
+        .withColumn("event_seq", F.row_number().over(w_seq))
+        .withColumn("running_value", F.sum("cents").over(w_run).cast("double") / 100)
+        .filter(F.col("event_seq") <= 20)
+        .select("user_id", "event_id", "event_seq", "running_value")
+    )
+
+
+@query(
+    "tpch_q4_order_priority_exists",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+      )
+    GROUP BY 1
+    """,
+)
+def tpch_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with a cross-table predicate →
+    left-semi join on (orderkey) with the shipdate>orderdate condition in
+    the join."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1994-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
