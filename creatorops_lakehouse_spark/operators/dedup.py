@@ -141,18 +141,41 @@ def jaccard_pairs(
     ).filter(jac >= threshold)
 
 
+#: Mersenne prime 2^31-1: with a, b, h all < 2^31, a*h + b < 2^62 stays
+#: inside int64 — no 128-bit modular multiplication needed.
+_MERSENNE_31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for h_i(x) = (a_i * x + b_i) mod 2^31-1."""
+    import random
+
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
+        for _ in range(num_perm)
+    ]
+
+
 def minhash_signature(shingles: F.Column, num_perm: int = 64) -> F.Column:
-    """MinHash signature: per permutation seed i, min over shingle hashes
-    xxhash64(shingle, i). One projection, no shuffle."""
+    """MinHash signature via the universal-hash permutation family:
+    each shingle is string-hashed ONCE (xxhash64 → 31-bit base), then the
+    num_perm permutations are integer affine maps (a·h + b mod 2^31-1)
+    over that base hash — integer arithmetic instead of re-hashing the
+    string per permutation. 31-bit signature space adds ~2^-31 per-perm
+    collision probability, negligible for MinHash estimation. One
+    projection, no shuffle."""
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
 
-    def hash_with_seed(i: int):
-        # single-arg lambda: a two-arg lambda would make transform() pass
-        # the array INDEX as the second argument
-        return lambda s: F.xxhash64(s, F.lit(i))
+    def perm_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                base,
+                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)),
+            )
+        )
 
-    return F.array(
-        *[F.array_min(F.transform(shingles, hash_with_seed(i))) for i in range(num_perm)]
-    )
+    return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
 
 
 def minhash_lsh_pairs(

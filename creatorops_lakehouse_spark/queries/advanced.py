@@ -239,3 +239,59 @@ def tpch_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("order_count"))
     )
+
+
+@query(
+    "events_session_windows",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, cents,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100 AS session_value
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization via Spark's native session_window (30-min
+    inactivity gap) — the stateful-session operator class (§2.8). The
+    DuckDB oracle reconstructs identical sessions with the lag-marker +
+    cumulative-sum idiom; boundary semantics pinned to [start, end): a gap
+    of exactly 30 minutes starts a NEW session on both engines.
+
+    Scale: one shuffle on user_id; session merging is streaming-capable
+    (same expression under withWatermark in streaming mode).
+    """
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", cents.alias("cents"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum("cents").cast("double") / 100).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )

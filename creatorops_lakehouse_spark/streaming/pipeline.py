@@ -135,3 +135,34 @@ def start_velocity_sink(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_user_sessions(
+    silver_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stateful gap-based sessionization on the event stream: native
+    session_window + watermark (state evicts once a session can no longer
+    grow). ``watermark=None`` reuses the watermark already on the input
+    (streaming_silver sets one; Spark forbids redefining it). The
+    custom-stateful upgrade path is transformWithStateInPandas;
+    session_window covers the gap-session case without Python state."""
+    if watermark is not None:
+        silver_stream = silver_stream.withWatermark("occurred_at", watermark)
+    return (
+        silver_stream
+        .groupBy(
+            F.session_window("occurred_at", gap).alias("w"),
+            F.col("tenant_id"),
+            F.col("author_id"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "tenant_id",
+            "author_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -94,3 +94,30 @@ def test_streaming_incremental_second_batch(spark, stream_dirs):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == n1 + 1
     assert {r.event_id for r in rows} >= {"c9"}
+
+
+def test_streaming_session_windows(spark, stream_dirs):
+    from creatorops_lakehouse_spark.streaming.pipeline import streaming_user_sessions
+
+    inp, root = stream_dirs
+    out = os.path.join(root, "sessions")
+    ckpt = os.path.join(root, "ckpt_sessions")
+    silver = streaming_silver(read_event_stream(spark, inp), as_of_ts=AS_OF, dedup=False)
+    sessions = streaming_user_sessions(silver, gap="90 minutes")
+
+    def write_batch(df, _bid):
+        df.write.mode("overwrite").parquet(out)
+
+    q = (
+        sessions.writeStream.outputMode("complete")
+        .foreachBatch(write_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    # chapter events at 08:00/09:00 merge (gap 90m); 03-31 and reader event
+    # at 10:00 chain onto 09:00 within 90m
+    assert any(r.n_events >= 2 for r in rows)
+    assert all(r.session_end > r.session_start for r in rows)
