@@ -1,0 +1,85 @@
+"""Physical-plan audit: for every registered query, record the plan
+properties the 100 TB design depends on — pushed filters, scan schema
+width, join strategies, exchange count, whole-stage-codegen coverage,
+Python-UDF presence.
+
+    python tools/explain_audit.py [sf_dir] > PLAN_AUDIT.md
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+
+def audit_plan(plan: str) -> dict:
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    read_schema = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+
+    def nodes(op: str) -> int:
+        # formatted mode: each physical node appears once as "(N) <Op>"
+        return len(re.findall(rf"\(\d+\) {op}", plan))
+
+    return {
+        "exchanges": nodes("Exchange"),
+        "broadcast_joins": nodes("BroadcastHashJoin"),
+        "sortmerge_joins": nodes("SortMergeJoin"),
+        "bnl_joins": nodes("BroadcastNestedLoopJoin"),
+        "cartesian": nodes("CartesianProduct"),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "python_eval": nodes("BatchEvalPython") + nodes("ArrowEvalPython"),
+        "pushed_nonempty": sum(1 for p in pushed if p.strip()),
+        "scan_cols": [len(s.split(",")) for s in read_schema],
+    }
+
+
+def main() -> int:
+    sys.path.insert(0, "/root/repo")
+    from creatorops_lakehouse_spark.queries import all_queries
+    from creatorops_lakehouse_spark.session import build_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_spark("explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print(f"# PLAN AUDIT ({sf_dir})\n")
+    print("| query | exch | bcast | smj | bnlj/cart | codegen | pyUDF | pushed | scan cols |")
+    print("|---|---|---|---|---|---|---|---|---|")
+    flagged: list[str] = []
+    for name, fn in all_queries().items():
+        try:
+            import contextlib
+            import io
+
+            df = fn(spark, sf_dir)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
+            plan = buf.getvalue()
+        except Exception as e:  # noqa: BLE001
+            print(f"| {name} | ERROR: {str(e)[:60]} | | | | | | | |")
+            continue
+        a = audit_plan(plan)
+        bad = a["cartesian"] > 0 or (
+            a["bnl_joins"] > 0 and "cosine_topk" not in name and "bruteforce" not in name
+        )
+        if a["python_eval"] > 0 and "multimodal" not in name:
+            bad = True
+        if bad:
+            flagged.append(name)
+        print(
+            f"| {name}{' ⚠' if bad else ''} | {a['exchanges']} | {a['broadcast_joins']} "
+            f"| {a['sortmerge_joins']} | {a['bnl_joins']}/{a['cartesian']} "
+            f"| {a['codegen_spans']} | {a['python_eval']} | {a['pushed_nonempty']} "
+            f"| {a['scan_cols']} |"
+        )
+    print()
+    if flagged:
+        print(f"FLAGGED: {flagged}")
+    else:
+        print("No cartesian products, no unexpected nested-loop joins, no Python UDFs outside multimodal.")
+    return 1 if flagged else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
