@@ -212,8 +212,8 @@ def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count
     FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND o.o_orderdate < TIMESTAMP '1994-10-01 00:00:00'
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
       AND EXISTS (
           SELECT 1 FROM lineitem l
           WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
@@ -226,8 +226,8 @@ def tpch_q4_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame
     left-semi join on (orderkey) with the shipdate>orderdate condition in
     the join."""
     o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1994-10-01 00:00:00").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
     return (

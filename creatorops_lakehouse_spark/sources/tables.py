@@ -112,3 +112,38 @@ def lakehouse_specs(root: str) -> dict[str, TableSpec]:
             "gold.kpi_stage_bottlenecks", f"{root}/gold/kpi_stage_bottlenecks",
         ),
     }
+
+
+def write_bucketed(
+    df: DataFrame,
+    spark: SparkSession,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (CLUSTERED BY ... INTO n BUCKETS).
+
+    Bucketing pre-shuffles data by the join/agg key at WRITE time: two
+    tables bucketed the same way join with ZERO exchanges — the decisive
+    optimization for repeated large-fact joins at 100 TB (pay the shuffle
+    once, reuse it every query). Requires saveAsTable (bucket metadata
+    lives in the catalog, not the files).
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table_name)
+
+
+def sort_for_skipping(df: DataFrame, cols: list[str], target_files: int) -> DataFrame:
+    """Range-partition + sort by ``cols`` before writing — the parquet
+    min/max data-skipping stand-in for Delta ZORDER (reference guidance:
+    sql/ddl/02_silver_events.sql:62). Files become disjoint key ranges, so
+    point/range queries on ``cols`` prune most files from the scan."""
+    from pyspark.sql import functions as F
+
+    return df.repartitionByRange(target_files, *[F.col(c) for c in cols]).sortWithinPartitions(
+        *cols
+    )
