@@ -22,7 +22,7 @@ Scale notes (100 TB):
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from creatorops_lakehouse_spark.operators.text import (
     fingerprint,
@@ -95,6 +95,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     ngram: int = 1,
     max_token_df: int | None = None,
+    prefix_filter: bool = True,
 ) -> DataFrame:
     """Exact pairwise Jaccard ≥ threshold over token (or word-ngram) sets,
     via inverted-index self-join — no cross join.
@@ -102,8 +103,17 @@ def jaccard_pairs(
     ``max_token_df`` drops tokens appearing in more than that many docs
     (stop-token pruning): at scale these dominate join fanout while adding
     almost no discriminative signal. Pairs are emitted once (a < b).
+
+    ``prefix_filter`` (all-pairs / PPJoin prefix filtering): index only each
+    document's first |X| − ⌈t·|X|⌉ + 1 shingles under a global
+    rarest-first order — any pair with J ≥ t must still share an indexed
+    shingle, so the candidate join shrinks by ~t while staying EXACT
+    (candidates are verified against the full sets). This is the lever that
+    keeps the self-join bounded at 100 TB; exactness vs the unpruned join
+    is pinned in tests/test_operators_dedup.py.
     """
-    sets = _token_sets(df, text_col, id_col, ngram)
+    sets = _token_sets(df, text_col, id_col, ngram).filter(F.col("set_size") > 0)
+    sets = sets.persist()  # reread for posting build + candidate verification
     posts = sets.select("doc_id", "set_size", F.explode("toks").alias("tok"))
     if max_token_df is not None:
         hot = (
@@ -113,32 +123,44 @@ def jaccard_pairs(
             .select("tok")
         )
         posts = posts.join(F.broadcast(hot), on="tok", how="left_anti")
-    # both sides of the self-join read this subtree — materialize it once
-    # (at cluster scale: write to a temp table / checkpoint instead)
-    posts = posts.persist()
-    a = posts.select(
-        F.col("tok"),
-        F.col("doc_id").alias("a_id"),
-        F.col("set_size").alias("a_size"),
-    )
-    b = posts.select(
-        F.col("tok"),
-        F.col("doc_id").alias("b_id"),
-        F.col("set_size").alias("b_size"),
-    )
-    common = (
+    if prefix_filter:
+        tok_df = posts.groupBy("tok").agg(F.count("*").alias("df"))
+        ranked = posts.join(tok_df, on="tok")
+        w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
+        # ceil(t*n) in exact integer arithmetic: t scaled by 10^4
+        ts = int(round(threshold * 10000))
+        prefix_len = F.col("set_size") + 1 - F.expr(f"-((-({ts} * set_size)) div 10000)")
+        posts = (
+            ranked.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= prefix_len)
+            .select("doc_id", "set_size", "tok")
+        )
+    posts = posts.persist()  # both sides of the self-join read this subtree
+    a = posts.select(F.col("tok"), F.col("doc_id").alias("a_id"))
+    b = posts.select(F.col("tok"), F.col("doc_id").alias("b_id"))
+    cands = (
         a.join(b, on="tok")
         .filter(F.col("a_id") < F.col("b_id"))
-        .groupBy("a_id", "b_id", "a_size", "b_size")
-        .agg(F.count("*").alias("n_common"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
     )
-    jac = F.col("n_common") / (F.col("a_size") + F.col("b_size") - F.col("n_common"))
-    return common.select(
-        "a_id",
-        "b_id",
-        F.col("n_common"),
-        jac.alias("jaccard"),
-    ).filter(jac >= threshold)
+    sa = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
+        F.col("set_size").alias("a_size"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"),
+        F.col("set_size").alias("b_size"),
+    )
+    verified = cands.join(sa, on="a_id").join(sb, on="b_id")
+    n_common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    jac = n_common / (F.col("a_size") + F.col("b_size") - n_common)
+    return (
+        verified.select(
+            "a_id", "b_id", n_common.alias("n_common"), jac.alias("jaccard")
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 #: Mersenne prime 2^31-1: with a, b, h all < 2^31, a*h + b < 2^62 stays

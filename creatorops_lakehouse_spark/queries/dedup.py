@@ -106,6 +106,11 @@ def docs_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order shingles keep document frequency per shingle low, which is
     what bounds the join at scale. The ratio is an exact small-integer
     division — identical doubles on both engines.
+
+    prefix_filter=False here: trigram posting lists are already sparse, so
+    the filter's df-ranking overhead exceeds its candidate savings at this
+    density (measured at sf0.1). Enable it for dense shingle spaces
+    (unigrams / short n-grams), where it is the all-pairs bound.
     """
     return jaccard_pairs(
         load(spark, sf_dir, "documents"),
@@ -113,6 +118,7 @@ def docs_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         threshold=0.6,
         ngram=3,
+        prefix_filter=False,
     )
 
 

@@ -120,3 +120,26 @@ def test_lsh_pairs_unique(docs):
     keys = [(r.a_id, r.b_id) for r in out]
     assert len(keys) == len(set(keys))
     assert all(a < b for a, b in keys)
+
+
+def test_prefix_filter_exactness_vs_unpruned(spark):
+    """Prefix filtering must be lossless: identical pairs to the unpruned
+    inverted-index join at several thresholds (all-pairs prefix theorem)."""
+    import random
+
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(8, 24)))) for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"]).persist()
+    for t in (0.3, 0.5, 0.7, 0.9):
+        exact = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_pairs(df, threshold=t, ngram=1, prefix_filter=False).collect()
+        }
+        pruned = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in jaccard_pairs(df, threshold=t, ngram=1, prefix_filter=True).collect()
+        }
+        assert pruned == exact, f"t={t}: {set(exact) ^ set(pruned)}"
