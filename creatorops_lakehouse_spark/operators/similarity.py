@@ -167,3 +167,121 @@ def embedding_neardup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin over squared L2 distance to each centroid (k small: the
+    k×dim literals constant-fold; evaluation is one codegen pass)."""
+    best_id = F.lit(0)
+    best_d = None
+    for i, c in enumerate(centroids):
+        c_col = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(vec, c_col, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if best_d is None:
+            best_id, best_d = F.lit(0), d
+        else:
+            cond = d < best_d
+            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return best_id
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 4,
+    dim: int = 64,
+) -> list[list[float]]:
+    """Lloyd k-means as DataFrame aggregations (the IVF coarse quantizer).
+
+    Initialization is deterministic (first k rows by id). Each iteration is
+    one assignment projection + one (cluster, dim) hash aggregate; only the
+    k×dim centroid matrix ever reaches the driver. At 100 TB you train on a
+    sample — the loop shape is unchanged.
+    """
+    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    centroids = [
+        r.v for r in vecs.orderBy("_id").limit(k).collect()
+    ]
+    for _ in range(iters):
+        assigned = vecs.withColumn("c", _nearest_centroid(F.col("v"), centroids))
+        sums = (
+            assigned.select("c", F.posexplode("v").alias("pos", "x"))
+            .groupBy("c", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = [list(c) for c in centroids]
+        acc: dict[int, list[float]] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            acc.setdefault(r.c, [0.0] * dim)[r.pos] = r.s
+            cnt[r.c] = r.n
+        for c_id, vals in acc.items():
+            new[c_id] = [x / cnt[c_id] for x in vals]
+        centroids = new
+    return centroids
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: corpus partitioned by nearest centroid; each query probes
+    its ``nprobe`` nearest cells and exact-reranks inside them. The 100 TB
+    shape: the corpus assignment is computed once and persisted as a
+    partitioned table; queries touch nprobe/k of the data."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
+    )
+
+    # nprobe nearest cells per query: rank distances to every centroid
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cells = []
+    for i, cen in enumerate(centroids):
+        c_col = F.array(*[F.lit(float(x)) for x in cen])
+        d = F.aggregate(
+            F.zip_with(
+                F.col("q_vec"), c_col,
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        cells.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    probed = q_base.withColumn(
+        "cell",
+        F.explode(F.slice(F.array_sort(F.array(*cells)), 1, nprobe)["cell"]),
+    )
+    sims = (
+        c.join(F.broadcast(probed), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )

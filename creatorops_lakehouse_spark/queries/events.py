@@ -386,3 +386,27 @@ def events_hash_idempotency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("hash_prefix"))
         .limit(20)
     )
+
+
+@query("events_sketch_aggregates")  # sketches are engine-specific → rows-only
+def events_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the constant-memory cardinality/quantile path at
+    100 TB: HyperLogLog++ approx_count_distinct and the percentile_approx
+    sketch the reference uses for stage bottlenecks
+    (bottlenecks_local.py:58-59). Accuracy vs exact values is pinned in
+    tests/test_sketches.py (rsd/quantile tolerance), and the exact
+    counterparts are oracle-checked in other queries.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.round(F.expr("percentile_approx(value, 0.5, 10000)"), 2).alias(
+                "approx_p50_value"
+            ),
+            F.round(F.expr("percentile_approx(value, 0.99, 10000)"), 2).alias(
+                "approx_p99_value"
+            ),
+        )
+    )

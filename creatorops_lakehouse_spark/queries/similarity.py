@@ -129,3 +129,21 @@ def emb_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.col("v") * F.col("v")), 2).alias("sum_sq"),
         F.round(F.max(F.abs("v")), 4).alias("max_abs"),
     )
+
+
+@query("emb_ann_ivf_topk")  # centroids from iterative training → rows-only
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: Lloyd-trained coarse quantizer partitions the corpus; each
+    query probes its 2 nearest cells and exact-reranks inside them — the
+    inverted-file scale path (queries touch nprobe/k of the corpus).
+    Recall vs brute force pinned in tests/test_similarity.py."""
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings").persist()
+    centroids = train_ivf_centroids(emb, k=8, iters=3, dim=64)
+    return ann_ivf_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOP_K, nprobe=2
+    )

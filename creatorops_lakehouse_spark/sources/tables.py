@@ -147,3 +147,37 @@ def sort_for_skipping(df: DataFrame, cols: list[str], target_files: int) -> Data
     return df.repartitionByRange(target_files, *[F.col(c) for c in cols]).sortWithinPartitions(
         *cols
     )
+
+
+def upsert_table(
+    spark: SparkSession,
+    spec: TableSpec,
+    updates: DataFrame,
+    keys: list[str],
+) -> None:
+    """MERGE-style upsert for the parquet table layer: matched rows are
+    replaced by ``updates``, unmatched existing rows are kept.
+
+    This is the documented silver upsert pattern
+    (runbooks/silver-transform.md:114-122: MERGE on event_id / WHEN NOT
+    MATCHED INSERT) realized without Delta: existing ⟕ anti-join on keys
+    ∪ updates, written back with dynamic partition overwrite so only the
+    partitions touched by ``updates`` rewrite. On Delta this becomes a real
+    ``MERGE INTO`` (with the partition keys in the match condition to prune
+    the rewrite — SURVEY.md §7.4 scale note).
+    """
+    import pyspark.sql.functions as F
+
+    try:
+        existing = read_table(spark, spec)
+    except Exception:  # first write — table does not exist yet
+        write_table(updates, spec, mode="overwrite", dynamic=False)
+        return
+    if spec.partition_by:
+        # restrict the kept side to the partitions being rewritten; rows in
+        # untouched partitions stay on disk (dynamic overwrite skips them)
+        parts = updates.select(*spec.partition_by).distinct()
+        existing = existing.join(F.broadcast(parts), on=list(spec.partition_by))
+    kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+    merged = kept.unionByName(updates)
+    write_table(merged, spec, mode="overwrite", dynamic=True)

@@ -115,3 +115,31 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    import random
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(5)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.02) for x in centers[i % 8]]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    centroids = train_ivf_centroids(df, k=8, iters=3, dim=16)
+    assert len(centroids) == 8 and len(centroids[0]) == 16
+    queries = df.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in cosine_topk(df, queries, k=3).collect()
+    }
+    ivf = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk(df, queries, centroids, k=3, nprobe=2).collect()
+    }
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.9, f"IVF recall too low: {recall}"
