@@ -1,0 +1,176 @@
+"""Custom stateful streaming operator: per-story stage-duration tracking.
+
+The batch engine computes stage durations with a lead() window
+(pipelines/gold/bottlenecks.py). lead() has no streaming equivalent — the
+"next" event for the last row of a micro-batch arrives in a LATER batch —
+so the streaming form needs explicit keyed state: remember each story's
+last (stage, timestamp) across batches and emit a transition when the next
+event arrives. This is the transformWithStateInPandas realization
+(SURVEY.md §7.4 "streaming session-stage durations").
+
+Scale notes: state is one tiny record per (tenant, story) key in RocksDB;
+rows stream through Arrow batches per key group. Requires
+spark.sql.streaming.stateStore.providerClass = RocksDBStateStoreProvider.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("tenant_id", StringType()),
+        StructField("story_id", StringType()),
+        StructField("stage", StringType()),
+        StructField("next_stage", StringType()),
+        StructField("duration_seconds", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("stage", StringType()),
+        StructField("ts_micros", LongType()),
+    ]
+)
+
+
+class StageDurationProcessor(StatefulProcessor):
+    """Keyed state: the story's last (stage, event-time); each incoming
+    event (in event-time order) closes the previous stage and emits its
+    duration."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._last = handle.getValueState("last_event", _STATE_SCHEMA)
+
+    def handleInputRows(
+        self, key, rows: Iterator[pd.DataFrame], timerValues
+    ) -> Iterator[pd.DataFrame]:
+        tenant_id, story_id = key
+        events = pd.concat(list(rows), ignore_index=True).sort_values("ts_micros")
+        out: list[tuple] = []
+        if self._last.exists():
+            prev_stage, prev_ts = self._last.get()
+        else:
+            prev_stage, prev_ts = None, None
+        for row in events.itertuples(index=False):
+            if prev_stage is not None and row.ts_micros >= prev_ts:
+                out.append(
+                    (
+                        tenant_id,
+                        story_id,
+                        prev_stage,
+                        row.stage,
+                        (row.ts_micros - prev_ts) / 1_000_000.0,
+                    )
+                )
+            prev_stage, prev_ts = row.stage, int(row.ts_micros)
+        self._last.update((prev_stage, prev_ts))
+        if out:
+            yield pd.DataFrame(out, columns=[f.name for f in TRANSITION_SCHEMA.fields])
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_stage_transitions(silver_stream: DataFrame) -> DataFrame:
+    """Stage-transition stream: groupBy (tenant, story) →
+    transformWithStateInPandas with the duration processor."""
+    import pyspark.sql.functions as F
+
+    keyed = silver_stream.filter(F.col("stage").isNotNull()).select(
+        "tenant_id",
+        "story_id",
+        "stage",
+        F.unix_micros("occurred_at").alias("ts_micros"),
+    )
+    return keyed.groupBy("tenant_id", "story_id").transformWithStateInPandas(
+        statefulProcessor=StageDurationProcessor(),
+        outputStructType=TRANSITION_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+
+
+def stage_transitions_foreachbatch(
+    state_path: str,
+    out_path: str,
+):
+    """State-in-the-lakehouse alternative: a foreachBatch body that keeps
+    each story's last (stage, ts) in a keyed parquet state table.
+
+    transformWithStateInPandas needs the protobuf-based Python state
+    server, which this environment lacks; this variant expresses the same
+    keyed-state semantics with plain DataFrame ops — the classic Delta/
+    parquet pattern for custom streaming state (state updates are atomic
+    per micro-batch because foreachBatch runs exactly-once per batch id
+    with checkpointing).
+
+    Each batch: transitions = lead() over (persisted state ∪ batch events);
+    new state = latest event per key. Because the state table holds exactly
+    ONE row per key (the story's latest already-emitted event), every
+    consecutive pair in the merged sequence involves at least one new event
+    — so every transition is fresh and no dedup against prior output is
+    needed. Assumes event-time-ordered arrival per key (the
+    transformWithStateInPandas variant + watermark is the general form).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    def body(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        events = batch_df.filter(F.col("stage").isNotNull()).select(
+            "tenant_id",
+            "story_id",
+            "stage",
+            F.unix_micros("occurred_at").alias("ts_micros"),
+        )
+        try:
+            state = spark.read.parquet(state_path)
+        except Exception:  # first batch — no state yet
+            state = None
+        merged = events if state is None else state.unionByName(events)
+        w = Window.partitionBy("tenant_id", "story_id").orderBy(F.col("ts_micros").asc())
+        seq = merged.withColumn("_next_stage", F.lead("stage").over(w)).withColumn(
+            "_next_ts", F.lead("ts_micros").over(w)
+        )
+        transitions = seq.filter(F.col("_next_ts").isNotNull()).select(
+            "tenant_id",
+            "story_id",
+            "stage",
+            F.col("_next_stage").alias("next_stage"),
+            ((F.col("_next_ts") - F.col("ts_micros")) / 1_000_000.0).alias(
+                "duration_seconds"
+            ),
+        )
+        transitions.write.mode("append").parquet(out_path)
+        # keep only the latest event per key; tmp-swap because Spark cannot
+        # lazily read and overwrite the same path in one plan
+        latest = Window.partitionBy("tenant_id", "story_id").orderBy(
+            F.col("ts_micros").desc()
+        )
+        new_state = (
+            merged.withColumn("_rn", F.row_number().over(latest))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        new_state.write.mode("overwrite").parquet(state_path + "_tmp")
+        spark.read.parquet(state_path + "_tmp").write.mode("overwrite").parquet(
+            state_path
+        )
+
+    return body

@@ -1,0 +1,140 @@
+"""transformWithStateInPandas stage-duration operator: state must survive
+micro-batch boundaries (the transition between the last event of batch 1
+and the first event of batch 2 is only computable from keyed state)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from creatorops_lakehouse_spark.streaming.pipeline import (
+    read_event_stream,
+    streaming_silver,
+)
+from creatorops_lakehouse_spark.streaming.stateful import (
+    stage_transitions_foreachbatch,
+    streaming_stage_transitions,
+)
+
+AS_OF = "2026-04-02 00:00:00"
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _ev(eid, etype, occurred):
+    return json.dumps(
+        {
+            "eventId": eid,
+            "eventType": etype,
+            "eventVersion": 1,
+            "occurredAt": occurred,
+            "tenant": {"tenantId": "t1", "authorId": "a1"},
+            "entity": {"storyId": "s1"},
+        }
+    )
+
+
+def _run_batch(spark, inp, out, ckpt):
+    silver = streaming_silver(read_event_stream(spark, inp), as_of_ts=AS_OF, dedup=False)
+    transitions = streaming_stage_transitions(silver)
+
+    def write(df, _bid):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        transitions.writeStream.outputMode("append")
+        .foreachBatch(write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf-based Python state "
+    "server; protobuf is not installed in this environment (the "
+    "foreachBatch-state variant below covers the semantics)",
+)
+def test_stage_durations_across_batches(spark, tmp_path):
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    # batch 1: DRAFT@08:00 → WRITE@10:00 (one in-batch transition)
+    (inp / "b1.ndjson").write_text(
+        _ev("e1", "draft_created", "2026-04-01T08:00:00Z")
+        + "\n"
+        + _ev("e2", "chapter_written", "2026-04-01T10:00:00Z")
+        + "\n"
+    )
+    _run_batch(spark, str(inp), out, ckpt)
+    # batch 2: REVISION@13:00 — transition WRITE→REVISION spans the batch
+    # boundary and is only derivable from persisted state
+    (inp / "b2.ndjson").write_text(
+        _ev("e3", "scene_revised", "2026-04-01T13:00:00Z") + "\n"
+    )
+    _run_batch(spark, str(inp), out, ckpt)
+
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.duration_seconds
+    )
+    got = [(r.stage, r.next_stage, r.duration_seconds) for r in rows]
+    assert ("DRAFT", "WRITE", 7200.0) in got
+    assert ("WRITE", "REVISION", 10800.0) in got  # crossed the batch boundary
+    assert all(r.tenant_id == "t1" and r.story_id == "s1" for r in rows)
+
+
+def _run_fb_batch(spark, inp, state, out, ckpt):
+    silver = streaming_silver(read_event_stream(spark, inp), as_of_ts=AS_OF, dedup=False)
+    q = (
+        silver.writeStream.foreachBatch(stage_transitions_foreachbatch(state, out))
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_foreachbatch_state_across_batches(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    state = str(tmp_path / "state")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (inp / "b1.ndjson").write_text(
+        _ev("e1", "draft_created", "2026-04-01T08:00:00Z")
+        + "\n"
+        + _ev("e2", "chapter_written", "2026-04-01T10:00:00Z")
+        + "\n"
+    )
+    _run_fb_batch(spark, str(inp), state, out, ckpt)
+    (inp / "b2.ndjson").write_text(
+        _ev("e3", "scene_revised", "2026-04-01T13:00:00Z") + "\n"
+    )
+    _run_fb_batch(spark, str(inp), state, out, ckpt)
+
+    got = {
+        (r.stage, r.next_stage, r.duration_seconds)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        ("DRAFT", "WRITE", 7200.0),
+        ("WRITE", "REVISION", 10800.0),  # crossed the micro-batch boundary
+    }
+    # state holds exactly the latest event per key
+    state_rows = spark.read.parquet(state).collect()
+    assert len(state_rows) == 1
+    assert state_rows[0].stage == "REVISION"
