@@ -92,7 +92,7 @@ def lang_id(text: Column, min_hits: int = 1) -> Column:
     best = None
     best_score = None
     for lang in langs:
-        s = scores.getItem(lang)
+        s = scores[F.lit(lang)]
         if best is None:
             best, best_score = F.lit(lang), s
         else:

@@ -83,8 +83,11 @@ def run_all(
     }
     gold_rows = {}
     for key, df in gold.items():
+        df = df.persist()
         write_table(df, specs[key])
-        gold_rows[key] = read_table(spark, specs[key]).count()
+        # count the in-memory frame: an empty KPI (possible on tiny corpora)
+        # writes a schema-less dir that cannot be re-read
+        gold_rows[key] = df.count()
 
     return RunStats(
         bronze_rows=bronze.count(),

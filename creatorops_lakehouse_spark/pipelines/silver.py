@@ -135,7 +135,7 @@ def to_silver(validated: DataFrame) -> DataFrame:
     preserved in metadata_map['producerStage']
     (runbooks/silver-transform.md:63-80)."""
     p = lambda f: F.col(f"parsed.{f}")  # noqa: E731
-    derived_stage = _stage_map_col().getItem(p("eventType"))
+    derived_stage = _stage_map_col()[p("eventType")]
     producer_stage_meta = F.when(
         p("stage").isNotNull(), F.create_map(F.lit("producerStage"), p("stage"))
     ).otherwise(F.create_map().cast("map<string,string>"))
