@@ -169,25 +169,37 @@ def embedding_neardup_pairs(
     )
 
 
+def _nearest_cells_udf(centroids: list[list[float]], nprobe: int = 1):
+    """Arrow-batched pandas UDF: nprobe nearest centroid ids per vector.
+
+    Higher-order-function expressions (zip_with/aggregate) are interpreted
+    per element in Spark — a k×dim argmin per row built that way costs
+    seconds in expression construction and evaluation. One numpy matmul
+    per Arrow batch is the documented fast path for similarity math.
+    Returns array<int> (length nprobe, nearest first).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(centroids, dtype=np.float64)  # k × d
+    c_sq = (C * C).sum(axis=1)  # ‖c‖²
+
+    def _probe(col):
+        X = np.asarray(col.tolist(), dtype=np.float64)  # n × d
+        # ‖x-c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is row-constant → drop for argmin
+        d2 = -2.0 * (X @ C.T) + c_sq
+        order = np.argsort(d2, axis=1)[:, :nprobe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    # no type hints: `from __future__ import annotations` stringifies them
+    # and pyspark's hint inference cannot resolve 'pd.Series' here
+    return pandas_udf(_probe, "array<int>")
+
+
 def _nearest_centroid(vec: Column, centroids: list[list[float]]) -> Column:
-    """argmin over squared L2 distance to each centroid (k small: the
-    k×dim literals constant-fold; evaluation is one codegen pass)."""
-    best_id = F.lit(0)
-    best_d = None
-    for i, c in enumerate(centroids):
-        c_col = F.array(*[F.lit(float(x)) for x in c])
-        d = F.aggregate(
-            F.zip_with(vec, c_col, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        if best_d is None:
-            best_id, best_d = F.lit(0), d
-        else:
-            cond = d < best_d
-            best_id = F.when(cond, F.lit(i)).otherwise(best_id)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return best_id
+    """Nearest centroid id (vectorized; see _nearest_cells_udf)."""
+    return _nearest_cells_udf(centroids, 1)(vec)[0]
 
 
 def train_ivf_centroids(
@@ -197,15 +209,22 @@ def train_ivf_centroids(
     k: int = 8,
     iters: int = 4,
     dim: int = 64,
+    sample_mod: int | None = None,
 ) -> list[list[float]]:
     """Lloyd k-means as DataFrame aggregations (the IVF coarse quantizer).
 
     Initialization is deterministic (first k rows by id). Each iteration is
     one assignment projection + one (cluster, dim) hash aggregate; only the
-    k×dim centroid matrix ever reaches the driver. At 100 TB you train on a
-    sample — the loop shape is unchanged.
+    k×dim centroid matrix ever reaches the driver. ``sample_mod=m`` trains
+    on the deterministic 1/m subsample (id % m == 0) — the standard move at
+    scale: quantizer quality needs a representative sample, not the corpus.
     """
-    vecs = df.select(F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v"))
+    vecs = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    if sample_mod is not None and sample_mod > 1:
+        vecs = vecs.filter(F.col("_id") % sample_mod == 0)
+    vecs = vecs.persist()
     centroids = [
         r.v for r in vecs.orderBy("_id").limit(k).collect()
     ]
@@ -248,25 +267,13 @@ def ann_ivf_topk(
         _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
     )
 
-    # nprobe nearest cells per query: rank distances to every centroid
+    # nprobe nearest cells per query (one Arrow batch through numpy)
     q_base = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    cells = []
-    for i, cen in enumerate(centroids):
-        c_col = F.array(*[F.lit(float(x)) for x in cen])
-        d = F.aggregate(
-            F.zip_with(
-                F.col("q_vec"), c_col,
-                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        cells.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    probe = _nearest_cells_udf(centroids, nprobe)
     probed = q_base.withColumn(
-        "cell",
-        F.explode(F.slice(F.array_sort(F.array(*cells)), 1, nprobe)["cell"]),
+        "cell", F.explode(probe(F.col("q_vec").cast("array<double>")))
     )
     sims = (
         c.join(F.broadcast(probed), on="cell")

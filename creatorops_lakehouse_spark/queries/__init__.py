@@ -115,6 +115,7 @@ def _ensure_imported() -> None:
         advanced,
         dedup,
         events,
+        functions,
         relational,
         similarity,
         text,

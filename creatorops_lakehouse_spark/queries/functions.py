@@ -1,0 +1,139 @@
+"""Scalar/shape function coverage: pivot, distribution windows
+(ntile/percent_rank), tumbling time windows in batch, regex extraction —
+the §2.6/§2.7 long tail a reference user would expect.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from creatorops_lakehouse_spark.queries import load, query
+
+_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@query(
+    "events_pivot_daily_types",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           {', '.join(f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _TYPES)}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one column per event type (explicit value list, so the plan
+    is a single aggregate — no second pass to discover pivot values; at
+    scale always pass the values explicitly)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("event_date"))
+        .pivot("event_type", list(_TYPES))
+        .count()
+        .na.fill(0)
+        .select(
+            "event_date", *[F.col(t).alias(f"n_{t}") for t in _TYPES]
+        )
+    )
+
+
+@query(
+    "orders_ntile_percentrank",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderkey, o_totalprice,
+               NTILE(4) OVER w AS price_quartile,
+               ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank
+        FROM orders
+        WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT price_quartile,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           MAX(pct_rank) AS max_pct_rank
+    FROM ranked
+    GROUP BY 1
+    """,
+)
+def orders_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows: NTILE quartiles + PERCENT_RANK over a global
+    order (unique tiebreak). percent_rank = (rank-1)/(n-1): small-integer
+    division → identical doubles on both engines.
+
+    Scale note: a global (unpartitioned) window is a single-reducer sort —
+    fine for ranked reporting extracts, wrong for per-entity analytics;
+    the partitioned variants elsewhere are the scale path.
+    """
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    ranked = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+    return ranked.groupBy("price_quartile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.max("pct_rank").alias("max_pct_rank"),
+    )
+
+
+@query(
+    "events_tumbling_6h_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_tumbling_6h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling time windows in batch (F.window — the same operator the
+    streaming KPIs use; window start ≡ DuckDB time_bucket on epoch-aligned
+    boundaries)."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "part_type_regex_extract",
+    oracle="""
+    SELECT regexp_extract(p_type, '([A-Z]+)$', 1) AS finish,
+           upper(substr(p_type, 1, 4)) AS prefix4,
+           COUNT(*) AS n_parts,
+           CAST(SUM(p_size) AS BIGINT) AS total_size
+    FROM part
+    WHERE p_type SIMILAR TO '[A-Z ]+'
+    GROUP BY 1, 2
+    """,
+)
+def part_type_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String functions: regexp_extract (last word = finish), substring,
+    upper, rlike anchor — all pushed through one projection."""
+    return (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type").rlike("^[A-Z ]+$"))
+        .groupBy(
+            F.regexp_extract("p_type", "([A-Z]+)$", 1).alias("finish"),
+            F.upper(F.substring("p_type", 1, 4)).alias("prefix4"),
+        )
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("p_size").alias("total_size"),
+        )
+    )

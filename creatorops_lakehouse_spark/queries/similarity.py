@@ -143,7 +143,7 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load(spark, sf_dir, "embeddings").persist()
-    centroids = train_ivf_centroids(emb, k=8, iters=3, dim=64)
+    centroids = train_ivf_centroids(emb, k=8, iters=2, dim=64, sample_mod=5)
     return ann_ivf_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOP_K, nprobe=2
     )

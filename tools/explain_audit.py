@@ -63,7 +63,9 @@ def main() -> int:
         bad = a["cartesian"] > 0 or (
             a["bnl_joins"] > 0 and "cosine_topk" not in name and "bruteforce" not in name
         )
-        if a["python_eval"] > 0 and "multimodal" not in name:
+        if a["python_eval"] > 0 and "multimodal" not in name and "ivf" not in name:
+            # multimodal decode + IVF centroid assignment are the two
+            # sanctioned Arrow-batched Python seams
             bad = True
         if bad:
             flagged.append(name)
