@@ -136,6 +136,30 @@ def jaccard_pairs(
             .select("doc_id", "set_size", "tok")
         )
     posts = posts.persist()  # both sides of the self-join read this subtree
+    if not prefix_filter:
+        # full postings → the inverted-index join ITSELF counts the
+        # intersection (group the matches); no per-pair array intersection.
+        # With dense posting lists the candidate set is far larger than the
+        # output, so counting in the shuffle beats candidate+verify.
+        a = posts.select(
+            "tok", F.col("doc_id").alias("a_id"), F.col("set_size").alias("a_size")
+        )
+        b = posts.select(
+            "tok", F.col("doc_id").alias("b_id"), F.col("set_size").alias("b_size")
+        )
+        common = (
+            a.join(b, on="tok")
+            .filter(F.col("a_id") < F.col("b_id"))
+            .groupBy("a_id", "b_id", "a_size", "b_size")
+            .agg(F.count("*").alias("n_common"))
+        )
+        jac = F.col("n_common") / (
+            F.col("a_size") + F.col("b_size") - F.col("n_common")
+        )
+        return common.select(
+            "a_id", "b_id", "n_common", jac.alias("jaccard")
+        ).filter(jac >= threshold)
+    # prefix postings are incomplete → candidates, then exact verification
     a = posts.select(F.col("tok"), F.col("doc_id").alias("a_id"))
     b = posts.select(F.col("tok"), F.col("doc_id").alias("b_id"))
     cands = (

@@ -23,6 +23,9 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # JVM-creation-time conf: the 1g default heap thrashes cache eviction
+    # once several self-join subtrees are persisted in one session
+    "spark.driver.memory": "8g",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
