@@ -137,3 +137,60 @@ def part_type_regex_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_size").alias("total_size"),
         )
     )
+
+
+@query(
+    "events_user_journey_signatures",
+    oracle="""
+    WITH journeys AS (
+        SELECT user_id,
+               array_to_string(list_sort(list(DISTINCT event_type)), '>') AS journey
+        FROM events
+        GROUP BY user_id
+    )
+    SELECT journey, COUNT(*) AS n_users
+    FROM journeys
+    GROUP BY 1
+    """,
+)
+def events_user_journey_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-user distinct event-type set, canonicalized
+    (sorted + joined) into a journey signature, then distributed over users
+    — collect_set → array_sort keeps the aggregate order-insensitive, which
+    is what makes a set-valued aggregation oracle-comparable at all."""
+    journeys = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("event_type")), ">").alias(
+                "journey"
+            )
+        )
+    )
+    return journeys.groupBy("journey").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "events_hourly_histogram",
+    oracle="""
+    SELECT CAST(extract(hour FROM ts) AS INTEGER) AS hour_of_day,
+           CAST(extract(dow FROM ts) AS INTEGER) AS day_of_week,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar extraction: hour-of-day × day-of-week activity histogram.
+
+    Day-of-week numbering is pinned to DuckDB's extract(dow) (0=Sunday):
+    Spark's dayofweek() is 1=Sunday, so shift by one.
+    """
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.hour("ts").alias("hour_of_day"),
+            (F.dayofweek("ts") - 1).alias("day_of_week"),
+        )
+        .agg(F.count("*").alias("n_events"))
+    )
