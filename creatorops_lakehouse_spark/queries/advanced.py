@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from creatorops_lakehouse_spark.operators.asof import asof_join
 from creatorops_lakehouse_spark.operators.rangejoin import event_pairs_within
-from creatorops_lakehouse_spark.queries import exact_avg_sql, load, query
+from creatorops_lakehouse_spark.queries import load, query
 
 
 @query(

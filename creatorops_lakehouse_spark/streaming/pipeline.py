@@ -30,7 +30,6 @@ from pyspark.sql.streaming import StreamingQuery
 
 from creatorops_lakehouse_spark.pipelines import silver as silver_mod
 from creatorops_lakehouse_spark.pipelines.bronze import wrap_bronze
-from creatorops_lakehouse_spark.schemas import RAW_EVENT_SCHEMA
 
 
 def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
