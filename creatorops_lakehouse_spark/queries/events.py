@@ -410,3 +410,53 @@ def events_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "events_value_variance",
+    oracle="""
+    WITH moments AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)
+                        * CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS s2
+        FROM events
+        GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * (n - 1)) / 10000.0, 4) AS var_samp_value,
+           ROUND(sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+                 / (CAST(n AS DOUBLE) * (n - 1))) / 100.0, 4) AS stddev_value
+    FROM moments
+    """,
+)
+def events_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev via exact integer moments: Σcents and Σcents² are
+    exact BIGINTs, and both engines evaluate the identical
+    (n·S2 − S1²)/(n(n−1)) double expression — built-in var_samp uses
+    Welford-style accumulation whose result depends on partition order, so
+    the moments formulation is the oracle-comparable (and
+    partial-aggregatable) form."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    moments = (
+        load(spark, sf_dir, "events")
+        .select("event_type", cents.alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("c").alias("s1"),
+            F.sum(F.col("c") * F.col("c")).alias("s2"),
+        )
+    )
+    n_d = F.col("n").cast("double")
+    var_cents = (n_d * F.col("s2") - F.col("s1").cast("double") * F.col("s1")) / (
+        n_d * (F.col("n") - 1)
+    )
+    return moments.select(
+        "event_type",
+        "n",
+        F.round(var_cents / 10000.0, 4).alias("var_samp_value"),
+        F.round(F.sqrt(var_cents) / 100.0, 4).alias("stddev_value"),
+    )
