@@ -50,9 +50,17 @@ def default_rules(as_of_ts: str | None = None) -> list[Rule]:
     """
     p = lambda field: F.col(f"parsed.{field}")  # noqa: E731
     reader_event = p("eventType").isin("reader_engagement", "reader_dropoff")
-    word = p("metrics").getItem("wordCount").cast("int")
-    rev = p("metrics").getItem("revisionCount").cast("int")
-    score = p("metrics").getItem("engagementScore").cast("double")
+    # try_cast, not cast: Spark 4 runs with ANSI mode ON, where a plain cast
+    # of a non-numeric metric string (wordCount='abc') raises
+    # CAST_INVALID_INPUT and aborts the whole job. try_cast yields NULL, and
+    # the NON_NUMERIC_* rules below turn present-but-unparseable values into
+    # quarantine rows instead of a crash.
+    word_raw = p("metrics").getItem("wordCount")
+    rev_raw = p("metrics").getItem("revisionCount")
+    score_raw = p("metrics").getItem("engagementScore")
+    word = word_raw.try_cast("int")
+    rev = rev_raw.try_cast("int")
+    score = score_raw.try_cast("double")
 
     rules = [
         Rule("JSON_PARSE_FAILED", "parsing", F.col("parse_ok")),
@@ -80,7 +88,16 @@ def default_rules(as_of_ts: str | None = None) -> list[Rule]:
         Rule("MISSING_TENANT_ID", "validation", p("tenant.tenantId").isNotNull()),
         Rule("MISSING_AUTHOR_ID", "validation", p("tenant.authorId").isNotNull()),
         Rule("MISSING_STORY_ID", "validation", p("entity.storyId").isNotNull()),
-        # D3 metric checks (null metric ⇒ pass; only present-and-invalid fails)
+        # D3 metric checks (null metric ⇒ pass; only present-and-invalid fails).
+        # NON_NUMERIC fires when the raw string is present but try_cast failed;
+        # the range rules then only see successfully-cast values.
+        Rule("NON_NUMERIC_WORD_COUNT", "metric_check", word_raw.isNull() | word.isNotNull()),
+        Rule("NON_NUMERIC_REVISION_COUNT", "metric_check", rev_raw.isNull() | rev.isNotNull()),
+        Rule(
+            "NON_NUMERIC_ENGAGEMENT_SCORE",
+            "metric_check",
+            score_raw.isNull() | score.isNotNull(),
+        ),
         Rule("INVALID_WORD_COUNT", "metric_check", word.isNull() | (word >= 0)),
         Rule("INVALID_REVISION_COUNT", "metric_check", rev.isNull() | (rev >= 0)),
         Rule(

@@ -158,9 +158,12 @@ def to_silver(validated: DataFrame) -> DataFrame:
         p("entity.chapterId").alias("chapter_id"),
         p("entity.sceneId").alias("scene_id"),
         derived_stage.alias("stage"),
-        p("metrics").getItem("revisionCount").cast("int").alias("revision_count"),
-        p("metrics").getItem("wordCount").cast("int").alias("word_count"),
-        p("metrics").getItem("engagementScore").cast("double").alias("engagement_score"),
+        # try_cast: ANSI mode would crash on non-numeric metric strings; the
+        # contract's NON_NUMERIC_* rules quarantine those rows, but the good
+        # branch must still never throw on values the contract permits.
+        p("metrics").getItem("revisionCount").try_cast("int").alias("revision_count"),
+        p("metrics").getItem("wordCount").try_cast("int").alias("word_count"),
+        p("metrics").getItem("engagementScore").try_cast("double").alias("engagement_score"),
         F.coalesce(p("metrics"), F.create_map().cast("map<string,string>")).alias(
             "metrics_map"
         ),

@@ -57,6 +57,19 @@ CASES = [
     ("MISSING_AUTHOR_ID", "validation", _variant("e9", **{"tenant.authorId": None})),
     ("MISSING_STORY_ID", "validation", _variant("e10", **{"entity.storyId": None})),
     ("INVALID_WORD_COUNT", "metric_check", _variant("e11", **{"metrics.wordCount": -5})),
+    # ANSI-mode regression guards: present-but-non-numeric metric strings must
+    # quarantine, not throw CAST_INVALID_INPUT (contract.py uses try_cast).
+    ("NON_NUMERIC_WORD_COUNT", "metric_check", _variant("e14", **{"metrics.wordCount": "abc"})),
+    (
+        "NON_NUMERIC_REVISION_COUNT",
+        "metric_check",
+        _variant("e15", **{"metrics.revisionCount": "many"}),
+    ),
+    (
+        "NON_NUMERIC_ENGAGEMENT_SCORE",
+        "metric_check",
+        _variant("e16", **{"metrics.engagementScore": "high"}),
+    ),
     (
         "INVALID_ENGAGEMENT_SCORE",
         "metric_check",
