@@ -127,9 +127,12 @@ def jaccard_pairs(
         tok_df = posts.groupBy("tok").agg(F.count("*").alias("df"))
         ranked = posts.join(tok_df, on="tok")
         w = Window.partitionBy("doc_id").orderBy(F.col("df").asc(), F.col("tok").asc())
-        # ceil(t*n) in exact integer arithmetic: t scaled by 10^4
+        # ceil(t*n) in exact integer arithmetic: t scaled by 10^4.
+        # (x + 9999) div 10000 is a true ceil for positive x — Spark's `div`
+        # truncates toward zero, so the -(-x div d) identity computes floor,
+        # not ceil, and would index one extra token per doc.
         ts = int(round(threshold * 10000))
-        prefix_len = F.col("set_size") + 1 - F.expr(f"-((-({ts} * set_size)) div 10000)")
+        prefix_len = F.col("set_size") + 1 - F.expr(f"(({ts} * set_size) + 9999) div 10000")
         posts = (
             ranked.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= prefix_len)
@@ -203,22 +206,33 @@ def _perm_params(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_signature(shingles: F.Column, num_perm: int = 64) -> F.Column:
-    """MinHash signature via the universal-hash permutation family:
-    each shingle is string-hashed ONCE (xxhash64 → 31-bit base), then the
-    num_perm permutations are integer affine maps (a·h + b mod 2^31-1)
-    over that base hash — integer arithmetic instead of re-hashing the
-    string per permutation. 31-bit signature space adds ~2^-31 per-perm
-    collision probability, negligible for MinHash estimation. One
+def minhash_base(shingles: F.Column) -> F.Column:
+    """Per-shingle 31-bit base hashes (xxhash64 folded into [0, 2^31-1)).
+
+    Materialize this as its OWN column before feeding it to
+    :func:`minhash_signature` — if the hash expression is inlined, each of
+    the num_perm permutation scans re-evaluates it and re-hashes every
+    shingle STRING num_perm times (higher-order functions get no common-
+    subexpression elimination). As an attribute reference it is hashed once.
+    """
+    return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+
+
+def minhash_signature(base: F.Column, num_perm: int = 64) -> F.Column:
+    """MinHash signature over precomputed base hashes (see minhash_base):
+    num_perm affine permutations h_i(x) = (a_i·x + b_i) mod 2^31-1,
+    array_min per permutation.
+
+    The permutations stay UNROLLED (num_perm separate transform+array_min
+    expressions): measured 2× faster than a nested transform over a literal
+    (a, b) params array, which leaves the whole-stage-codegen fast path.
+    a·x + b stays below 2^62 (Mersenne-31 operands), so plain ``%``
+    suffices (operands are non-negative — no pmod branch needed). One
     projection, no shuffle."""
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
 
     def perm_min(a: int, b: int):
         return F.array_min(
-            F.transform(
-                base,
-                lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MERSENNE_31)),
-            )
+            F.transform(base, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(_MERSENNE_31))
         )
 
     return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
@@ -244,11 +258,21 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     rows = num_perm // bands
     sets = _token_sets(df, text_col, id_col, ngram)
-    sig = sets.withColumn("sig", minhash_signature(F.col("toks"), num_perm))
+    sets = sets.persist()  # reread for exact verification after the band join
+    # base hashes as a real column: Catalyst's CollapseProject keeps a
+    # multiply-referenced non-trivial expression out of the permutation
+    # transforms, so each shingle string is xxhash64'd once, not num_perm×.
+    sig = sets.withColumn("_mh_base", minhash_base(F.col("toks"))).withColumn(
+        "sig", minhash_signature(F.col("_mh_base"), num_perm)
+    )
+    # Scale-critical: only (doc_id, band, bucket) enters the band explode and
+    # the bucket self-join. The earlier formulation carried the full shingle
+    # array through both — replicating the corpus text ×bands into the
+    # shuffle and ×2 across the join sides (~32× the corpus at 16 bands).
+    # Ids-only banding shuffles 3 ints per (doc, band); the shingle sets are
+    # joined back ONCE per verified candidate side from the persisted table.
     banded = sig.select(
         "doc_id",
-        "toks",
-        "set_size",
         F.explode(
             F.array(
                 *[
@@ -265,27 +289,28 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "toks", "set_size", "bb.band", "bb.bucket")
-    banded = banded.persist()  # self-join reads it twice
-    left = banded.select(
-        "band", "bucket",
-        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
-        F.col("set_size").alias("a_size"),
-    )
-    right = banded.select(
-        "band", "bucket",
-        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"),
-        F.col("set_size").alias("b_size"),
-    )
+    ).select("doc_id", "bb.band", "bb.bucket")
+    banded = banded.persist()  # self-join reads it twice; avoids 2× signature compute
+    left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
     cands = (
         left.join(right, on=["band", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_toks", "b_toks", "a_size", "b_size")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
+    sa = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
+        F.col("set_size").alias("a_size"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"),
+        F.col("set_size").alias("b_size"),
+    )
+    verified = cands.join(sa, on="a_id").join(sb, on="b_id")
     n_common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
     jac = n_common / (F.col("a_size") + F.col("b_size") - n_common)
-    return cands.select(
+    return verified.select(
         "a_id", "b_id", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
 
@@ -303,24 +328,27 @@ def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
     hashed = sets.select("doc_id", F.explode("toks").alias("s")).select(
         "doc_id", F.xxhash64("s").alias("h")
     )
-    # pack 4 per-bit one-counts into 16-bit lanes of one long → 16 SUM
+    # pack 2 per-bit one-counts into 32-bit lanes of one long → 32 SUM
     # columns instead of 64 (the 64-column variant spends ~10s in codegen
-    # compilation alone). Lanes cannot overflow below 65k shingles/doc.
+    # compilation alone). 32-bit spacing keeps the packed sum inside int64
+    # up to 2^31 shingles per doc: the earlier 4×16-bit packing overflowed at
+    # 2^15 shingles (top lane shifted to bits 48-63), which book-length docs
+    # can hit — under ANSI the SUM would throw, otherwise corrupt silently.
     assert n_bits == 64
     packed = []
-    for g in range(16):
+    for g in range(32):
         lanes = None
-        for lane in range(4):
-            b = 4 * g + lane
+        for lane in range(2):
+            b = 2 * g + lane
             one = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            contrib = (one * F.lit(1 << (16 * lane))).cast("long")
+            contrib = (one * F.lit(1 << (32 * lane))).cast("long")
             lanes = contrib if lanes is None else lanes + contrib
         packed.append(F.sum(lanes).alias(f"g{g}"))
     votes = hashed.groupBy("doc_id").agg(F.count("*").alias("_n"), *packed)
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
-        g, lane = b // 4, b % 4
-        ones = F.shiftright(F.col(f"g{g}"), 16 * lane).bitwiseAND(F.lit(0xFFFF))
+        g, lane = b // 2, b % 2
+        ones = F.shiftright(F.col(f"g{g}"), 32 * lane).bitwiseAND(F.lit(0xFFFFFFFF))
         bit = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long")
         # bit set ⇔ ones > n/2 ⇔ votes (2*ones - n) > 0
         sig = sig.bitwiseOR(

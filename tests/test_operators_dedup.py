@@ -143,3 +143,34 @@ def test_prefix_filter_exactness_vs_unpruned(spark):
             for r in jaccard_pairs(df, threshold=t, ngram=1, prefix_filter=True).collect()
         }
         assert pruned == exact, f"t={t}: {set(exact) ^ set(pruned)}"
+
+
+def test_simhash_survives_book_length_docs(spark):
+    # Regression: the 4×16-bit lane packing overflowed int64 once a doc had
+    # ≥ 2^15 shingles (top lane shifted to bits 48-63) — ANSI SUM throw or a
+    # silently wrong signature. The 2×32-bit packing must survive and match
+    # a driver-side recomputation from the same shingle hashes.
+    from creatorops_lakehouse_spark.operators.dedup import _token_sets, simhash_table
+
+    n = 40_000  # > 32768 distinct unigram shingles
+    text = " ".join(f"tok{i:05d}" for i in range(n))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    sets = _token_sets(df, "text", "doc_id", ngram=1)
+    got = simhash_table(sets).collect()[0].simhash
+
+    # independent recomputation: majority vote over xxhash64 of each shingle
+    hashes = [
+        r.h
+        for r in sets.select(F.explode("toks").alias("s"))
+        .select(F.xxhash64("s").alias("h"))
+        .collect()
+    ]
+    assert len(hashes) == n
+    expected = 0
+    for b in range(64):
+        ones = sum(((h >> b) & 1) for h in hashes)
+        if ones * 2 > n:
+            expected |= 1 << b
+    if expected >= 1 << 63:  # two's-complement to match Spark's signed long
+        expected -= 1 << 64
+    assert got == expected
