@@ -39,16 +39,40 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+#: cosine_topk refuses to evaluate more pairs than this unless exact=True —
+#: the broadcast nested-loop is the EXACT BASELINE, never the default route
+#: for corpus×corpus work (ann_lsh_topk / ann_ivf_topk are the scale paths).
+MAX_BRUTEFORCE_PAIRS = 100_000_000
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exact: bool = False,
+    max_pairs: int = MAX_BRUTEFORCE_PAIRS,
 ) -> DataFrame:
     """Exact cosine top-k: for each query row, the k nearest corpus rows
     (self-matches excluded). Queries are broadcast — the corpus is never
-    replicated or shuffled for the similarity computation itself."""
+    replicated or shuffled for the similarity computation itself.
+
+    Guardrail: this is O(|queries| × |corpus| × dim). Unless ``exact=True``
+    is passed, the call counts both sides and refuses when the pair count
+    exceeds ``max_pairs`` — a corpus-scale self-join through this operator
+    is a plan bug, not a slow query; route it through ann_lsh_topk /
+    ann_ivf_topk (candidates + exact rerank) instead."""
+    if not exact:
+        n_q = queries.count()
+        n_c = corpus.count()
+        if n_q * n_c > max_pairs:
+            raise ValueError(
+                f"cosine_topk would evaluate {n_q} × {n_c} = {n_q * n_c:,} "
+                f"vector pairs (> max_pairs={max_pairs:,}). This operator is "
+                "the exact brute-force baseline; use ann_lsh_topk/ann_ivf_topk "
+                "for large inputs, or pass exact=True to force it."
+            )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -248,6 +272,34 @@ def train_ivf_centroids(
     return centroids
 
 
+def _probe_queries(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(query_id, q_vec, cell) — one row per (query, probed cell)."""
+    q_base = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probe = _nearest_cells_udf(centroids, nprobe)
+    return q_base.withColumn(
+        "cell", F.explode(probe(F.col("q_vec").cast("array<double>")))
+    )
+
+
+def _rerank_topk(sims: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def ann_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -257,24 +309,19 @@ def ann_ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF search: corpus partitioned by nearest centroid; each query probes
-    its ``nprobe`` nearest cells and exact-reranks inside them. The 100 TB
-    shape: the corpus assignment is computed once and persisted as a
-    partitioned table; queries touch nprobe/k of the data."""
+    """IVF search with inline corpus assignment: each query probes its
+    ``nprobe`` nearest cells and exact-reranks inside them.
+
+    This variant recomputes the corpus→cell assignment per call — fine for
+    one-shot queries. At 100 TB, build the assignment ONCE with
+    :func:`build_ivf_index` and probe it with :func:`ann_ivf_topk_indexed`,
+    which prunes the scan to the probed cell partitions."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
     )
-
-    # nprobe nearest cells per query (one Arrow batch through numpy)
-    q_base = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
-    probe = _nearest_cells_udf(centroids, nprobe)
-    probed = q_base.withColumn(
-        "cell", F.explode(probe(F.col("q_vec").cast("array<double>")))
-    )
+    probed = _probe_queries(queries, centroids, nprobe, id_col, vec_col)
     sims = (
         c.join(F.broadcast(probed), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -284,11 +331,62 @@ def ann_ivf_topk(
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    return _rerank_topk(sims, k)
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    spec,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Assign every corpus vector to its nearest centroid and persist the
+    assignment as a ``cell``-partitioned table (TableSpec with
+    partition_by=("cell",)).
+
+    The 100 TB shape: pay the one Arrow-batched assignment pass at build
+    time; every subsequent query batch reads only its nprobe probed cell
+    partitions (verified by partition pruning in the scan — see
+    tests/test_similarity.py::test_ivf_index_partition_pruning)."""
+    from creatorops_lakehouse_spark.sources.tables import write_table
+
+    assert "cell" in spec.partition_by, "IVF index spec must partition by cell"
+    assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
     )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    write_table(assigned, spec, mode="overwrite", dynamic=False)
+
+
+def ann_ivf_topk_indexed(
+    spark,
+    spec,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search against a persisted cell-partitioned index
+    (:func:`build_ivf_index`): probes collect the distinct cell ids of the
+    query batch (≤ |queries| × nprobe ints, driver-side tiny) and push them
+    into the index scan as a static IN-filter, so partition pruning skips
+    every unprobed cell's files before the join."""
+    from creatorops_lakehouse_spark.sources.tables import read_table
+
+    probed = _probe_queries(queries, centroids, nprobe, id_col, vec_col).persist()
+    cells = [r.cell for r in probed.select("cell").distinct().collect()]
+    idx = read_table(spark, spec).filter(F.col("cell").isin(cells))
+    sims = (
+        idx.join(F.broadcast(probed), on="cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+        )
     )
+    return _rerank_topk(sims, k)

@@ -178,6 +178,23 @@ def upsert_table(
         # untouched partitions stay on disk (dynamic overwrite skips them)
         parts = updates.select(*spec.partition_by).distinct()
         existing = existing.join(F.broadcast(parts), on=list(spec.partition_by))
+        kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
+        merged = kept.unionByName(updates)
+        write_table(merged, spec, mode="overwrite", dynamic=True)
+        return
+    # Unpartitioned: the merged plan lazily READS spec.path, so overwriting
+    # that same path in the same action would delete the inputs mid-scan
+    # (dynamic-overwrite staging only protects partitioned writes).
+    # Materialize to a staging dir, rewrite the table from the staged copy,
+    # then drop the staging dir.
     kept = existing.join(updates.select(*keys).distinct(), on=keys, how="left_anti")
     merged = kept.unionByName(updates)
-    write_table(merged, spec, mode="overwrite", dynamic=True)
+    staging = spec.path.rstrip("/") + "__staging"
+    merged.write.format(spec.format).mode("overwrite").save(staging)
+    spark.read.format(spec.format).load(staging).write.format(spec.format).mode(
+        "overwrite"
+    ).save(spec.path)
+    jvm = spark._jvm
+    staging_path = jvm.org.apache.hadoop.fs.Path(staging)
+    fs = staging_path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(staging_path, True)

@@ -116,13 +116,24 @@ def stage_transitions_foreachbatch(
     transformWithStateInPandas needs the protobuf-based Python state
     server, which this environment lacks; this variant expresses the same
     keyed-state semantics with plain DataFrame ops — the classic Delta/
-    parquet pattern for custom streaming state (state updates are atomic
-    per micro-batch because foreachBatch runs exactly-once per batch id
-    with checkpointing).
+    parquet pattern for custom streaming state.
 
-    Each batch: transitions = lead() over (persisted state ∪ batch events);
-    new state = latest event per key. Because the state table holds exactly
-    ONE row per key (the story's latest already-emitted event), every
+    Delivery semantics: foreachBatch is AT-LEAST-ONCE — a batch that fails
+    after its writes but before the checkpoint commit is retried with the
+    same batch_id. Both writes are therefore keyed by batch_id so a retry
+    is a byte-identical no-op:
+
+    - state versions: each batch READS the newest state with
+      ``version < batch_id`` (the pre-batch state — unchanged by a partial
+      earlier attempt) and WRITES ``version=batch_id`` with overwrite. A
+      retry re-reads the same input state, recomputes the same result, and
+      overwrites its own version directory.
+    - output partitions: transitions land in ``out_path/batch_id=N`` with
+      overwrite, so re-emission replaces rather than duplicates.
+
+    Each batch: transitions = lead() over (pre-batch state ∪ batch events);
+    new state = latest event per key. Because the state holds exactly ONE
+    row per key (the story's latest already-emitted event), every
     consecutive pair in the merged sequence involves at least one new event
     — so every transition is fresh and no dedup against prior output is
     needed. Assumes event-time-ordered arrival per key (the
@@ -130,6 +141,32 @@ def stage_transitions_foreachbatch(
     """
     import pyspark.sql.functions as F
     from pyspark.sql import Window
+
+    def _read_prev_state(spark, batch_id: int):
+        """Newest committed state version strictly below this batch id."""
+        try:
+            versions = spark.read.parquet(state_path)
+        except Exception:  # first batch — no state yet
+            return None, None
+        prev = versions.filter(F.col("version") < batch_id)
+        max_v = prev.agg(F.max("version")).collect()[0][0]
+        if max_v is None:
+            return None, None
+        return prev.filter(F.col("version") == max_v).drop("version"), max_v
+
+    def _gc_state_versions(spark, keep_from: int) -> None:
+        """Drop state versions below ``keep_from`` (superseded; no retry can
+        need them — a retry of batch N reads the newest version < N, which
+        is exactly ``keep_from``)."""
+        jvm = spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(state_path)
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        for status in fs.listStatus(root):
+            name = status.getPath().getName()
+            if name.startswith("version=") and int(name.split("=", 1)[1]) < keep_from:
+                fs.delete(status.getPath(), True)
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -139,10 +176,7 @@ def stage_transitions_foreachbatch(
             "stage",
             F.unix_micros("occurred_at").alias("ts_micros"),
         )
-        try:
-            state = spark.read.parquet(state_path)
-        except Exception:  # first batch — no state yet
-            state = None
+        state, state_version = _read_prev_state(spark, batch_id)
         merged = events if state is None else state.unionByName(events)
         w = Window.partitionBy("tenant_id", "story_id").orderBy(F.col("ts_micros").asc())
         seq = merged.withColumn("_next_stage", F.lead("stage").over(w)).withColumn(
@@ -157,9 +191,9 @@ def stage_transitions_foreachbatch(
                 "duration_seconds"
             ),
         )
-        transitions.write.mode("append").parquet(out_path)
-        # keep only the latest event per key; tmp-swap because Spark cannot
-        # lazily read and overwrite the same path in one plan
+        transitions.write.mode("overwrite").parquet(f"{out_path}/batch_id={batch_id}")
+        # keep only the latest event per key, as a NEW state version — never
+        # read-and-overwrite the same files in one plan
         latest = Window.partitionBy("tenant_id", "story_id").orderBy(
             F.col("ts_micros").desc()
         )
@@ -168,9 +202,17 @@ def stage_transitions_foreachbatch(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        new_state.write.mode("overwrite").parquet(state_path + "_tmp")
-        spark.read.parquet(state_path + "_tmp").write.mode("overwrite").parquet(
-            state_path
-        )
+        new_state.write.mode("overwrite").parquet(f"{state_path}/version={batch_id}")
+        if state_version is not None:
+            _gc_state_versions(spark, keep_from=state_version)
 
     return body
+
+
+def read_latest_state(spark, state_path: str) -> DataFrame:
+    """The newest committed state version (the one-row-per-key table)."""
+    import pyspark.sql.functions as F
+
+    versions = spark.read.parquet(state_path)
+    max_v = versions.agg(F.max("version")).collect()[0][0]
+    return versions.filter(F.col("version") == max_v).drop("version")

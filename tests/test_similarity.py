@@ -143,3 +143,63 @@ def test_ivf_recall_on_clustered_data(spark):
     }
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.9, f"IVF recall too low: {recall}"
+
+
+def test_bruteforce_guard_refuses_large_product(vectors):
+    with pytest.raises(ValueError, match="brute-force"):
+        cosine_topk(vectors, vectors, k=2, max_pairs=10)
+    # exact=True bypasses the guard; same result as an under-threshold call
+    forced = cosine_topk(vectors, vectors, k=2, exact=True).collect()
+    assert len(forced) > 0
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    import contextlib
+    import io
+    import random
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_ivf_topk,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        train_ivf_centroids,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(8)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.02) for x in centers[i % 8]]) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    centroids = train_ivf_centroids(df, k=8, iters=3, dim=16)
+    spec = TableSpec("ivf.index", str(tmp_path / "ivf_index"), ("cell",))
+    build_ivf_index(df, centroids, spec)
+
+    queries = df.filter(F.col("vec_id") < 3)
+    indexed = ann_ivf_topk_indexed(spark, spec, queries, centroids, k=3, nprobe=2)
+
+    # the index scan must prune to the probed cell partitions only
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        indexed.explain(mode="formatted")
+    plan = buf.getvalue()
+    import re
+
+    m = re.search(r"Scan parquet.*?PartitionFilters: \[([^\]]*)\]", plan, re.DOTALL)
+    assert m and "cell" in m.group(1), f"no partition filter on cell:\n{plan[:1500]}"
+
+    # the index on disk really has all 8 cell partitions (so the pruned scan
+    # above is a strict subset, not a trivially-small index)
+    import glob
+
+    all_cells = {p.split("cell=")[1] for p in glob.glob(str(tmp_path / "ivf_index/cell=*"))}
+    assert len(all_cells) == 8
+
+    # results match the inline (non-indexed) variant exactly
+    inline = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ann_ivf_topk(df, queries, centroids, k=3, nprobe=2).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in indexed.collect()}
+    assert got == inline

@@ -134,7 +134,48 @@ def test_foreachbatch_state_across_batches(spark, tmp_path):
         ("DRAFT", "WRITE", 7200.0),
         ("WRITE", "REVISION", 10800.0),  # crossed the micro-batch boundary
     }
-    # state holds exactly the latest event per key
-    state_rows = spark.read.parquet(state).collect()
+    # latest state version holds exactly the latest event per key
+    from creatorops_lakehouse_spark.streaming.stateful import read_latest_state
+
+    state_rows = read_latest_state(spark, state).collect()
     assert len(state_rows) == 1
     assert state_rows[0].stage == "REVISION"
+
+
+def test_foreachbatch_retry_is_idempotent(spark, tmp_path):
+    # foreachBatch is at-least-once: simulate a retry by invoking the batch
+    # body twice with the same batch_id AFTER the first attempt fully
+    # committed (worst case: output + state both already written). The
+    # retry must not duplicate transitions or corrupt state.
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.streaming.stateful import read_latest_state
+
+    state, out = str(tmp_path / "state"), str(tmp_path / "out")
+    body = stage_transitions_foreachbatch(state, out)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            rows, ["tenant_id", "story_id", "stage", "occurred_at_s"]
+        ).withColumn("occurred_at", F.to_timestamp("occurred_at_s"))
+
+    b1 = batch(
+        [
+            ("t1", "s1", "DRAFT", "2026-04-01 08:00:00"),
+            ("t1", "s1", "WRITE", "2026-04-01 10:00:00"),
+        ]
+    )
+    body(b1, 0)
+    body(b1, 0)  # retry of batch 0 after full commit
+    b2 = batch([("t1", "s1", "REVISION", "2026-04-01 13:00:00")])
+    body(b2, 1)
+    body(b2, 1)  # retry of batch 1
+
+    rows = spark.read.parquet(out).collect()
+    got = sorted((r.stage, r.next_stage, r.duration_seconds) for r in rows)
+    assert got == [
+        ("DRAFT", "WRITE", 7200.0),
+        ("WRITE", "REVISION", 10800.0),
+    ]  # each transition exactly once despite double delivery
+    state_rows = read_latest_state(spark, state).collect()
+    assert len(state_rows) == 1 and state_rows[0].stage == "REVISION"

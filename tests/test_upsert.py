@@ -47,3 +47,29 @@ def test_upsert_untouched_partition_not_rewritten(spark, tmp_path):
     assert mtime_after == mtime_before  # dynamic overwrite skipped 01-02
     rows = {r.id: r.v for r in read_table(spark, spec).collect()}
     assert rows == {1: "A", 3: "c"}
+
+
+def test_upsert_unpartitioned_spec(spark, tmp_path):
+    # Regression: unpartitioned upsert used to overwrite the same path the
+    # merged plan was lazily reading (dynamic-overwrite staging only covers
+    # partitioned specs) — data loss or AnalysisException. The staging-swap
+    # path must merge correctly and clean up after itself.
+    from creatorops_lakehouse_spark.sources.tables import (
+        TableSpec,
+        read_table,
+        upsert_table,
+    )
+
+    spec = TableSpec("t.flat", str(tmp_path / "flat"))  # no partition_by
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "val"]
+    )
+    upsert_table(spark, spec, base, ["id"])
+    updates = spark.createDataFrame([(2, "B2"), (4, "d")], ["id", "val"])
+    upsert_table(spark, spec, updates, ["id"])
+
+    got = {(r.id, r.val) for r in read_table(spark, spec).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d")}
+    import os
+
+    assert not os.path.exists(str(tmp_path / "flat__staging"))
