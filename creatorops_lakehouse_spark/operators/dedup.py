@@ -357,27 +357,14 @@ def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
     return votes.select("doc_id", sig.alias("simhash"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    max_hamming: int = 7,
-    ngram: int = 2,
-    n_chunks: int = 8,
+def simhash_banded_pairs(
+    sh: DataFrame, max_hamming: int = 7, n_chunks: int = 8
 ) -> DataFrame:
-    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
-
-    Banding: split the 64-bit hash into ``n_chunks`` equal chunks; by
-    pigeonhole any pair with hamming < n_chunks agrees on ≥1 chunk, so
-    recall is GUARANTEED for max_hamming ≤ n_chunks - 1 and probabilistic
-    above. Candidates come from equi-joins on chunk values, verified with
-    exact bit_count.
-    """
+    """Banded hamming join over a precomputed (doc_id, simhash) table —
+    see :func:`simhash_pairs` for the semantics."""
     assert 64 % n_chunks == 0
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    sets = _token_sets(df, text_col, id_col, ngram)
-    sh = simhash_table(sets)
     chunks = sh.select(
         "doc_id",
         "simhash",
@@ -406,3 +393,39 @@ def simhash_pairs(
         .select("a_id", "b_id", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_exact_pairs(sh: DataFrame, max_hamming: int = 7) -> DataFrame:
+    """Exhaustive all-pairs hamming over a (doc_id, simhash) table — the
+    O(n²/2) verification baseline for the banded path. Only (id, 64-bit
+    hash) rows enter the product, so it is compact but still quadratic:
+    a recall-audit tool, never the scale route (use simhash_banded_pairs)."""
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
+    hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 7,
+    ngram: int = 2,
+    n_chunks: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
+
+    Banding: split the 64-bit hash into ``n_chunks`` equal chunks; by
+    pigeonhole any pair with hamming < n_chunks agrees on ≥1 chunk, so
+    recall is GUARANTEED for max_hamming ≤ n_chunks - 1 and probabilistic
+    above. Candidates come from equi-joins on chunk values, verified with
+    exact bit_count.
+    """
+    sets = _token_sets(df, text_col, id_col, ngram)
+    return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks)

@@ -143,3 +143,113 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(
         load(spark, sf_dir, "documents"), max_hamming=12, ngram=2
     )
+
+
+@query(
+    "docs_minhash_recall_verdict",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(l) - 2, 0) + 1),
+                   i -> array_to_string(l[i + 1 : i + 2], ' '))) AS shingles
+        FROM toks
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sets),
+    posts AS (SELECT doc_id, set_size, unnest(shingles) AS tok FROM sized),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.set_size AS a_size, b.set_size AS b_size,
+               COUNT(*) AS n_common
+        FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    exact AS (
+        SELECT a_id, b_id FROM common
+        WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.5
+    )
+    SELECT COUNT(*) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_positives,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def docs_minhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable MinHash-LSH recall contract: compare the LSH pairs
+    against the in-engine EXACT bigram Jaccard pairs at the same threshold.
+
+    The DuckDB oracle recomputes the exact pair set in SQL and asserts the
+    two engine-checkable facts — n_exact_pairs matches, zero false
+    positives (LSH output is exact-verified, so it is a subset of the exact
+    set by construction) — plus the recall verdict as a literal TRUE: if
+    band-geometry recall ever drops below the declared floor (0.8), the
+    Spark side emits FALSE and the driver's value hash flags it.
+    """
+    docs = load(spark, sf_dir, "documents")
+    exact = jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.5, ngram=2,
+        prefix_filter=True,
+    ).select("a_id", "b_id", F.lit(1).alias("_e"))
+    lsh = minhash_lsh_pairs(
+        docs, threshold=0.5, ngram=2, num_perm=64, bands=16
+    ).select("a_id", "b_id", F.lit(1).alias("_l"))
+    merged = exact.join(lsh, on=["a_id", "b_id"], how="full_outer")
+    summary = merged.agg(
+        F.count("_e").alias("n_exact_pairs"),
+        F.count(F.when(F.col("_e").isNull(), 1)).alias("n_false_positives"),
+        F.count(F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)).alias(
+            "_n_hits"
+        ),
+    )
+    return summary.select(
+        "n_exact_pairs",
+        "n_false_positives",
+        (
+            (F.col("n_exact_pairs") == 0)
+            | (F.col("_n_hits") / F.col("n_exact_pairs") >= 0.8)
+        ).alias("recall_ok"),
+    )
+
+
+@query(
+    "docs_simhash_recall_verdict",
+    oracle="SELECT TRUE AS recall_complete, TRUE AS no_false_positives",
+)
+def docs_simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable SimHash banding contract: at max_hamming ≤
+    n_chunks − 1 the pigeonhole guarantee makes the banded join's output
+    EQUAL the exhaustive all-pairs hamming join. Both sides are computed
+    in-engine from ONE persisted simhash table; the oracle pins the two
+    booleans, so any banding regression (missed chunk, wrong mask) flips a
+    hash-checked value. The exhaustive side is the O(n²/2) audit baseline —
+    compact (64-bit hashes only) but quadratic, never the scale route.
+    """
+    from creatorops_lakehouse_spark.operators.dedup import (
+        _token_sets,
+        simhash_banded_pairs,
+        simhash_exact_pairs,
+        simhash_table,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sh = simhash_table(_token_sets(docs, "text", "doc_id", 2)).persist()
+    banded = simhash_banded_pairs(sh, max_hamming=7, n_chunks=8).select(
+        "a_id", "b_id", F.lit(1).alias("_b")
+    )
+    exact = simhash_exact_pairs(sh, max_hamming=7).select(
+        "a_id", "b_id", F.lit(1).alias("_x")
+    )
+    merged = exact.join(banded, on=["a_id", "b_id"], how="full_outer")
+    summary = merged.agg(
+        F.count(F.when(F.col("_x").isNotNull() & F.col("_b").isNull(), 1)).alias(
+            "_n_missed"
+        ),
+        F.count(F.when(F.col("_x").isNull(), 1)).alias("_n_fp"),
+    )
+    return summary.select(
+        (F.col("_n_missed") == 0).alias("recall_complete"),
+        (F.col("_n_fp") == 0).alias("no_false_positives"),
+    )
