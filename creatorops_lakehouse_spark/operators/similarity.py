@@ -104,6 +104,21 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
 
 
+def auto_planes(n_rows: int, target_bucket: int = 500, lo: int = 4, hi: int = 24) -> int:
+    """Hyperplane count sized to the corpus: ~log2(n / target_bucket).
+
+    A FIXED plane count is a scale bug: bucket count stays constant while
+    occupancy grows linearly, so within-bucket candidate pairs grow
+    QUADRATICALLY with the corpus (measured in tools/scale_rehearsal.py —
+    17.6× wall time for 10× data at n_planes=4; 9× faster at 8 planes with
+    near-identical true-pair recall). Growing planes with log(n) keeps
+    expected bucket occupancy, and therefore per-bucket verify cost,
+    constant."""
+    import math
+
+    return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket, 2.0)))))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket id: bit p set iff vec · plane_p > 0."""
     sig = F.lit(0).cast("long")
@@ -122,14 +137,19 @@ def ann_lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-bucket join + exact rerank
     inside the bucket. Recall rises with fewer planes (bigger buckets) and
     can be boosted with multi-probe; this is the 100 TB path where
-    brute-force |q|×|corpus| is not affordable."""
+    brute-force |q|×|corpus| is not affordable.
+
+    ``n_planes=None`` sizes the plane count to the corpus (see
+    :func:`auto_planes`) — the scale-safe default."""
+    if n_planes is None:
+        n_planes = auto_planes(corpus.count())
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -165,13 +185,18 @@ def embedding_neardup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 6,
+    n_planes: int | None = None,
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (cos ≥ threshold), candidates
     from hyperplane buckets (near-identical vectors collide with high
-    probability), verified exactly."""
+    probability), verified exactly.
+
+    ``n_planes=None`` sizes the plane count to the corpus (see
+    :func:`auto_planes`) — the scale-safe default."""
+    if n_planes is None:
+        n_planes = auto_planes(df.count())
     planes = random_hyperplanes(dim, n_planes, seed)
     sig = df.select(
         F.col(id_col).alias("doc_id"),

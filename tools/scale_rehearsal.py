@@ -1,0 +1,171 @@
+"""Scale rehearsal: validate that the dedup/similarity suite's cost model
+holds beyond the bench scale (VERDICT r1 item 8).
+
+Synthesizes a 10× corpus from sf0.1 (50k documents / 20k embeddings) under
+.scale/ (gitignored), then times the suite at sf0.1 and at 10× and reports
+the observed scaling ratio per operator. Perturbation design:
+
+- documents: 10 copies; copy k replaces every 4th token with a
+  copy-specific token, so cross-copy Jaccard lands well below the 0.5/0.6
+  thresholds — the original near-dup structure is preserved ×10 without
+  manufacturing a quadratic pair explosion, while posting-list density
+  (the real scale risk of inverted-index joins) grows 10×.
+- embeddings: 10 copies with deterministic per-element hash noise in
+  [−0.01, 0.01) — near-dup pairs stay within copies, bucket occupancy ×10.
+
+    python tools/scale_rehearsal.py [--skip-gen]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.1"
+SCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
+COPIES = 10
+
+
+def synthesize(spark) -> None:
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    parts = []
+    for k in range(COPIES):
+        if k == 0:
+            parts.append(docs)
+            continue
+        toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+
+        def perturb(kk):
+            return lambda t, i: F.when(
+                i % 4 == 0, F.concat(F.lit(f"v{kk}x"), i.cast("string"))
+            ).otherwise(t)
+
+        pert = F.transform(toks, perturb(k))
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"),
+                F.array_join(pert, " ").alias("text"),
+                "lang",
+                "source",
+                "n_chars",
+            )
+        )
+    scaled = parts[0]
+    for p in parts[1:]:
+        scaled = scaled.unionByName(p)
+    scaled.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    eparts = []
+    for k in range(COPIES):
+        if k == 0:
+            eparts.append(emb)
+            continue
+        def noise(kk):
+            return lambda x, i: (
+                x.cast("double")
+                + F.pmod(
+                    F.xxhash64(F.col("vec_id") * F.lit(997) + i * F.lit(13) + F.lit(kk)),
+                    F.lit(1000),
+                ).cast("double")
+                / F.lit(50_000.0)
+                - F.lit(0.01)
+            ).cast("float")
+
+        noisy = F.transform(F.col("embedding"), noise(k))
+        eparts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
+                noisy.alias("embedding"),
+                "label",
+            )
+        )
+    escaled = eparts[0]
+    for p in eparts[1:]:
+        escaled = escaled.unionByName(p)
+    escaled.repartition(8).write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
+
+
+def suite(spark, docs, emb):
+    """(name, thunk) pairs over the given tables."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        duplicate_clusters,
+        fingerprint_clusters,
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_lsh_topk,
+        embedding_neardup_pairs,
+    )
+
+    q = emb.filter(F.col("vec_id") % F.lit(1_000_000) < 8)
+    return [
+        ("exact_dedup_clusters", lambda: duplicate_clusters(docs, "text", "doc_id").count()),
+        ("fingerprint_clusters", lambda: fingerprint_clusters(docs, "text", "doc_id").count()),
+        (
+            "jaccard_trigram_0.6",
+            lambda: jaccard_pairs(docs, threshold=0.6, ngram=3, prefix_filter=False).count(),
+        ),
+        (
+            "jaccard_trigram_0.6_dfcap",
+            lambda: jaccard_pairs(
+                docs, threshold=0.6, ngram=3, prefix_filter=False, max_token_df=100
+            ).count(),
+        ),
+        (
+            "minhash_lsh_0.5",
+            lambda: minhash_lsh_pairs(docs, threshold=0.5, ngram=2).count(),
+        ),
+        ("simhash_h12", lambda: simhash_pairs(docs, max_hamming=12, ngram=2).count()),
+        (
+            "emb_neardup_0.9",
+            lambda: embedding_neardup_pairs(emb, threshold=0.9, n_planes=4).count(),
+        ),
+        (
+            "ann_lsh_topk",
+            lambda: ann_lsh_topk(emb, q, k=5, n_planes=6).count(),
+        ),
+    ]
+
+
+def main() -> int:
+    sys.path.insert(0, os.path.dirname(SCALE_DIR))
+    from creatorops_lakehouse_spark.session import build_spark
+
+    spark = build_spark("scale-rehearsal")
+    spark.sparkContext.setLogLevel("ERROR")
+    if "--skip-gen" not in sys.argv:
+        t0 = time.time()
+        synthesize(spark)
+        print(f"synthesized 10x corpus in {time.time() - t0:.0f}s -> {SCALE_DIR}")
+
+    results: dict[str, dict[str, float]] = {}
+    for tag, ddir in (("sf0.1", SF_DIR), ("10x", SCALE_DIR)):
+        docs = spark.read.parquet(f"{ddir}/documents.parquet")
+        emb = spark.read.parquet(f"{ddir}/embeddings.parquet")
+        for name, thunk in suite(spark, docs, emb):
+            t0 = time.time()
+            n = thunk()
+            dt = time.time() - t0
+            results.setdefault(name, {})[tag] = dt
+            results[name][tag + "_rows"] = n
+            print(f"{tag:6} {name:28} rows={n:<8} {dt:6.1f}s", flush=True)
+
+    print("\n| operator | sf0.1 | 10x | ratio | rows sf0.1 | rows 10x |")
+    print("|---|---|---|---|---|---|")
+    for name, r in results.items():
+        ratio = r["10x"] / r["sf0.1"] if r["sf0.1"] > 0 else float("nan")
+        print(
+            f"| {name} | {r['sf0.1']:.1f}s | {r['10x']:.1f}s | {ratio:.1f}x "
+            f"| {int(r['sf0.1_rows'])} | {int(r['10x_rows'])} |"
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
