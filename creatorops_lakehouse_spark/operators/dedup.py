@@ -429,3 +429,71 @@ def simhash_pairs(
     """
     sets = _token_sets(df, text_col, id_col, ngram)
     return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (node, cluster_id),
+    cluster_id = the component's minimum node id.
+
+    The missing last step of every dedup pipeline: pairwise operators emit
+    EDGES; keep-one-per-group needs the transitive CLUSTERS (a~b, b~c ⇒
+    {a,b,c} together even if (a,c) was never emitted).
+
+    Spark-first formulation: iterative min-label propagation as DataFrame
+    ops — each round joins every node's current label against its
+    neighbors' labels and keeps the minimum (one shuffle per round on the
+    edge key; partial aggregation does the min map-side). Converges in
+    O(graph diameter) rounds; near-dup graphs are unions of near-cliques
+    (diameter ≤ ~3), so 2–3 rounds in practice — the driver checks an
+    aggregate-only convergence count per round (no row data collected).
+    ``max_iters`` bounds adversarial chain graphs; the alternating
+    large-star/small-star algorithm (Kiveris et al., "Connected Components
+    in MapReduce") is the documented drop-in upgrade if diameter ever
+    becomes unbounded at 100 TB.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, on=edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, on="node", how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old_label"), on="node"
+            )
+            .filter(F.col("label") != F.col("old_label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("label").alias("cluster_id"))

@@ -130,6 +130,67 @@ def quality_features(text: Column) -> dict[str, Column]:
     }
 
 
+#: the EN stopword profile doubles as the stopword-fraction signal list
+STOPWORDS_EN: tuple[str, ...] = LANG_PROFILES["en"]
+
+
+def repetition_features(text: Column) -> dict[str, Column]:
+    """Gopher/C4-style intra-document repetition + noise signals.
+
+    All values are scaled INTEGERS (basis points ×10000, mean word length
+    ×100) computed with integer division, so per-doc values are exactly
+    reproducible in any engine (the oracle-parity pattern for ratios) and
+    aggregate exactly. Pure Column expressions — one codegen pass, no
+    shuffle, embarrassingly parallel at 100 TB.
+
+    - rep_bigram_bp:   10000 × (1 − distinct/total word bigrams); repeated
+      phrasing (boilerplate, spam, degenerate generations) scores high.
+    - dup_line_bp:     10000 × (1 − distinct/total non-empty lines).
+    - mean_word_len_c: 100 × mean token length (centi-chars).
+    - symbol_bp:       10000 × non-word-non-space chars / total chars.
+    - stopword_bp:     10000 × EN-stopword tokens / tokens; natural prose
+      sits well above machine-generated token soup.
+    """
+    toks = tokens(text)
+    k = F.size(toks)
+    bi_total = k - 1
+    bi_distinct = F.size(word_ngrams(text, 2))
+    rep_bigram = F.when(
+        k >= 2, F.lit(10000) - _idiv(F.lit(10000) * bi_distinct, bi_total)
+    ).otherwise(F.lit(0))
+    lines = F.filter(F.split(text, "\n"), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    dup_line = F.when(
+        n_lines >= 1,
+        F.lit(10000) - _idiv(F.lit(10000) * n_distinct_lines, n_lines),
+    ).otherwise(F.lit(0))
+    sum_tok_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_word_len = _idiv(F.lit(100) * sum_tok_len, F.greatest(k, F.lit(1)))
+    n_chars = F.length(text)
+    n_symbols = n_chars - F.length(F.regexp_replace(text, "[^\\w\\s]", ""))
+    symbol = _idiv(F.lit(10000) * n_symbols, F.greatest(n_chars, F.lit(1)))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS_EN])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stopword = _idiv(F.lit(10000) * n_stop, F.greatest(k, F.lit(1)))
+    return {
+        "rep_bigram_bp": rep_bigram,
+        "dup_line_bp": dup_line,
+        "mean_word_len_c": mean_word_len,
+        "symbol_bp": symbol,
+        "stopword_bp": stopword,
+    }
+
+
+def _idiv(numer: Column, denom: Column) -> Column:
+    """Integer division matching DuckDB's ``//`` for non-negative operands.
+
+    floor(a / b) over doubles is exact here: operands stay far below 2^53,
+    and when the true quotient is an integer q the IEEE division yields q
+    exactly, so the floor never slips below it."""
+    return F.floor(numer / denom).cast("long")
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: length sweet-spot, lexical diversity,
     low punctuation/digit noise. Weights are heuristic (documented, simple);

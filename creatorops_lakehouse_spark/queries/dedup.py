@@ -23,6 +23,31 @@ from creatorops_lakehouse_spark.queries import load, query
 
 _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+#: shared CTE chain producing exact word-trigram Jaccard stats per doc pair
+#: (mirrors operators/dedup.py::jaccard_pairs(ngram=3) — see
+#: docs_jaccard_neardup_pairs for the semantics notes)
+_SQL_TRIGRAM_COMMON = f"""
+    toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(l) - 3, 0) + 1),
+                   i -> array_to_string(l[i + 1 : i + 3], ' '))) AS shingles
+        FROM toks
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sets),
+    posts AS (SELECT doc_id, set_size, unnest(shingles) AS tok FROM sized),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.set_size AS a_size, b.set_size AS b_size,
+               COUNT(*) AS n_common
+        FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+"""
+
 
 @query(
     "docs_exact_dedup_clusters",
@@ -72,25 +97,7 @@ def docs_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "docs_jaccard_neardup_pairs",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
-    ),
-    sets AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(0, greatest(len(l) - 3, 0) + 1),
-                   i -> array_to_string(l[i + 1 : i + 3], ' '))) AS shingles
-        FROM toks
-    ),
-    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sets),
-    posts AS (SELECT doc_id, set_size, unnest(shingles) AS tok FROM sized),
-    common AS (
-        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-               a.set_size AS a_size, b.set_size AS b_size,
-               COUNT(*) AS n_common
-        FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
-        GROUP BY 1, 2, 3, 4
-    )
+    WITH {_SQL_TRIGRAM_COMMON}
     SELECT a_id, b_id, n_common,
            CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) AS jaccard
     FROM common
@@ -120,6 +127,50 @@ def docs_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=3,
         prefix_filter=False,
     )
+
+
+@query(
+    "docs_dedup_clusters_cc",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRIGRAM_COMMON},
+    pairs AS (
+        SELECT a_id, b_id FROM common
+        WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.6
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+    FROM reach
+    GROUP BY src
+    """,
+)
+def docs_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: exact trigram-Jaccard pairs (≥0.6) →
+    connected components → (doc_id, cluster_id = component min id).
+
+    The keep-one-per-cluster step every dedup pipeline ends with: pairwise
+    operators emit edges, but a~b, b~c must retire {a,b,c} together even
+    when (a,c) was never emitted. Spark side is iterative min-label
+    propagation (operators/dedup.py::connected_components); the oracle is
+    an exact recursive-CTE transitive closure.
+    """
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(
+        docs, text_col="text", id_col="doc_id", threshold=0.6, ngram=3,
+        prefix_filter=False,
+    ).select("a_id", "b_id")
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
 @query("docs_minhash_lsh_pairs")  # engine-specific hashing → rows-only check

@@ -107,6 +107,175 @@ def docs_quality_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB per-doc expressions mirroring operators/text.py::repetition_features
+#: (scaled-integer signals; integer division // on both engines)
+_SQL_REP_DOC = """
+    doc_sig AS (
+        SELECT lang,
+               len(l) AS k,
+               CASE WHEN len(l) >= 2
+                    THEN 10000 - (10000 * len(list_distinct(list_transform(
+                             range(0, greatest(len(l) - 2, 0) + 1),
+                             i -> array_to_string(l[i + 1 : i + 2], ' ')))))
+                         // (len(l) - 1)
+                    ELSE 0 END AS rep_bigram_bp,
+               CASE WHEN len(lines) >= 1
+                    THEN 10000 - (10000 * len(list_distinct(lines))) // len(lines)
+                    ELSE 0 END AS dup_line_bp,
+               (100 * COALESCE(CAST(list_sum(list_transform(l, t -> len(t)))
+                                    AS BIGINT), 0))
+                   // greatest(len(l), 1) AS mean_word_len_c,
+               (10000 * (len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))))
+                   // greatest(len(text), 1) AS symbol_bp,
+               (10000 * len(list_filter(l, t -> list_contains(
+                    ['the','and','of','to','in','is','that','it','for','with'], t))))
+                   // greatest(len(l), 1) AS stopword_bp
+        FROM (
+            SELECT lang, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS l,
+                   list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+            FROM documents
+        )
+    )
+"""
+
+
+@query(
+    "docs_repetition_signals",
+    oracle=f"""
+    WITH {_SQL_REP_DOC}
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {exact_avg_sql("CAST(SUM(rep_bigram_bp) AS BIGINT)", "COUNT(*)", 2)}
+               AS avg_rep_bigram_bp,
+           {exact_avg_sql("CAST(SUM(dup_line_bp) AS BIGINT)", "COUNT(*)", 2)}
+               AS avg_dup_line_bp,
+           {exact_avg_sql("CAST(SUM(mean_word_len_c) AS BIGINT)", "COUNT(*)", 2)}
+               AS avg_word_len_c,
+           {exact_avg_sql("CAST(SUM(symbol_bp) AS BIGINT)", "COUNT(*)", 2)}
+               AS avg_symbol_bp,
+           {exact_avg_sql("CAST(SUM(stopword_bp) AS BIGINT)", "COUNT(*)", 2)}
+               AS avg_stopword_bp,
+           CAST(MAX(rep_bigram_bp) AS BIGINT) AS max_rep_bigram_bp
+    FROM doc_sig
+    GROUP BY 1
+    """,
+)
+def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition + noise filters aggregated by language:
+    repeated-bigram fraction, duplicate-line fraction, mean word length,
+    symbol ratio, stopword fraction — the standard pre-training corpus
+    quality gates. Per-doc values are scaled integers (basis points), so
+    both engines aggregate exactly; one projection + one hash aggregate."""
+    from creatorops_lakehouse_spark.operators.text import repetition_features
+
+    sig = repetition_features(F.col("text"))
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", *[expr.alias(name) for name, expr in sig.items()]
+    )
+    agg = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("rep_bigram_bp").alias("_s_rep"),
+        F.sum("dup_line_bp").alias("_s_dup"),
+        F.sum("mean_word_len_c").alias("_s_mwl"),
+        F.sum("symbol_bp").alias("_s_sym"),
+        F.sum("stopword_bp").alias("_s_stop"),
+        F.max("rep_bigram_bp").alias("max_rep_bigram_bp"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        exact_avg_expr("_s_rep", "n_docs", 2).alias("avg_rep_bigram_bp"),
+        exact_avg_expr("_s_dup", "n_docs", 2).alias("avg_dup_line_bp"),
+        exact_avg_expr("_s_mwl", "n_docs", 2).alias("avg_word_len_c"),
+        exact_avg_expr("_s_sym", "n_docs", 2).alias("avg_symbol_bp"),
+        exact_avg_expr("_s_stop", "n_docs", 2).alias("avg_stopword_bp"),
+        "max_rep_bigram_bp",
+    )
+
+
+#: DuckDB mirror of operators/sampling.py::hash_bucket — bit-identical
+_SQL_BUCKET = (
+    "CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"
+)
+
+
+@query(
+    "docs_train_eval_split",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_SQL_BUCKET} < 9000 THEN 'train'
+                    WHEN {_SQL_BUCKET} < 9500 THEN 'eval'
+                    ELSE 'test' END AS split,
+               doc_id
+        FROM documents
+    )
+    SELECT split, lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id
+    FROM assigned
+    GROUP BY 1, 2
+    """,
+)
+def docs_train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/eval/test split, stratifiable by any
+    column downstream: assignment is sha256(doc_id)-bucketed, so it is
+    reproducible across engines and STABLE under corpus growth (a doc's
+    split never changes when other docs arrive — unlike randomSplit, which
+    is partition-order-dependent). sum_doc_id pins the exact membership,
+    not just the counts."""
+    from creatorops_lakehouse_spark.operators.sampling import stratified_split
+
+    docs = stratified_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.90, "eval": 0.05, "test": 0.05},
+    )
+    return docs.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+@query(
+    "docs_balanced_lang_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_SQL_BUCKET} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           MIN(doc_id) AS min_doc_id
+    FROM ranked
+    WHERE rn <= 25
+    GROUP BY 1
+    """,
+)
+def docs_balanced_lang_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 25-docs-per-language sample (balanced eval-set
+    curation): rank by (sha-bucket, id) inside each language, keep the
+    first 25. Reproducible in any engine; sum/min of sampled ids pin the
+    exact membership."""
+    from creatorops_lakehouse_spark.operators.sampling import per_group_sample
+
+    sample = per_group_sample(
+        load(spark, sf_dir, "documents"), "lang", "doc_id", k=25
+    )
+    return sample.groupBy("lang").agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 @query(
     "docs_multimodal_bytes",
     oracle="""

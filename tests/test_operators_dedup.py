@@ -174,3 +174,27 @@ def test_simhash_survives_book_length_docs(spark):
     if expected >= 1 << 63:  # two's-complement to match Spark's signed long
         expected -= 1 << 64
     assert got == expected
+
+
+def test_connected_components_merges_transitively(spark):
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair {9,10}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 10)], ["a_id", "b_id"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
+
+
+def test_connected_components_clique_and_empty(spark):
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    clique = spark.createDataFrame(
+        [(5, 6), (5, 7), (6, 7)], ["a_id", "b_id"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(clique).collect()}
+    assert got == {5: 5, 6: 5, 7: 5}
+
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    assert connected_components(empty).count() == 0

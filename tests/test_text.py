@@ -62,3 +62,32 @@ def test_normalize_and_fingerprint_invariance(spark):
     c = _one(spark, "hello worlds", fingerprint(F.col("text")))
     assert a == b != c
     assert _one(spark, "  A  B\tC ", normalize_text(F.col("text"))) == "a b c"
+
+
+def test_repetition_features_hand_computed(spark):
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.text import repetition_features
+
+    rows = [
+        (1, "spam spam spam spam"),       # 3 bigrams, 1 distinct -> 6667 bp
+        (2, "a\na\nb"),                   # 3 lines, 2 distinct -> 3334 bp dup
+        (3, "ab abcd"),                   # mean word len 3.00 -> 300 c
+        (4, "hi!!"),                      # 2 symbols / 4 chars -> 5000 bp
+        (5, "the fox"),                   # 1 stopword / 2 tokens -> 5000 bp
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = repetition_features(F.col("text"))
+    got = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id", *[e.alias(n) for n, e in sig.items()]
+        ).collect()
+    }
+    assert got[1].rep_bigram_bp == 10000 - (10000 * 1) // 3
+    assert got[2].dup_line_bp == 10000 - (10000 * 2) // 3
+    assert got[3].mean_word_len_c == 300
+    assert got[4].symbol_bp == 5000
+    assert got[5].stopword_bp == 5000
+    # non-repetitive prose scores 0 on both repetition axes
+    assert got[3].rep_bigram_bp == 0 and got[3].dup_line_bp == 0
