@@ -255,23 +255,42 @@ def minhash_lsh_pairs(
     output has no false positives (recall depends on the band geometry:
     P(collide) = 1 - (1 - j^rows)^bands).
     """
-    assert num_perm % bands == 0
-    rows = num_perm // bands
     sets = _token_sets(df, text_col, id_col, ngram)
     sets = sets.persist()  # reread for exact verification after the band join
-    # base hashes as a real column: Catalyst's CollapseProject keeps a
-    # multiply-referenced non-trivial expression out of the permutation
-    # transforms, so each shingle string is xxhash64'd once, not num_perm×.
+    banded = _band_buckets(sets, num_perm, bands)
+    banded = banded.persist()  # self-join reads it twice; avoids 2× signature compute
+    left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
+    cands = (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verify_jaccard(cands, sets, threshold)
+
+
+def _band_buckets(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(doc_id, band, bucket) — the ids-only LSH banding projection.
+
+    Scale-critical: only (doc_id, band, bucket) enters the band explode and
+    any downstream bucket join. An earlier formulation carried the full
+    shingle array through both — replicating the corpus text ×bands into
+    the shuffle and ×2 across the join sides (~32× the corpus at 16 bands).
+    Ids-only banding shuffles 3 ints per (doc, band); shingle sets are
+    joined back once per verified candidate side.
+
+    The base hash array is materialized as its own column: Catalyst's
+    CollapseProject keeps a multiply-referenced non-trivial expression out
+    of the permutation transforms, so each shingle string is xxhash64'd
+    once, not num_perm×.
+    """
+    assert num_perm % bands == 0
+    rows = num_perm // bands
     sig = sets.withColumn("_mh_base", minhash_base(F.col("toks"))).withColumn(
         "sig", minhash_signature(F.col("_mh_base"), num_perm)
     )
-    # Scale-critical: only (doc_id, band, bucket) enters the band explode and
-    # the bucket self-join. The earlier formulation carried the full shingle
-    # array through both — replicating the corpus text ×bands into the
-    # shuffle and ×2 across the join sides (~32× the corpus at 16 bands).
-    # Ids-only banding shuffles 3 ints per (doc, band); the shingle sets are
-    # joined back ONCE per verified candidate side from the persisted table.
-    banded = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -290,15 +309,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    banded = banded.persist()  # self-join reads it twice; avoids 2× signature compute
-    left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
-    right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
-    cands = (
-        left.join(right, on=["band", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
+
+
+def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of (a_id, b_id) candidates against the
+    shingle-set table — eliminates every LSH false positive."""
     sa = sets.select(
         F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
         F.col("set_size").alias("a_size"),
@@ -313,6 +328,83 @@ def minhash_lsh_pairs(
     return verified.select(
         "a_id", "b_id", jac.alias("jaccard")
     ).filter(F.col("jaccard") >= threshold)
+
+
+def build_minhash_index(
+    df: DataFrame,
+    bands_spec,
+    sets_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's LSH state as two tables so future batches dedup
+    INCREMENTALLY against it instead of recomputing the corpus:
+
+    - ``bands_spec``: (doc_id, band, bucket) — the banding projection.
+    - ``sets_spec``:  (doc_id, toks, set_size) — shingle sets for exact
+      verification of probe candidates.
+
+    ``mode="append"`` admits a verified batch into the index afterwards —
+    the 100 TB operating loop is probe → dedup → append survivors.
+    """
+    from creatorops_lakehouse_spark.sources.tables import write_table
+
+    sets = _token_sets(df, text_col, id_col, ngram).persist()
+    write_table(_band_buckets(sets, num_perm, bands), bands_spec, mode=mode)
+    write_table(sets, sets_spec, mode=mode)
+
+
+def probe_minhash_index(
+    spark,
+    bands_spec,
+    sets_spec,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs for a NEW batch against an indexed corpus — the
+    incremental form of :func:`minhash_lsh_pairs`.
+
+    Emits exact-verified pairs of both kinds: new↔indexed (the batch joins
+    the persisted band index — cost scales with the BATCH, not the corpus)
+    and new↔new (within-batch self-join). Candidate generation is identical
+    to the full recompute — a pair collides iff some band matches,
+    independent of which side is indexed — so
+    probe(new) ∪ pairs(indexed) == pairs(indexed ∪ new) exactly
+    (pinned by tests and the docs_incremental_dedup_verdict oracle row).
+    """
+    from creatorops_lakehouse_spark.sources.tables import read_table
+
+    idx_bands = read_table(spark, bands_spec)
+    idx_sets = read_table(spark, sets_spec)
+    new_sets = _token_sets(new_df, text_col, id_col, ngram).persist()
+    new_bands = _band_buckets(new_sets, num_perm, bands).persist()
+
+    n = new_bands.select("band", "bucket", F.col("doc_id").alias("a_id"))
+    i = idx_bands.select("band", "bucket", F.col("doc_id").alias("b_id"))
+    cross = (
+        n.join(i, on=["band", "bucket"])
+        .filter(F.col("a_id") != F.col("b_id"))  # re-ingested ids are not pairs
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    n2 = new_bands.select("band", "bucket", F.col("doc_id").alias("b_id"))
+    within = (
+        n.join(n2, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    all_sets = idx_sets.unionByName(new_sets)
+    return _verify_jaccard(cross.unionByName(within), all_sets, threshold)
 
 
 def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:

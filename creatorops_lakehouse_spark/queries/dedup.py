@@ -266,6 +266,58 @@ def docs_minhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_incremental_dedup_verdict",
+    oracle="SELECT TRUE AS incremental_matches_full, CAST(0 AS BIGINT) AS n_diff",
+)
+def docs_incremental_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable incremental-dedup contract: splitting the corpus
+    into an indexed 80% and a probed 20% batch must reproduce EXACTLY the
+    pairs of a full recompute — probe(new vs index) ∪ within(new) ∪
+    pairs(indexed) == pairs(all). Candidate generation is band-collision
+    based on both paths, so the equality is exact, not approximate; any
+    drift (a lost band, a verification asymmetry) flips the hash-checked
+    verdict. The index lives in a per-run temp dir (cost scales with the
+    batch at probe time — the 100 TB operating loop)."""
+    import tempfile
+
+    from creatorops_lakehouse_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        probe_minhash_index,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    docs = load(spark, sf_dir, "documents").persist()
+    indexed = docs.filter(F.col("doc_id") % 5 != 0)
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    root = tempfile.mkdtemp(prefix="mh_index_")
+    bands_spec = TableSpec("mh.bands", f"{root}/bands")
+    sets_spec = TableSpec("mh.sets", f"{root}/sets")
+    build_minhash_index(indexed, bands_spec, sets_spec)
+
+    pair_key = ["a_id", "b_id"]
+    norm = lambda df: df.select(  # noqa: E731 — orient pairs canonically
+        F.least("a_id", "b_id").alias("a_id"),
+        F.greatest("a_id", "b_id").alias("b_id"),
+    )
+    incremental = (
+        norm(probe_minhash_index(spark, bands_spec, sets_spec, batch))
+        .unionByName(norm(minhash_lsh_pairs(indexed)))
+        .dropDuplicates(pair_key)
+    )
+    full = norm(minhash_lsh_pairs(docs)).dropDuplicates(pair_key)
+    merged = incremental.withColumn("_i", F.lit(1)).join(
+        full.withColumn("_f", F.lit(1)), on=pair_key, how="full_outer"
+    )
+    summary = merged.agg(
+        F.count(F.when(F.col("_i").isNull() | F.col("_f").isNull(), 1)).alias("n_diff")
+    )
+    return summary.select(
+        (F.col("n_diff") == 0).alias("incremental_matches_full"), "n_diff"
+    )
+
+
+@query(
     "docs_simhash_recall_verdict",
     oracle="SELECT TRUE AS recall_complete, TRUE AS no_false_positives",
 )

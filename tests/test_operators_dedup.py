@@ -198,3 +198,54 @@ def test_connected_components_clique_and_empty(spark):
 
     empty = spark.createDataFrame([], "a_id long, b_id long")
     assert connected_components(empty).count() == 0
+
+
+def test_incremental_minhash_index_equals_full_recompute(spark, tmp_path):
+    from creatorops_lakehouse_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_lsh_pairs,
+        probe_minhash_index,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    indexed = docs.filter(F.col("doc_id") <= 3)  # contains dup pair (1,2),(1,3)...
+    batch = docs.filter(F.col("doc_id") > 3)  # doc 4 is a format-dup of 1
+    bands_spec = TableSpec("t.bands", str(tmp_path / "bands"))
+    sets_spec = TableSpec("t.sets", str(tmp_path / "sets"))
+    build_minhash_index(indexed, bands_spec, sets_spec)
+
+    def norm(df):
+        return {
+            (min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in df.collect()
+        }
+
+    incremental = norm(
+        probe_minhash_index(spark, bands_spec, sets_spec, batch)
+    ) | norm(minhash_lsh_pairs(indexed))
+    full = norm(minhash_lsh_pairs(docs))
+    assert incremental == full
+    assert len(full) > 0  # the corpus really has near-dups to find
+    # cross-batch pair found: doc 4 (new) duplicates doc 1 (indexed)
+    assert any(4 in p for p in incremental)
+
+
+def test_minhash_index_append_mode(spark, tmp_path):
+    from creatorops_lakehouse_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    b1 = docs.filter(F.col("doc_id") <= 2)
+    b2 = docs.filter((F.col("doc_id") > 2) & (F.col("doc_id") <= 4))
+    bands_spec = TableSpec("t.bands", str(tmp_path / "bands"))
+    sets_spec = TableSpec("t.sets", str(tmp_path / "sets"))
+    build_minhash_index(b1, bands_spec, sets_spec)
+    build_minhash_index(b2, bands_spec, sets_spec, mode="append")
+    probe = probe_minhash_index(
+        spark, bands_spec, sets_spec, docs.filter(F.col("doc_id") == 5)
+    )
+    # doc 5 is unrelated content: probing the grown index finds nothing
+    assert probe.count() == 0
