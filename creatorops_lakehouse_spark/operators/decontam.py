@@ -1,0 +1,106 @@
+"""Benchmark decontamination: remove training documents that overlap an
+evaluation set (reference scope: the lakehouse's dedup/quality gates,
+/root/reference/etl/silver_events.py stage map; this operator extends the
+same curation tier to eval-overlap, a standard step in LLM training-data
+pipelines).
+
+Semantics (GPT-3/PaLM-style n-gram decontamination): a corpus document is
+*contaminated* when it shares at least ``min_hits`` distinct word n-grams
+with any document in the evaluation set. Decontamination drops those rows.
+
+Scale design (100 TB corpus, small eval set):
+- The eval n-gram set is built once (explode + distinct) and BROADCAST:
+  eval benchmarks are orders of magnitude smaller than the corpus, so the
+  corpus side never shuffles its text. Even ~10M distinct eval n-grams is
+  a few hundred MB — broadcastable; beyond that, switch the hint off and
+  Spark falls back to a shuffle join on ``gram`` (the API takes a flag).
+- Corpus docs are exploded to (id, gram) and hash-joined against the
+  broadcast set; only MATCHING grams reach the per-doc aggregation, and
+  partial (map-side) counting means the shuffle carries (id, count)
+  pairs, not text.
+- Contamination stats are exact integers (hit counts + basis points via
+  integer division) so any engine reproduces them bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from creatorops_lakehouse_spark.operators.text import _idiv, word_ngrams
+
+
+def eval_ngram_set(
+    eval_df: DataFrame, text_col: str = "text", n: int = 5
+) -> DataFrame:
+    """Distinct word n-grams occurring anywhere in the eval set — the
+    (small) probe side of decontamination. One column ``gram``."""
+    return (
+        eval_df.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .distinct()
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-document contamination stats for corpus docs that share >=
+    ``min_hits`` distinct n-grams with the eval set.
+
+    Returns (id_col, n_grams, n_hit, hit_bp): total distinct n-grams in
+    the doc, how many also occur in the eval set, and the contaminated
+    fraction in basis points (integer, engine-portable).
+    """
+    grams = eval_ngram_set(eval_df, text_col, n)
+    if broadcast_eval:
+        grams = F.broadcast(grams)
+    # Materialize the gram array as an ATTRIBUTE before exploding: putting
+    # size(word_ngrams(..)) next to explode(word_ngrams(..)) inlines the
+    # (interpreted, HOF-heavy) shingle expression into Generate's consume
+    # path, re-evaluating it per OUTPUT row — measured 45x slower at sf0.1.
+    exploded = corpus.select(
+        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+    ).select(
+        F.col(id_col),
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.explode("_grams").alias("gram"),
+    )
+    return (
+        exploded.join(grams, "gram")
+        .groupBy(id_col, "n_grams")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") >= min_hits)
+        .withColumn("hit_bp", _idiv(F.lit(10000) * F.col("n_hit"), F.col("n_grams")))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+    min_hits: int = 1,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Corpus with contaminated documents removed (left anti join on the
+    flagged ids — ids only, so the anti-join shuffle never carries text;
+    with AQE the small flagged side becomes a broadcast anti join)."""
+    flagged = ngram_contamination(
+        corpus, eval_df, text_col, id_col, n, min_hits, broadcast_eval
+    ).select(id_col)
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def contamination_gram(text: Column, n: int = 5) -> Column:
+    """The shared shingle definition (distinct word n-grams) — exposed so
+    audits/oracles can reproduce the exact gram set."""
+    return word_ngrams(text, n)

@@ -301,3 +301,59 @@ def docs_multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("content_length").alias("total_bytes"),
         F.min("content_sha256").alias("min_sha"),
     )
+
+
+@query(
+    "docs_decontaminate_eval",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+    ),
+    grams AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(l) - 5, 0) + 1),
+                   i -> array_to_string(l[i + 1 : i + 5], ' '))) AS grams
+        FROM toks
+    ),
+    assigned AS (
+        SELECT doc_id, grams,
+               CASE WHEN {_SQL_BUCKET} < 9000 THEN 'train'
+                    WHEN {_SQL_BUCKET} < 9500 THEN 'eval'
+                    ELSE 'test' END AS split
+        FROM grams
+    ),
+    ev AS (
+        SELECT DISTINCT unnest(grams) AS gram FROM assigned WHERE split = 'eval'
+    ),
+    tr AS (
+        SELECT doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               unnest(grams) AS gram
+        FROM assigned WHERE split = 'train'
+    )
+    SELECT tr.doc_id, tr.n_grams,
+           COUNT(*) AS n_hit,
+           (10000 * COUNT(*)) // tr.n_grams AS hit_bp
+    FROM tr JOIN ev USING (gram)
+    GROUP BY 1, 2
+    """,
+)
+def docs_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: train-split documents sharing a word
+    5-gram with the eval split (GPT-3-style n-gram overlap). The eval
+    n-gram set is broadcast — the corpus side never shuffles text; only
+    matching (doc_id, count) pairs reach the aggregation. Exact integer
+    stats (hit count + basis points) keep it oracle-checkable."""
+    from creatorops_lakehouse_spark.operators.decontam import ngram_contamination
+    from creatorops_lakehouse_spark.operators.sampling import stratified_split
+
+    docs = stratified_split(
+        load(spark, sf_dir, "documents"),
+        "doc_id",
+        {"train": 0.90, "eval": 0.05, "test": 0.05},
+    )
+    return ngram_contamination(
+        docs.filter(F.col("split") == "train"),
+        docs.filter(F.col("split") == "eval"),
+        n=5,
+    )

@@ -1,0 +1,96 @@
+"""Decontamination operator: n-gram overlap flagging + removal."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from creatorops_lakehouse_spark.operators.decontam import (
+    decontaminate,
+    eval_ngram_set,
+    ngram_contamination,
+)
+
+SHARED = "the quick brown fox jumps over the lazy dog tonight"
+CLEAN = "completely different words about spark execution plans here"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, SHARED + " plus trailing context"),  # shares 5-grams with eval
+            (2, CLEAN),  # no overlap
+            (3, "prefix words then " + SHARED),  # shares 5-grams with eval
+            (4, "tiny doc"),  # shorter than n -> whole-doc shingle
+        ],
+        "doc_id long, text string",
+    )
+
+
+@pytest.fixture(scope="module")
+def eval_df(spark):
+    return spark.createDataFrame(
+        [(100, "intro sentence then " + SHARED + " and more")],
+        "doc_id long, text string",
+    )
+
+
+def test_flags_overlapping_docs_only(corpus, eval_df):
+    flagged = ngram_contamination(corpus, eval_df, n=5)
+    rows = {r.doc_id: r for r in flagged.collect()}
+    assert set(rows) == {1, 3}
+    for r in rows.values():
+        assert 1 <= r.n_hit <= r.n_grams
+        assert r.hit_bp == 10000 * r.n_hit // r.n_grams
+
+
+def test_decontaminate_removes_flagged(corpus, eval_df):
+    kept = decontaminate(corpus, eval_df, n=5)
+    assert {r.doc_id for r in kept.collect()} == {2, 4}
+
+
+def test_min_hits_threshold(corpus, eval_df):
+    # SHARED has 10 tokens -> 6 distinct 5-grams; doc 3 additionally
+    # shares the "then the quick brown fox" gram with eval (7 total).
+    # min_hits above the max shared count clears the flag list.
+    strict = ngram_contamination(corpus, eval_df, n=5, min_hits=8)
+    assert strict.count() == 0
+
+
+def test_stability_under_corpus_growth(spark, corpus, eval_df):
+    """A doc's contamination verdict never depends on other corpus rows."""
+    base = {
+        r.doc_id: (r.n_grams, r.n_hit)
+        for r in ngram_contamination(corpus, eval_df, n=5).collect()
+    }
+    extra = spark.createDataFrame(
+        [(99, "unrelated filler text that changes nothing for others")],
+        "doc_id long, text string",
+    )
+    grown = {
+        r.doc_id: (r.n_grams, r.n_hit)
+        for r in ngram_contamination(corpus.unionByName(extra), eval_df, n=5).collect()
+    }
+    for doc_id, stats in base.items():
+        assert grown[doc_id] == stats
+
+
+def test_eval_ngram_set_distinct(eval_df):
+    grams = eval_ngram_set(eval_df, n=5)
+    vals = [r.gram for r in grams.collect()]
+    assert len(vals) == len(set(vals))
+    assert all(len(g.split(" ")) == 5 for g in vals)
+
+
+def test_short_doc_whole_shingle(spark, eval_df):
+    """Docs shorter than n tokens shingle as the whole token string —
+    only an exact (normalized) eval match flags them."""
+    tiny_eval = spark.createDataFrame(
+        [(1, "Tiny DOC!")], "doc_id long, text string"
+    )
+    tiny_corpus = spark.createDataFrame(
+        [(2, "tiny doc"), (3, "tiny dog")], "doc_id long, text string"
+    )
+    flagged = ngram_contamination(tiny_corpus, tiny_eval, n=5)
+    assert {r.doc_id for r in flagged.collect()} == {2}
