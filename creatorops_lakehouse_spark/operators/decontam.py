@@ -1,8 +1,8 @@
 """Benchmark decontamination: remove training documents that overlap an
 evaluation set (reference scope: the lakehouse's dedup/quality gates,
-/root/reference/etl/silver_events.py stage map; this operator extends the
-same curation tier to eval-overlap, a standard step in LLM training-data
-pipelines).
+/root/reference/pipelines/silver/transform_local.py stage map; this
+operator extends the same curation tier to eval-overlap, a standard step
+in LLM training-data pipelines).
 
 Semantics (GPT-3/PaLM-style n-gram decontamination): a corpus document is
 *contaminated* when it shares at least ``min_hits`` distinct word n-grams
@@ -92,12 +92,17 @@ def decontaminate(
     broadcast_eval: bool = True,
 ) -> DataFrame:
     """Corpus with contaminated documents removed (left anti join on the
-    flagged ids — ids only, so the anti-join shuffle never carries text;
-    with AQE the small flagged side becomes a broadcast anti join)."""
+    flagged ids — ids only, so the anti-join shuffle never carries text).
+
+    No broadcast hint on the flagged side: its size is bounded by the
+    CORPUS (contamination can cover a large fraction of it), not by the
+    eval set, so forcing a broadcast risks driver OOM at exactly the scale
+    this module targets. AQE picks a broadcast anti join at runtime
+    whenever the flagged side turns out small — the common case."""
     flagged = ngram_contamination(
         corpus, eval_df, text_col, id_col, n, min_hits, broadcast_eval
     ).select(id_col)
-    return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 def contamination_gram(text: Column, n: int = 5) -> Column:

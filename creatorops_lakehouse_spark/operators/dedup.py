@@ -24,6 +24,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from creatorops_lakehouse_spark.operators.cache import scoped_persist
 from creatorops_lakehouse_spark.operators.text import (
     fingerprint,
     tokens,
@@ -113,7 +114,7 @@ def jaccard_pairs(
     is pinned in tests/test_operators_dedup.py.
     """
     sets = _token_sets(df, text_col, id_col, ngram).filter(F.col("set_size") > 0)
-    sets = sets.persist()  # reread for posting build + candidate verification
+    sets = scoped_persist(sets)  # reread for posting build + candidate verification
     posts = sets.select("doc_id", "set_size", F.explode("toks").alias("tok"))
     if max_token_df is not None:
         hot = (
@@ -138,7 +139,7 @@ def jaccard_pairs(
             .filter(F.col("_rn") <= prefix_len)
             .select("doc_id", "set_size", "tok")
         )
-    posts = posts.persist()  # both sides of the self-join read this subtree
+    posts = scoped_persist(posts)  # both sides of the self-join read this subtree
     if not prefix_filter:
         # full postings → the inverted-index join ITSELF counts the
         # intersection (group the matches); no per-pair array intersection.
@@ -256,9 +257,9 @@ def minhash_lsh_pairs(
     P(collide) = 1 - (1 - j^rows)^bands).
     """
     sets = _token_sets(df, text_col, id_col, ngram)
-    sets = sets.persist()  # reread for exact verification after the band join
+    sets = scoped_persist(sets)  # reread for exact verification after the band join
     banded = _band_buckets(sets, num_perm, bands)
-    banded = banded.persist()  # self-join reads it twice; avoids 2× signature compute
+    banded = scoped_persist(banded)  # self-join reads it twice; avoids 2× signature compute
     left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
     cands = (
@@ -353,7 +354,7 @@ def build_minhash_index(
     """
     from creatorops_lakehouse_spark.sources.tables import write_table
 
-    sets = _token_sets(df, text_col, id_col, ngram).persist()
+    sets = scoped_persist(_token_sets(df, text_col, id_col, ngram))
     write_table(_band_buckets(sets, num_perm, bands), bands_spec, mode=mode)
     write_table(sets, sets_spec, mode=mode)
 
@@ -385,8 +386,8 @@ def probe_minhash_index(
 
     idx_bands = read_table(spark, bands_spec)
     idx_sets = read_table(spark, sets_spec)
-    new_sets = _token_sets(new_df, text_col, id_col, ngram).persist()
-    new_bands = _band_buckets(new_sets, num_perm, bands).persist()
+    new_sets = scoped_persist(_token_sets(new_df, text_col, id_col, ngram))
+    new_bands = scoped_persist(_band_buckets(new_sets, num_perm, bands))
 
     n = new_bands.select("band", "bucket", F.col("doc_id").alias("a_id"))
     i = idx_bands.select("band", "bucket", F.col("doc_id").alias("b_id"))
@@ -403,8 +404,25 @@ def probe_minhash_index(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    all_sets = idx_sets.unionByName(new_sets)
-    return _verify_jaccard(cross.unionByName(within), all_sets, threshold)
+    # Re-ingest hardening (a doc_id present in BOTH the index and the probe
+    # batch): (a) canonicalize the candidate union — cross emits both
+    # orientations for a re-ingested near-dup pair and within emits it a
+    # third time; (b) the probe batch's shingle set wins over the indexed
+    # copy in the verification join (it reflects the current text), so the
+    # join never fans out. The anti join is ids-vs-small-batch → AQE
+    # broadcasts it.
+    cands = (
+        cross.unionByName(within)
+        .select(
+            F.least("a_id", "b_id").alias("a_id"),
+            F.greatest("a_id", "b_id").alias("b_id"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    all_sets = new_sets.unionByName(
+        idx_sets.join(new_sets.select("doc_id"), on="doc_id", how="left_anti")
+    )
+    return _verify_jaccard(cands, all_sets, threshold)
 
 
 def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
@@ -474,7 +492,7 @@ def simhash_banded_pairs(
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
-    chunks = chunks.persist()  # self-join reads it twice
+    chunks = scoped_persist(chunks)  # self-join reads it twice
     a = chunks.select("chunk", "val", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
     b = chunks.select("chunk", "val", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
@@ -536,30 +554,34 @@ def connected_components(
     EDGES; keep-one-per-group needs the transitive CLUSTERS (a~b, b~c ⇒
     {a,b,c} together even if (a,c) was never emitted).
 
-    Spark-first formulation: iterative min-label propagation as DataFrame
-    ops — each round joins every node's current label against its
+    Spark-first formulation: iterative min-label propagation with POINTER
+    DOUBLING — each round (a) joins every node's current label against its
     neighbors' labels and keeps the minimum (one shuffle per round on the
-    edge key; partial aggregation does the min map-side). Converges in
-    O(graph diameter) rounds; near-dup graphs are unions of near-cliques
-    (diameter ≤ ~3), so 2–3 rounds in practice — the driver checks an
-    aggregate-only convergence count per round (no row data collected).
-    ``max_iters`` bounds adversarial chain graphs; the alternating
-    large-star/small-star algorithm (Kiveris et al., "Connected Components
-    in MapReduce") is the documented drop-in upgrade if diameter ever
-    becomes unbounded at 100 TB.
+    edge key; partial aggregation does the min map-side), then (b) replaces
+    each node's label with its label's label (path halving, the same
+    shortcutting move as large-star/small-star in Kiveris et al.,
+    "Connected Components in MapReduce"). Propagation alone needs
+    O(diameter) rounds — a silent-wrongness risk on adversarial chain
+    graphs (crawl data can produce diameter > 20); with doubling the label
+    chase distance halves every round, so max_iters=20 covers diameters up
+    to ~2^20. Near-dup graphs are unions of near-cliques (diameter ≤ ~3):
+    2–3 rounds in practice. The per-round convergence check is an
+    aggregate-only count (no row data to the driver).
+
+    Raises RuntimeError if ``max_iters`` is exhausted before convergence —
+    returning non-converged labels would silently split clusters.
     """
-    edges = (
+    edges = scoped_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
-        .persist()
     )
-    labels = (
+    labels = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .persist()
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, on=edges.dst == labels.node)
@@ -567,15 +589,35 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("nbr_label"))
         )
+        prop = labels.join(neighbor_min, on="node", how="left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+        # pointer doubling: label ← label(label). Labels are always node
+        # ids present in the label table (every label is the min of a set
+        # of node ids), so the self-join is a total function composition.
+        parent = prop.select(
+            F.col("node").alias("p_node"), F.col("label").alias("p_label")
+        )
+        # localCheckpoint (not persist): each round's plan references the
+        # previous round's labels FOUR times (propagation join + doubling
+        # self-join), so without lineage truncation the logical plan grows
+        # 4^rounds and Catalyst/plan-stringification blows the stack around
+        # round 6. Checkpointing materializes the ~(node, label) rows and
+        # restarts the lineage — the standard move for iterative DataFrame
+        # algorithms (on a cluster with executor churn, swap for reliable
+        # checkpoint(dir) at the same call site).
         new_labels = (
-            labels.join(neighbor_min, on="node", how="left")
+            prop.join(parent, on=prop.label == parent.p_node, how="left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias(
-                    "label"
-                ),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                ).alias("label"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.join(
@@ -587,5 +629,13 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            f"(last round still relabeled {changed} nodes). With pointer "
+            "doubling this needs diameter > ~2^max_iters — check the pair "
+            "graph for pathological structure or raise max_iters."
+        )
     return labels.select("node", F.col("label").alias("cluster_id"))

@@ -119,6 +119,54 @@ def auto_planes(n_rows: int, target_bucket: int = 500, lo: int = 4, hi: int = 24
     return max(lo, min(hi, math.ceil(math.log2(max(n_rows / target_bucket, 2.0)))))
 
 
+def plane_agreement_prob(cos_threshold: float) -> float:
+    """P(one random hyperplane puts two vectors with cos=threshold on the
+    same side) = 1 − θ/π (Goemans–Williamson / sign-LSH collision rate)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, cos_threshold))) / math.pi
+
+
+def auto_tables(
+    n_planes: int,
+    cos_threshold: float,
+    recall_target: float = 0.9,
+    max_tables: int = 32,
+) -> int:
+    """Hash-table count for a band-OR sign-LSH scheme hitting a recall
+    floor: with L independent tables of b planes each, a pair at exactly
+    cos=threshold collides in ≥1 table with probability 1 − (1 − p^b)^L
+    where p = plane_agreement_prob(threshold). Solve for the smallest L.
+
+    This is the fix for the single-table recall collapse: one table of b
+    auto-sized planes has recall p^b, which DROPS as the corpus (and hence
+    b) grows — at b=24, p(0.95)^24 ≈ 8%. Band-OR holds recall at the
+    target while auto_planes holds per-table bucket occupancy, so candidate
+    volume grows as L(b)·n·target_bucket ≈ n^(1+log2(1/p)) — mildly
+    superlinear, the honest price of sign-LSH at high thresholds.
+    ``max_tables`` caps runaway L for low thresholds/huge corpora; the cap
+    is loud (logged), not silent."""
+    import math
+
+    p = plane_agreement_prob(cos_threshold) ** n_planes
+    if p >= 1.0:
+        return 1
+    if p <= 0.0:
+        return max_tables
+    needed = math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - p))
+    if needed > max_tables:
+        import warnings
+
+        warnings.warn(
+            f"auto_tables: {needed} tables needed for recall "
+            f"{recall_target} at cos>={cos_threshold} with {n_planes} "
+            f"planes; capping at {max_tables} (achieved recall ≈ "
+            f"{1.0 - (1.0 - p) ** max_tables:.2f})",
+            stacklevel=2,
+        )
+    return max(1, min(max_tables, needed))
+
+
 def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit LSH bucket id: bit p set iff vec · plane_p > 0."""
     sig = F.lit(0).cast("long")
@@ -131,6 +179,67 @@ def hyperplane_signature(vec: Column, planes: list[list[float]]) -> Column:
     return sig
 
 
+def _table_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> list[list[list[float]]]:
+    """Independent hyperplane sets, one per hash table (deterministic)."""
+    return [
+        random_hyperplanes(dim, n_planes, seed + 7919 * t) for t in range(n_tables)
+    ]
+
+
+def _lsh_buckets_udf(tables: list[list[list[float]]]):
+    """Arrow-batched pandas UDF: all L table bucket ids per vector in ONE
+    numpy matmul (n × L·b plane dots → sign bits → per-table bucket ints).
+
+    This is the third sanctioned Arrow seam (with multimodal decode and IVF
+    centroid assignment), and for the same reason: expression-level
+    zip_with/aggregate dots are interpreted per element, and L×b of them
+    per row builds an expression tree whose codegen/eval cost dominates —
+    measured ~18 s flat (data-size-independent) at 17 tables × 4 planes vs
+    sub-second for the batched matmul. Sign ties (dot == 0) are
+    measure-zero for Gaussian planes, so UDF and expression forms agree."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    L, b = len(tables), len(tables[0])
+    P = np.asarray([p for tbl in tables for p in tbl], dtype=np.float64)  # L·b × d
+    weights = 1 << np.arange(b, dtype=np.int64)
+
+    def _sig(col):
+        X = np.asarray(col.tolist(), dtype=np.float64)  # n × d
+        S = (X @ P.T) > 0  # n × L·b sign bits
+        buckets = (S.reshape(len(X), L, b) * weights).sum(axis=2)  # n × L
+        return pd.Series([row.tolist() for row in buckets])
+
+    return pandas_udf(_sig, "array<long>")
+
+
+def _bucket_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[float]]],
+    out_id: str,
+) -> DataFrame:
+    """Ids-only (out_id, table, bucket) — one row per (vector, table).
+
+    Scale-critical: only three ints per (row, table) ever enter the bucket
+    shuffle; vectors are joined back once per verified candidate (the same
+    ids-only discipline as MinHash banding — an earlier single-table
+    formulation carried the full vector through the self-join). Signatures
+    come from one Arrow-batched matmul (:func:`_lsh_buckets_udf`);
+    posexplode's position IS the table index."""
+    sig = _lsh_buckets_udf(tables)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(sig(F.col(vec_col).cast("array<double>"))).alias(
+            "table", "bucket"
+        ),
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -138,46 +247,47 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_tables: int | None = None,
+    cos_floor: float = 0.8,
+    recall_target: float = 0.9,
     seed: int = 42,
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate cosine top-k: hyperplane-bucket join + exact rerank
-    inside the bucket. Recall rises with fewer planes (bigger buckets) and
-    can be boosted with multi-probe; this is the 100 TB path where
-    brute-force |q|×|corpus| is not affordable.
+    """Approximate cosine top-k: band-OR multi-table hyperplane buckets +
+    exact rerank over the deduplicated candidate set — the 100 TB path
+    where brute-force |q|×|corpus| is not affordable.
 
-    ``n_planes=None`` sizes the plane count to the corpus (see
-    :func:`auto_planes`) — the scale-safe default."""
+    ``n_planes=None`` sizes each table's plane count to the corpus
+    (:func:`auto_planes`, constant bucket occupancy); ``n_tables=None``
+    sizes the table count so a neighbor at cos ≥ ``cos_floor`` is retrieved
+    with probability ≥ ``recall_target`` (:func:`auto_tables`). A single
+    auto-sized table is NOT scale-safe: its recall p^b decays as the corpus
+    grows b — band-OR holds the recall contract instead."""
     if n_planes is None:
         n_planes = auto_planes(corpus.count())
-    planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    sims = (
-        c.join(F.broadcast(q), on="bucket")
+    if n_tables is None:
+        n_tables = auto_tables(n_planes, cos_floor, recall_target)
+    tables = _table_planes(dim, n_planes, n_tables, seed)
+    cb = _bucket_projection(corpus, id_col, vec_col, tables, "neighbor_id")
+    qb = _bucket_projection(queries, id_col, vec_col, tables, "query_id")
+    cands = (
+        cb.join(F.broadcast(qb), on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    sims = (
+        cands.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
         .select(
             "query_id",
             "neighbor_id",
             cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        sims.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cos_sim", "rank")
-    )
+    return _rerank_topk(sims, k)
 
 
 def embedding_neardup_pairs(
@@ -186,35 +296,45 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int | None = None,
+    n_tables: int | None = None,
+    recall_target: float = 0.9,
     seed: int = 7,
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ threshold), candidates
-    from hyperplane buckets (near-identical vectors collide with high
-    probability), verified exactly.
+    """Embedding-cosine near-duplicate pairs (cos ≥ threshold): band-OR
+    multi-table hyperplane candidates, deduplicated ids-only, then verified
+    with exact cosine (no false positives; recall ≥ ``recall_target`` at
+    the threshold by :func:`auto_tables` band geometry).
 
-    ``n_planes=None`` sizes the plane count to the corpus (see
-    :func:`auto_planes`) — the scale-safe default."""
+    ``n_planes=None`` / ``n_tables=None`` auto-size both knobs — the
+    scale-safe default (auto_planes pins per-table bucket occupancy,
+    auto_tables pins recall; candidate volume then grows ~linearly in the
+    corpus instead of quadratically as with any fixed plane count)."""
     if n_planes is None:
         n_planes = auto_planes(df.count())
-    planes = random_hyperplanes(dim, n_planes, seed)
-    sig = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
-    )
-    a = sig.select("bucket", F.col("doc_id").alias("a_id"), F.col("vec").alias("a_vec"))
-    b = sig.select("bucket", F.col("doc_id").alias("b_id"), F.col("vec").alias("b_vec"))
-    return (
-        a.join(b, on="bucket")
+    if n_tables is None:
+        n_tables = auto_tables(n_planes, threshold, recall_target)
+    tables = _table_planes(dim, n_planes, n_tables, seed)
+    buckets = _bucket_projection(df, id_col, vec_col, tables, "doc_id")
+    a = buckets.select("table", "bucket", F.col("doc_id").alias("a_id"))
+    b = buckets.select("table", "bucket", F.col("doc_id").alias("b_id"))
+    cands = (
+        a.join(b, on=["table", "bucket"])
         .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cands.join(va, on="a_id")
+        .join(vb, on="b_id")
         .select(
             "a_id",
             "b_id",
             cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
-        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -273,7 +393,9 @@ def train_ivf_centroids(
     )
     if sample_mod is not None and sample_mod > 1:
         vecs = vecs.filter(F.col("_id") % sample_mod == 0)
-    vecs = vecs.persist()
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    vecs = scoped_persist(vecs)
     centroids = [
         r.v for r in vecs.orderBy("_id").limit(k).collect()
     ]
@@ -400,9 +522,10 @@ def ann_ivf_topk_indexed(
     query batch (≤ |queries| × nprobe ints, driver-side tiny) and push them
     into the index scan as a static IN-filter, so partition pruning skips
     every unprobed cell's files before the join."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
     from creatorops_lakehouse_spark.sources.tables import read_table
 
-    probed = _probe_queries(queries, centroids, nprobe, id_col, vec_col).persist()
+    probed = scoped_persist(_probe_queries(queries, centroids, nprobe, id_col, vec_col))
     cells = [r.cell for r in probed.select("cell").distinct().collect()]
     idx = read_table(spark, spec).filter(F.col("cell").isin(cells))
     sims = (

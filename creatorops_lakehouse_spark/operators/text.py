@@ -214,3 +214,41 @@ def quality_score(text: Column) -> Column:
         + F.lit(0.2) * (F.lit(1.0) - F.least(punct_noise + digit_noise, F.lit(1.0)))
     )
     return F.least(F.greatest(raw, F.lit(0.0)), F.lit(1.0))
+
+
+def chunk_windows(
+    df, text_col: str = "text", id_col: str = "doc_id", size: int = 32, stride: int = 16
+):
+    """Overlapping token windows per document — the chunking step for
+    context-window-bounded training/embedding (RAG-style): windows of
+    ``size`` tokens every ``stride`` tokens, last window truncated.
+
+    One projection + one explode; no shuffle, no UDF (sequence/transform/
+    slice expressions). Chunk grid: start positions 0, stride, 2·stride, …
+    while start < n_tokens (a document shorter than ``size`` yields one
+    truncated chunk; empty documents yield none).
+
+    Returns (id_col, chunk_idx, n_chunk_tokens, chunk_text).
+    """
+    import pyspark.sql.functions as F
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(id_col), toks.alias("_toks")).withColumn(
+        "_n", F.size("_toks")
+    )
+    n_chunks = F.expr(f"1 + (_n - 1) div {stride}")  # rows below filter _n > 0
+    chunked = base.filter(F.col("_n") > 0).select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.slice(F.col("_toks"), i * stride + 1, size),
+            )
+        ).alias("chunk_idx", "_chunk"),
+    )
+    return chunked.select(
+        id_col,
+        "chunk_idx",
+        F.size("_chunk").alias("n_chunk_tokens"),
+        F.array_join("_chunk", " ").alias("chunk_text"),
+    )

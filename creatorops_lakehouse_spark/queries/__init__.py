@@ -33,12 +33,30 @@ REGISTRY: dict[str, RegisteredQuery] = {}
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
-    """Decorator: register a driver-harness query (optionally with oracle SQL)."""
+    """Decorator: register a driver-harness query (optionally with oracle SQL).
+
+    The registered callable releases the PREVIOUS query's scoped-persisted
+    intermediates before running (operators/cache.py): by the time the
+    driver/bench invokes query N, query N-1's result has been collected, so
+    its caches are dead weight. Unpersist is safe even against a live lazy
+    plan — Spark recomputes on demand."""
 
     def deco(fn: QueryFn) -> QueryFn:
+        import functools
+
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = RegisteredQuery(name, fn, oracle)
+
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from creatorops_lakehouse_spark.operators.cache import (
+                release_scoped_caches,
+            )
+
+            release_scoped_caches()
+            return fn(spark, sf_dir)
+
+        REGISTRY[name] = RegisteredQuery(name, wrapped, oracle)
         return fn
 
     return deco
@@ -116,6 +134,7 @@ def _ensure_imported() -> None:
         dedup,
         events,
         functions,
+        llmprep,
         relational,
         similarity,
         text,

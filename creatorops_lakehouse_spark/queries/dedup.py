@@ -287,7 +287,9 @@ def docs_incremental_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from creatorops_lakehouse_spark.sources.tables import TableSpec
 
-    docs = load(spark, sf_dir, "documents").persist()
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    docs = scoped_persist(load(spark, sf_dir, "documents"))
     indexed = docs.filter(F.col("doc_id") % 5 != 0)
     batch = docs.filter(F.col("doc_id") % 5 == 0)
     root = tempfile.mkdtemp(prefix="mh_index_")
@@ -337,8 +339,10 @@ def docs_simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         simhash_table,
     )
 
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
     docs = load(spark, sf_dir, "documents")
-    sh = simhash_table(_token_sets(docs, "text", "doc_id", 2)).persist()
+    sh = scoped_persist(simhash_table(_token_sets(docs, "text", "doc_id", 2)))
     banded = simhash_banded_pairs(sh, max_hamming=7, n_chunks=8).select(
         "a_id", "b_id", F.lit(1).alias("_b")
     )

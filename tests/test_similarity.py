@@ -203,3 +203,57 @@ def test_ivf_index_partition_pruning(spark, tmp_path):
     }
     got = {(r.query_id, r.neighbor_id, r.rank) for r in indexed.collect()}
     assert got == inline
+
+
+def test_auto_tables_sizing_closed_form():
+    """auto_tables returns the smallest L with band-OR recall ≥ target,
+    and warns (not silently collapses) when the cap binds — the fix for
+    the single-table recall decay ADVICE r2 flagged."""
+    import warnings
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        auto_tables,
+        plane_agreement_prob,
+    )
+
+    for b, thr in [(4, 0.9), (6, 0.8), (8, 0.95)]:
+        p = plane_agreement_prob(thr) ** b
+        L = auto_tables(b, thr, recall_target=0.9)
+        assert 1 - (1 - p) ** L >= 0.9
+        assert L == 1 or 1 - (1 - p) ** (L - 1) < 0.9
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        capped = auto_tables(24, 0.95, recall_target=0.9, max_tables=8)
+        assert capped == 8
+        assert any("capping" in str(w.message) for w in caught)
+
+
+def test_neardup_multitable_recall_on_clustered(spark):
+    """Auto-sized plane/table counts must find the within-cluster pairs a
+    single fixed-plane table can miss."""
+    import random
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    rng = random.Random(17)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(12)]
+    rows = []
+    for i in range(120):
+        c = centers[i % 12]
+        rows.append((i, [x + rng.gauss(0, 0.005) for x in c]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    pairs = embedding_neardup_pairs(df, threshold=0.99, dim=16).collect()
+    got = {(r.a_id, r.b_id) for r in pairs}
+    # every within-cluster pair is a true near-dup at this noise level
+    expected = {
+        (a, b)
+        for a in range(120)
+        for b in range(a + 1, 120)
+        if a % 12 == b % 12
+    }
+    recall = len(got & expected) / len(expected)
+    assert recall >= 0.9, f"multi-table neardup recall too low: {recall}"
+    assert all(r.cos_sim >= 0.99 for r in pairs)

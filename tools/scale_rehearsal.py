@@ -91,20 +91,42 @@ def synthesize(spark) -> None:
 
 def suite(spark, docs, emb):
     """(name, thunk) pairs over the given tables."""
+    from creatorops_lakehouse_spark.operators.decontam import ngram_contamination
     from creatorops_lakehouse_spark.operators.dedup import (
+        connected_components,
         duplicate_clusters,
         fingerprint_clusters,
         jaccard_pairs,
         minhash_lsh_pairs,
         simhash_pairs,
     )
+    from creatorops_lakehouse_spark.operators.sampling import per_group_sample
     from creatorops_lakehouse_spark.operators.similarity import (
         ann_lsh_topk,
         embedding_neardup_pairs,
     )
 
     q = emb.filter(F.col("vec_id") % F.lit(1_000_000) < 8)
+    # deterministic ~1% eval slice for decontamination (same rule at both
+    # scales, so the broadcast side grows with the corpus — the honest case)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+
+    def _cc():
+        pairs = jaccard_pairs(
+            docs, threshold=0.6, ngram=3, prefix_filter=False
+        ).select("a_id", "b_id")
+        return connected_components(pairs).count()
+
     return [
+        (
+            "decontam_5gram",
+            lambda: ngram_contamination(docs, eval_docs, n=5).count(),
+        ),
+        ("dedup_clusters_cc", _cc),
+        (
+            "per_group_sample_k50",
+            lambda: per_group_sample(docs, "lang", "doc_id", 50).count(),
+        ),
         ("exact_dedup_clusters", lambda: duplicate_clusters(docs, "text", "doc_id").count()),
         ("fingerprint_clusters", lambda: fingerprint_clusters(docs, "text", "doc_id").count()),
         (
@@ -124,11 +146,12 @@ def suite(spark, docs, emb):
         ("simhash_h12", lambda: simhash_pairs(docs, max_hamming=12, ngram=2).count()),
         (
             "emb_neardup_0.9",
-            lambda: embedding_neardup_pairs(emb, threshold=0.9, n_planes=4).count(),
+            # auto planes/tables — the shape the registered query now runs
+            lambda: embedding_neardup_pairs(emb, threshold=0.9).count(),
         ),
         (
             "ann_lsh_topk",
-            lambda: ann_lsh_topk(emb, q, k=5, n_planes=6).count(),
+            lambda: ann_lsh_topk(emb, q, k=5).count(),
         ),
     ]
 
