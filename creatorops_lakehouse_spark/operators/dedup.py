@@ -546,6 +546,7 @@ def connected_components(
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iters: int = 20,
+    double_from: int = 3,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (node, cluster_id),
     cluster_id = the component's minimum node id.
@@ -554,19 +555,23 @@ def connected_components(
     EDGES; keep-one-per-group needs the transitive CLUSTERS (a~b, b~c ⇒
     {a,b,c} together even if (a,c) was never emitted).
 
-    Spark-first formulation: iterative min-label propagation with POINTER
-    DOUBLING — each round (a) joins every node's current label against its
-    neighbors' labels and keeps the minimum (one shuffle per round on the
-    edge key; partial aggregation does the min map-side), then (b) replaces
-    each node's label with its label's label (path halving, the same
-    shortcutting move as large-star/small-star in Kiveris et al.,
-    "Connected Components in MapReduce"). Propagation alone needs
-    O(diameter) rounds — a silent-wrongness risk on adversarial chain
-    graphs (crawl data can produce diameter > 20); with doubling the label
-    chase distance halves every round, so max_iters=20 covers diameters up
-    to ~2^20. Near-dup graphs are unions of near-cliques (diameter ≤ ~3):
-    2–3 rounds in practice. The per-round convergence check is an
-    aggregate-only count (no row data to the driver).
+    Spark-first formulation: iterative min-label propagation — each round
+    joins every node's current label against its neighbors' labels and
+    keeps the minimum (one shuffle per round on the edge key; partial
+    aggregation does the min map-side). Near-dup graphs are unions of
+    near-cliques (diameter ≤ ~3), so the common case converges in 2–3
+    cheap rounds. From round ``double_from`` on — i.e. only when the graph
+    turns out deeper than a near-dup graph should be — each round ALSO
+    applies POINTER DOUBLING (label ← label(label), the path-halving
+    shortcut behind large-star/small-star in Kiveris et al., "Connected
+    Components in MapReduce"), which makes the remaining label-chase
+    distance halve per round: max_iters=20 then covers diameters up to
+    ~2^17 instead of 20 — the silent-wrongness risk on adversarial chain
+    graphs (crawl data can produce diameter > 20) is gone without taxing
+    the common case. Doubling rounds truncate lineage with localCheckpoint
+    (their plan references the previous labels 4×, growing 4^rounds
+    otherwise); the per-round convergence check is an aggregate-only count
+    (no row data to the driver).
 
     Raises RuntimeError if ``max_iters`` is exhausted before convergence —
     returning non-converged labels would silently split clusters.
@@ -582,7 +587,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
     )
     converged = False
-    for _ in range(max_iters):
+    for it in range(max_iters):
         neighbor_min = (
             edges.join(labels, on=edges.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
@@ -595,30 +600,31 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
         )
-        # pointer doubling: label ← label(label). Labels are always node
-        # ids present in the label table (every label is the min of a set
-        # of node ids), so the self-join is a total function composition.
-        parent = prop.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        # localCheckpoint (not persist): each round's plan references the
-        # previous round's labels FOUR times (propagation join + doubling
-        # self-join), so without lineage truncation the logical plan grows
-        # 4^rounds and Catalyst/plan-stringification blows the stack around
-        # round 6. Checkpointing materializes the ~(node, label) rows and
-        # restarts the lineage — the standard move for iterative DataFrame
-        # algorithms (on a cluster with executor churn, swap for reliable
-        # checkpoint(dir) at the same call site).
-        new_labels = (
-            prop.join(parent, on=prop.label == parent.p_node, how="left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
-                ).alias("label"),
+        if it < double_from:
+            new_labels = scoped_persist(prop)
+        else:
+            # pointer doubling: label ← label(label). Labels are always
+            # node ids present in the label table (every label is the min
+            # of a set of node ids), so the self-join is a total function
+            # composition. localCheckpoint, not persist: a doubling
+            # round's plan references the previous labels 4× (propagation
+            # join + doubling self-join), so without lineage truncation
+            # the logical plan grows 4^rounds and plan stringification
+            # blows the JVM stack around round 6. (On a cluster with
+            # executor churn, swap for reliable checkpoint(dir) here.)
+            parent = prop.select(
+                F.col("node").alias("p_node"), F.col("label").alias("p_label")
             )
-            .localCheckpoint(eager=True)
-        )
+            new_labels = (
+                prop.join(parent, on=prop.label == parent.p_node, how="left")
+                .select(
+                    "node",
+                    F.least(
+                        F.col("label"), F.coalesce(F.col("p_label"), F.col("label"))
+                    ).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
         changed = (
             new_labels.join(
                 labels.withColumnRenamed("label", "old_label"), on="node"

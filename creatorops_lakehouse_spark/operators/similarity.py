@@ -242,7 +242,7 @@ def _bucket_projection(
 
 def ann_lsh_topk(
     corpus: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None = None,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -252,6 +252,7 @@ def ann_lsh_topk(
     recall_target: float = 0.9,
     seed: int = 42,
     dim: int = 64,
+    query_pred=None,
 ) -> DataFrame:
     """Approximate cosine top-k: band-OR multi-table hyperplane buckets +
     exact rerank over the deduplicated candidate set — the 100 TB path
@@ -262,14 +263,33 @@ def ann_lsh_topk(
     sizes the table count so a neighbor at cos ≥ ``cos_floor`` is retrieved
     with probability ≥ ``recall_target`` (:func:`auto_tables`). A single
     auto-sized table is NOT scale-safe: its recall p^b decays as the corpus
-    grows b — band-OR holds the recall contract instead."""
+    grows b — band-OR holds the recall contract instead.
+
+    When the probe set is a subset of the corpus, pass ``query_pred`` (a
+    callable Column → Column predicate over the id column, e.g.
+    ``lambda c: c < 8``) instead of ``queries``: the corpus bucket
+    projection is computed ONCE and filtered for the probe side — one
+    Arrow signature pass and one scan instead of two."""
+    if (queries is None) == (query_pred is None):
+        raise ValueError("pass exactly one of queries / query_pred")
     if n_planes is None:
         n_planes = auto_planes(corpus.count())
     if n_tables is None:
         n_tables = auto_tables(n_planes, cos_floor, recall_target)
     tables = _table_planes(dim, n_planes, n_tables, seed)
-    cb = _bucket_projection(corpus, id_col, vec_col, tables, "neighbor_id")
-    qb = _bucket_projection(queries, id_col, vec_col, tables, "query_id")
+    if query_pred is not None:
+        from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+        queries = corpus.filter(query_pred(F.col(id_col)))
+        cb = scoped_persist(
+            _bucket_projection(corpus, id_col, vec_col, tables, "neighbor_id")
+        )
+        qb = cb.filter(query_pred(F.col("neighbor_id"))).select(
+            F.col("neighbor_id").alias("query_id"), "table", "bucket"
+        )
+    else:
+        cb = _bucket_projection(corpus, id_col, vec_col, tables, "neighbor_id")
+        qb = _bucket_projection(queries, id_col, vec_col, tables, "query_id")
     cands = (
         cb.join(F.broadcast(qb), on=["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

@@ -99,7 +99,7 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table count drops accordingly."""
     emb = load(spark, sf_dir, "embeddings")
     return ann_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, cos_floor=0.3
+        emb, k=TOP_K, cos_floor=0.3, query_pred=lambda c: c < N_QUERIES
     )
 
 
@@ -252,7 +252,7 @@ def emb_ann_lsh_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     exact = emb_cosine_topk_bruteforce(spark, sf_dir)
     ann = ann_lsh_topk(
-        emb, emb.filter(F.col("vec_id") < N_QUERIES), k=TOP_K, cos_floor=0.3
+        emb, k=TOP_K, cos_floor=0.3, query_pred=lambda c: c < N_QUERIES
     )
     return _ann_recall_verdict(exact, ann, floor=0.6)
 

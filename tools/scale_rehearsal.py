@@ -151,7 +151,9 @@ def suite(spark, docs, emb):
         ),
         (
             "ann_lsh_topk",
-            lambda: ann_lsh_topk(emb, q, k=5).count(),
+            lambda: ann_lsh_topk(
+                emb, k=5, query_pred=lambda c: c % 1_000_000 < 8
+            ).count(),
         ),
     ]
 
