@@ -269,3 +269,154 @@ def docs_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").alias("df"),
     )
     return stats.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(VOCAB_TOP_K)
+
+
+MIN_TOKENS = 30
+MAX_REP_BP = 800
+
+_SQL_FUNNEL = f"""
+    base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS l
+        FROM documents
+    ),
+    feat AS (
+        SELECT doc_id, text, len(l) AS k,
+               CASE WHEN len(l) >= 2
+                    THEN 10000 - (10000 * len(list_distinct(list_transform(
+                             range(0, greatest(len(l) - 2, 0) + 1),
+                             i -> array_to_string(l[i + 1 : i + 2], ' ')))))
+                         // (len(l) - 1)
+                    ELSE 0 END AS rep_bp
+        FROM base
+    ),
+    s3 AS (
+        SELECT doc_id, text FROM feat
+        WHERE k >= {MIN_TOKENS} AND rep_bp <= {MAX_REP_BP}
+    ),
+    s4 AS (SELECT MIN(doc_id) AS doc_id, text FROM s3 GROUP BY text),
+    toks4 AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                           t -> t <> '') AS l
+        FROM s4
+    ),
+    sets4 AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(l) - 3, 0) + 1),
+                   i -> array_to_string(l[i + 1 : i + 3], ' '))) AS shingles
+        FROM toks4
+    ),
+    sized4 AS (SELECT doc_id, len(shingles) AS set_size, shingles FROM sets4),
+    posts4 AS (SELECT doc_id, set_size, unnest(shingles) AS tok FROM sized4),
+    common4 AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.set_size AS a_size, b.set_size AS b_size, COUNT(*) AS n_common
+        FROM posts4 a JOIN posts4 b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    ),
+    pairs4 AS (
+        SELECT a_id, b_id FROM common4
+        WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.6
+    ),
+    edges4 AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs4
+        UNION SELECT b_id, a_id FROM pairs4
+    ),
+    reach4(src, dst) AS (
+        SELECT src, dst FROM edges4
+        UNION
+        SELECT r.src, e.dst FROM reach4 r JOIN edges4 e ON r.dst = e.src
+    ),
+    clusters4 AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach4 GROUP BY src
+    )
+"""
+
+
+@query(
+    "docs_curation_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_FUNNEL}
+    SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'all' AS stage_name,
+               (SELECT COUNT(*) FROM documents) AS n_docs
+        UNION ALL
+        SELECT 2, 'min_length',
+               (SELECT COUNT(*) FROM feat WHERE k >= {MIN_TOKENS})
+        UNION ALL
+        SELECT 3, 'repetition', (SELECT COUNT(*) FROM s3)
+        UNION ALL
+        SELECT 4, 'exact_dedup', (SELECT COUNT(*) FROM s4)
+        UNION ALL
+        SELECT 5, 'neardup_dedup',
+               (SELECT COUNT(*) FROM s4)
+               - ((SELECT COUNT(*) FROM clusters4)
+                  - (SELECT COUNT(DISTINCT cluster_id) FROM clusters4))
+    )
+    """,
+)
+def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel — the composition every training-data
+    pipeline runs, with per-stage retention counts: raw corpus → minimum
+    token length → intra-doc repetition gate (Gopher-style bigram
+    repetition ≤ {MAX_REP_BP} bp) → exact dedup keep-one → near-dup
+    (trigram Jaccard ≥ 0.6, connected-components) keep-one-per-cluster.
+
+    Spark side composes the first-class operators (text.repetition_features,
+    groupBy-dedup, dedup.jaccard_pairs + connected_components); only
+    per-stage AGGREGATE counts reach the driver (no row data). The oracle
+    recomputes all five stages in SQL, near-dup closure via recursive CTE.
+    Stage-5 arithmetic: every cluster of size m retires m−1 docs, and
+    isolated docs never enter the pair graph, so retained = n4 −
+    (nodes − clusters)."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from creatorops_lakehouse_spark.operators.text import (
+        repetition_features,
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rep = repetition_features(F.col("text"))
+    feat = scoped_persist(
+        docs.select(
+            "doc_id",
+            "text",
+            token_count(F.col("text")).alias("k"),
+            rep["rep_bigram_bp"].alias("rep_bp"),
+        )
+    )
+    n1 = feat.count()
+    s2 = feat.filter(F.col("k") >= MIN_TOKENS)
+    n2 = s2.count()
+    s3 = s2.filter(F.col("rep_bp") <= MAX_REP_BP)
+    n3 = s3.count()
+    s4 = scoped_persist(s3.groupBy("text").agg(F.min("doc_id").alias("doc_id")))
+    n4 = s4.count()
+    pairs = jaccard_pairs(
+        s4, text_col="text", id_col="doc_id", threshold=0.6, ngram=3,
+        prefix_filter=False,
+    ).select("a_id", "b_id")
+    cc = connected_components(pairs)
+    row = cc.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("cluster_id").alias("n_clusters"),
+    ).collect()[0]
+    n5 = n4 - (row.n_nodes - row.n_clusters)
+    return spark.createDataFrame(
+        [
+            (1, "all", n1),
+            (2, "min_length", n2),
+            (3, "repetition", n3),
+            (4, "exact_dedup", n4),
+            (5, "neardup_dedup", n5),
+        ],
+        "stage long, stage_name string, n_docs long",
+    )

@@ -66,9 +66,12 @@ def main() -> int:
             "cosine_topk" in name or "bruteforce" in name or name.endswith("_verdict")
         )
         bad = (a["cartesian"] > 0 or a["bnl_joins"] > 0) and not quadratic_ok
-        if a["python_eval"] > 0 and "multimodal" not in name and "ivf" not in name:
-            # multimodal decode + IVF centroid assignment are the two
-            # sanctioned Arrow-batched Python seams
+        if a["python_eval"] > 0 and not any(
+            s in name for s in ("multimodal", "ivf", "lsh", "neardup")
+        ):
+            # the three sanctioned Arrow-batched Python seams: multimodal
+            # decode, IVF centroid assignment, and LSH signature matmul
+            # (operators/similarity.py::_lsh_buckets_udf)
             bad = True
         if bad:
             flagged.append(name)
@@ -85,10 +88,13 @@ def main() -> int:
         print(
             "No cartesian products or nested-loop joins outside the sanctioned "
             "exact baselines (cosine brute force, *_verdict audits). The only "
-            "Python evals are the two Arrow-batched pandas-UDF seams: "
-            "multimodal feature extraction (operators/multimodal.py) and IVF "
+            "Python evals are the three Arrow-batched pandas-UDF seams: "
+            "multimodal feature extraction (operators/multimodal.py), IVF "
             "centroid assignment (operators/similarity.py::_nearest_cells_udf "
-            "— k×dim argmin as one numpy matmul per batch)."
+            "— k×dim argmin as one numpy matmul per batch), and multi-table "
+            "LSH signatures (similarity.py::_lsh_buckets_udf — all L table "
+            "bucket ids in one matmul; expression-level dots cost ~18s flat "
+            "in codegen at 17 tables)."
         )
     return 1 if flagged else 0
 
