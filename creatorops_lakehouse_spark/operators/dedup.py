@@ -97,9 +97,16 @@ def jaccard_pairs(
     ngram: int = 1,
     max_token_df: int | None = None,
     prefix_filter: bool = True,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard ≥ threshold over token (or word-ngram) sets,
     via inverted-index self-join — no cross join.
+
+    ``sets`` (optional): a prebuilt (doc_id, toks, set_size) table — pass
+    the session's sticky corpus shingle cache (operators/cache.py::
+    sticky_persist) when several queries share one corpus, so the shingle
+    projection is computed once per session instead of once per query. The
+    caller owns its lifetime; nothing here registers it for release.
 
     ``max_token_df`` drops tokens appearing in more than that many docs
     (stop-token pruning): at scale these dominate join fanout while adding
@@ -113,8 +120,12 @@ def jaccard_pairs(
     keeps the self-join bounded at 100 TB; exactness vs the unpruned join
     is pinned in tests/test_operators_dedup.py.
     """
-    sets = _token_sets(df, text_col, id_col, ngram).filter(F.col("set_size") > 0)
-    sets = scoped_persist(sets)  # reread for posting build + candidate verification
+    if sets is None:
+        sets = scoped_persist(  # reread for posting build + candidate verify
+            _token_sets(df, text_col, id_col, ngram).filter(F.col("set_size") > 0)
+        )
+    else:
+        sets = sets.filter(F.col("set_size") > 0)  # cache hit on the parent
     posts = sets.select("doc_id", "set_size", F.explode("toks").alias("tok"))
     if max_token_df is not None:
         hot = (
@@ -247,6 +258,7 @@ def minhash_lsh_pairs(
     ngram: int = 2,
     num_perm: int = 64,
     bands: int = 16,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -255,9 +267,14 @@ def minhash_lsh_pairs(
     then verified against the exact Jaccard of their shingle sets, so the
     output has no false positives (recall depends on the band geometry:
     P(collide) = 1 - (1 - j^rows)^bands).
+
+    ``sets``: optional prebuilt (doc_id, toks, set_size) table (see
+    :func:`jaccard_pairs`); caller owns its lifetime.
     """
-    sets = _token_sets(df, text_col, id_col, ngram)
-    sets = scoped_persist(sets)  # reread for exact verification after the band join
+    if sets is None:
+        sets = scoped_persist(  # reread for exact verify after the band join
+            _token_sets(df, text_col, id_col, ngram)
+        )
     banded = _band_buckets(sets, num_perm, bands)
     banded = scoped_persist(banded)  # self-join reads it twice; avoids 2× signature compute
     left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
@@ -528,6 +545,7 @@ def simhash_pairs(
     max_hamming: int = 7,
     ngram: int = 2,
     n_chunks: int = 8,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -536,8 +554,12 @@ def simhash_pairs(
     recall is GUARANTEED for max_hamming ≤ n_chunks - 1 and probabilistic
     above. Candidates come from equi-joins on chunk values, verified with
     exact bit_count.
+
+    ``sets``: optional prebuilt (doc_id, toks, set_size) table (see
+    :func:`jaccard_pairs`); caller owns its lifetime.
     """
-    sets = _token_sets(df, text_col, id_col, ngram)
+    if sets is None:
+        sets = _token_sets(df, text_col, id_col, ngram)
     return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks)
 
 
@@ -586,6 +608,14 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # Convergence detection: labels move MONOTONICALLY downward (every
+    # update takes a least()), so the label-sum strictly decreases iff any
+    # node relabeled — one aggregate-only action per round, replacing the
+    # earlier new-vs-old join+count (a full extra shuffle per round).
+    # decimal(38,0) keeps the sum exact out to ~10^9 executors' worth of
+    # int64 ids (n·2^63 < 10^38 for n < 3·10^18 nodes).
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).collect()[0].s
     converged = False
     for it in range(max_iters):
         neighbor_min = (
@@ -625,23 +655,18 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("label", "old_label"), on="node"
-            )
-            .filter(F.col("label") != F.col("old_label"))
-            .count()
-        )
+        new_sum = new_labels.agg(label_sum).collect()[0].s
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "
-            f"(last round still relabeled {changed} nodes). With pointer "
-            "doubling this needs diameter > ~2^max_iters — check the pair "
-            "graph for pathological structure or raise max_iters."
+            "(the label sum was still decreasing). With pointer doubling "
+            "this needs diameter > ~2^max_iters — check the pair graph for "
+            "pathological structure or raise max_iters."
         )
     return labels.select("node", F.col("label").alias("cluster_id"))

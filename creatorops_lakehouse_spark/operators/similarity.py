@@ -188,6 +188,40 @@ def _table_planes(
     ]
 
 
+def _pair_cosine_udf():
+    """Arrow-batched cosine over (a_vec, b_vec) PAIR batches — the
+    candidate-verification / rerank seam.
+
+    Same justification as :func:`_lsh_buckets_udf`: the expression-level
+    zip_with/aggregate fold is interpreted per element, so verifying a
+    candidate set costs ~3 folds × dim interpreted lambda evals per pair
+    (measured: ~1.7 s for 250k candidates at dim 64, vs ~0.2 s for the
+    batched einsum). Used ONLY where the consumer is rows-only / recall-
+    floor checked (near-dup verify, ANN rerank): numpy's pairwise-summed
+    dot differs from the sequential fold in the last ulp, which the
+    hash-checked exact baseline (:func:`cosine_topk` → rounded to 4
+    decimals against the DuckDB oracle) must not absorb — that path keeps
+    the deterministic fold."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(a, b):
+        A = np.asarray(a.tolist(), dtype=np.float64)
+        B = np.asarray(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
+        return pd.Series(num / den)
+
+    return pandas_udf(_cos, "double")
+
+
+def pair_cosine(a: Column, b: Column) -> Column:
+    """Vectorized cosine for verification/rerank paths (see
+    :func:`_pair_cosine_udf`)."""
+    return _pair_cosine_udf()(a.cast("array<double>"), b.cast("array<double>"))
+
+
 def _lsh_buckets_udf(tables: list[list[list[float]]]):
     """Arrow-batched pandas UDF: all L table bucket ids per vector in ONE
     numpy matmul (n × L·b plane dots → sign bits → per-table bucket ints).
@@ -304,7 +338,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            pair_cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
     return _rerank_topk(sims, k)
@@ -361,7 +395,7 @@ def embedding_neardup_pairs(
         .select(
             "a_id",
             "b_id",
-            cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim"),
+            pair_cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -504,7 +538,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            pair_cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
     return _rerank_topk(sims, k)
@@ -563,7 +597,7 @@ def ann_ivf_topk_indexed(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
+            pair_cosine(F.col("q_vec"), F.col("c_vec")).alias("cos_sim"),
         )
     )
     return _rerank_topk(sims, k)

@@ -400,9 +400,17 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n3 = s3.count()
     s4 = scoped_persist(s3.groupBy("text").agg(F.min("doc_id").alias("doc_id")))
     n4 = s4.count()
+    # The survivors' shingle sets are a subset of the session's sticky
+    # trigram corpus cache (the kept doc_id's text IS its original text) —
+    # semi-join instead of re-shingling the survivor table.
+    from creatorops_lakehouse_spark.queries.dedup import corpus_sets
+
+    s4_sets = corpus_sets(spark, sf_dir, 3).join(
+        s4.select("doc_id"), on="doc_id", how="left_semi"
+    )
     pairs = jaccard_pairs(
         s4, text_col="text", id_col="doc_id", threshold=0.6, ngram=3,
-        prefix_filter=False,
+        prefix_filter=False, sets=s4_sets,
     ).select("a_id", "b_id")
     cc = connected_components(pairs)
     row = cc.agg(
