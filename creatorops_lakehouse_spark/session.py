@@ -23,9 +23,14 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
-    # JVM-creation-time conf: the 1g default heap thrashes cache eviction
-    # once several self-join subtrees are persisted in one session
-    "spark.driver.memory": "8g",
+    # JVM-creation-time conf: in local mode the driver JVM IS the executor,
+    # so it must hold the storage pool for the session-lifetime corpus
+    # caches (operators/cache.py) on top of shuffle/exec memory. 8g showed
+    # uniform +0.4-0.6s GC drift across UNRELATED queries once two shingle
+    # tables stayed persisted; 32g (a quarter of the 128 GiB box) clears
+    # it. On a real cluster this maps to executor memory sizing, where the
+    # same caches are spread over the fleet.
+    "spark.driver.memory": "32g",
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
