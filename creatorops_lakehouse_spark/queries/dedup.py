@@ -49,6 +49,38 @@ def corpus_sets(spark: SparkSession, sf_dir: str, ngram: int) -> DataFrame:
         ),
     )
 
+def corpus_trigram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-lifetime VERIFIED trigram-Jaccard pair table (≥0.6) for the
+    driver ``documents`` corpus — (a_id, b_id, n_common, jaccard).
+
+    Three queries consume the identical pair graph: the pair listing
+    (docs_jaccard_neardup_pairs), transitive clustering
+    (docs_dedup_clusters_cc), and the curation funnel's keep-one stage
+    (which needs exactly the corpus pairs whose BOTH endpoints survive
+    exact dedup — shingle sets are per-doc invariant, so subset pairs are a
+    semi-join, not a recompute). The inverted-index self-join is the
+    dominant cost of the tier (~4 s per query at sf0.1); building the pair
+    table once per corpus and holding it in the bounded keyed cache is the
+    same materialize-once shape as the shingle cache one level up. At
+    100 TB this is a persisted near-dup edge table refreshed per corpus
+    snapshot — every downstream consumer (clustering, funnel audits,
+    retention analytics) reads it instead of re-joining."""
+    from creatorops_lakehouse_spark.operators.cache import sticky_persist
+
+    return sticky_persist(
+        f"docs_pairs:{sf_dir}:3:0.6",
+        lambda: jaccard_pairs(
+            load(spark, sf_dir, "documents"),
+            text_col="text",
+            id_col="doc_id",
+            threshold=0.6,
+            ngram=3,
+            prefix_filter=False,
+            sets=corpus_sets(spark, sf_dir, 3),
+        ),
+    )
+
+
 #: shared CTE chain producing exact word-trigram Jaccard stats per doc pair
 #: (mirrors operators/dedup.py::jaccard_pairs(ngram=3) — see
 #: docs_jaccard_neardup_pairs for the semantics notes)
@@ -145,15 +177,7 @@ def docs_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     density (measured at sf0.1). Enable it for dense shingle spaces
     (unigrams / short n-grams), where it is the all-pairs bound.
     """
-    return jaccard_pairs(
-        load(spark, sf_dir, "documents"),
-        text_col="text",
-        id_col="doc_id",
-        threshold=0.6,
-        ngram=3,
-        prefix_filter=False,
-        sets=corpus_sets(spark, sf_dir, 3),
-    )
+    return corpus_trigram_pairs(spark, sf_dir)
 
 
 @query(
@@ -191,11 +215,7 @@ def docs_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from creatorops_lakehouse_spark.operators.dedup import connected_components
 
-    docs = load(spark, sf_dir, "documents")
-    pairs = jaccard_pairs(
-        docs, text_col="text", id_col="doc_id", threshold=0.6, ngram=3,
-        prefix_filter=False, sets=corpus_sets(spark, sf_dir, 3),
-    ).select("a_id", "b_id")
+    pairs = corpus_trigram_pairs(spark, sf_dir).select("a_id", "b_id")
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 

@@ -367,17 +367,14 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     (trigram Jaccard ≥ 0.6, connected-components) keep-one-per-cluster.
 
     Spark side composes the first-class operators (text.repetition_features,
-    groupBy-dedup, dedup.jaccard_pairs + connected_components); only
+    groupBy-dedup, the corpus_trigram_pairs edge cache + connected_components); only
     per-stage AGGREGATE counts reach the driver (no row data). The oracle
     recomputes all five stages in SQL, near-dup closure via recursive CTE.
     Stage-5 arithmetic: every cluster of size m retires m−1 docs, and
     isolated docs never enter the pair graph, so retained = n4 −
     (nodes − clusters)."""
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
-    from creatorops_lakehouse_spark.operators.dedup import (
-        connected_components,
-        jaccard_pairs,
-    )
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
     from creatorops_lakehouse_spark.operators.text import (
         repetition_features,
         token_count,
@@ -400,18 +397,21 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     n3 = s3.count()
     s4 = scoped_persist(s3.groupBy("text").agg(F.min("doc_id").alias("doc_id")))
     n4 = s4.count()
-    # The survivors' shingle sets are a subset of the session's sticky
-    # trigram corpus cache (the kept doc_id's text IS its original text) —
-    # semi-join instead of re-shingling the survivor table.
-    from creatorops_lakehouse_spark.queries.dedup import corpus_sets
+    # Shingle sets are per-doc invariant, so the survivor pair graph is
+    # EXACTLY the corpus pair graph restricted to pairs whose both
+    # endpoints survived exact dedup — a double semi-join against the
+    # session's sticky verified-pair cache (queries/dedup.py::
+    # corpus_trigram_pairs) instead of re-running the inverted-index
+    # self-join over the survivor table.
+    from creatorops_lakehouse_spark.queries.dedup import corpus_trigram_pairs
 
-    s4_sets = corpus_sets(spark, sf_dir, 3).join(
-        s4.select("doc_id"), on="doc_id", how="left_semi"
+    survivors = s4.select("doc_id")
+    pairs = (
+        corpus_trigram_pairs(spark, sf_dir)
+        .join(survivors.withColumnRenamed("doc_id", "a_id"), on="a_id", how="left_semi")
+        .join(survivors.withColumnRenamed("doc_id", "b_id"), on="b_id", how="left_semi")
+        .select("a_id", "b_id")
     )
-    pairs = jaccard_pairs(
-        s4, text_col="text", id_col="doc_id", threshold=0.6, ngram=3,
-        prefix_filter=False, sets=s4_sets,
-    ).select("a_id", "b_id")
     cc = connected_components(pairs)
     row = cc.agg(
         F.count(F.lit(1)).alias("n_nodes"),
