@@ -109,3 +109,101 @@ def contamination_gram(text: Column, n: int = 5) -> Column:
     """The shared shingle definition (distinct word n-grams) — exposed so
     audits/oracles can reproduce the exact gram set."""
     return word_ngrams(text, n)
+
+
+#: embedding_contamination collects the eval matrix to the driver; above
+#: this row count the collect is a design smell (see docstring) and the
+#: call refuses unless the caller raises the cap explicitly.
+MAX_EVAL_VECTORS = 200_000
+
+
+def embedding_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+    max_eval_vectors: int = MAX_EVAL_VECTORS,
+) -> DataFrame:
+    """Embedding-space decontamination (the semantic complement of the
+    n-gram overlap check): a corpus vector is *contaminated* when its
+    cosine similarity to ANY eval-set vector reaches ``threshold`` after
+    rounding to ``round_digits`` (rounding on both engines makes the
+    boundary comparison oracle-portable).
+
+    Returns (id_col, n_eval_hits, max_cos_r) for flagged vectors only:
+    how many eval vectors the row collides with, and its highest rounded
+    cosine against the eval set.
+
+    Scale design (100 TB corpus, small eval set):
+    - The eval matrix is collected ONCE to the driver (eval benchmarks are
+      thousands of rows — ``max_eval_vectors`` guards the collect) and
+      shipped in the UDF closure, i.e. broadcast: the corpus side is a
+      single Arrow-batched projection — ZERO shuffle of corpus data; the
+      only shuffle is one (id, hits, max) row per FLAGGED document into
+      the final filter.
+    - Each Arrow batch is one numpy matmul against the eval matrix
+      (batch × dim @ dim × n_eval) — the sanctioned similarity-math seam
+      (PLAN_AUDIT.md): expression-level fold dots would cost ~3 folds ×
+      dim interpreted evals per pair.
+    - For eval sets too large to broadcast, compose the LSH route instead:
+      bucket both sides with ann_lsh_topk's band-OR projection and verify
+      candidates exactly — same candidates-then-verify shape as near-dup.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    eval_rows = eval_df.select(F.col(vec_col).cast("array<double>")).collect()
+    if len(eval_rows) > max_eval_vectors:
+        raise ValueError(
+            f"embedding_contamination collected {len(eval_rows):,} eval "
+            f"vectors (> max_eval_vectors={max_eval_vectors:,}); broadcast "
+            "decontamination is for small eval sets — use the LSH "
+            "candidates-then-verify route for corpus-scale eval sides."
+        )
+    E = np.asarray([r[0] for r in eval_rows], dtype=np.float64)  # m × d
+    if E.size == 0:
+        return corpus.select(
+            F.col(id_col),
+            F.lit(0).cast("long").alias("n_eval_hits"),
+            F.lit(0.0).alias("max_cos_r"),
+        ).limit(0)
+    e_norm = np.sqrt((E * E).sum(axis=1))  # ‖e‖, kept separate so the
+    # computed quantity is literally (x·e)/(‖x‖‖e‖) — the oracle's formula
+
+    def _scan(col):
+        X = np.asarray(col.tolist(), dtype=np.float64)  # n × d
+        x_norm = np.sqrt((X * X).sum(axis=1))
+        S = (X @ E.T) / (x_norm[:, None] * e_norm[None, :])
+        R = np.round(S, round_digits)
+        return pd.DataFrame(
+            {
+                "n_eval_hits": (R >= threshold).sum(axis=1).astype("int64"),
+                "max_cos_r": R.max(axis=1),
+            }
+        )
+
+    scan = pandas_udf(_scan, "struct<n_eval_hits: long, max_cos_r: double>")
+    scored = corpus.select(
+        F.col(id_col),
+        scan(F.col(vec_col).cast("array<double>")).alias("_c"),
+    ).select(id_col, "_c.n_eval_hits", "_c.max_cos_r")
+    return scored.filter(F.col("n_eval_hits") >= 1)
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with embedding-contaminated rows removed (ids-only anti
+    join; same no-forced-broadcast reasoning as :func:`decontaminate` —
+    the flagged side is bounded by the corpus, so AQE decides)."""
+    flagged = embedding_contamination(
+        corpus, eval_df, threshold, id_col, vec_col
+    ).select(id_col)
+    return corpus.join(flagged, id_col, "left_anti")

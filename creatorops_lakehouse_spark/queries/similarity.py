@@ -4,6 +4,11 @@ Brute-force cosine top-k is oracle-checked against a DuckDB implementation
 that mirrors the exact fold order (unnest-with-ordinality join + ordered
 SUM is avoided — instead we compare via list_cosine_similarity and round to
 a tolerance-absorbing precision, with a unique-id tiebreak on ranking).
+Every oracle cosine CASTs the FLOAT[] column to DOUBLE[]: DuckDB's FLOAT[]
+overload accumulates in float32 (measured 1.6e-7 off the double value),
+which sits only ~3 decades under the 1e-4 rounding grain — a per-value
+boundary-flip probability that compounds across rows into a real flake
+rate. The DOUBLE[] overload agrees with Spark's double math to ~4e-16.
 LSH ANN and embedding near-dup use engine-specific plane signatures →
 rows-only checks, with recall pinned by pytest against the brute-force
 baseline (tests/test_similarity.py).
@@ -28,11 +33,13 @@ TOP_K = 5
 @query(
     "emb_cosine_topk_bruteforce",
     oracle=f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+    WITH q AS (SELECT vec_id AS query_id,
+                      CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
                WHERE vec_id < {N_QUERIES}),
     sims AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q.q_vec, c.embedding) AS sim
+               list_cosine_similarity(q.q_vec,
+                                      CAST(c.embedding AS DOUBLE[])) AS sim
         FROM embeddings c CROSS JOIN q
         WHERE c.vec_id <> q.query_id
     ),
@@ -148,11 +155,13 @@ def emb_label_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: shared exact-top-k CTE chain (identical ranking to
 #: emb_cosine_topk_bruteforce: ROUND(sim,4) with neighbor_id tiebreak)
 _SQL_EXACT_TOPK = f"""
-    q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings
+    q AS (SELECT vec_id AS query_id,
+                 CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
           WHERE vec_id < {N_QUERIES}),
     sims AS (
         SELECT q.query_id, c.vec_id AS neighbor_id,
-               list_cosine_similarity(q.q_vec, c.embedding) AS sim
+               list_cosine_similarity(q.q_vec,
+                                      CAST(c.embedding AS DOUBLE[])) AS sim
         FROM embeddings c CROSS JOIN q
         WHERE c.vec_id <> q.query_id
     ),
@@ -278,3 +287,50 @@ def emb_ann_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
     ann = ann_ivf_topk_indexed(spark, spec, queries_df, centroids, k=TOP_K, nprobe=4)
     return _ann_recall_verdict(exact, ann, floor=0.6)
+
+
+EMB_DECONTAM_THRESHOLD = 0.4
+EMB_EVAL_MOD = 10
+
+
+@query(
+    "emb_decontaminate_eval",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(embedding AS DOUBLE[]) AS e_vec FROM embeddings
+                WHERE vec_id % {EMB_EVAL_MOD} = 0),
+    c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS c_vec FROM embeddings
+          WHERE vec_id % {EMB_EVAL_MOD} <> 0),
+    sims AS (
+        SELECT c.vec_id,
+               ROUND(list_cosine_similarity(c.c_vec, ev.e_vec), 4) AS r
+        FROM c CROSS JOIN ev
+    ),
+    agg AS (
+        SELECT vec_id,
+               CAST(SUM(CASE WHEN r >= {EMB_DECONTAM_THRESHOLD}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+               MAX(r) AS max_cos_r
+        FROM sims GROUP BY vec_id
+    )
+    SELECT vec_id, n_eval_hits, max_cos_r FROM agg WHERE n_eval_hits >= 1
+    """,
+)
+def emb_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (the semantic complement
+    of docs_decontaminate_eval's n-gram overlap): corpus vectors whose
+    rounded cosine against ANY held-out eval vector (vec_id % {EMB_EVAL_MOD}
+    == 0, a deterministic split) reaches {EMB_DECONTAM_THRESHOLD}. The eval
+    matrix broadcasts in the Arrow-UDF closure, so the corpus side is one
+    shuffle-free projection (operators/decontam.py::embedding_contamination);
+    the oracle recomputes every corpus×eval cosine in double and applies
+    the identical round-then-compare boundary."""
+    from creatorops_lakehouse_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return embedding_contamination(
+        emb.filter(F.col("vec_id") % EMB_EVAL_MOD != 0),
+        emb.filter(F.col("vec_id") % EMB_EVAL_MOD == 0),
+        threshold=EMB_DECONTAM_THRESHOLD,
+    )

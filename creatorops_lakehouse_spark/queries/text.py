@@ -357,3 +357,61 @@ def docs_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("split") == "eval"),
         n=5,
     )
+
+
+@query(
+    "docs_token_rarity_by_source",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents
+    ),
+    docset AS (SELECT DISTINCT doc_id, tok FROM toks),
+    vocab AS (SELECT tok, 1000000 // COUNT(*) AS w FROM docset GROUP BY tok),
+    scored AS (
+        SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(v.w) AS BIGINT) AS rarity_sum
+        FROM toks t JOIN vocab v USING (tok) GROUP BY t.doc_id
+    ),
+    means AS (
+        SELECT doc_id, k, rarity_sum, rarity_sum // k AS mean_c FROM scored
+    ),
+    tot AS (SELECT COUNT(*) AS n_total, SUM(mean_c) AS sum_mean FROM means)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(m.k) AS BIGINT) AS n_tokens,
+           CAST(SUM(m.rarity_sum) AS BIGINT) AS rarity_sum,
+           CAST(SUM(CASE WHEN m.mean_c * t.n_total >= 2 * t.sum_mean
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tail,
+           CAST(SUM(CASE WHEN m.mean_c * t.n_total <= t.sum_mean
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_head
+    FROM means m CROSS JOIN tot t JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def docs_token_rarity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style token-rarity quality proxy, aggregated per source:
+    per-occurrence surprisal weight = 1e6 // document-frequency, per-doc
+    mean compared against corpus-relative head/tail bounds as
+    cross-multiplied integers (operators/rarity.py) — every value exact
+    integer arithmetic, every boundary doc engine-portable. The vocabulary
+    is broadcast, so the corpus text never shuffles; the per-doc aggregate
+    combines map-side into one row per document."""
+    from creatorops_lakehouse_spark.operators.rarity import (
+        rarity_buckets,
+        rarity_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    buckets = rarity_buckets(rarity_scores(docs.select("doc_id", "text")))
+    joined = buckets.join(docs.select("doc_id", "source"), "doc_id")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.sum("rarity_sum").cast("long").alias("rarity_sum"),
+        F.sum(F.when(F.col("bucket") == "tail", 1).otherwise(0))
+        .cast("long")
+        .alias("n_tail"),
+        F.sum(F.when(F.col("bucket") == "head", 1).otherwise(0))
+        .cast("long")
+        .alias("n_head"),
+    )

@@ -94,3 +94,83 @@ def test_short_doc_whole_shingle(spark, eval_df):
     )
     flagged = ngram_contamination(tiny_corpus, tiny_eval, n=5)
     assert {r.doc_id for r in flagged.collect()} == {2}
+
+
+# ---- embedding-space decontamination ----------------------------------
+
+
+def _vec(*xs):
+    return [float(x) for x in xs]
+
+
+@pytest.fixture(scope="module")
+def emb_corpus(spark):
+    # 1: parallel to eval vec (cos=1), 2: near-parallel, 3: orthogonal,
+    # 4: antiparallel — only 1 and 2 are contaminated at threshold 0.9
+    return spark.createDataFrame(
+        [
+            (1, _vec(2, 0, 0, 0)),
+            (2, _vec(10, 1, 0, 0)),
+            (3, _vec(0, 0, 3, 0)),
+            (4, _vec(-1, 0, 0, 0)),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_eval(spark):
+    return spark.createDataFrame(
+        [(100, _vec(1, 0, 0, 0)), (101, _vec(0, 1, 0, 0))],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_embedding_contamination_flags_and_counts(emb_corpus, emb_eval):
+    from creatorops_lakehouse_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    rows = {
+        r.vec_id: r
+        for r in embedding_contamination(
+            emb_corpus, emb_eval, threshold=0.9
+        ).collect()
+    }
+    assert set(rows) == {1, 2}
+    assert rows[1].n_eval_hits == 1 and rows[1].max_cos_r == 1.0
+    # vec 2 ≈ (10,1)/|.| · (1,0) = 0.9950 — one eval hit, rounded cosine
+    assert rows[2].n_eval_hits == 1
+    assert abs(rows[2].max_cos_r - 0.995) < 1e-3
+
+
+def test_embedding_decontaminate_removes_flagged(emb_corpus, emb_eval):
+    from creatorops_lakehouse_spark.operators.decontam import (
+        decontaminate_embeddings,
+    )
+
+    kept = {
+        r.vec_id
+        for r in decontaminate_embeddings(
+            emb_corpus, emb_eval, threshold=0.9
+        ).collect()
+    }
+    assert kept == {3, 4}
+
+
+def test_embedding_contamination_empty_eval(spark, emb_corpus):
+    from creatorops_lakehouse_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_contamination(emb_corpus, empty).count() == 0
+
+
+def test_embedding_contamination_eval_size_guard(emb_corpus, emb_eval):
+    from creatorops_lakehouse_spark.operators.decontam import (
+        embedding_contamination,
+    )
+
+    with pytest.raises(ValueError, match="max_eval_vectors"):
+        embedding_contamination(emb_corpus, emb_eval, max_eval_vectors=1)

@@ -91,3 +91,43 @@ def test_repetition_features_hand_computed(spark):
     assert got[5].stopword_bp == 5000
     # non-repetitive prose scores 0 on both repetition axes
     assert got[3].rep_bigram_bp == 0 and got[3].dup_line_bp == 0
+
+
+def test_rarity_scores_hand_computed(spark):
+    from creatorops_lakehouse_spark.operators.rarity import (
+        rarity_buckets,
+        rarity_scores,
+    )
+
+    # df: shared=3 docs, pair=2, solo-a/solo-b/solo-c = 1 each
+    docs = spark.createDataFrame(
+        [
+            (1, "shared pair soloa"),
+            (2, "shared pair solob"),
+            (3, "shared shared soloc"),  # 'shared' twice: occurrences count
+        ],
+        "doc_id long, text string",
+    )
+    scored = {r.doc_id: r for r in rarity_scores(docs).collect()}
+    w_shared, w_pair, w_solo = 1_000_000 // 3, 1_000_000 // 2, 1_000_000
+    assert scored[1].rarity_sum == w_shared + w_pair + w_solo
+    assert scored[1].n_tokens == 3
+    assert scored[1].rarity_mean_c == (w_shared + w_pair + w_solo) // 3
+    assert scored[3].rarity_sum == 2 * w_shared + w_solo
+    assert scored[3].rarity_mean_c == (2 * w_shared + w_solo) // 3
+    buckets = {r.doc_id: r.bucket for r in rarity_buckets(rarity_scores(docs)).collect()}
+    assert set(buckets) == {1, 2, 3}
+    # doc 3 is the common-heavy one -> head (below corpus mean);
+    # docs 1 and 2 are identical scores just above the mean -> middle
+    assert buckets[3] == "head"
+    assert buckets[1] == buckets[2] == "middle"
+
+
+def test_rarity_zero_token_docs_omitted(spark):
+    from creatorops_lakehouse_spark.operators.rarity import rarity_scores
+
+    docs = spark.createDataFrame(
+        [(1, "real words here"), (2, "!!! ...")],
+        "doc_id long, text string",
+    )
+    assert [r.doc_id for r in rarity_scores(docs).collect()] == [1]
