@@ -153,7 +153,6 @@ def embedding_contamination(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     eval_rows = eval_df.select(F.col(vec_col).cast("array<double>")).collect()
     if len(eval_rows) > max_eval_vectors:
@@ -173,24 +172,36 @@ def embedding_contamination(
     e_norm = np.sqrt((E * E).sum(axis=1))  # ‖e‖, kept separate so the
     # computed quantity is literally (x·e)/(‖x‖‖e‖) — the oracle's formula
 
-    def _scan(col):
-        X = np.asarray(col.tolist(), dtype=np.float64)  # n × d
-        x_norm = np.sqrt((X * X).sum(axis=1))
-        S = (X @ E.T) / (x_norm[:, None] * e_norm[None, :])
-        R = np.round(S, round_digits)
-        return pd.DataFrame(
-            {
-                "n_eval_hits": (R >= threshold).sum(axis=1).astype("int64"),
-                "max_cos_r": R.max(axis=1),
-            }
-        )
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, n_eval_hits long, max_cos_r double"
 
-    scan = pandas_udf(_scan, "struct<n_eval_hits: long, max_cos_r: double>")
-    scored = corpus.select(
-        F.col(id_col),
-        scan(F.col(vec_col).cast("array<double>")).alias("_c"),
-    ).select(id_col, "_c.n_eval_hits", "_c.max_cos_r")
-    return scored.filter(F.col("n_eval_hits") >= 1)
+    # mapInPandas, not a scalar pandas_udf returning a struct: projecting
+    # two fields out of a struct-valued UDF collapses into TWO stacked
+    # ArrowEvalPython nodes (one per field reference — the matmul runs
+    # twice); one map pass also lets the flag filter run Python-side, so
+    # only flagged (id, hits, max) rows ever leave the UDF.
+    def _scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)  # n × d
+            x_norm = np.sqrt((X * X).sum(axis=1))
+            S = (X @ E.T) / (x_norm[:, None] * e_norm[None, :])
+            R = np.round(S, round_digits)
+            hits = (R >= threshold).sum(axis=1).astype("int64")
+            keep = hits >= 1
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy()[keep],
+                    "n_eval_hits": hits[keep],
+                    "max_cos_r": R.max(axis=1)[keep],
+                }
+            )
+
+    narrowed = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    return narrowed.mapInPandas(_scan, out_schema)
 
 
 def decontaminate_embeddings(

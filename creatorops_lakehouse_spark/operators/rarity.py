@@ -118,7 +118,14 @@ def rarity_buckets(
     (mean_c × n_docs  vs  k × Σ mean_c), so no floating-point division ever
     happens — any engine agrees on every boundary doc. The corpus aggregate
     is one row (broadcast join); at 100 TB swap the mean bounds for
-    approx-quantile bounds without changing the comparison shape."""
+    approx-quantile bounds without changing the comparison shape.
+
+    ``scored`` is consumed twice (the corpus aggregate and the per-doc
+    bucket projection), so it is scope-persisted — without it the whole
+    vocabulary-join subtree re-executes for the one-row aggregate."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    scored = scoped_persist(scored)
     totals = scored.agg(
         F.count(F.lit(1)).alias("_n_total"),
         F.sum("rarity_mean_c").alias("_sum_mean"),

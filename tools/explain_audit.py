@@ -27,7 +27,9 @@ def audit_plan(plan: str) -> dict:
         "bnl_joins": nodes("BroadcastNestedLoopJoin"),
         "cartesian": nodes("CartesianProduct"),
         "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
-        "python_eval": nodes("BatchEvalPython") + nodes("ArrowEvalPython"),
+        "python_eval": nodes("BatchEvalPython")
+        + nodes("ArrowEvalPython")
+        + nodes("MapInPandas"),
         "pushed_nonempty": sum(1 for p in pushed if p.strip()),
         "scan_cols": [len(s.split(",")) for s in read_schema],
     }
@@ -65,13 +67,20 @@ def main() -> int:
         quadratic_ok = (
             "cosine_topk" in name or "bruteforce" in name or name.endswith("_verdict")
         )
-        bad = (a["cartesian"] > 0 or a["bnl_joins"] > 0) and not quadratic_ok
+        # a BroadcastNestedLoopJoin against a ONE-ROW corpus aggregate is a
+        # scalar broadcast (O(n) work) — the shape rarity bucketing uses
+        scalar_bnlj_ok = name in ("docs_token_rarity_by_source",)
+        bad = (
+            a["cartesian"] > 0 or a["bnl_joins"] > 0
+        ) and not (quadratic_ok or scalar_bnlj_ok)
         if a["python_eval"] > 0 and not any(
-            s in name for s in ("multimodal", "ivf", "lsh", "neardup")
+            s in name for s in ("multimodal", "ivf", "lsh", "neardup", "emb_decontaminate")
         ):
-            # the three sanctioned Arrow-batched Python seams: multimodal
-            # decode, IVF centroid assignment, and LSH signature matmul
-            # (operators/similarity.py::_lsh_buckets_udf)
+            # the sanctioned Arrow-batched Python seams: multimodal decode,
+            # IVF centroid assignment, LSH signature matmul
+            # (operators/similarity.py::_lsh_buckets_udf), and the
+            # eval-matrix contamination matmul
+            # (operators/decontam.py::embedding_contamination)
             bad = True
         if bad:
             flagged.append(name)
@@ -87,14 +96,17 @@ def main() -> int:
     else:
         print(
             "No cartesian products or nested-loop joins outside the sanctioned "
-            "exact baselines (cosine brute force, *_verdict audits). The only "
-            "Python evals are the three Arrow-batched pandas-UDF seams: "
-            "multimodal feature extraction (operators/multimodal.py), IVF "
-            "centroid assignment (operators/similarity.py::_nearest_cells_udf "
-            "— k×dim argmin as one numpy matmul per batch), and multi-table "
-            "LSH signatures (similarity.py::_lsh_buckets_udf — all L table "
-            "bucket ids in one matmul; expression-level dots cost ~18s flat "
-            "in codegen at 17 tables)."
+            "exact baselines (cosine brute force, *_verdict audits) and the "
+            "one-row scalar broadcast in rarity bucketing. The only Python "
+            "evals are the Arrow-batched numpy-matmul seams: multimodal "
+            "feature extraction (operators/multimodal.py), IVF centroid "
+            "assignment (operators/similarity.py::_nearest_cells_udf), "
+            "multi-table LSH signatures (similarity.py::_lsh_buckets_udf), "
+            "pair-cosine verification (similarity.py::_pair_cosine_udf), and "
+            "eval-matrix contamination scoring "
+            "(operators/decontam.py::embedding_contamination — expression-"
+            "level fold dots are interpreted per element and cost orders "
+            "more than one matmul per batch)."
         )
     return 1 if flagged else 0
 
