@@ -415,3 +415,82 @@ def docs_token_rarity_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_head"),
     )
+
+
+#: target language mixture (basis points; must sum to 10000)
+MIX_WEIGHTS = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+
+_SQL_MIX_VALUES = ", ".join(f"('{g}', {w})" for g, w in MIX_WEIGHTS.items())
+
+
+@query(
+    "docs_mixture_resample",
+    oracle=f"""
+    WITH w(lang, wbp) AS (VALUES {_SQL_MIX_VALUES}),
+    counts AS (
+        SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_avail
+        FROM documents d JOIN w ON d.lang = w.lang GROUP BY d.lang
+    ),
+    t AS (SELECT MIN(c.n_avail * 10000 // w.wbp) AS t
+          FROM counts c JOIN w ON c.lang = w.lang),
+    targets AS (
+        SELECT w.lang, CAST(w.wbp * t.t // 10000 AS BIGINT) AS k_target
+        FROM w CROSS JOIN t
+    ),
+    ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {_SQL_BUCKET} ASC, doc_id ASC
+               ) AS rn
+        FROM documents
+    ),
+    kept AS (
+        SELECT r.lang, r.doc_id
+        FROM ranked r JOIN targets tg ON r.lang = tg.lang AND r.rn <= tg.k_target
+    )
+    SELECT c.lang, c.n_avail, tg.k_target,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS n_kept,
+           CAST(SUM(k.doc_id) AS BIGINT) AS sum_doc_id
+    FROM counts c
+    JOIN targets tg ON c.lang = tg.lang
+    LEFT JOIN kept k ON k.lang = c.lang
+    GROUP BY 1, 2, 3
+    """,
+)
+def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset mixture reweighting (the data-mixing step between curation
+    and packing): subsample to a target language mixture — en 40%, the
+    rest 15% each — at the largest total the binding group can supply
+    (T = min n_g·1e4//w_g; exact basis-point integer arithmetic), with
+    per-group membership chosen by the sha256 hash-rank primitive
+    (operators/mixing.py). n_avail/k_target expose the computed plan;
+    n_kept + sum_doc_id pin the exact selected membership."""
+    from creatorops_lakehouse_spark.operators.mixing import (
+        mixture_sample,
+        mixture_targets,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    counts = {
+        r[0]: r[1]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1))).collect()
+        if r[0] in MIX_WEIGHTS
+    }
+    targets = mixture_targets(counts, MIX_WEIGHTS)
+    plan = spark.createDataFrame(
+        [(g, counts[g], targets[g]) for g in sorted(MIX_WEIGHTS)],
+        "lang string, n_avail long, k_target long",
+    )
+    kept = mixture_sample(docs, "lang", "doc_id", MIX_WEIGHTS)
+    agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+    return plan.join(agg, "lang", "left").select(
+        "lang",
+        "n_avail",
+        "k_target",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        "sum_doc_id",
+    )

@@ -72,3 +72,50 @@ def test_per_group_sample_exact_k_and_stable(spark):
     from collections import Counter
 
     assert Counter(g for g, _ in s1) == {f"g{i}": 10 for i in range(4)}
+
+
+# ---- mixture reweighting ----------------------------------------------
+
+
+def test_mixture_targets_exact_arithmetic():
+    from creatorops_lakehouse_spark.operators.mixing import mixture_targets
+
+    counts = {"en": 218, "de": 70, "es": 73, "fr": 64, "zh": 75}
+    weights = {"en": 4000, "de": 1500, "es": 1500, "fr": 1500, "zh": 1500}
+    # T = min(218*1e4//4000, 70*1e4//1500, 73*.., 64*.., 75*..) = 426 (fr binds)
+    k = mixture_targets(counts, weights)
+    assert k == {"en": 170, "de": 63, "es": 63, "fr": 63, "zh": 63}
+
+
+def test_mixture_targets_rejects_bad_weights():
+    import pytest as _pytest
+
+    from creatorops_lakehouse_spark.operators.mixing import mixture_targets
+
+    with _pytest.raises(ValueError, match="sum to 10000"):
+        mixture_targets({"en": 10}, {"en": 9999})
+    with _pytest.raises(ValueError, match="absent"):
+        mixture_targets({"en": 10}, {"en": 5000, "xx": 5000})
+
+
+def test_mixture_sample_counts_and_determinism(spark):
+    from creatorops_lakehouse_spark.operators.mixing import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 == 0 else "b") for i in range(90)],
+        "doc_id long, grp string",
+    )
+    # counts: a=30, b=60; weights 50/50 -> T=min(30*2,60*2)=60, k=30 each
+    out = mixture_sample(df, "grp", "doc_id", {"a": 5000, "b": 5000})
+    got = {r[0]: r[1] for r in out.groupBy("grp").count().collect()}
+    assert got == {"a": 30, "b": 30}
+    # deterministic: same membership on re-run
+    ids1 = sorted(r.doc_id for r in out.collect())
+    ids2 = sorted(
+        r.doc_id
+        for r in mixture_sample(df, "grp", "doc_id", {"a": 5000, "b": 5000}).collect()
+    )
+    assert ids1 == ids2
+    # unweighted groups drop entirely
+    out2 = mixture_sample(df, "grp", "doc_id", {"a": 10000})
+    assert {r.grp for r in out2.collect()} == {"a"}

@@ -106,10 +106,23 @@ def suite(spark, docs, emb):
         embedding_neardup_pairs,
     )
 
+    from creatorops_lakehouse_spark.operators.decontam import (
+        embedding_contamination,
+    )
+    from creatorops_lakehouse_spark.operators.rarity import (
+        rarity_buckets,
+        rarity_scores,
+    )
+
     q = emb.filter(F.col("vec_id") % F.lit(1_000_000) < 8)
     # deterministic ~1% eval slice for decontamination (same rule at both
     # scales, so the broadcast side grows with the corpus — the honest case)
     eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    # deterministic 10% eval slice for embedding decontamination — the
+    # collected eval matrix grows with the corpus (200 → 2000 vectors),
+    # stressing the closure-broadcast path the operator relies on
+    eval_emb = emb.filter(F.col("vec_id") % F.lit(10) == 0)
+    corpus_emb = emb.filter(F.col("vec_id") % F.lit(10) != 0)
 
     def _cc():
         pairs = jaccard_pairs(
@@ -121,6 +134,16 @@ def suite(spark, docs, emb):
         (
             "decontam_5gram",
             lambda: ngram_contamination(docs, eval_docs, n=5).count(),
+        ),
+        (
+            "emb_decontam_0.4",
+            lambda: embedding_contamination(
+                corpus_emb, eval_emb, threshold=0.4
+            ).count(),
+        ),
+        (
+            "token_rarity_buckets",
+            lambda: rarity_buckets(rarity_scores(docs)).count(),
         ),
         ("dedup_clusters_cc", _cc),
         (
