@@ -563,12 +563,38 @@ def simhash_pairs(
     return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks)
 
 
+def _local_components(spark, edge_rows) -> DataFrame:
+    """Driver-side union-find over a small collected edge list — the exact
+    min-label components the distributed rounds would produce (see
+    connected_components' adaptive-local-solve note)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in edge_rows:
+        for v in (r.src, r.dst):
+            if v not in parent:
+                parent[v] = v
+        ra, rb = find(r.src), find(r.dst)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    labels = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(labels, "node long, cluster_id long")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "a_id",
     b_col: str = "b_id",
     max_iters: int = 20,
     double_from: int = 3,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (node, cluster_id),
     cluster_id = the component's minimum node id.
@@ -597,12 +623,28 @@ def connected_components(
 
     Raises RuntimeError if ``max_iters`` is exhausted before convergence —
     returning non-converged labels would silently split clusters.
+
+    Adaptive local solve: a VERIFIED near-dup edge set is orders of
+    magnitude smaller than the corpus it came from (dedup rates are
+    percents, not multiples), and each distributed round costs a fixed
+    multi-stage latency that dwarfs the data at audit/bench scale
+    (measured: 5–20 s for a 101-edge graph, pure round overhead). Below
+    ``local_threshold`` edges the exact same min-label components are
+    computed by driver-side union-find on the collected (src, dst) ints —
+    microseconds, identical output. The distributed path engages above the
+    threshold (billions of edges at 100 TB) and is what the
+    convergence/chain tests pin (they pass ``local_threshold=0``). Same
+    adaptive shape as GraphFrames' broadcast-threshold switches.
     """
     edges = scoped_persist(
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
     )
+    if local_threshold > 0:
+        head = edges.limit(local_threshold + 1).collect()
+        if len(head) <= local_threshold:
+            return _local_components(pairs.sparkSession, head)
     labels = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()

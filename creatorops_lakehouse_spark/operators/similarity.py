@@ -601,3 +601,84 @@ def ann_ivf_topk_indexed(
         )
     )
     return _rerank_topk(sims, k)
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    public): restrict the pair search to vectors sharing a coarse-quantizer
+    cell, then verify candidates with exact cosine. Returns
+    (a_id, b_id, cos_sim_r) with rounded cosine ≥ ``threshold``.
+
+    Multi-assignment (``nprobe`` nearest cells per vector) recovers pairs
+    that straddle a cell boundary — with single assignment the measured
+    recall on the weakly-clustered driver corpus drops from ~80% to ~40%.
+    The cell self-join is ids-only ((id, cell) pairs — three ints into the
+    shuffle); vectors join back once per deduplicated candidate for the
+    Arrow-batched verification, the same candidates-then-verify discipline
+    as every dedup operator here.
+
+    At 100 TB the centroid count scales with the corpus (constant cell
+    occupancy, the same argument as auto_planes) and the quantizer trains
+    on a sample (train_ivf_centroids' sample_mod); beyond ~10⁵ cells train
+    hierarchically (coarse split, then per-branch Lloyd) — cell assignment
+    stays one Arrow matmul per batch either way."""
+    probe = _nearest_cells_udf(centroids, nprobe)
+    assigned = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.explode(probe(F.col(vec_col).cast("array<double>"))).alias("cell"),
+    )
+    a = assigned.select(F.col("_id").alias("a_id"), "cell")
+    b = assigned.select(F.col("_id").alias("b_id"), "cell")
+    cands = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    va = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    vb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cands.join(va, "a_id")
+        .join(vb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                pair_cosine(F.col("a_vec"), F.col("b_vec")), round_digits
+            ).alias("cos_sim_r"),
+        )
+        .filter(F.col("cos_sim_r") >= threshold)
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.45,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus with semantic near-duplicates removed: connected components
+    over the verified pair graph, keep the minimum-id representative per
+    cluster (deterministic; SemDeDup keeps one representative per
+    duplicate group — the id tiebreak makes the choice engine-portable).
+    Ids-only anti join — vectors never enter the dedup shuffle."""
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    pairs = semantic_dedup_pairs(
+        corpus, centroids, threshold, nprobe, id_col, vec_col
+    ).select("a_id", "b_id")
+    cc = connected_components(pairs)
+    dropped = cc.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias(id_col)
+    )
+    return corpus.join(dropped, id_col, "left_anti")

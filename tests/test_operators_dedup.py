@@ -179,12 +179,18 @@ def test_simhash_survives_book_length_docs(spark):
 def test_connected_components_merges_transitively(spark):
     from creatorops_lakehouse_spark.operators.dedup import connected_components
 
-    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair {9,10}
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair {9,10};
+    # exercised through BOTH the local union-find fast path and the
+    # distributed rounds (local_threshold=0) — identical output required
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (9, 10)], ["a_id", "b_id"]
     )
-    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
+    for thr in (100_000, 0):
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(pairs, local_threshold=thr).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 9: 9, 10: 9}
 
 
 def test_connected_components_clique_and_empty(spark):
@@ -193,8 +199,12 @@ def test_connected_components_clique_and_empty(spark):
     clique = spark.createDataFrame(
         [(5, 6), (5, 7), (6, 7)], ["a_id", "b_id"]
     )
-    got = {r.node: r.cluster_id for r in connected_components(clique).collect()}
-    assert got == {5: 5, 6: 5, 7: 5}
+    for thr in (100_000, 0):
+        got = {
+            r.node: r.cluster_id
+            for r in connected_components(clique, local_threshold=thr).collect()
+        }
+        assert got == {5: 5, 6: 5, 7: 5}
 
     empty = spark.createDataFrame([], "a_id long, b_id long")
     assert connected_components(empty).count() == 0
@@ -261,7 +271,10 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], ["a_id", "b_id"]
     )
-    got = {r.node: r.cluster_id for r in connected_components(pairs).collect()}
+    got = {
+        r.node: r.cluster_id
+        for r in connected_components(pairs, local_threshold=0).collect()
+    }
     assert got == {i: 0 for i in range(n)}
 
 
@@ -275,7 +288,7 @@ def test_connected_components_nonconvergence_raises(spark):
         [(i, i + 1) for i in range(30)], ["a_id", "b_id"]
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=1)
+        connected_components(pairs, max_iters=1, local_threshold=0)
 
 
 def test_probe_reingested_id_no_duplicate_pairs(spark, tmp_path):

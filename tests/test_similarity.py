@@ -257,3 +257,39 @@ def test_neardup_multitable_recall_on_clustered(spark):
     recall = len(got & expected) / len(expected)
     assert recall >= 0.9, f"multi-table neardup recall too low: {recall}"
     assert all(r.cos_sim >= 0.99 for r in pairs)
+
+
+# ---- SemDeDup-style semantic dedup ------------------------------------
+
+
+def test_semantic_dedup_planted_clusters(spark):
+    import numpy as np
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        semantic_dedup,
+        semantic_dedup_pairs,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(4, 16)
+    rows = []
+    # 4 well-separated anchors, each with 2 near-copies (cos ≈ 1) and
+    # 3 unrelated singleton vectors
+    vid = 0
+    for b in base:
+        for _ in range(3):
+            rows.append((vid, (b + rng.randn(16) * 0.01).astype("float32").tolist()))
+            vid += 1
+    for _ in range(3):
+        rows.append((vid, rng.randn(16).astype("float32").tolist()))
+        vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    centroids = train_ivf_centroids(df, k=4, iters=2, dim=16, sample_mod=None)
+    pairs = semantic_dedup_pairs(df, centroids, threshold=0.95, nprobe=2)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    expected = {(g * 3 + i, g * 3 + j) for g in range(4) for i in range(3) for j in range(3) if i < j}
+    assert got == expected  # every planted pair found, nothing else
+    kept = {r.vec_id for r in semantic_dedup(df, centroids, threshold=0.95, nprobe=2).collect()}
+    # min-id representative per planted cluster + the 3 singletons
+    assert kept == {0, 3, 6, 9, 12, 13, 14}
