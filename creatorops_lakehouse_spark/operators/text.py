@@ -252,3 +252,22 @@ def chunk_windows(
         F.size("_chunk").alias("n_chunk_tokens"),
         F.array_join("_chunk", " ").alias("chunk_text"),
     )
+
+
+#: GPT-2-style pre-tokenizer pattern, restricted to the RE2 ∩ Java-regex
+#: portable subset (no lookahead; ASCII classes to match the corpus and
+#: the oracle tokenizer): contraction suffixes, space-prefixed letter
+#: runs, space-prefixed digit runs, space-prefixed punctuation runs.
+BPE_PRETOKEN_RE = "'s|'t|'re|'ve|'m|'ll|'d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s']+"
+
+
+def bpe_pretokens(text: Column) -> Column:
+    """BPE-ish pre-tokenization (the GPT-2 pattern family): the segment
+    boundaries every byte-pair tokenizer respects — contraction suffixes
+    split off, letter/digit/punctuation runs kept with their leading
+    space. Counting these approximates post-BPE token counts far better
+    than whitespace words (punctuation and digit runs become separate
+    tokens), which is what context-budget packing actually needs.
+    Pure expression (regexp_extract_all) — engine-portable because the
+    pattern avoids lookahead (RE2) and sticks to ASCII classes."""
+    return F.regexp_extract_all(F.lower(text), F.lit(BPE_PRETOKEN_RE), 0)

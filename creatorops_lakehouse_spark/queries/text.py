@@ -494,3 +494,91 @@ def docs_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         "sum_doc_id",
     )
+
+
+_SQL_BPE_RE = "''s|''t|''re|''ve|''m|''ll|''d| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+"
+
+#: deterministic punctuation/digit/contraction seeding: the driver corpus
+#: is pure lowercase words (no digits, no punctuation — see docs_pii_scan's
+#: note), so raw pre-token counts equal whitespace counts and the query
+#: would be a vacuous distinction. Both engines append the identical
+#: suffix, built from doc_id.
+_SQL_BPE_SEED = (
+    "text || CASE WHEN doc_id % 3 = 0"
+    " THEN ' it''s v' || CAST(doc_id % 100 AS VARCHAR) || '.2, (beta)!' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' we''re 100% done...' ELSE '' END"
+)
+
+
+def _bpe_seed_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" it's v"), (did % 100).cast("string"), F.lit(".2, (beta)!")
+            ),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" we're 100% done...")).otherwise(F.lit("")),
+    )
+
+
+@query(
+    "docs_bpe_pretoken_stats",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT lang, {_SQL_BPE_SEED} AS text FROM documents
+    ),
+    toks AS (
+        SELECT lang,
+               len(regexp_extract_all(lower(text), '{_SQL_BPE_RE}')) AS n_pre,
+               len({_SQL_TOKENS}) AS n_ws
+        FROM seeded
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_pre) AS BIGINT) AS total_pre_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           {exact_avg_sql("CAST(SUM(n_pre) AS BIGINT)", "COUNT(*)", 4)}
+               AS avg_pre_tokens
+    FROM toks
+    GROUP BY 1
+    """,
+)
+def docs_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts vs whitespace-word counts per language
+    (operators/text.py::bpe_pretokens — the GPT-2 pattern family in the
+    RE2 ∩ Java portable subset): punctuation/digit runs and contraction
+    suffixes count as their own tokens, the approximation context-budget
+    packing actually needs. Runs over SELF-SEEDED text (deterministic
+    contractions/version strings/punctuation appended identically on both
+    engines — the raw fixture is pure lowercase words, where the two
+    tokenizers coincide and the comparison would be vacuous). One
+    projection + one hash aggregate; both engines run the literally
+    identical pattern."""
+    from creatorops_lakehouse_spark.operators.text import (
+        bpe_pretokens,
+        token_count,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(bpe_pretokens(_bpe_seed_col())).alias("n_pre"),
+        token_count(_bpe_seed_col()).alias("n_ws"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pre").cast("long").alias("total_pre_tokens"),
+            F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_pre_tokens",
+            "total_ws_tokens",
+            exact_avg_expr("total_pre_tokens", "n_docs", 4).alias("avg_pre_tokens"),
+        )
+    )

@@ -131,3 +131,26 @@ def test_rarity_zero_token_docs_omitted(spark):
         "doc_id long, text string",
     )
     assert [r.doc_id for r in rarity_scores(docs).collect()] == [1]
+
+
+def test_bpe_pretokens_hand_computed(spark):
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.text import bpe_pretokens
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's a test"),
+            (2, "we're 100% done..."),
+            (3, "plain words only"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.toks
+        for r in df.select("doc_id", bpe_pretokens(F.col("text")).alias("toks")).collect()
+    }
+    assert got[1] == ["it", "'s", " a", " test"]
+    assert got[2] == ["we", "'re", " 100", "%", " done", "..."]
+    # pure lowercase words: pre-tokenization degenerates to whitespace words
+    assert got[3] == ["plain", " words", " only"]

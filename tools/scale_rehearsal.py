@@ -130,6 +130,18 @@ def suite(spark, docs, emb):
         ).select("a_id", "b_id")
         return connected_components(pairs).count()
 
+    def _semantic_pairs(e):
+        # same sizing as the registered query: k tracks the corpus for
+        # constant cell occupancy, one Lloyd pass, nprobe=3
+        from creatorops_lakehouse_spark.operators.similarity import (
+            semantic_dedup_pairs,
+            train_ivf_centroids,
+        )
+
+        k = max(8, e.count() // 50)
+        cents = train_ivf_centroids(e, k=k, iters=1, dim=64, sample_mod=5)
+        return semantic_dedup_pairs(e, cents, threshold=0.45, nprobe=3).count()
+
     return [
         (
             "decontam_5gram",
@@ -140,6 +152,10 @@ def suite(spark, docs, emb):
             lambda: embedding_contamination(
                 corpus_emb, eval_emb, threshold=0.4
             ).count(),
+        ),
+        (
+            "semantic_dedup_pairs_0.45",
+            lambda: _semantic_pairs(emb),
         ),
         (
             "token_rarity_buckets",
