@@ -117,14 +117,24 @@ def exact_avg_sql(numer: str, denom: str, d: int) -> str:
     )
 
 
-def all_queries() -> dict[str, QueryFn]:
+def _ordered() -> list[RegisteredQuery]:
+    """Registry in driver-facing order: oracle-backed queries first.
+
+    The correctness harness checks the first 50 ``queries()`` entries; a
+    rows-only pair-list query occupying one of those slots displaces an
+    oracle-backed query from the hash gate. Stable sort keeps each group in
+    registration order, so the ordering is deterministic across runs.
+    """
     _ensure_imported()
-    return {name: rq.fn for name, rq in REGISTRY.items()}
+    return sorted(REGISTRY.values(), key=lambda rq: rq.oracle is None)
+
+
+def all_queries() -> dict[str, QueryFn]:
+    return {rq.name: rq.fn for rq in _ordered()}
 
 
 def all_oracles() -> dict[str, str]:
-    _ensure_imported()
-    return {name: rq.oracle for name, rq in REGISTRY.items() if rq.oracle is not None}
+    return {rq.name: rq.oracle for rq in _ordered() if rq.oracle is not None}
 
 
 def _ensure_imported() -> None:
