@@ -169,8 +169,13 @@ def embedding_contamination(
             F.lit(0).cast("long").alias("n_eval_hits"),
             F.lit(0.0).alias("max_cos_r"),
         ).limit(0)
-    e_norm = np.sqrt((E * E).sum(axis=1))  # ‖e‖, kept separate so the
-    # computed quantity is literally (x·e)/(‖x‖‖e‖) — the oracle's formula
+    # Norms via cumsum = SEQUENTIAL left-to-right double fold — matches the
+    # DuckDB oracle's list_cosine_similarity accumulation bit-for-bit
+    # (np.sum's pairwise summation differs in the last ulp, which flips
+    # ROUND(,4) values sitting on a rounding boundary — the hash-checked
+    # max_cos_r column cannot absorb that).
+    e_norm = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])  # ‖e‖, kept separate so
+    # the computed quantity is literally (x·e)/(‖x‖‖e‖) — the oracle's formula
 
     id_type = corpus.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, n_eval_hits long, max_cos_r double"
@@ -185,8 +190,20 @@ def embedding_contamination(
             if len(pdf) == 0:
                 continue
             X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)  # n × d
-            x_norm = np.sqrt((X * X).sum(axis=1))
-            S = (X @ E.T) / (x_norm[:, None] * e_norm[None, :])
+            x_norm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            # Dot products as an explicit fold over the dim axis: each
+            # (corpus, eval) dot accumulates left-to-right in double —
+            # bit-identical to the oracle's per-element loop, unlike a
+            # pairwise-summed matmul (see e_norm comment above). d iterations
+            # of one vectorized n×m add keep this within ~2× of BLAS here.
+            num = np.zeros((len(X), len(E)))
+            for k in range(E.shape[1]):
+                num += X[:, k, None] * E[None, :, k]
+            den = x_norm[:, None] * e_norm[None, :]
+            ok = den > 0.0
+            # zero-norm → -1.0 (DuckDB's own zero-vector cosine) instead of
+            # NaN, whose ordering the two engines disagree on.
+            S = np.where(ok, num / np.where(ok, den, 1.0), -1.0)
             R = np.round(S, round_digits)
             hits = (R >= threshold).sum(axis=1).astype("int64")
             keep = hits >= 1

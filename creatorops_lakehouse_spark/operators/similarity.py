@@ -196,12 +196,19 @@ def _pair_cosine_udf():
     zip_with/aggregate fold is interpreted per element, so verifying a
     candidate set costs ~3 folds × dim interpreted lambda evals per pair
     (measured: ~1.7 s for 250k candidates at dim 64, vs ~0.2 s for the
-    batched einsum). Used ONLY where the consumer is rows-only / recall-
-    floor checked (near-dup verify, ANN rerank): numpy's pairwise-summed
-    dot differs from the sequential fold in the last ulp, which the
-    hash-checked exact baseline (:func:`cosine_topk` → rounded to 4
-    decimals against the DuckDB oracle) must not absorb — that path keeps
-    the deterministic fold."""
+    batched version).
+
+    Accumulation is ``np.cumsum(..., axis=1)[:, -1]`` — a SEQUENTIAL
+    left-to-right double fold, NOT einsum/matmul: numpy's pairwise-summed
+    dot differs from the sequential fold in the last ulp, and a cosine one
+    ulp from a ROUND(,4) boundary flips hash-checked counts against the
+    oracle. The cumsum fold with ``num / (sqrt(na) * sqrt(nb))`` is
+    bit-identical to BOTH the expression-level :func:`cosine` fold and
+    DuckDB's ``list_cosine_similarity(DOUBLE[], DOUBLE[])`` (verified
+    300/300 exact on random vectors, tests/test_similarity.py), so
+    pair_cosine is safe for hash-checked exact baselines. Zero-norm
+    vectors yield -1.0 on both engines (DuckDB's own zero-vector result —
+    never flagged as similar) instead of engine-divergent NaN ordering."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -209,16 +216,20 @@ def _pair_cosine_udf():
     def _cos(a, b):
         A = np.asarray(a.tolist(), dtype=np.float64)
         B = np.asarray(b.tolist(), dtype=np.float64)
-        num = np.einsum("ij,ij->i", A, B)
-        den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
-        return pd.Series(num / den)
+        num = np.cumsum(A * B, axis=1)[:, -1]
+        den = np.sqrt(np.cumsum(A * A, axis=1)[:, -1]) * np.sqrt(
+            np.cumsum(B * B, axis=1)[:, -1]
+        )
+        ok = den > 0.0
+        return pd.Series(np.where(ok, num / np.where(ok, den, 1.0), -1.0))
 
     return pandas_udf(_cos, "double")
 
 
 def pair_cosine(a: Column, b: Column) -> Column:
-    """Vectorized cosine for verification/rerank paths (see
-    :func:`_pair_cosine_udf`)."""
+    """Vectorized cosine for verification/rerank/baseline paths (see
+    :func:`_pair_cosine_udf` — bit-identical to the expression fold and
+    the DuckDB oracle; zero-norm → -1.0)."""
     return _pair_cosine_udf()(a.cast("array<double>"), b.cast("array<double>"))
 
 

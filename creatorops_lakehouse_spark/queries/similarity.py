@@ -430,7 +430,12 @@ def emb_semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     (recall_ok; measured 86/100/69% across sf0.001/0.01/0.1 at k=n/50,
     nprobe=3 — cell-straddling losses, the documented SemDeDup tradeoff;
     deterministic per corpus, so the margin cannot flake). The oracle
-    recomputes n_global_pairs in SQL and pins both booleans TRUE."""
+    recomputes n_global_pairs in SQL and pins both booleans TRUE.
+    pair_cosine accumulates as a sequential cumsum fold — bit-identical to
+    DuckDB's list_cosine_similarity (operators/similarity.py::
+    _pair_cosine_udf), so the hash-checked count cannot flip on a
+    summation-order ulp at a ROUND(,4) boundary; zero-norm vectors yield
+    -1.0 on both engines."""
     from creatorops_lakehouse_spark.operators.similarity import pair_cosine
 
     emb = load(spark, sf_dir, "embeddings")
