@@ -563,13 +563,15 @@ def simhash_pairs(
     return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks)
 
 
-def _local_components(spark, edge_rows) -> DataFrame:
+def _local_components(spark, edge_rows, id_type: str = "long") -> DataFrame:
     """Driver-side union-find over a small collected edge list — the exact
     min-label components the distributed rounds would produce (see
-    connected_components' adaptive-local-solve note)."""
-    parent: dict[int, int] = {}
+    connected_components' adaptive-local-solve note). ``id_type`` is the
+    caller's id DataType simpleString, so string/int ids round-trip with
+    the same schema the distributed path preserves."""
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         root = x
         while parent[root] != root:
             root = parent[root]
@@ -585,7 +587,9 @@ def _local_components(spark, edge_rows) -> DataFrame:
         if ra != rb:
             parent[max(ra, rb)] = min(ra, rb)
     labels = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(labels, "node long, cluster_id long")
+    return spark.createDataFrame(
+        labels, f"node {id_type}, cluster_id {id_type}"
+    )
 
 
 def connected_components(
@@ -644,7 +648,8 @@ def connected_components(
     if local_threshold > 0:
         head = edges.limit(local_threshold + 1).collect()
         if len(head) <= local_threshold:
-            return _local_components(pairs.sparkSession, head)
+            id_type = pairs.schema[a_col].dataType.simpleString()
+            return _local_components(pairs.sparkSession, head, id_type)
     labels = scoped_persist(
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -655,9 +660,15 @@ def connected_components(
     # node relabeled — one aggregate-only action per round, replacing the
     # earlier new-vs-old join+count (a full extra shuffle per round).
     # decimal(38,0) keeps the sum exact out to ~10^9 executors' worth of
-    # int64 ids (n·2^63 < 10^38 for n < 3·10^18 nodes).
+    # int64 ids (n·2^63 < 10^38 for n < 3·10^18 nodes). Numeric ids only:
+    # string ids (lexicographic min-label — valid) have no monotone sum, so
+    # they fall back to a new-vs-old changed-count join per round (one
+    # extra shuffle; correctness identical, documented cost).
+    id_is_numeric = pairs.schema[a_col].dataType.typeName() in {
+        "byte", "short", "integer", "long", "decimal", "float", "double",
+    }
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).collect()[0].s
+    prev_sum = labels.agg(label_sum).collect()[0].s if id_is_numeric else None
     converged = False
     for it in range(max_iters):
         neighbor_min = (
@@ -697,13 +708,24 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-        new_sum = new_labels.agg(label_sum).collect()[0].s
+        if id_is_numeric:
+            new_sum = new_labels.agg(label_sum).collect()[0].s
+            unchanged = new_sum == prev_sum
+            prev_sum = new_sum
+        else:
+            old = labels.select("node", F.col("label").alias("_old"))
+            unchanged = (
+                new_labels.join(old, on="node")
+                .filter(F.col("label") != F.col("_old"))
+                .limit(1)
+                .count()
+                == 0
+            )
         labels.unpersist()
         labels = new_labels
-        if new_sum == prev_sum:
+        if unchanged:
             converged = True
             break
-        prev_sum = new_sum
     if not converged:
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds "

@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from creatorops_lakehouse_spark.operators.cache import scoped_persist
 from creatorops_lakehouse_spark.operators.text import token_count
 
 
@@ -46,8 +47,12 @@ def pack_sequences(
     keep a well-defined position (first_seq == last_seq == the sequence
     their offset falls in).
     """
-    counts = df.select(
-        F.col(id_col), token_count(F.col(text_col)).alias("n_tokens")
+    # Persisted: three consumers (max-id agg, phase-1 bucket sums, phase-2
+    # window) would otherwise each re-scan + re-tokenize the full corpus —
+    # the dominant cost at the 100 TB scale this docstring targets. The
+    # projection is 2 numeric-ish columns per doc, far smaller than text.
+    counts = scoped_persist(
+        df.select(F.col(id_col), token_count(F.col(text_col)).alias("n_tokens"))
     )
     max_id = counts.agg(F.max(id_col).alias("m")).collect()[0].m
     if max_id is None:

@@ -21,9 +21,12 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column
 
-#: pattern → replacement token. Order matters (emails before id-number so
-#: digits inside a redacted email aren't double-counted); both engines
-#: must apply the same order.
+#: pattern → replacement token. Order matters for redact() ONLY: emails
+#: are replaced before id-number so digits inside an already-redacted
+#: email can't then match as an id. pii_counts() evaluates every pattern
+#: independently on the RAW text, so there a 9-16-digit email local part
+#: counts as both email and id_number — overlapping counts by design
+#: (both engines compute the same, so oracle parity holds).
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
     ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),

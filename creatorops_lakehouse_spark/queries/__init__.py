@@ -65,12 +65,18 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     """Read one driver parquet table (TESTDATA.md layout).
 
-    The ``events`` table stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects. We read it as raw nanos
-    (legacy.parquet.nanosAsLong) and rebuild a microsecond timestamp with
-    integer division (``div`` — double division would lose precision on
-    epoch-nanos magnitudes). The driver data is microsecond-grained, so the
-    conversion is exact.
+    The ``events`` table's ``ts`` physical type has varied across driver
+    data generations; normalize every variant to a session-UTC TIMESTAMP:
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it, so read raw
+      nanos (legacy.parquet.nanosAsLong) and rebuild a microsecond
+      timestamp with integer division (``div`` — double division would
+      lose precision at epoch-nanos magnitudes; driver data is
+      microsecond-grained, so this is exact).
+    - TIMESTAMP(MICROS, isAdjustedToUTC=false) (current generation):
+      arrives as TIMESTAMP_NTZ, which time functions like ``unix_micros``
+      reject; cast to TIMESTAMP — with the session timezone pinned UTC the
+      naive values are interpreted as UTC, matching both the nanos-era
+      semantics and the (timezone-naive) DuckDB oracle exactly.
     """
     # Driver-provided sessions may lack our defaults; pin UTC so date
     # derivations match the (timezone-naive) DuckDB oracle on any host.
@@ -78,12 +84,14 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
+
+        import pyspark.sql.functions as F
 
         if isinstance(df.schema["ts"].dataType, LongType):
-            import pyspark.sql.functions as F
-
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 

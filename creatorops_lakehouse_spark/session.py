@@ -22,15 +22,36 @@ import os
 
 from pyspark.sql import SparkSession
 
+def _default_driver_memory() -> str:
+    """min(32g, ram/4), env-overridable via SPARK_GRAFT_DRIVER_MEM.
+
+    In local mode the driver JVM IS the executor, so it must hold the
+    storage pool for the session-lifetime corpus caches
+    (operators/cache.py) on top of shuffle/exec memory. 8g showed uniform
+    +0.4-0.6s GC drift across UNRELATED queries once two shingle tables
+    stayed persisted; a quarter of the dev box (32g of 128 GiB) clears it.
+    Sizing from DETECTED ram instead of hardcoding 32g keeps smaller hosts
+    from overcommitting the JVM heap and getting OOM-killed mid-run; 8g
+    floor when detection fails. On a real cluster this maps to executor
+    memory sizing, where the same caches are spread over the fleet.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    return f"{min(32, max(8, total_gib // 4))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 DEFAULT_CONF: dict[str, str] = {
-    # JVM-creation-time conf: in local mode the driver JVM IS the executor,
-    # so it must hold the storage pool for the session-lifetime corpus
-    # caches (operators/cache.py) on top of shuffle/exec memory. 8g showed
-    # uniform +0.4-0.6s GC drift across UNRELATED queries once two shingle
-    # tables stayed persisted; 32g (a quarter of the 128 GiB box) clears
-    # it. On a real cluster this maps to executor memory sizing, where the
-    # same caches are spread over the fleet.
-    "spark.driver.memory": "32g",
+    # JVM-creation-time conf — see _default_driver_memory.
+    "spark.driver.memory": _default_driver_memory(),
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
