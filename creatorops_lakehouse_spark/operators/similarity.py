@@ -453,15 +453,35 @@ def train_ivf_centroids(
     iters: int = 4,
     dim: int = 64,
     sample_mod: int | None = None,
+    local_threshold: int = 100_000,
 ) -> list[list[float]]:
-    """Lloyd k-means as DataFrame aggregations (the IVF coarse quantizer).
+    """Lloyd k-means over a deterministic sample (the IVF coarse quantizer).
 
-    Initialization is deterministic (first k rows by id). Each iteration is
-    one assignment projection + one (cluster, dim) hash aggregate; only the
-    k×dim centroid matrix ever reaches the driver. ``sample_mod=m`` trains
-    on the deterministic 1/m subsample (id % m == 0) — the standard move at
-    scale: quantizer quality needs a representative sample, not the corpus.
+    Initialization is deterministic (first k rows by id). ``sample_mod=m``
+    trains on the deterministic 1/m subsample (id % m == 0) — the standard
+    move at scale: quantizer quality needs a representative sample, not
+    the corpus (faiss trains its coarse quantizers the same way).
+
+    Adaptive execution, same shape as connected_components' local solve:
+    - Sample ≤ ``local_threshold`` rows: collect once and run Lloyd in
+      numpy on the driver. Each distributed iteration costs a fixed
+      multi-stage latency (assignment UDF + posexplode + hash agg +
+      collect ≈ seconds) that dwarfs the arithmetic for any sample that
+      fits on the driver; the local path is the same algorithm with the
+      same init and argmin tie-breaking (np.argmin → lowest id, matching
+      argsort order in _nearest_cells_udf).
+    - Larger samples: one assignment projection + one (cluster, dim) hash
+      aggregate per iteration; only the k×dim centroid matrix ever
+      reaches the driver. This is the 100 TB path — a 1e8-vector sample
+      never materializes anywhere whole.
+
+    The two paths can differ in the last ulp (numpy mean vs Spark
+    sum-then-divide association) — admissible because the quantizer only
+    CO-LOCATES candidates; every emitted pair is exact-cosine verified
+    downstream, and recall contracts carry measured margins.
     """
+    import numpy as np
+
     vecs = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
     )
@@ -469,10 +489,26 @@ def train_ivf_centroids(
         vecs = vecs.filter(F.col("_id") % sample_mod == 0)
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
 
+    head = vecs.orderBy("_id").limit(max(local_threshold + 1, k)).collect()
+    if len(head) <= local_threshold:
+        X = np.asarray([r.v for r in head], dtype=np.float64)  # sorted by id
+        if len(X) == 0:
+            return []
+        C = X[:k].copy()
+        for _ in range(iters):
+            d2 = (
+                -2.0 * (X @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )  # ‖x‖² row-constant → dropped, as in _nearest_cells_udf
+            assign = np.argmin(d2, axis=1)
+            for c_id in range(len(C)):
+                members = X[assign == c_id]
+                if len(members):
+                    C[c_id] = members.sum(axis=0) / len(members)
+        return [row.tolist() for row in C]
+
     vecs = scoped_persist(vecs)
-    centroids = [
-        r.v for r in vecs.orderBy("_id").limit(k).collect()
-    ]
+    centroids = [r.v for r in head[:k]]
     for _ in range(iters):
         assigned = vecs.withColumn("c", _nearest_centroid(F.col("v"), centroids))
         sums = (
@@ -631,42 +667,86 @@ def semantic_dedup_pairs(
     Multi-assignment (``nprobe`` nearest cells per vector) recovers pairs
     that straddle a cell boundary — with single assignment the measured
     recall on the weakly-clustered driver corpus drops from ~80% to ~40%.
-    The cell self-join is ids-only ((id, cell) pairs — three ints into the
-    shuffle); vectors join back once per deduplicated candidate for the
-    Arrow-batched verification, the same candidates-then-verify discipline
-    as every dedup operator here.
+
+    Verification is PER-CELL (applyInPandas over cell groups): each cell's
+    vectors arrive as one Arrow batch and an in-cell matmul emits only the
+    pairs that clear ``threshold``. The earlier shape (ids-only cell
+    self-join → dropDuplicates → join both 64-dim vectors back onto every
+    candidate pair) shipped candidate_pairs × 2 vectors through the
+    shuffle — occupancy× more bytes than this one, which shuffles
+    corpus × nprobe vectors once and nothing per candidate. The surviving
+    pair set (≥ threshold only) is orders of magnitude smaller than the
+    candidate set, so the final dropDuplicates (same pair found via two
+    shared cells) is cheap. Cell occupancy is held constant by k = n/50
+    (the auto_planes argument), so the per-group matmul is bounded at any
+    corpus size; skewed cells are bounded by the same geometry.
+
+    The in-cell cosine accumulates with the same sequential cumsum fold as
+    :func:`pair_cosine` — bit-identical to the expression-level fold and
+    DuckDB's list_cosine_similarity, so hash-checked precision verdicts
+    cannot flip on a summation-order ulp at a ROUND boundary; zero-norm
+    vectors yield -1.0 (never similar), as everywhere in this module. The
+    UDF emits the UNROUNDED fold (pre-filtered with a 1e-4 safety margin)
+    and the threshold ROUND happens JVM-side with F.round — numpy's
+    half-even binary rounding disagrees with Spark's shortest-decimal
+    HALF_UP at decimal ties, which would create found-pairs the Spark-side
+    exact baseline (also F.round) rejects.
 
     At 100 TB the centroid count scales with the corpus (constant cell
-    occupancy, the same argument as auto_planes) and the quantizer trains
-    on a sample (train_ivf_centroids' sample_mod); beyond ~10⁵ cells train
+    occupancy) and the quantizer trains on a sample
+    (train_ivf_centroids' sample_mod); beyond ~10⁵ cells train
     hierarchically (coarse split, then per-branch Lloyd) — cell assignment
     stays one Arrow matmul per batch either way."""
+    import numpy as np
+    import pandas as pd
+
     probe = _nearest_cells_udf(centroids, nprobe)
     assigned = corpus.select(
         F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
         F.explode(probe(F.col(vec_col).cast("array<double>"))).alias("cell"),
     )
-    a = assigned.select(F.col("_id").alias("a_id"), "cell")
-    b = assigned.select(F.col("_id").alias("b_id"), "cell")
-    cands = (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
-    )
-    va = corpus.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = corpus.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    id_type = corpus.schema[id_col].dataType.simpleString()
+    out_schema = f"a_id {id_type}, b_id {id_type}, cos_sim double"
+    margin = 10.0 ** (-round_digits) / 2 + 1e-9  # ROUND can lift by half-step
+
+    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)[order]
+        norms = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+        # dot products as an explicit left-to-right fold over the dim axis
+        # (see _pair_cosine_udf: pairwise-summed matmul differs in the
+        # last ulp, which hash-checked ROUND(,4) thresholds can't absorb)
+        num = np.zeros((n, n))
+        for kk in range(X.shape[1]):
+            num += X[:, kk, None] * X[None, :, kk]
+        den = norms[:, None] * norms[None, :]
+        ok = den > 0.0
+        S = np.where(ok, num / np.where(ok, den, 1.0), -1.0)
+        ai, bi = np.triu_indices(n, k=1)
+        keep = S[ai, bi] >= threshold - margin
+        return pd.DataFrame(
+            {
+                "a_id": ids[ai[keep]],
+                "b_id": ids[bi[keep]],
+                "cos_sim": S[ai[keep], bi[keep]],
+            }
+        )
+
     return (
-        cands.join(va, "a_id")
-        .join(vb, "b_id")
+        assigned.groupBy("cell")
+        .applyInPandas(_cell_pairs, out_schema)
         .select(
             "a_id",
             "b_id",
-            F.round(
-                pair_cosine(F.col("a_vec"), F.col("b_vec")), round_digits
-            ).alias("cos_sim_r"),
+            F.round(F.col("cos_sim"), round_digits).alias("cos_sim_r"),
         )
         .filter(F.col("cos_sim_r") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 

@@ -293,3 +293,27 @@ def test_semantic_dedup_planted_clusters(spark):
     kept = {r.vec_id for r in semantic_dedup(df, centroids, threshold=0.95, nprobe=2).collect()}
     # min-id representative per planted cluster + the 3 singletons
     assert kept == {0, 3, 6, 9, 12, 13, 14}
+
+
+def test_ivf_training_local_and_distributed_agree(spark):
+    """The adaptive local Lloyd solve must produce centroids that agree
+    with the distributed aggregation path to float tolerance (they may
+    differ in the last ulp — numpy mean vs Spark sum-then-divide)."""
+    import random
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(4)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.05) for x in centers[i % 4]]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    local = train_ivf_centroids(df, k=4, iters=3, dim=8)
+    dist = train_ivf_centroids(df, k=4, iters=3, dim=8, local_threshold=0)
+    assert len(local) == len(dist) == 4
+    for lc, dc in zip(local, dist):
+        for lx, dx in zip(lc, dc):
+            assert abs(lx - dx) < 1e-9, (lx, dx)
