@@ -743,3 +743,101 @@ def connected_components(
             "pathological structure or raise max_iters."
         )
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact deduplication (the operation in Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public):
+    find every ``window``-token span that occurs in >= ``min_docs``
+    distinct documents, keep the occurrence in the minimum-id document,
+    and REMOVE the covered tokens from every other document — then
+    rebuild each document's text from its surviving tokens.
+
+    Returns one row per input document:
+    (id_col, n_tokens, n_removed, text_clean) — text_clean is the space
+    re-join of uncovered tokens ('' when every token was covered).
+    Document- and cluster-level dedup (exact_dedup_clusters,
+    jaccard/minhash pairs → connected_components) drop whole documents;
+    this drops the duplicated PASSAGES inside otherwise-distinct
+    documents — boilerplate, licenses, templates — which document-level
+    ops cannot reach.
+
+    Spark-first shape (reference has no counterpart; its silver layer
+    stops at row-level dedup, /root/reference/pipelines/silver/
+    transform_local.py):
+    - windows are md5-fingerprinted BEFORE the duplicate-detection
+      shuffle, so the hash agg and the span join carry
+      (16-byte hash, id, position) rows — never the window text. An md5
+      collision would over-strip one span; at 2^64 windows the
+      128-bit-space risk is ~2^-64 per pair, the standard fingerprint
+      tradeoff every hash-dedup operator here already accepts.
+    - tokens shuffle exactly once (the rebuild groupBy); covered
+      positions arrive via an ids-only left-anti join.
+    - stride is 1 (every position), the exact-recall setting; at 100 TB
+      the window table is O(total tokens) rows of 3 narrow columns —
+      the same order as the corpus token count, i.e. the cost every
+      suffix-array formulation of this operator also pays. A coarser
+      first pass (stride = window) with exact stride-1 refinement inside
+      matched documents is the documented scale-down when even that is
+      too much.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_l")
+    ).withColumn("_n", F.size("_l"))
+    toks = scoped_persist(toks)
+    wins = toks.filter(F.col("_n") >= window).select(
+        "_id",
+        "_l",
+        F.explode(F.expr(f"sequence(0, _n - {window})")).alias("_i"),
+    ).select(
+        "_id",
+        "_i",
+        F.md5(F.expr(f"array_join(slice(_l, _i + 1, {window}), ' ')")).alias("_wh"),
+    )
+    wins = scoped_persist(wins)
+    dup = (
+        wins.groupBy("_wh")
+        .agg(
+            F.min("_id").alias("_keeper"),
+            F.count_distinct("_id").alias("_nd"),
+        )
+        .filter(F.col("_nd") >= min_docs)
+        .select("_wh", "_keeper")
+    )
+    spans = (
+        wins.join(dup, "_wh")
+        .filter(F.col("_id") != F.col("_keeper"))
+        .select("_id", "_i")
+    )
+    covered = spans.select(
+        "_id", F.explode(F.expr(f"sequence(_i, _i + {window} - 1)")).alias("_idx")
+    ).distinct()
+    token_rows = toks.select("_id", F.posexplode("_l").alias("_idx", "_tok"))
+    kept = token_rows.join(covered, ["_id", "_idx"], "left_anti")
+    rebuilt = kept.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_idx", "_tok"))),
+                lambda s: s["_tok"],
+            ),
+            " ",
+        ).alias("text_clean"),
+    )
+    return (
+        toks.join(rebuilt, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("_n").cast("long").alias("n_tokens"),
+            (F.col("_n") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )

@@ -428,3 +428,62 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "stage long, stage_name string, n_docs long",
     )
+
+
+SPAN_WINDOW = 16
+
+
+@query(
+    "docs_strip_duplicate_spans",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_SQL_TOKENS} AS l FROM documents),
+    wins AS (
+        SELECT doc_id, u.i AS i,
+               md5(array_to_string(
+                   list_slice(l, u.i + 1, u.i + {SPAN_WINDOW}), ' ')) AS wh
+        FROM toks, unnest(range(0, len(l) - {SPAN_WINDOW} + 1)) AS u(i)
+    ),
+    dup AS (
+        SELECT wh, min(doc_id) AS keeper FROM wins
+        GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    spans AS (
+        SELECT w.doc_id, w.i FROM wins w JOIN dup d USING (wh)
+        WHERE w.doc_id <> d.keeper
+    ),
+    covered AS (
+        SELECT DISTINCT doc_id, u.idx
+        FROM spans, unnest(range(i, i + {SPAN_WINDOW})) AS u(idx)
+    ),
+    tok_rows AS (
+        SELECT doc_id, u.idx AS idx, l[u.idx + 1] AS tok
+        FROM toks, unnest(range(0, len(l))) AS u(idx)
+    ),
+    kept AS (
+        SELECT t.doc_id, t.idx, t.tok FROM tok_rows t
+        WHERE NOT EXISTS (SELECT 1 FROM covered c
+                          WHERE c.doc_id = t.doc_id AND c.idx = t.idx)
+    ),
+    reb AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY idx) AS text_clean
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.l) AS BIGINT) AS n_tokens,
+           CAST(len(t.l) - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+           COALESCE(r.text_clean, '') AS text_clean
+    FROM toks t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def docs_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup (Lee et al. 2022): every {SPAN_WINDOW}-token
+    window occurring in >= 2 distinct documents keeps its min-doc_id
+    occurrence and is stripped from every other document; each document's
+    text is rebuilt from its surviving tokens. Hash-checks the FULL
+    rebuilt strings, per-doc token counts, and removal counts against the
+    oracle's recomputation — exercising window fingerprinting, span-union
+    coverage, and order-preserving reassembly end-to-end."""
+    from creatorops_lakehouse_spark.operators.dedup import strip_duplicate_spans
+
+    docs = load(spark, sf_dir, "documents")
+    return strip_duplicate_spans(docs, window=SPAN_WINDOW)

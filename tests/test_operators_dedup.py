@@ -311,3 +311,43 @@ def test_probe_reingested_id_no_duplicate_pairs(spark, tmp_path):
     keys = [(min(r.a_id, r.b_id), max(r.a_id, r.b_id)) for r in pairs]
     assert len(keys) == len(set(keys)), f"duplicated pairs: {sorted(keys)}"
     assert (1, 4) in keys
+
+
+def test_strip_duplicate_spans_planted(spark):
+    """A 16-token span planted in three docs survives only in the min-id
+    doc; unique text is untouched; a fully-duplicated doc strips to ''."""
+    from creatorops_lakehouse_spark.operators.dedup import strip_duplicate_spans
+
+    span = " ".join(f"dup{i}" for i in range(16))
+    rows = [
+        (1, f"alpha beta {span} gamma delta"),
+        (2, f"{span} epsilon zeta eta theta"),
+        (3, span),  # nothing but the duplicated span
+        (4, "iota kappa lam mu nu xi omicron pi"),  # unique — untouched
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, window=16).collect()}
+    assert out[1].n_removed == 0  # keeper (min doc_id)
+    assert "dup0" in out[1].text_clean
+    assert out[2].n_removed == 16
+    assert out[2].text_clean == "epsilon zeta eta theta"
+    assert out[3].n_removed == 16 and out[3].text_clean == ""
+    assert out[4].n_removed == 0
+    assert out[4].text_clean == "iota kappa lam mu nu xi omicron pi"
+
+
+def test_strip_duplicate_spans_overlapping_union(spark):
+    """Overlapping duplicated windows in one doc union their coverage
+    (17 shared tokens → two 16-windows overlapping in 15 → 17 removed)."""
+    from creatorops_lakehouse_spark.operators.dedup import strip_duplicate_spans
+
+    shared = " ".join(f"s{i}" for i in range(17))
+    rows = [
+        (10, f"{shared} tail1 tail2"),
+        (20, f"head1 head2 {shared}"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in strip_duplicate_spans(df, window=16).collect()}
+    assert out[10].n_removed == 0  # keeper of both windows
+    assert out[20].n_removed == 17
+    assert out[20].text_clean == "head1 head2"
