@@ -487,3 +487,68 @@ def docs_strip_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     return strip_duplicate_spans(docs, window=SPAN_WINDOW)
+
+
+DSIR_BUCKETS = 4096
+DSIR_SCALE = 10000
+_SQL_DSIR_BUCKET = (
+    f"CAST('0x' || substr(sha256(g), 1, 8) AS BIGINT) % {DSIR_BUCKETS}"
+)
+_SQL_DOC_ACCEPT = (
+    f"CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)"
+    f" % {DSIR_SCALE}"
+)
+
+
+@query(
+    "docs_dsir_importance_resample",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang, {_SQL_TOKENS} AS l FROM documents),
+    bg AS (
+        SELECT doc_id, lang, l[u.i] || ' ' || l[u.i + 1] AS g
+        FROM toks, unnest(range(1, len(l))) AS u(i)
+    ),
+    f AS (SELECT doc_id, lang, {_SQL_DSIR_BUCKET} AS b FROM bg),
+    bc AS (
+        SELECT b, COUNT(*) AS raw_n,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS tgt_n
+        FROM f GROUP BY b
+    ),
+    r AS (SELECT b, ({DSIR_SCALE} * (tgt_n + 1)) // (raw_n + 1) AS rb FROM bc),
+    ds AS (
+        SELECT f.doc_id, COUNT(*) AS nb, SUM(rb) AS s
+        FROM f JOIN r USING (b) GROUP BY f.doc_id
+    ),
+    sc AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(ds.nb, 0) AS BIGINT) AS n_bigrams,
+               CAST(COALESCE(ds.s // ds.nb, 0) AS BIGINT) AS score_scaled
+        FROM documents d LEFT JOIN ds USING (doc_id)
+    )
+    SELECT doc_id, n_bigrams, score_scaled,
+           {_SQL_DOC_ACCEPT} < least(score_scaled, {DSIR_SCALE}) AS accepted
+    FROM sc
+    """,
+)
+def docs_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023) in exact integers:
+    hashed-bigram bucket distributions for the lang='en' target slice vs
+    the raw corpus give every document a scaled importance score
+    (Laplace-smoothed truncating-division ratio, mean over bigram
+    occurrences); a sha256(doc_id) draw accepts each document with
+    probability proportional to its score. Hash-checks per-doc feature
+    counts, scores, and the accept/reject verdicts — the full selection
+    pipeline — against the oracle's recomputation."""
+    from creatorops_lakehouse_spark.operators.dsir import (
+        importance_resample,
+        importance_scores,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scores = importance_scores(
+        docs,
+        is_target=F.col("lang") == "en",
+        n_buckets=DSIR_BUCKETS,
+        scale=DSIR_SCALE,
+    )
+    return importance_resample(scores, scale=DSIR_SCALE)

@@ -119,3 +119,55 @@ def test_mixture_sample_counts_and_determinism(spark):
     # unweighted groups drop entirely
     out2 = mixture_sample(df, "grp", "doc_id", {"a": 10000})
     assert {r.grp for r in out2.collect()} == {"a"}
+
+
+def test_dsir_scores_separate_target_from_offtarget(spark):
+    """Docs sharing the target slice's bigrams must outscore docs with
+    off-target bigrams; empty/one-token docs score 0 and are rejected."""
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.dsir import (
+        importance_resample,
+        importance_scores,
+    )
+
+    rows = [
+        # target slice: English-ish bigram profile
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox sleeps under the old tree", "en"),
+        # raw docs: one matching the target profile, one disjoint
+        (3, "the quick brown fox jumps over the lazy dog", "xx"),
+        (4, "zork blut krem flup zork blut krem flup wibble", "xx"),
+        (5, "solo", "xx"),  # 1 token → no bigrams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    scores = importance_scores(df, is_target=F.col("lang") == "en")
+    out = {r.doc_id: r for r in importance_resample(scores).collect()}
+    assert out[3].score_scaled > out[4].score_scaled
+    assert out[5].n_bigrams == 0 and out[5].score_scaled == 0
+    assert out[5].accepted is False
+    # target-profile docs must clearly outscore disjoint-bigram docs
+    # (absolute values depend on the Laplace floor, large in a tiny
+    # corpus — only the ordering and the gap are contract)
+    assert out[3].score_scaled > 1.5 * out[4].score_scaled
+
+
+def test_dsir_acceptance_is_deterministic(spark):
+    """Same corpus → identical accept set across two evaluations."""
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.dsir import (
+        importance_resample,
+        importance_scores,
+    )
+
+    rows = [(i, f"tok{i % 7} tok{(i + 1) % 7} tok{(i + 2) % 7}", "en" if i % 3 == 0 else "xx") for i in range(40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+
+    def run():
+        s = importance_scores(df, is_target=F.col("lang") == "en")
+        return sorted(
+            (r.doc_id, r.accepted) for r in importance_resample(s).collect()
+        )
+
+    assert run() == run()
