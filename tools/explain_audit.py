@@ -74,13 +74,23 @@ def main() -> int:
             a["cartesian"] > 0 or a["bnl_joins"] > 0
         ) and not (quadratic_ok or scalar_bnlj_ok)
         if a["python_eval"] > 0 and not any(
-            s in name for s in ("multimodal", "ivf", "lsh", "neardup", "emb_decontaminate")
+            s in name
+            for s in (
+                "multimodal",
+                "ivf",
+                "lsh",
+                "neardup",
+                "emb_decontaminate",
+                "semantic",
+            )
         ):
             # the sanctioned Arrow-batched Python seams: multimodal decode,
             # IVF centroid assignment, LSH signature matmul
-            # (operators/similarity.py::_lsh_buckets_udf), and the
+            # (operators/similarity.py::_lsh_buckets_udf), the
             # eval-matrix contamination matmul
-            # (operators/decontam.py::embedding_contamination)
+            # (operators/decontam.py::embedding_contamination), and the
+            # SemDeDup per-cell verify + pair-cosine audit
+            # (operators/similarity.py::semantic_dedup_pairs/_pair_cosine_udf)
             bad = True
         if bad:
             flagged.append(name)
