@@ -194,7 +194,38 @@ def suite(spark, docs, emb):
                 emb, k=5, query_pred=lambda c: c % 1_000_000 < 8
             ).count(),
         ),
+        (
+            # copies perturb every 4th token, so duplicated 16-windows stay
+            # WITHIN a copy: dup mass and posting density both grow 10x
+            # without a cross-copy explosion — the honest scaling case.
+            "strip_spans_w16",
+            lambda: _strip_spans(docs),
+        ),
+        (
+            "dsir_resample",
+            lambda: _dsir(docs),
+        ),
     ]
+
+
+def _strip_spans(docs):
+    from creatorops_lakehouse_spark.operators.dedup import strip_duplicate_spans
+
+    return (
+        strip_duplicate_spans(docs, window=16)
+        .filter(F.col("n_removed") > 0)
+        .count()
+    )
+
+
+def _dsir(docs):
+    from creatorops_lakehouse_spark.operators.dsir import (
+        importance_resample,
+        importance_scores,
+    )
+
+    scores = importance_scores(docs, is_target=F.col("lang") == "en")
+    return importance_resample(scores).filter("accepted").count()
 
 
 def main() -> int:
@@ -212,7 +243,10 @@ def main() -> int:
     for tag, ddir in (("sf0.1", SF_DIR), ("10x", SCALE_DIR)):
         docs = spark.read.parquet(f"{ddir}/documents.parquet")
         emb = spark.read.parquet(f"{ddir}/embeddings.parquet")
+        only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
         for name, thunk in suite(spark, docs, emb):
+            if only and not any(o in name for o in only):
+                continue
             t0 = time.time()
             n = thunk()
             dt = time.time() - t0
