@@ -90,3 +90,37 @@ def per_group_sample(
         .filter(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def epoch_order(
+    df: DataFrame, key_col: str, epoch: int, n_buckets: int = 1 << 32
+) -> DataFrame:
+    """Deterministic per-epoch training order: attach ``epoch_pos``, the
+    row's position under the epoch-keyed hash permutation
+    sha256(epoch || key).
+
+    Training loops need a different document order every epoch that is
+    nevertheless REPRODUCIBLE (resume from a checkpoint mid-epoch, re-run
+    an ablation bit-for-bit) and cheap at 100 TB. Sorting by a salted
+    cryptographic hash gives both: the order is uniform-pseudorandom per
+    epoch, identical across engines/runs, and computing it is one
+    projection — writers consume it as a sort key (one global sort, the
+    unavoidable cost of ANY explicit ordering) or bucket it for
+    partitioned shuffling without a global sort at all.
+
+    ``epoch_pos`` is the dense 0-based rank under (hash-bucket, key) —
+    the key tiebreak makes the permutation total even on bucket
+    collisions. The rank is computed with a single window over the hash
+    order; at cluster scale prefer writing sorted-by-(_eb, key) files and
+    letting consumers stream them in order instead of materializing the
+    rank (the two-phase distributed prefix sum in operators/packing.py is
+    the pattern if a materialized global position is genuinely needed).
+    """
+    eb = hash_bucket(
+        F.concat(F.lit(f"e{epoch}:"), F.col(key_col).cast("string")),
+        n_buckets,
+    )
+    w = Window.orderBy(eb.asc(), F.col(key_col).asc())
+    return df.withColumn(
+        "epoch_pos", (F.row_number().over(w) - 1).cast("long")
+    )

@@ -582,3 +582,46 @@ def docs_bpe_pretoken_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_avg_expr("total_pre_tokens", "n_docs", 4).alias("avg_pre_tokens"),
         )
     )
+
+
+N_EPOCHS = 2
+
+
+@query(
+    "docs_epoch_shuffle",
+    oracle=f"""
+    WITH e AS (SELECT unnest(range(0, {N_EPOCHS})) AS epoch),
+    h AS (
+        SELECT e.epoch, d.doc_id,
+               CAST('0x' || substr(sha256(
+                   'e' || e.epoch || ':' || CAST(d.doc_id AS VARCHAR)
+               ), 1, 8) AS BIGINT) % 4294967296 AS hb
+        FROM documents d CROSS JOIN e
+    )
+    SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY epoch ORDER BY hb, doc_id
+           ) - 1 AS BIGINT) AS epoch_pos
+    FROM h
+    """,
+)
+def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training order (operators/sampling.py::
+    epoch_order): each epoch permutes the corpus under the salted
+    sha256('e<epoch>:' || doc_id) hash — uniform-pseudorandom per epoch,
+    bit-reproducible across engines and runs (checkpoint-resumable
+    ablations). Hash-checks the COMPLETE position assignment of
+    {N_EPOCHS} epochs against the oracle's recomputation."""
+    from creatorops_lakehouse_spark.operators.sampling import epoch_order
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    parts = [
+        epoch_order(docs, "doc_id", epoch=e).select(
+            F.lit(e).cast("long").alias("epoch"), "doc_id", "epoch_pos"
+        )
+        for e in range(N_EPOCHS)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -171,3 +171,23 @@ def test_dsir_acceptance_is_deterministic(spark):
         )
 
     assert run() == run()
+
+
+def test_epoch_order_permutes_differently_but_reproducibly(spark):
+    from creatorops_lakehouse_spark.operators.sampling import epoch_order
+
+    df = spark.createDataFrame([(i,) for i in range(100)], ["doc_id"])
+
+    def order(epoch):
+        return [
+            r.doc_id
+            for r in epoch_order(df, "doc_id", epoch)
+            .orderBy("epoch_pos")
+            .collect()
+        ]
+
+    e0, e0b, e1 = order(0), order(0), order(1)
+    assert e0 == e0b  # reproducible
+    assert e0 != e1  # epochs differ
+    assert sorted(e0) == sorted(e1) == list(range(100))  # true permutations
+    assert e0 != list(range(100))  # actually shuffled
