@@ -625,3 +625,107 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+#: composite quality gate thresholds (symbol cap in basis points; length
+#: and repetition reuse the funnel constants — single source of truth)
+MAX_SYMBOL_BP = 3000
+
+from creatorops_lakehouse_spark.queries.dedup import (  # noqa: E402
+    _SQL_TOKENS as _SQL_GATE_TOKENS,
+)
+from creatorops_lakehouse_spark.queries.llmprep import (  # noqa: E402
+    MAX_REP_BP as _GATE_MAX_REP,
+    MIN_TOKENS as _GATE_MIN_TOKENS,
+)
+
+
+@query(
+    "docs_quality_gate",
+    oracle=f"""
+    WITH base AS (SELECT doc_id, text, {_SQL_GATE_TOKENS} AS l FROM documents),
+    feat AS (
+        SELECT doc_id, text, len(l) AS k,
+               CASE WHEN len(l) >= 2
+                    THEN 10000 - (10000 * len(list_distinct(list_transform(
+                             range(0, greatest(len(l) - 2, 0) + 1),
+                             i -> array_to_string(l[i + 1 : i + 2], ' ')))))
+                         // (len(l) - 1)
+                    ELSE 0 END AS rep_bp,
+               (10000 * (len(text) -
+                         len(regexp_replace(text, '[^\\w\\s]', '', 'g'))))
+                   // greatest(len(text), 1) AS sym_bp
+        FROM base
+    ),
+    keepers AS (
+        SELECT text, MIN(doc_id) AS keeper FROM feat
+        WHERE k >= {_GATE_MIN_TOKENS} AND rep_bp <= {_GATE_MAX_REP}
+              AND sym_bp <= {MAX_SYMBOL_BP}
+        GROUP BY text
+    ),
+    verdict AS (
+        SELECT f.doc_id, f.k,
+               CASE WHEN f.k < {_GATE_MIN_TOKENS} THEN 'too_short'
+                    WHEN f.rep_bp > {_GATE_MAX_REP} THEN 'repetitive'
+                    WHEN f.sym_bp > {MAX_SYMBOL_BP} THEN 'symbol_heavy'
+                    WHEN f.doc_id <> kp.keeper THEN 'exact_dup'
+                    ELSE 'ok' END AS reason
+        FROM feat f LEFT JOIN keepers kp USING (text)
+    )
+    SELECT doc_id, CAST(k AS BIGINT) AS n_tokens, reason,
+           reason = 'ok' AS keep
+    FROM verdict
+    """,
+)
+def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level curation verdicts with reason codes — the document
+    analogue of the events contract's quarantine taxonomy (clq/contract.py
+    D5): every document gets keep=TRUE or its FIRST failing reason in
+    fixed priority order (too_short → repetitive → symbol_heavy →
+    exact_dup → ok). Dedup keepers are chosen among quality-PASSING
+    documents (funnel semantics: dedup runs after the quality stages), so
+    a duplicate of a rejected doc is judged on its own text. Same
+    thresholds as docs_curation_funnel — the funnel reports stage COUNTS,
+    this reports the per-document audit trail."""
+    from creatorops_lakehouse_spark.operators.text import (
+        repetition_features,
+        token_count,
+    )
+    from creatorops_lakehouse_spark.queries.llmprep import (
+        MAX_REP_BP,
+        MIN_TOKENS,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    rep = repetition_features(F.col("text"))
+    feat = docs.select(
+        "doc_id",
+        "text",
+        token_count(F.col("text")).alias("k"),
+        rep["rep_bigram_bp"].alias("rep_bp"),
+        rep["symbol_bp"].alias("sym_bp"),
+    )
+    qp = (
+        (F.col("k") >= MIN_TOKENS)
+        & (F.col("rep_bp") <= MAX_REP_BP)
+        & (F.col("sym_bp") <= MAX_SYMBOL_BP)
+    )
+    keepers = (
+        feat.filter(qp).groupBy("text").agg(F.min("doc_id").alias("_keeper"))
+    )
+    reason = (
+        F.when(F.col("k") < MIN_TOKENS, "too_short")
+        .when(F.col("rep_bp") > MAX_REP_BP, "repetitive")
+        .when(F.col("sym_bp") > MAX_SYMBOL_BP, "symbol_heavy")
+        .when(F.col("doc_id") != F.col("_keeper"), "exact_dup")
+        .otherwise("ok")
+    )
+    return (
+        feat.join(keepers, "text", "left")
+        .select(
+            "doc_id",
+            F.col("k").cast("long").alias("n_tokens"),
+            reason.alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "ok")
+    )

@@ -48,7 +48,7 @@ def main() -> int:
     from creatorops_lakehouse_spark.session import build_spark
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    only = {a for a in sys.argv[2:] if not a.startswith("--")}
 
     spark = build_spark("oracle-check")
     con = duckdb.connect()
@@ -57,6 +57,7 @@ def main() -> int:
 
     qs, oracles = ent.queries(), ent.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -65,27 +66,52 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"status": "err", "err": str(e)[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         spark_t = time.time() - t0
         if name not in oracles:
+            report[name] = {"status": "rows_only", "spark_rows": len(sdf)}
             print(f"okro {name}: rows={len(sdf)} (rows-only, {spark_t:.1f}s)")
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            report[name] = {"status": "err", "err": f"duckdb: {str(e)[:200]}"}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         sn, on_ = normalize(sdf), normalize(odf)
         status = "ok  " if sn == on_ else "FAIL"
         if sn != on_:
             failures.append(name)
+        report[name] = {
+            "status": "hash_green" if sn == on_ else "MISMATCH",
+            "spark_rows": sn[0],
+            "oracle_rows": on_[0],
+            "value_hash": sn[2],
+            "oracle_hash": on_[2],
+            "cols_match": sn[1] == on_[1],
+        }
         print(f"{status} {name}: spark={sn[0]} oracle={on_[0]} "
               f"hash {sn[2]} vs {on_[2]} cols_match={sn[1] == on_[1]} ({spark_t:.1f}s)")
         if sn != on_ and sn[1] != on_[1]:
             print(f"     spark cols:  {sn[1]}")
             print(f"     oracle cols: {on_[1]}")
+    out_json = None
+    for a in sys.argv:
+        if a.startswith("--json="):
+            out_json = a.split("=", 1)[1]
+    if out_json and not only:
+        import json
+
+        with open(out_json, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "n": len(report), "results": report},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
