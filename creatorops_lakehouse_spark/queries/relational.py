@@ -596,3 +596,105 @@ def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum("l_quantity").cast("long").cast("double").alias("total_qty"))
     )
+
+
+@query(
+    "tpch_q7_nation_trade_volume",
+    oracle=f"""
+    SELECT ns.n_name AS supp_nation,
+           nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           {exact_avg_sql(_SQL_REV_UNITS_L, "10000", 2)} AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+    WHERE ((ns.n_name = 'NATION_18' AND nc.n_name = 'NATION_19')
+        OR (ns.n_name = 'NATION_19' AND nc.n_name = 'NATION_18'))
+    GROUP BY 1, 2, 3
+    """,
+)
+def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping between two nations, by year):
+    the directional nation-pair predicate ((A→B) OR (B→A)) over a 5-way
+    join. Both nation dims and supplier/customer broadcast; lineitem⋈
+    orders on orderkey is the only big shuffle — the nation-pair filter
+    applies BEFORE the group-by, so only matching rows aggregate.
+    (Reference scope: SURVEY §2.3/§2.4 multi-way equi-join + grouped agg;
+    this adds the classic disjunctive join predicate shape.)"""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("supp_nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18") & (F.col("cust_nation") == "NATION_19")
+    ) | ((F.col("supp_nation") == "NATION_19") & (F.col("cust_nation") == "NATION_18"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(_rev_units().alias("_rev_units"))
+        .select(
+            "supp_nation",
+            "cust_nation",
+            "ship_year",
+            exact_avg_expr("_rev_units", "10000", 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "tpch_q14_promo_revenue_share",
+    oracle=f"""
+    SELECT {exact_avg_sql(
+        "CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
+        + _SQL_REVENUE_L + " ELSE CAST(0 AS DECIMAL(18,4)) END) * 1000000 AS BIGINT)",
+        _SQL_REV_UNITS_L.replace(" * 10000 AS BIGINT)", " * 100 AS BIGINT)"),
+        4,
+    )} AS promo_share_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+    """,
+)
+def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape (promotion revenue share for one ship month):
+    conditional aggregate over a fact⋈dim join — part broadcasts, the
+    shipdate range prunes lineitem at the scan, and the percentage is
+    computed in exact scaled-integer arithmetic (promo revenue ×10^6 over
+    total revenue ×10^2 → 4-decimal percentage, identical in both
+    engines — the exact_avg pattern for ratios of money sums)."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part")
+    promo = F.when(F.col("p_type") == "PROMO", _dec_revenue()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    agg = joined.agg(
+        (F.sum(promo) * 1_000_000).cast("long").alias("_promo_units"),
+        (F.sum(_dec_revenue()) * 100).cast("long").alias("_total_units"),
+    )
+    return agg.select(
+        exact_avg_expr("_promo_units", "_total_units", 4).alias("promo_share_pct")
+    )
