@@ -401,8 +401,12 @@ def probe_minhash_index(
     """
     from creatorops_lakehouse_spark.sources.tables import read_table
 
-    idx_bands = read_table(spark, bands_spec)
-    idx_sets = read_table(spark, sets_spec)
+    # explicit projections: index tables may carry extra plumbing columns
+    # (e.g. the streaming sink's p_batch partition key) — the probe only
+    # ever needs the banding/verification columns, and unionByName with
+    # the batch-side projections requires matching schemas.
+    idx_bands = read_table(spark, bands_spec).select("doc_id", "band", "bucket")
+    idx_sets = read_table(spark, sets_spec).select("doc_id", "toks", "set_size")
     new_sets = scoped_persist(_token_sets(new_df, text_col, id_col, ngram))
     new_bands = scoped_persist(_band_buckets(new_sets, num_perm, bands))
 
