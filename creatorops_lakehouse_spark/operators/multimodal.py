@@ -112,3 +112,48 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 64, stride: int = 2
+) -> DataFrame:
+    """Deterministic frame sampling over opaque binary payloads: treat
+    ``content`` as a sequence of ``frame_bytes``-sized blocks and emit
+    every ``stride``-th block with its byte length and sha256 —
+    (asset_id, frame_idx, frame, frame_len, frame_sha256).
+
+    This is the video/audio frame-extraction PLUMBING with the decode
+    stubbed out (no media library in this environment): real deployments
+    replace the fixed-size blocks with demuxed frames, but the Spark-side
+    mechanics — per-asset frame explosion, deterministic sampling grid,
+    per-frame metadata, column-pruned scans — are identical and fully
+    testable. Pure Column expressions (sequence + substring on binary):
+    no UDF, whole-stage codegen, embarrassingly parallel; the frame table
+    is O(payload bytes / frame_bytes / stride) rows.
+    """
+    # exact integer frame count: ceil(content_length / frame_bytes) via div
+    n_frames = F.expr(
+        f"(content_length + {frame_bytes - 1}) div {frame_bytes}"
+    )
+    frame = F.expr(f"substring(content, frame_idx * {frame_bytes} + 1, {frame_bytes})")
+    return (
+        assets.filter(F.col("content_length") > 0)
+        .select(
+            "asset_id",
+            "content",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    n_frames - 1,
+                    F.lit(stride).cast("long"),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "asset_id",
+            "frame_idx",
+            frame.alias("frame"),
+            F.octet_length(frame).cast("long").alias("frame_len"),
+            F.sha2(frame, 256).alias("frame_sha256"),
+        )
+    )

@@ -729,3 +729,44 @@ def docs_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("keep", F.col("reason") == "ok")
     )
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 2
+
+
+@query(
+    "docs_frame_sample",
+    oracle=f"""
+    WITH a AS (
+        SELECT doc_id AS asset_id, text, len(text) AS L
+        FROM documents WHERE len(text) > 0
+    ),
+    f AS (
+        SELECT asset_id, u.i AS frame_idx,
+               substr(text, u.i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS fr
+        FROM a, unnest(range(0, (L + {FRAME_BYTES - 1}) // {FRAME_BYTES},
+                             {FRAME_STRIDE})) AS u(i)
+    )
+    SELECT asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(octet_length(CAST(fr AS BLOB)) AS BIGINT) AS frame_len,
+           sha256(fr) AS frame_sha256
+    FROM f
+    """,
+)
+def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing (operators/multimodal.py::
+    sample_frames): every {FRAME_STRIDE}ᵗʰ {FRAME_BYTES}-byte block of
+    each asset's binary payload with per-frame length + sha256 — the
+    demux-and-sample grid with the decoder stubbed (no media lib in this
+    environment). Pure expressions, no UDF. The oracle mirrors the byte
+    slicing on the text payload (the fixture is ASCII, so character and
+    byte offsets coincide; real binary assets exercise the same Spark
+    expressions) and hash-checks every sampled frame's digest."""
+    docs = load(spark, sf_dir, "documents")
+    from creatorops_lakehouse_spark.operators.multimodal import sample_frames
+
+    assets = to_asset_table(docs, "doc_id", "text", "video")
+    return sample_frames(
+        assets, frame_bytes=FRAME_BYTES, stride=FRAME_STRIDE
+    ).drop("frame")

@@ -317,3 +317,25 @@ def test_ivf_training_local_and_distributed_agree(spark):
     for lc, dc in zip(local, dist):
         for lx, dx in zip(lc, dc):
             assert abs(lx - dx) < 1e-9, (lx, dx)
+
+
+def test_sample_frames_grid_and_digests(spark):
+    """Frame grid: ceil(len/fb) frames, every stride-th sampled; last
+    frame may be short; zero-length assets emit nothing."""
+    import hashlib
+
+    from creatorops_lakehouse_spark.operators.multimodal import (
+        sample_frames,
+        to_asset_table,
+    )
+
+    rows = [(1, "a" * 150), (2, "b" * 64), (3, "")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assets = to_asset_table(df, "doc_id", "text", "video")
+    out = sample_frames(assets, frame_bytes=64, stride=2).collect()
+    got = {(r.asset_id, r.frame_idx): (r.frame_len, r.frame_sha256) for r in out}
+    # asset 1: 150 bytes -> frames 0,1,2 (64,64,22); stride 2 -> idx 0, 2
+    assert set(got) == {(1, 0), (1, 2), (2, 0)}
+    assert got[(1, 0)][0] == 64 and got[(1, 2)][0] == 22
+    assert got[(2, 0)] == (64, hashlib.sha256(b"b" * 64).hexdigest())
+    assert got[(1, 2)][1] == hashlib.sha256(b"a" * 22).hexdigest()
