@@ -389,26 +389,24 @@ def embedding_neardup_pairs(
     if n_tables is None:
         n_tables = auto_tables(n_planes, threshold, recall_target)
     tables = _table_planes(dim, n_planes, n_tables, seed)
-    buckets = _bucket_projection(df, id_col, vec_col, tables, "doc_id")
-    a = buckets.select("table", "bucket", F.col("doc_id").alias("a_id"))
-    b = buckets.select("table", "bucket", F.col("doc_id").alias("b_id"))
-    cands = (
-        a.join(b, on=["table", "bucket"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id")
-        .dropDuplicates(["a_id", "b_id"])
+    sig = _lsh_buckets_udf(tables)
+    # vectors ride the bucket shuffle (corpus × n_tables × 512 B for
+    # dim-64 doubles) so each (table, bucket) group verifies with ONE
+    # in-group matmul — the candidate-pair materialization this replaces
+    # joined 2 × dim doubles onto every candidate, occupancy× more bytes
+    # at high thresholds where candidates vastly outnumber true pairs.
+    assigned = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.posexplode(sig(F.col(vec_col).cast("array<double>"))).alias(
+            "table", "bucket"
+        ),
     )
-    va = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
-    vb = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    id_type = df.schema[id_col].dataType.simpleString()
     return (
-        cands.join(va, on="a_id")
-        .join(vb, on="b_id")
-        .select(
-            "a_id",
-            "b_id",
-            pair_cosine(F.col("a_vec"), F.col("b_vec")).alias("cos_sim"),
-        )
+        _grouped_allpairs_verify(assigned, ["table", "bucket"], id_type, threshold)
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
@@ -650,6 +648,60 @@ def ann_ivf_topk_indexed(
     return _rerank_topk(sims, k)
 
 
+def _grouped_allpairs_verify(
+    assigned: DataFrame,
+    group_cols: list[str],
+    id_type: str,
+    keep_floor: float,
+) -> DataFrame:
+    """Per-group exact all-pairs cosine verification (applyInPandas):
+    ``assigned`` carries ``group_cols`` + ``_id`` + ``_v`` (array<double>);
+    each group's vectors arrive as one Arrow batch and an in-group matmul
+    emits the a<b pairs with cos_sim >= ``keep_floor`` (UNROUNDED
+    sequential-cumsum fold — bit-identical to pair_cosine / the expression
+    fold / DuckDB's list_cosine_similarity; callers that round apply
+    F.round JVM-side and pass a half-step-lowered floor). Zero-norm
+    vectors yield -1.0 (never similar). Shuffle volume is corpus ×
+    group-multiplicity vectors — occupancy× less than materializing
+    candidate pairs and joining vectors onto both sides. Group occupancy
+    is bounded by the caller's bucket geometry (constant cell occupancy /
+    target_bucket), so the per-group matmul is bounded at any corpus
+    size."""
+    import numpy as np
+    import pandas as pd
+
+    out_schema = f"a_id {id_type}, b_id {id_type}, cos_sim double"
+
+    def _group_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
+        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)[order]
+        norms = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+        # dot products as an explicit left-to-right fold over the dim axis
+        # (see _pair_cosine_udf: pairwise-summed matmul differs in the
+        # last ulp, which hash-checked ROUND(,4) thresholds can't absorb)
+        num = np.zeros((n, n))
+        for kk in range(X.shape[1]):
+            num += X[:, kk, None] * X[None, :, kk]
+        den = norms[:, None] * norms[None, :]
+        ok = den > 0.0
+        S = np.where(ok, num / np.where(ok, den, 1.0), -1.0)
+        ai, bi = np.triu_indices(n, k=1)
+        keep = S[ai, bi] >= keep_floor
+        return pd.DataFrame(
+            {
+                "a_id": ids[ai[keep]],
+                "b_id": ids[bi[keep]],
+                "cos_sim": S[ai[keep], bi[keep]],
+            }
+        )
+
+    return assigned.groupBy(*group_cols).applyInPandas(_group_pairs, out_schema)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -697,9 +749,6 @@ def semantic_dedup_pairs(
     (train_ivf_centroids' sample_mod); beyond ~10⁵ cells train
     hierarchically (coarse split, then per-branch Lloyd) — cell assignment
     stays one Arrow matmul per batch either way."""
-    import numpy as np
-    import pandas as pd
-
     probe = _nearest_cells_udf(centroids, nprobe)
     assigned = corpus.select(
         F.col(id_col).alias("_id"),
@@ -707,39 +756,11 @@ def semantic_dedup_pairs(
         F.explode(probe(F.col(vec_col).cast("array<double>"))).alias("cell"),
     )
     id_type = corpus.schema[id_col].dataType.simpleString()
-    out_schema = f"a_id {id_type}, b_id {id_type}, cos_sim double"
     margin = 10.0 ** (-round_digits) / 2 + 1e-9  # ROUND can lift by half-step
-
-    def _cell_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"a_id": [], "b_id": [], "cos_sim": []})
-        order = np.argsort(pdf["_id"].to_numpy(), kind="stable")
-        ids = pdf["_id"].to_numpy()[order]
-        X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)[order]
-        norms = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
-        # dot products as an explicit left-to-right fold over the dim axis
-        # (see _pair_cosine_udf: pairwise-summed matmul differs in the
-        # last ulp, which hash-checked ROUND(,4) thresholds can't absorb)
-        num = np.zeros((n, n))
-        for kk in range(X.shape[1]):
-            num += X[:, kk, None] * X[None, :, kk]
-        den = norms[:, None] * norms[None, :]
-        ok = den > 0.0
-        S = np.where(ok, num / np.where(ok, den, 1.0), -1.0)
-        ai, bi = np.triu_indices(n, k=1)
-        keep = S[ai, bi] >= threshold - margin
-        return pd.DataFrame(
-            {
-                "a_id": ids[ai[keep]],
-                "b_id": ids[bi[keep]],
-                "cos_sim": S[ai[keep], bi[keep]],
-            }
-        )
-
     return (
-        assigned.groupBy("cell")
-        .applyInPandas(_cell_pairs, out_schema)
+        _grouped_allpairs_verify(
+            assigned, ["cell"], id_type, threshold - margin
+        )
         .select(
             "a_id",
             "b_id",
