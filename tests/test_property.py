@@ -1,0 +1,185 @@
+"""Property-based tests (hypothesis): custom operators vs brute-force
+Python references on randomized small inputs.
+
+Each example pays a Spark round-trip, so example counts are deliberately
+small — the value is the randomized EDGE STRUCTURE (tied timestamps,
+chain/clique graphs, boundary-straddling spans) that hand-written cases
+under-sample, not volume.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+WORDS = ["alpha", "beta", "gamma", "delta", "epsi"]
+
+
+def _tok(text: str) -> list[str]:
+    return [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+
+
+# ---- as-of join --------------------------------------------------------
+
+
+@SETTINGS
+@given(
+    left=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=12
+    ),
+    right=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20), st.integers(0, 99)),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_asof_join_matches_reference(spark, left, right):
+    from creatorops_lakehouse_spark.operators.asof import asof_join
+
+    # unique (key, ts) on the right: as-of semantics ("latest right row")
+    # are ambiguous when two right rows share a timestamp — the operator
+    # may pick either payload; dedup keeps the property well-defined.
+    seen = set()
+    right = [
+        r for r in right if (r[0], r[1]) not in seen and not seen.add((r[0], r[1]))
+    ]
+    ldf = spark.createDataFrame(
+        [(k, t, i) for i, (k, t) in enumerate(left)], "k int, ts int, lid int"
+    )
+    rdf = spark.createDataFrame(right, "k int, ts int, payload int")
+    got = {
+        (r.lid): (r.asof_ts, r.asof_payload)
+        for r in asof_join(
+            ldf, rdf, on="k", left_ts="ts", right_ts="ts", how="inner"
+        ).collect()
+    }
+    expected = {}
+    for lid, (k, lt) in enumerate(left):
+        cands = [(t, p) for (rk, t, p) in right if rk == k and t <= lt]
+        if cands:
+            expected[lid] = max(cands)  # latest ts wins; ts unique per key
+    assert got == expected
+
+
+# ---- connected components ---------------------------------------------
+
+
+def _uf_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=1, max_size=20
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r.node: r.cluster_id for r in connected_components(df).collect()}
+    assert got == _uf_components(edges)
+
+
+# ---- sequence packing --------------------------------------------------
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS), min_size=0, max_size=12), max_size=10
+    ),
+    budget=st.integers(2, 16),
+)
+def test_pack_sequences_matches_sequential_scan(spark, texts, budget):
+    from creatorops_lakehouse_spark.operators.packing import pack_sequences
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    if not rows:
+        return
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.start_offset, r.first_seq, r.last_seq)
+        for r in pack_sequences(df, budget=budget, n_buckets=3).collect()
+    }
+    cum = 0
+    for i, ws in enumerate(texts):
+        nt = len(ws)
+        first = cum // budget
+        last = (cum + max(nt - 1, 0)) // budget
+        assert got[i] == (nt, cum, first, last)
+        cum += nt
+
+
+# ---- span-level dedup --------------------------------------------------
+
+
+def _ref_strip(rows, window):
+    toks = {i: _tok(t) for i, t in rows}
+    wins: dict[tuple, list] = {}
+    for i, l in toks.items():
+        for p in range(len(l) - window + 1):
+            wins.setdefault(tuple(l[p : p + window]), []).append((i, p))
+    covered = {i: set() for i in toks}
+    for occ in wins.values():
+        docs = {i for i, _ in occ}
+        if len(docs) >= 2:
+            keeper = min(docs)
+            for i, p in occ:
+                if i != keeper:
+                    covered[i].update(range(p, p + window))
+    return {
+        i: (
+            len(l),
+            len(covered[i] & set(range(len(l)))),
+            " ".join(t for j, t in enumerate(l) if j not in covered[i]),
+        )
+        for i, l in toks.items()
+    }
+
+
+@SETTINGS
+@given(
+    texts=st.lists(
+        st.lists(st.sampled_from(WORDS[:3]), min_size=0, max_size=14),
+        min_size=1,
+        max_size=6,
+    ),
+    window=st.integers(2, 5),
+)
+def test_strip_duplicate_spans_matches_reference(spark, texts, window):
+    from creatorops_lakehouse_spark.operators.dedup import strip_duplicate_spans
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+        for r in strip_duplicate_spans(df, window=window).collect()
+    }
+    assert got == _ref_strip(rows, window)
