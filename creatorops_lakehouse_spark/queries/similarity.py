@@ -204,6 +204,7 @@ _IVF_INDEX_CACHE: dict[str, tuple] = {}
 
 
 def _ivf_index_for(spark: SparkSession, sf_dir: str):
+    import os
     import tempfile
 
     from creatorops_lakehouse_spark.operators.similarity import (
@@ -215,7 +216,14 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     if sf_dir not in _IVF_INDEX_CACHE:
         emb = load(spark, sf_dir, "embeddings")
         centroids = train_ivf_centroids(emb, k=8, iters=2, dim=64, sample_mod=5)
-        root = tempfile.mkdtemp(prefix="ivf_index_")
+        # session-scratch under the repo (gitignored), not the system /tmp
+        # — everything this engine writes stays inside its own tree
+        scratch = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+            ".scratch",
+        )
+        os.makedirs(scratch, exist_ok=True)
+        root = tempfile.mkdtemp(prefix="ivf_index_", dir=scratch)
         spec = TableSpec("ivf.index", f"{root}/index", ("cell",))
         build_ivf_index(emb, centroids, spec)
         _IVF_INDEX_CACHE[sf_dir] = (centroids, spec)
