@@ -157,3 +157,18 @@ def _ensure_imported() -> None:
         similarity,
         text,
     )
+
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view so users can run raw
+    ``spark.sql`` against the same normalized tables the DataFrame queries
+    read (``load`` applies the ts-variant normalization, so SQL over the
+    views sees identical data — the reference's SQL-first usage surface)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -770,3 +770,55 @@ def docs_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(
         assets, frame_bytes=FRAME_BYTES, stride=FRAME_STRIDE
     ).drop("frame")
+
+
+@query(
+    "docs_bpe_top_merges",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT {_SQL_BPE_SEED} AS text FROM documents
+    ),
+    pre AS (
+        SELECT u.w AS w
+        FROM seeded, unnest(regexp_extract_all(lower(text), '{_SQL_BPE_RE}'))
+             AS u(w)
+    ),
+    pairs AS (
+        SELECT substr(w, v.i, 2) AS pair
+        FROM pre, unnest(range(1, len(w))) AS v(i)
+        WHERE len(w) >= 2
+    )
+    SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM pairs GROUP BY 1
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT 10
+    """,
+)
+def docs_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training inner loop, first iteration: count every adjacent
+    character pair inside every pre-token occurrence (occurrence-weighted,
+    exactly what the merge-selection step of byte-pair encoding computes)
+    and return the top-10 merge candidates under a total deterministic
+    order (count desc, pair asc). Explode + hash aggregate — one shuffle
+    carrying (2-char pair) rows; at 100 TB the pair alphabet is tiny so
+    partial aggregation collapses the map side to ~|alphabet|² rows per
+    task. Runs over the same self-seeded text as docs_bpe_pretoken_stats
+    (the raw fixture is pure lowercase words — seeding makes punctuation/
+    contraction pairs real)."""
+    from creatorops_lakehouse_spark.operators.text import bpe_pretokens
+
+    docs = load(spark, sf_dir, "documents")
+    pre = docs.select(
+        F.explode(bpe_pretokens(_bpe_seed_col())).alias("w")
+    ).filter(F.length("w") >= 2)
+    pairs = pre.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(10)
+    )

@@ -71,3 +71,41 @@ def test_rerun_overwrite_idempotent(spark, stats_and_root):
     # bronze appends (two batches), but silver dedups back to one copy
     assert stats2.silver_rows == stats.silver_rows
     assert stats2.gold_rows == stats.gold_rows
+
+
+def test_sql_views_match_dataframe_results(spark):
+    """spark.sql over register_views' temp views returns the same rows as
+    the DataFrame formulation — the SQL-first usage surface is live."""
+    from creatorops_lakehouse_spark.queries import register_views
+    from creatorops_lakehouse_spark.queries.relational import (
+        tpch_q1_pricing_summary,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    got = spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """
+    ).collect()
+    assert len(got) > 0 and all(r.n > 0 for r in got)
+    # a full TPC-H-shape query agrees between the two surfaces
+    df_rows = sorted(map(tuple, tpch_q1_pricing_summary(spark, sf).collect()))
+    sql_rows = sorted(
+        map(
+            tuple,
+            spark.sql(
+                """
+                SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+                       COUNT(*) AS count_order
+                FROM lineitem
+                WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+                GROUP BY 1, 2
+                """
+            ).collect(),
+        )
+    )
+    got_counts = {(r[0], r[1]): r[-1] for r in df_rows}
+    sql_counts = {(r[0], r[1]): r[-1] for r in sql_rows}
+    assert got_counts == sql_counts
