@@ -506,3 +506,83 @@ def events_value_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(var_cents / 10000.0, 4).alias("var_samp_value"),
         F.round(F.sqrt(var_cents) / 100.0, 4).alias("stddev_value"),
     )
+
+
+@query(
+    "events_funnel_conversion",
+    oracle="""
+    WITH tv AS (
+        SELECT user_id, MIN(ts) AS t_v FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    tc AS (
+        SELECT e.user_id, MIN(e.ts) AS t_c
+        FROM events e JOIN tv ON e.user_id = tv.user_id AND e.ts > tv.t_v
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    tp AS (
+        SELECT e.user_id, MIN(e.ts) AS t_p
+        FROM events e JOIN tc ON e.user_id = tc.user_id AND e.ts > tc.t_c
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM tv) AS n_viewed,
+           (SELECT COUNT(*) FROM tc) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM tp) AS n_purchased_after_click,
+           (10000 * (SELECT COUNT(*) FROM tp))
+               // GREATEST((SELECT COUNT(*) FROM tv), 1) AS conversion_bp
+    """,
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern funnel (view → later click → later purchase,
+    first-match semantics): t_view = the user's first view; t_click = the
+    first click strictly after it; t_purchase = the first purchase
+    strictly after that. The MATCH_RECOGNIZE-style ordered-event funnel
+    expressed as two semi-join + min-aggregate stages — each stage
+    shuffles once on user_id with the time predicate applied join-side,
+    so only qualifying events aggregate. The funnel stages are
+    scoped-persisted (each feeds both the next stage and its own count)
+    and all four counts assemble in ONE plan via cross-joined one-row
+    aggregates — no driver-side counting loop. Conversion emitted in
+    exact basis points."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    tv = scoped_persist(
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_v"))
+    )
+    tc = scoped_persist(
+        ev.filter(F.col("event_type") == "click")
+        .join(tv, "user_id")
+        .filter(F.col("ts") > F.col("t_v"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_c"))
+    )
+    tp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(tc, "user_id")
+        .filter(F.col("ts") > F.col("t_c"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_p"))
+    )
+    a = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+    b = tv.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
+    c = tc.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_after_view"))
+    d = tp.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_after_click"))
+    return (
+        a.crossJoin(b)
+        .crossJoin(c)
+        .crossJoin(d)
+        .select(
+            "n_users",
+            "n_viewed",
+            "n_clicked_after_view",
+            "n_purchased_after_click",
+            F.expr(
+                "(10000 * n_purchased_after_click)"
+                " div greatest(n_viewed, 1)"
+            ).alias("conversion_bp"),
+        )
+    )

@@ -698,3 +698,35 @@ def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         exact_avg_expr("_promo_units", "_total_units", 4).alias("promo_share_pct")
     )
+
+
+@query(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * CAST(l_discount AS DECIMAL(4,2))) * 10000 AS BIGINT)
+               AS revenue_units
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND CAST(l_discount AS DECIMAL(4,2)) BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape (forecast revenue change): pure scan-side filter
+    conjunction — every predicate (shipdate range, discount band,
+    quantity cap) pushes into the parquet scan, then one ungrouped
+    decimal sum. The discount band compares EXACT decimals (doubles like
+    0.07 would make a boundary row engine-dependent); the sum is emitted
+    as scale-4 integer units, hash-identical in both engines."""
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & F.col("l_discount").cast("decimal(4,2)").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_discount").cast(
+        "decimal(4,2)"
+    )
+    return li.agg((F.sum(rev) * 10000).cast("long").alias("revenue_units"))

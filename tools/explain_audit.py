@@ -68,8 +68,12 @@ def main() -> int:
             "cosine_topk" in name or "bruteforce" in name or name.endswith("_verdict")
         )
         # a BroadcastNestedLoopJoin against a ONE-ROW corpus aggregate is a
-        # scalar broadcast (O(n) work) — the shape rarity bucketing uses
-        scalar_bnlj_ok = name in ("docs_token_rarity_by_source",)
+        # scalar broadcast (O(n) work) — the shape rarity bucketing and the
+        # funnel summary's cross-joined one-row aggregates use
+        scalar_bnlj_ok = name in (
+            "docs_token_rarity_by_source",
+            "events_funnel_conversion",
+        )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
         ) and not (quadratic_ok or scalar_bnlj_ok)
