@@ -47,8 +47,9 @@ def main() -> int:
     import __spark_entry__ as ent
     from creatorops_lakehouse_spark.session import build_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = {a for a in sys.argv[2:] if not a.startswith("--")}
+    positional = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = positional[0] if positional else "/root/testdata/sf0.001"
+    only = set(positional[1:])
 
     spark = build_spark("oracle-check")
     con = duckdb.connect()
@@ -102,12 +103,14 @@ def main() -> int:
     for a in sys.argv:
         if a.startswith("--json="):
             out_json = a.split("=", 1)[1]
-    if out_json and not only:
+    if out_json:
         import json
 
+        if only:
+            print(f"note: writing PARTIAL report ({len(report)} queries) to {out_json}")
         with open(out_json, "w") as f:
             json.dump(
-                {"sf_dir": sf_dir, "n": len(report), "results": report},
+                {"sf_dir": sf_dir, "n": len(report), "partial": bool(only), "results": report},
                 f,
                 indent=1,
                 sort_keys=True,
