@@ -191,19 +191,30 @@ def embedding_contamination(
                 continue
             X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)  # n × d
             x_norm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
-            # Dot products as an explicit fold over the dim axis: each
-            # (corpus, eval) dot accumulates left-to-right in double —
-            # bit-identical to the oracle's per-element loop, unlike a
-            # pairwise-summed matmul (see e_norm comment above). d iterations
-            # of one vectorized n×m add keep this within ~2× of BLAS here.
-            num = np.zeros((len(X), len(E)))
-            for k in range(E.shape[1]):
-                num += X[:, k, None] * E[None, :, k]
+            # BLAS matmul fast path. The oracle accumulates each dot
+            # left-to-right in double; BLAS pairwise summation can differ
+            # in the last ulp, which only changes ROUND(,4) for cosines
+            # sitting essentially ON a rounding boundary. So: matmul
+            # everything, then re-fold sequentially ONLY the entries within
+            # 1e-9 of a half-step boundary (|error| between the two
+            # summation orders is < ~1e-13, so any entry that could round
+            # differently is inside that band — a near-empty set).
+            num = X @ E.T
             den = x_norm[:, None] * e_norm[None, :]
             ok = den > 0.0
             # zero-norm → -1.0 (DuckDB's own zero-vector cosine) instead of
             # NaN, whose ordering the two engines disagree on.
             S = np.where(ok, num / np.where(ok, den, 1.0), -1.0)
+            scale = 10.0 ** round_digits
+            scaled = S * scale
+            # distance (in scaled units) to the nearest x.5 rounding edge
+            edge_dist = 0.5 - np.abs(scaled - np.round(scaled))
+            risky = ok & (edge_dist < 1e-9 * scale)
+            for i, j in zip(*np.nonzero(risky)):
+                acc = 0.0
+                for k in range(E.shape[1]):  # the oracle's exact fold order
+                    acc += X[i, k] * E[j, k]
+                S[i, j] = acc / den[i, j]
             R = np.round(S, round_digits)
             hits = (R >= threshold).sum(axis=1).astype("int64")
             keep = hits >= 1

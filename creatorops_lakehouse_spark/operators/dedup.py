@@ -489,33 +489,73 @@ def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
 
 
 def simhash_banded_pairs(
-    sh: DataFrame, max_hamming: int = 7, n_chunks: int = 8
+    sh: DataFrame, max_hamming: int = 7, n_chunks: int = 8, probe: int = 0
 ) -> DataFrame:
     """Banded hamming join over a precomputed (doc_id, simhash) table —
-    see :func:`simhash_pairs` for the semantics."""
+    see :func:`simhash_pairs` for the semantics.
+
+    ``probe=0``: classic pigeonhole banding — candidates are pairs agreeing
+    EXACTLY on ≥1 of the ``n_chunks`` chunks; recall guaranteed for
+    max_hamming ≤ n_chunks − 1.
+
+    ``probe=1``: 1-bit multiprobe — one join side additionally emits every
+    single-bit flip of each chunk, so candidates are pairs within hamming 1
+    on ≥1 chunk; recall guaranteed for max_hamming ≤ 2·n_chunks − 1
+    (pigeonhole: floor(max_hamming / n_chunks) ≤ 1 errors land in some
+    chunk). The scale win is geometric: fewer, WIDER chunks. At n_chunks=4
+    the chunk value space is 2^16 and a random pair collides with
+    probability ≈ 4·17/2^16 ≈ 1/960, vs ≈ 8/2^8 = 1/32 for the exact
+    8-chunk geometry covering the same h≤7 — ~30× fewer accidental
+    candidates for a 17× one-sided row inflation of 3-int rows. Probe rows
+    never carry text or shingles, only (chunk, val, id, 64-bit hash).
+    """
     assert 64 % n_chunks == 0
+    assert probe in (0, 1)
     width = 64 // n_chunks
     mask = (1 << width) - 1
-    chunks = sh.select(
+
+    def chunk_val(c: int):
+        return F.shiftright(F.col("simhash"), c * width).bitwiseAND(F.lit(mask))
+
+    sh = scoped_persist(sh)  # both join sides derive from it
+    exact = sh.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright(F.col("simhash"), c * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
+                    F.struct(F.lit(c).alias("chunk"), chunk_val(c).alias("val"))
                     for c in range(n_chunks)
                 ]
             )
         ).alias("cv"),
     ).select("doc_id", "simhash", "cv.chunk", "cv.val")
-    chunks = scoped_persist(chunks)  # self-join reads it twice
-    a = chunks.select("chunk", "val", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh"))
-    b = chunks.select("chunk", "val", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh"))
+    if probe == 0:
+        a_side = exact
+    else:
+        flips = [0] + [1 << i for i in range(width)]
+        a_side = sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("chunk"),
+                            chunk_val(c).bitwiseXOR(F.lit(flip)).alias("val"),
+                        )
+                        for c in range(n_chunks)
+                        for flip in flips
+                    ]
+                )
+            ).alias("cv"),
+        ).select("doc_id", "simhash", "cv.chunk", "cv.val")
+    a = a_side.select(
+        "chunk", "val", F.col("doc_id").alias("a_id"), F.col("simhash").alias("a_sh")
+    )
+    b = exact.select(
+        "chunk", "val", F.col("doc_id").alias("b_id"), F.col("simhash").alias("b_sh")
+    )
     hamming = F.bit_count(F.col("a_sh").bitwiseXOR(F.col("b_sh")))
     return (
         a.join(b, on=["chunk", "val"])
@@ -549,22 +589,26 @@ def simhash_pairs(
     max_hamming: int = 7,
     ngram: int = 2,
     n_chunks: int = 8,
+    probe: int = 0,
     sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
     Banding: split the 64-bit hash into ``n_chunks`` equal chunks; by
-    pigeonhole any pair with hamming < n_chunks agrees on ≥1 chunk, so
-    recall is GUARANTEED for max_hamming ≤ n_chunks - 1 and probabilistic
-    above. Candidates come from equi-joins on chunk values, verified with
-    exact bit_count.
+    pigeonhole any pair with hamming < n_chunks·(probe+1) lands ≤ ``probe``
+    errors in some chunk, so recall is GUARANTEED for
+    max_hamming ≤ n_chunks·(probe+1) − 1 and probabilistic above (probe 0:
+    exact-chunk equi-join; probe 1: 1-bit multiprobe, see
+    :func:`simhash_banded_pairs` for the candidate-volume trade).
+    Candidates come from equi-joins on chunk values, verified with exact
+    bit_count.
 
     ``sets``: optional prebuilt (doc_id, toks, set_size) table (see
     :func:`jaccard_pairs`); caller owns its lifetime.
     """
     if sets is None:
         sets = _token_sets(df, text_col, id_col, ngram)
-    return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks)
+    return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks, probe)
 
 
 def _local_components(spark, edge_rows, id_type: str = "long") -> DataFrame:

@@ -235,13 +235,26 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the ONE SimHash geometry this repo ships: hamming ≤ 7 over 64-bit
+#: simhash, candidates from 4×16-bit chunks with 1-bit multiprobe.
+#: Recall guarantee: floor(7/4) = 1 ≤ probe, so every qualifying pair lands
+#: ≤1 bit error in some chunk and is emitted (pigeonhole) — see
+#: operators/dedup.py::simhash_banded_pairs for the candidate-volume math.
+#: The registered query, the recall verdict, and the 10× rehearsal all run
+#: exactly this config.
+SIMHASH_GEOMETRY = {"max_hamming": 7, "n_chunks": 4, "probe": 1}
+
+
 @query("docs_simhash_pairs")  # engine-specific hashing → rows-only check
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs at hamming ≤ 12 over word bigrams,
-    candidates from 16-bit chunk collisions (pigeonhole)."""
+    """SimHash-64 near-dup pairs at hamming ≤ 7 over word bigrams,
+    candidates from 16-bit-chunk 1-bit-multiprobe collisions — recall
+    GUARANTEED at the registered threshold (hamming ≤ 2·n_chunks − 1 = 7),
+    verified pair-for-pair against the exhaustive hamming join by
+    docs_simhash_recall_verdict at this same geometry."""
     return simhash_pairs(
-        load(spark, sf_dir, "documents"), max_hamming=12, ngram=2,
-        sets=corpus_sets(spark, sf_dir, 2),
+        load(spark, sf_dir, "documents"), ngram=2,
+        sets=corpus_sets(spark, sf_dir, 2), **SIMHASH_GEOMETRY,
     )
 
 
@@ -374,13 +387,16 @@ def docs_incremental_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFram
     oracle="SELECT TRUE AS recall_complete, TRUE AS no_false_positives",
 )
 def docs_simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Oracle-checkable SimHash banding contract: at max_hamming ≤
-    n_chunks − 1 the pigeonhole guarantee makes the banded join's output
-    EQUAL the exhaustive all-pairs hamming join. Both sides are computed
-    in-engine from ONE persisted simhash table; the oracle pins the two
-    booleans, so any banding regression (missed chunk, wrong mask) flips a
-    hash-checked value. The exhaustive side is the O(n²/2) audit baseline —
-    compact (64-bit hashes only) but quadratic, never the scale route.
+    """Oracle-checkable SimHash banding contract AT THE REGISTERED
+    GEOMETRY (SIMHASH_GEOMETRY — the exact config docs_simhash_pairs
+    ships): at max_hamming ≤ n_chunks·(probe+1) − 1 the pigeonhole
+    guarantee makes the multiprobe banded join's output EQUAL the
+    exhaustive all-pairs hamming join. Both sides are computed in-engine
+    from ONE persisted simhash table; the oracle pins the two booleans, so
+    any banding regression (missed chunk, wrong mask, dropped probe flip)
+    flips a hash-checked value. The exhaustive side is the O(n²/2) audit
+    baseline — compact (64-bit hashes only) but quadratic, never the scale
+    route.
     """
     from creatorops_lakehouse_spark.operators.dedup import (
         _token_sets,
@@ -393,10 +409,10 @@ def docs_simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     sh = scoped_persist(simhash_table(corpus_sets(spark, sf_dir, 2)))
-    banded = simhash_banded_pairs(sh, max_hamming=7, n_chunks=8).select(
+    banded = simhash_banded_pairs(sh, **SIMHASH_GEOMETRY).select(
         "a_id", "b_id", F.lit(1).alias("_b")
     )
-    exact = simhash_exact_pairs(sh, max_hamming=7).select(
+    exact = simhash_exact_pairs(sh, max_hamming=SIMHASH_GEOMETRY["max_hamming"]).select(
         "a_id", "b_id", F.lit(1).alias("_x")
     )
     merged = exact.join(banded, on=["a_id", "b_id"], how="full_outer")

@@ -115,6 +115,23 @@ def test_simhash_recall_guarantee(docs):
     assert banded == expected
 
 
+def test_simhash_multiprobe_recall_guarantee(docs):
+    # 1-bit multiprobe pigeonhole: hamming <= 2*n_chunks-1 MUST be found.
+    # 4x16-bit probe-1 is the SHIPPED geometry (queries/dedup.py).
+    all_pairs = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(docs, max_hamming=64, ngram=1, n_chunks=64).collect()
+    }
+    probed = {
+        (r.a_id, r.b_id): r.hamming
+        for r in simhash_pairs(
+            docs, max_hamming=7, ngram=1, n_chunks=4, probe=1
+        ).collect()
+    }
+    expected = {p: h for p, h in all_pairs.items() if h <= 7}
+    assert probed == expected
+
+
 def test_lsh_pairs_unique(docs):
     out = minhash_lsh_pairs(docs, threshold=0.1, ngram=2).collect()
     keys = [(r.a_id, r.b_id) for r in out]

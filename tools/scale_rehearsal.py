@@ -182,7 +182,14 @@ def suite(spark, docs, emb):
             "minhash_lsh_0.5",
             lambda: minhash_lsh_pairs(docs, threshold=0.5, ngram=2).count(),
         ),
-        ("simhash_h12", lambda: simhash_pairs(docs, max_hamming=12, ngram=2).count()),
+        (
+            # the SHIPPED geometry (queries/dedup.py::SIMHASH_GEOMETRY):
+            # h≤7 via 4×16-bit chunks + 1-bit multiprobe
+            "simhash_h7_probe",
+            lambda: simhash_pairs(
+                docs, max_hamming=7, n_chunks=4, probe=1, ngram=2
+            ).count(),
+        ),
         (
             "emb_neardup_0.9",
             # auto planes/tables — the shape the registered query now runs
