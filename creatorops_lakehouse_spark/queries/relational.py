@@ -666,7 +666,7 @@ def tpch_q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT {exact_avg_sql(
         "CAST(SUM(CASE WHEN p.p_type = 'PROMO' THEN "
         + _SQL_REVENUE_L + " ELSE CAST(0 AS DECIMAL(18,4)) END) * 1000000 AS BIGINT)",
-        _SQL_REV_UNITS_L.replace(" * 10000 AS BIGINT)", " * 100 AS BIGINT)"),
+        _SQL_REV_UNITS_L,
         4,
     )} AS promo_share_pct
     FROM lineitem l
@@ -679,9 +679,10 @@ def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape (promotion revenue share for one ship month):
     conditional aggregate over a fact⋈dim join — part broadcasts, the
     shipdate range prunes lineitem at the scan, and the percentage is
-    computed in exact scaled-integer arithmetic (promo revenue ×10^6 over
-    total revenue ×10^2 → 4-decimal percentage, identical in both
-    engines — the exact_avg pattern for ratios of money sums)."""
+    computed in exact scaled-integer arithmetic: promo revenue ×10^6 over
+    total revenue ×10^4 (both exact integers for scale-4 decimals), so
+    num/den = 100·promo/total — a TRUE 4-decimal percentage, identical in
+    both engines (the exact_avg pattern for ratios of money sums)."""
     li = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
@@ -693,7 +694,7 @@ def tpch_q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     agg = joined.agg(
         (F.sum(promo) * 1_000_000).cast("long").alias("_promo_units"),
-        (F.sum(_dec_revenue()) * 100).cast("long").alias("_total_units"),
+        (F.sum(_dec_revenue()) * 10_000).cast("long").alias("_total_units"),
     )
     return agg.select(
         exact_avg_expr("_promo_units", "_total_units", 4).alias("promo_share_pct")

@@ -31,9 +31,12 @@ def _default_driver_memory() -> str:
     +0.4-0.6s GC drift across UNRELATED queries once two shingle tables
     stayed persisted; a quarter of the dev box (32g of 128 GiB) clears it.
     Sizing from DETECTED ram instead of hardcoding 32g keeps smaller hosts
-    from overcommitting the JVM heap and getting OOM-killed mid-run; 8g
-    floor when detection fails. On a real cluster this maps to executor
-    memory sizing, where the same caches are spread over the fleet.
+    from overcommitting the JVM heap and getting OOM-killed mid-run. The
+    8g default applies only when detection FAILS; on a successfully
+    detected small host the heap is capped at total−2 GiB (min 1g) so the
+    JVM never overcommits physical RAM — the exact failure the detection
+    exists to prevent. On a real cluster this maps to executor memory
+    sizing, where the same caches are spread over the fleet.
     """
     env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
     if env:
@@ -43,7 +46,10 @@ def _default_driver_memory() -> str:
             for line in fh:
                 if line.startswith("MemTotal:"):
                     total_gib = int(line.split()[1]) // (1024 * 1024)
-                    return f"{min(32, max(8, total_gib // 4))}g"
+                    gib = min(32, max(8, total_gib // 4))
+                    # never exceed detected RAM minus headroom for
+                    # Python/OS (the small-host overcommit case)
+                    return f"{max(1, min(gib, total_gib - 2))}g"
     except OSError:
         pass
     return "8g"

@@ -227,6 +227,25 @@ def test_connected_components_clique_and_empty(spark):
     assert connected_components(empty).count() == 0
 
 
+def test_connected_components_string_ids(spark):
+    """String ids take the non-numeric paths end-to-end: lexicographic
+    min-label, the changed-count convergence join (no monotone label sum),
+    and the id_type-preserving schema — through BOTH the local union-find
+    fast path and the distributed rounds, including a chain deep enough to
+    enter the pointer-doubling branch (double_from=3)."""
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    # chain b-c-d-e-f-g (diameter 5 → doubling rounds engage) + pair {x, y}
+    chain = list(zip("bcdef", "cdefg")) + [("y", "x")]
+    pairs = spark.createDataFrame(chain, ["a_id", "b_id"])
+    expected = {n: "b" for n in "bcdefg"} | {"x": "x", "y": "x"}
+    for thr in (100_000, 0):
+        out = connected_components(pairs, local_threshold=thr)
+        assert dict(out.dtypes) == {"node": "string", "cluster_id": "string"}
+        got = {r.node: r.cluster_id for r in out.collect()}
+        assert got == expected
+
+
 def test_incremental_minhash_index_equals_full_recompute(spark, tmp_path):
     from creatorops_lakehouse_spark.operators.dedup import (
         build_minhash_index,
