@@ -1,0 +1,92 @@
+"""Sequential-pattern (funnel) operator: n-stage ordered-event matching.
+
+Generalizes the MATCH_RECOGNIZE-style funnel (reference scope: the
+lakehouse's engagement KPI tier, /root/reference/pipelines/gold — its
+retention/bottleneck jobs chain per-user event milestones; this operator
+promotes that fixed shape to arbitrary stage chains) to any list of stage
+predicates with first-match semantics:
+
+    t_0 = the user's first event matching stages[0]
+    t_i = the user's first event matching stages[i] STRICTLY AFTER t_{i-1}
+
+Scale design (100 TB events):
+- Each stage is one filter → semi-join on the user key → min-aggregate:
+  the time predicate is applied JOIN-SIDE, so only qualifying events reach
+  the aggregation, and partial (map-side) min means the shuffle carries
+  one (user, ts) pair per user per stage, never raw events.
+- Stage tables are scoped-persisted: each feeds both the next stage and
+  its own count, so without the persist every stage-k count would replay
+  the whole k-stage chain (quadratic re-scan in the stage count).
+- Counts assemble in ONE plan via cross-joined one-row aggregates — no
+  driver-side counting loop, a single job at action time.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+
+def funnel_stage_times(
+    events: DataFrame,
+    stages: Sequence[Column],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> list[DataFrame]:
+    """Per-stage first-match tables: element i is (user_col, t_i) for the
+    users that completed stages 0..i in order. ``stages`` are boolean
+    Columns over ``events``'s columns (e.g. ``F.col("event_type") ==
+    "view"``). Every returned DataFrame is scoped-persisted; the caller
+    owns the lifetime (counting them all in one plan releases correctly
+    via the registry hook)."""
+    if not stages:
+        raise ValueError("funnel needs at least one stage predicate")
+    out: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for i, pred in enumerate(stages):
+        matched = events.filter(pred)
+        if prev is not None:
+            matched = (
+                matched.join(prev, user_col)
+                .filter(F.col(ts_col) > F.col(f"t_{i - 1}"))
+            )
+        stage = scoped_persist(
+            matched.groupBy(user_col).agg(F.min(ts_col).alias(f"t_{i}"))
+        )
+        out.append(stage)
+        prev = stage
+    return out
+
+
+def funnel(
+    events: DataFrame,
+    stages: Sequence[tuple[str, Column]],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """One-row funnel summary over named stage predicates:
+
+    (n_users, n_<stage0>, ..., n_<stageK>, conversion_bp) where
+    n_<stage_i> counts users whose stages 0..i all matched in order and
+    conversion_bp = 10000 · n_last // max(n_first, 1) — exact integer
+    basis points, engine-portable."""
+    names = [n for n, _ in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate stage names: {names}")
+    tables = funnel_stage_times(events, [p for _, p in stages], user_col, ts_col)
+    plan = events.agg(F.count_distinct(user_col).cast("long").alias("n_users"))
+    for name, tbl in zip(names, tables):
+        plan = plan.crossJoin(
+            tbl.agg(F.count(F.lit(1)).cast("long").alias(f"n_{name}"))
+        )
+    return plan.select(
+        "n_users",
+        *[f"n_{n}" for n in names],
+        F.expr(f"(10000 * n_{names[-1]}) div greatest(n_{names[0]}, 1)").alias(
+            "conversion_bp"
+        ),
+    )

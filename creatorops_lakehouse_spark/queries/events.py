@@ -537,52 +537,70 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequential-pattern funnel (view → later click → later purchase,
     first-match semantics): t_view = the user's first view; t_click = the
     first click strictly after it; t_purchase = the first purchase
-    strictly after that. The MATCH_RECOGNIZE-style ordered-event funnel
-    expressed as two semi-join + min-aggregate stages — each stage
-    shuffles once on user_id with the time predicate applied join-side,
-    so only qualifying events aggregate. The funnel stages are
-    scoped-persisted (each feeds both the next stage and its own count)
-    and all four counts assemble in ONE plan via cross-joined one-row
-    aggregates — no driver-side counting loop. Conversion emitted in
-    exact basis points."""
-    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    strictly after that. Runs on the general n-stage funnel operator
+    (operators/sequence.py): each stage is one semi-join + min-aggregate
+    shuffling once on user_id with the time predicate applied join-side,
+    stages scoped-persisted, all counts assembled in ONE plan via
+    cross-joined one-row aggregates. Conversion in exact basis points."""
+    from creatorops_lakehouse_spark.operators.sequence import funnel
 
     ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
-    tv = scoped_persist(
-        ev.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_v"))
+    return funnel(
+        ev,
+        [
+            ("viewed", F.col("event_type") == "view"),
+            ("clicked_after_view", F.col("event_type") == "click"),
+            ("purchased_after_click", F.col("event_type") == "purchase"),
+        ],
     )
-    tc = scoped_persist(
-        ev.filter(F.col("event_type") == "click")
-        .join(tv, "user_id")
-        .filter(F.col("ts") > F.col("t_v"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_c"))
+
+
+@query(
+    "events_funnel_4stage",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS t_0 FROM events
+        WHERE event_type = 'signup' GROUP BY 1
+    ),
+    t1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_1
+        FROM events e JOIN t0 ON e.user_id = t0.user_id AND e.ts > t0.t_0
+        WHERE e.event_type = 'view' GROUP BY 1
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t_1
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    t3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_3
+        FROM events e JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t_2
+        WHERE e.event_type = 'purchase' GROUP BY 1
     )
-    tp = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(tc, "user_id")
-        .filter(F.col("ts") > F.col("t_c"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t_p"))
-    )
-    a = ev.agg(F.count_distinct("user_id").cast("long").alias("n_users"))
-    b = tv.agg(F.count(F.lit(1)).cast("long").alias("n_viewed"))
-    c = tc.agg(F.count(F.lit(1)).cast("long").alias("n_clicked_after_view"))
-    d = tp.agg(F.count(F.lit(1)).cast("long").alias("n_purchased_after_click"))
-    return (
-        a.crossJoin(b)
-        .crossJoin(c)
-        .crossJoin(d)
-        .select(
-            "n_users",
-            "n_viewed",
-            "n_clicked_after_view",
-            "n_purchased_after_click",
-            F.expr(
-                "(10000 * n_purchased_after_click)"
-                " div greatest(n_viewed, 1)"
-            ).alias("conversion_bp"),
-        )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM t0) AS n_signed_up,
+           (SELECT COUNT(*) FROM t1) AS n_viewed_after_signup,
+           (SELECT COUNT(*) FROM t2) AS n_clicked_after_view,
+           (SELECT COUNT(*) FROM t3) AS n_purchased_after_click,
+           (10000 * (SELECT COUNT(*) FROM t3))
+               // GREATEST((SELECT COUNT(*) FROM t0), 1) AS conversion_bp
+    """,
+)
+def events_funnel_4stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-stage ordered funnel (signup → view → click → purchase, each
+    strictly after the previous stage's first match) on the SAME n-stage
+    operator as events_funnel_conversion — the oracle recomputes the chain
+    as nested min-join CTEs, pinning the operator's first-match semantics
+    at a depth the fixed 3-stage query never exercises."""
+    from creatorops_lakehouse_spark.operators.sequence import funnel
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel(
+        ev,
+        [
+            ("signed_up", F.col("event_type") == "signup"),
+            ("viewed_after_signup", F.col("event_type") == "view"),
+            ("clicked_after_view", F.col("event_type") == "click"),
+            ("purchased_after_click", F.col("event_type") == "purchase"),
+        ],
     )

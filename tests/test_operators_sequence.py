@@ -1,0 +1,68 @@
+"""n-stage funnel operator semantics (operators/sequence.py).
+
+First-match ordering is the part a naive per-type MIN gets wrong: a user
+who clicks BEFORE their first view must not count as clicked_after_view
+even though they have both event types. These fixtures pin that, the
+strictly-after boundary, stage dropout, and the input validation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from creatorops_lakehouse_spark.operators.sequence import funnel, funnel_stage_times
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # u1 completes view(1) -> click(2) -> purchase(3)
+        (1, "view", _ts(1)), (1, "click", _ts(2)), (1, "purchase", _ts(3)),
+        # u2 clicks BEFORE first view: has all types but breaks the order
+        (2, "click", _ts(1)), (2, "view", _ts(2)), (2, "purchase", _ts(3)),
+        # u3 view only
+        (3, "view", _ts(1)),
+        # u4 click at the SAME ts as first view: strictly-after excludes it,
+        # the later click qualifies
+        (4, "view", _ts(1)), (4, "click", _ts(1)), (4, "click", _ts(5)),
+        # u5 never views
+        (5, "purchase", _ts(1)),
+    ]
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+
+
+def _stages():
+    # built lazily: Column construction needs an active SparkContext
+    return [
+        ("viewed", F.col("event_type") == "view"),
+        ("clicked", F.col("event_type") == "click"),
+        ("purchased", F.col("event_type") == "purchase"),
+    ]
+
+
+def test_funnel_first_match_ordering(events):
+    row = funnel(events, _stages()).collect()[0]
+    assert row.n_users == 5
+    assert row.n_viewed == 4          # u1 u2 u3 u4
+    assert row.n_clicked == 2         # u1; u4 via the LATER click only
+    assert row.n_purchased == 1       # u1 (u2's purchase follows no ordered click)
+    assert row.conversion_bp == 2500  # 10000 * 1 // 4
+
+
+def test_funnel_stage_times_strictly_after(events):
+    stages = funnel_stage_times(events, [p for _, p in _stages()])
+    clicked = {r.user_id: r.t_1 for r in stages[1].collect()}
+    assert clicked == {1: _ts(2), 4: _ts(5)}  # u4's ts(1) click excluded
+
+
+def test_funnel_validation(events):
+    with pytest.raises(ValueError, match="at least one stage"):
+        funnel_stage_times(events, [])
+    with pytest.raises(ValueError, match="duplicate stage names"):
+        funnel(events, [("a", F.lit(True)), ("a", F.lit(True))])
