@@ -426,3 +426,122 @@ def docs_simhash_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_n_missed") == 0).alias("recall_complete"),
         (F.col("_n_fp") == 0).alias("no_false_positives"),
     )
+
+
+@query(
+    "docs_streaming_admission_verdict",
+    oracle="""
+    SELECT TRUE AS stream_matches_sequential,
+           TRUE AS no_residual_pairs,
+           TRUE AS replay_idempotent
+    """,
+)
+def docs_streaming_admission_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable batch-replay contract for the STREAMING near-dup
+    admission path (streaming/dedup.py): split the corpus into 2
+    micro-batches and pin three facts, each a hash-checked boolean —
+
+    1. stream_matches_sequential: running the REAL Structured Streaming
+       machinery (readStream json → maxFilesPerTrigger=1 → foreachBatch →
+       checkpoint, one micro-batch per staged file in mtime order) admits
+       EXACTLY the docs that calling the foreachBatch body (admit_batch)
+       sequentially admits — the streaming plumbing adds/loses nothing
+       over batch semantics.
+    2. no_residual_pairs: the admitted corpus contains ZERO verified
+       near-dup pairs at the admission threshold — the global invariant
+       the greedy loop exists to establish (band buckets are deterministic
+       per doc, so any colliding admitted pair would have been found when
+       its later member was probed).
+    3. replay_idempotent: re-running a NON-FINAL batch (foreachBatch is
+       at-least-once) after later batches have landed leaves the admitted
+       table bit-identical — the p_batch dynamic-overwrite discipline.
+
+    The JSON staging collects the sf0.01 corpus to the driver — bounded
+    harness plumbing to CREATE a stream source, not an operator pattern;
+    all three comparisons run in-engine. Two batches, not more: each
+    admit_batch/micro-batch costs ~10 s of fixed multi-stage latency at
+    harness scale regardless of rows, and every contract above needs only
+    batch count ≥ 2 (cross-batch probe, non-final replay, multi-file
+    stream).
+    """
+    import json
+    import os
+    import tempfile
+    import time as _time
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.dedup import minhash_lsh_pairs
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+    from creatorops_lakehouse_spark.streaming.dedup import (
+        accepted_corpus,
+        admit_batch,
+        dedup_ingest_stream,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    rows = docs.collect()
+    batches: list[list] = [[], []]
+    for r in rows:
+        batches[r.doc_id % 2].append((r.doc_id, r.text))
+
+    root = tempfile.mkdtemp(prefix="stream_admission_")
+
+    def specs(tag: str):
+        return (
+            TableSpec(f"sd_{tag}.bands", f"{root}/{tag}/bands", partition_by=("p_batch",)),
+            TableSpec(f"sd_{tag}.sets", f"{root}/{tag}/sets", partition_by=("p_batch",)),
+            TableSpec(
+                f"sd_{tag}.accepted", f"{root}/{tag}/accepted", partition_by=("p_batch",)
+            ),
+        )
+
+    schema = "doc_id long, text string"
+
+    # --- sequential path: the foreachBatch body called directly, in order
+    sb, ss, sa = specs("seq")
+    for i, batch in enumerate(batches):
+        admit_batch(spark, spark.createDataFrame(batch, schema), i, sb, ss, sa)
+    seq_ids = scoped_persist(accepted_corpus(spark, sa).select("doc_id"))
+    seq_ids.count()  # materialize BEFORE the replay mutates the tables
+    # replay a NON-FINAL batch (at-least-once delivery) — state must not move
+    admit_batch(spark, spark.createDataFrame(batches[0], schema), 0, sb, ss, sa)
+    replay_ids = accepted_corpus(spark, sa).select("doc_id")
+
+    # --- streaming path: real readStream/foreachBatch/checkpoint, one
+    # micro-batch per file (mtime-ordered to match the sequential order)
+    tb, ts, ta = specs("stream")
+    src = f"{root}/src"
+    os.makedirs(src)
+    t0 = _time.time() - 1000
+    for i, batch in enumerate(batches):
+        p = f"{src}/b{i}.json"
+        with open(p, "w") as fh:
+            for doc_id, text in batch:
+                fh.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        os.utime(p, (t0 + i * 10, t0 + i * 10))
+    q = dedup_ingest_stream(
+        spark, src, schema, tb, ts, ta,
+        checkpoint_dir=f"{root}/ckpt", max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    stream_admitted = scoped_persist(accepted_corpus(spark, ta))
+    stream_ids = stream_admitted.select("doc_id")
+
+    n_stream_diff = (
+        seq_ids.withColumn("_s", F.lit(1))
+        .join(stream_ids.withColumn("_t", F.lit(1)), "doc_id", "full_outer")
+        .filter(F.col("_s").isNull() | F.col("_t").isNull())
+        .count()
+    )
+    n_replay_diff = (
+        seq_ids.withColumn("_s", F.lit(1))
+        .join(replay_ids.withColumn("_r", F.lit(1)), "doc_id", "full_outer")
+        .filter(F.col("_s").isNull() | F.col("_r").isNull())
+        .count()
+    )
+    n_residual = minhash_lsh_pairs(stream_admitted, threshold=0.5).count()
+    return spark.createDataFrame(
+        [(n_stream_diff == 0, n_residual == 0, n_replay_diff == 0)],
+        "stream_matches_sequential boolean, no_residual_pairs boolean, "
+        "replay_idempotent boolean",
+    )

@@ -13,7 +13,12 @@ the observed scaling ratio per operator. Perturbation design:
 - embeddings: 10 copies with deterministic per-element hash noise in
   [−0.01, 0.01) — near-dup pairs stay within copies, bucket occupancy ×10.
 
-    python tools/scale_rehearsal.py [--skip-gen]
+    python tools/scale_rehearsal.py [--skip-gen] [--copies=N] [--only=substr]
+
+``--copies=100`` is the two-decades spot-check (VERDICT r4 next-round #6):
+same perturbation design, written to .scale100/, id offsets spaced so 100
+copies never collide. Synthesis is a crossJoin against spark.range(N) —
+one distributed plan regardless of N, not an N-way union.
 """
 
 from __future__ import annotations
@@ -25,68 +30,60 @@ import time
 import pyspark.sql.functions as F
 
 SF_DIR = "/root/testdata/sf0.1"
-SCALE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale")
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 COPIES = 10
 
 
-def synthesize(spark) -> None:
+def scale_dir(copies: int) -> str:
+    return os.path.join(_REPO, ".scale" if copies == 10 else f".scale{copies}")
+
+
+def synthesize(spark, copies: int = COPIES) -> None:
+    out = scale_dir(copies)
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
-    parts = []
-    for k in range(COPIES):
-        if k == 0:
-            parts.append(docs)
-            continue
-        toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
-
-        def perturb(kk):
-            return lambda t, i: F.when(
-                i % 4 == 0, F.concat(F.lit(f"v{kk}x"), i.cast("string"))
-            ).otherwise(t)
-
-        pert = F.transform(toks, perturb(k))
-        parts.append(
-            docs.select(
-                (F.col("doc_id") + F.lit(k * 1_000_000)).alias("doc_id"),
-                F.array_join(pert, " ").alias("text"),
-                "lang",
-                "source",
-                "n_chars",
-            )
-        )
-    scaled = parts[0]
-    for p in parts[1:]:
-        scaled = scaled.unionByName(p)
-    scaled.repartition(32).write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+    ks = spark.range(copies).select(F.col("id").alias("_k"))
+    toks = F.split(F.lower(F.col("text")), "[^a-z0-9]+")
+    # copy k replaces every 4th token with a copy-specific token (k=0 is
+    # the original corpus, byte-identical)
+    pert = F.transform(
+        toks,
+        lambda t, i: F.when(
+            i % 4 == 0,
+            F.concat(F.lit("v"), F.col("_k").cast("string"), F.lit("x"), i.cast("string")),
+        ).otherwise(t),
+    )
+    scaled = docs.crossJoin(ks).select(
+        (F.col("doc_id") + F.col("_k") * F.lit(1_000_000)).alias("doc_id"),
+        F.when(F.col("_k") == 0, F.col("text"))
+        .otherwise(F.array_join(pert, " "))
+        .alias("text"),
+        "lang",
+        "source",
+        "n_chars",
+    )
+    scaled.repartition(32).write.mode("overwrite").parquet(f"{out}/documents.parquet")
 
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    eparts = []
-    for k in range(COPIES):
-        if k == 0:
-            eparts.append(emb)
-            continue
-        def noise(kk):
-            return lambda x, i: (
-                x.cast("double")
-                + F.pmod(
-                    F.xxhash64(F.col("vec_id") * F.lit(997) + i * F.lit(13) + F.lit(kk)),
-                    F.lit(1000),
-                ).cast("double")
-                / F.lit(50_000.0)
-                - F.lit(0.01)
-            ).cast("float")
-
-        noisy = F.transform(F.col("embedding"), noise(k))
-        eparts.append(
-            emb.select(
-                (F.col("vec_id") + F.lit(k * 1_000_000)).alias("vec_id"),
-                noisy.alias("embedding"),
-                "label",
-            )
-        )
-    escaled = eparts[0]
-    for p in eparts[1:]:
-        escaled = escaled.unionByName(p)
-    escaled.repartition(8).write.mode("overwrite").parquet(f"{SCALE_DIR}/embeddings.parquet")
+    noisy = F.transform(
+        F.col("embedding"),
+        lambda x, i: (
+            x.cast("double")
+            + F.pmod(
+                F.xxhash64(
+                    F.col("vec_id") * F.lit(997) + i * F.lit(13) + F.col("_k")
+                ),
+                F.lit(1000),
+            ).cast("double")
+            / F.lit(50_000.0)
+            - F.lit(0.01)
+        ).cast("float"),
+    )
+    escaled = emb.crossJoin(ks).select(
+        (F.col("vec_id") + F.col("_k") * F.lit(1_000_000)).alias("vec_id"),
+        F.when(F.col("_k") == 0, F.col("embedding")).otherwise(noisy).alias("embedding"),
+        "label",
+    )
+    escaled.repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
 def suite(spark, docs, emb):
@@ -236,18 +233,24 @@ def _dsir(docs):
 
 
 def main() -> int:
-    sys.path.insert(0, os.path.dirname(SCALE_DIR))
+    sys.path.insert(0, _REPO)
     from creatorops_lakehouse_spark.session import build_spark
 
+    copies = COPIES
+    for a in sys.argv:
+        if a.startswith("--copies="):
+            copies = int(a.split("=", 1)[1])
+    sdir = scale_dir(copies)
+    xtag = f"{copies}x"
     spark = build_spark("scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
     if "--skip-gen" not in sys.argv:
         t0 = time.time()
-        synthesize(spark)
-        print(f"synthesized 10x corpus in {time.time() - t0:.0f}s -> {SCALE_DIR}")
+        synthesize(spark, copies)
+        print(f"synthesized {xtag} corpus in {time.time() - t0:.0f}s -> {sdir}")
 
     results: dict[str, dict[str, float]] = {}
-    for tag, ddir in (("sf0.1", SF_DIR), ("10x", SCALE_DIR)):
+    for tag, ddir in (("sf0.1", SF_DIR), (xtag, sdir)):
         docs = spark.read.parquet(f"{ddir}/documents.parquet")
         emb = spark.read.parquet(f"{ddir}/embeddings.parquet")
         only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
@@ -261,13 +264,13 @@ def main() -> int:
             results[name][tag + "_rows"] = n
             print(f"{tag:6} {name:28} rows={n:<8} {dt:6.1f}s", flush=True)
 
-    print("\n| operator | sf0.1 | 10x | ratio | rows sf0.1 | rows 10x |")
+    print(f"\n| operator | sf0.1 | {xtag} | ratio | rows sf0.1 | rows {xtag} |")
     print("|---|---|---|---|---|---|")
     for name, r in results.items():
-        ratio = r["10x"] / r["sf0.1"] if r["sf0.1"] > 0 else float("nan")
+        ratio = r[xtag] / r["sf0.1"] if r["sf0.1"] > 0 else float("nan")
         print(
-            f"| {name} | {r['sf0.1']:.1f}s | {r['10x']:.1f}s | {ratio:.1f}x "
-            f"| {int(r['sf0.1_rows'])} | {int(r['10x_rows'])} |"
+            f"| {name} | {r['sf0.1']:.1f}s | {r[xtag]:.1f}s | {ratio:.1f}x "
+            f"| {int(r['sf0.1_rows'])} | {int(r[xtag + '_rows'])} |"
         )
     return 0
 
