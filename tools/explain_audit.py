@@ -73,6 +73,7 @@ def main() -> int:
         scalar_bnlj_ok = name in (
             "docs_token_rarity_by_source",
             "events_funnel_conversion",
+            "events_funnel_4stage",
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
