@@ -36,15 +36,28 @@ def funnel_stage_times(
     stages: Sequence[Column],
     user_col: str = "user_id",
     ts_col: str = "ts",
+    within: Sequence[float | None] | None = None,
 ) -> list[DataFrame]:
     """Per-stage first-match tables: element i is (user_col, t_i) for the
     users that completed stages 0..i in order. ``stages`` are boolean
     Columns over ``events``'s columns (e.g. ``F.col("event_type") ==
     "view"``). Every returned DataFrame is scoped-persisted; the caller
     owns the lifetime (counting them all in one plan releases correctly
-    via the registry hook)."""
+    via the registry hook).
+
+    ``within`` (optional, length len(stages) − 1): per-gap deadline in
+    whole seconds — stage i must occur within ``within[i-1]`` seconds of
+    t_{i-1} (conversion-window funnels: "click within 30 minutes of the
+    first view"). None entries leave that gap unbounded. The deadline is
+    INTERVAL arithmetic on both engines — no epoch-double casts, so
+    timestamp comparison parity is exact."""
     if not stages:
         raise ValueError("funnel needs at least one stage predicate")
+    if within is not None and len(within) != len(stages) - 1:
+        raise ValueError(
+            f"within must have {len(stages) - 1} entries (one per stage gap), "
+            f"got {len(within)}"
+        )
     out: list[DataFrame] = []
     prev: DataFrame | None = None
     for i, pred in enumerate(stages):
@@ -54,6 +67,14 @@ def funnel_stage_times(
                 matched.join(prev, user_col)
                 .filter(F.col(ts_col) > F.col(f"t_{i - 1}"))
             )
+            gap = within[i - 1] if within is not None else None
+            if gap is not None:
+                matched = matched.filter(
+                    F.col(ts_col)
+                    <= F.expr(
+                        f"t_{i - 1} + make_interval(0, 0, 0, 0, 0, 0, {int(gap)})"
+                    )
+                )
         stage = scoped_persist(
             matched.groupBy(user_col).agg(F.min(ts_col).alias(f"t_{i}"))
         )
@@ -67,17 +88,22 @@ def funnel(
     stages: Sequence[tuple[str, Column]],
     user_col: str = "user_id",
     ts_col: str = "ts",
+    within: Sequence[float | None] | None = None,
 ) -> DataFrame:
     """One-row funnel summary over named stage predicates:
 
     (n_users, n_<stage0>, ..., n_<stageK>, conversion_bp) where
-    n_<stage_i> counts users whose stages 0..i all matched in order and
-    conversion_bp = 10000 · n_last // max(n_first, 1) — exact integer
-    basis points, engine-portable."""
+    n_<stage_i> counts users whose stages 0..i all matched in order
+    (optionally each within ``within[i-1]`` seconds of the previous
+    stage — see :func:`funnel_stage_times`) and conversion_bp =
+    10000 · n_last // max(n_first, 1) — exact integer basis points,
+    engine-portable."""
     names = [n for n, _ in stages]
     if len(set(names)) != len(names):
         raise ValueError(f"duplicate stage names: {names}")
-    tables = funnel_stage_times(events, [p for _, p in stages], user_col, ts_col)
+    tables = funnel_stage_times(
+        events, [p for _, p in stages], user_col, ts_col, within
+    )
     plan = events.agg(F.count_distinct(user_col).cast("long").alias("n_users"))
     for name, tbl in zip(names, tables):
         plan = plan.crossJoin(

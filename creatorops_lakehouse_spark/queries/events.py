@@ -604,3 +604,51 @@ def events_funnel_4stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("purchased_after_click", F.col("event_type") == "purchase"),
         ],
     )
+
+
+@query(
+    "events_funnel_windowed",
+    oracle="""
+    WITH t0 AS (
+        SELECT user_id, MIN(ts) AS t_0 FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    t1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_1
+        FROM events e JOIN t0 ON e.user_id = t0.user_id
+            AND e.ts > t0.t_0 AND e.ts <= t0.t_0 + INTERVAL 1800 SECOND
+        WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    t2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t_2
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+            AND e.ts > t1.t_1 AND e.ts <= t1.t_1 + INTERVAL 86400 SECOND
+        WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT (SELECT COUNT(DISTINCT user_id) FROM events) AS n_users,
+           (SELECT COUNT(*) FROM t0) AS n_viewed,
+           (SELECT COUNT(*) FROM t1) AS n_clicked_30m,
+           (SELECT COUNT(*) FROM t2) AS n_purchased_24h,
+           (10000 * (SELECT COUNT(*) FROM t2))
+               // GREATEST((SELECT COUNT(*) FROM t0), 1) AS conversion_bp
+    """,
+)
+def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (view → click WITHIN 30 MINUTES → purchase
+    WITHIN 24 HOURS of that click): the ``within`` deadlines of the
+    n-stage funnel operator, INTERVAL arithmetic on both engines so the
+    boundary comparison (``<=`` at exactly t_prev + window) is
+    engine-exact. The unwindowed 4-stage query pins ordering; this one
+    pins the deadline filter's join-side placement."""
+    from creatorops_lakehouse_spark.operators.sequence import funnel
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel(
+        ev,
+        [
+            ("viewed", F.col("event_type") == "view"),
+            ("clicked_30m", F.col("event_type") == "click"),
+            ("purchased_24h", F.col("event_type") == "purchase"),
+        ],
+        within=[1800, 86400],
+    )

@@ -61,8 +61,20 @@ def test_funnel_stage_times_strictly_after(events):
     assert clicked == {1: _ts(2), 4: _ts(5)}  # u4's ts(1) click excluded
 
 
+def test_funnel_within_windows(events):
+    # u1 clicks 1 min after view, u4 clicks 4 min after first view (ts 1->5).
+    # A 60-second window admits u1's click exactly AT the boundary (<=)
+    # and excludes u4's.
+    row = funnel(events, _stages(), within=[60, None]).collect()[0]
+    assert row.n_viewed == 4
+    assert row.n_clicked == 1      # u1 at exactly +60s; u4's +240s is out
+    assert row.n_purchased == 1    # u1's purchase (gap unbounded)
+
+
 def test_funnel_validation(events):
     with pytest.raises(ValueError, match="at least one stage"):
         funnel_stage_times(events, [])
     with pytest.raises(ValueError, match="duplicate stage names"):
         funnel(events, [("a", F.lit(True)), ("a", F.lit(True))])
+    with pytest.raises(ValueError, match="within must have"):
+        funnel_stage_times(events, [p for _, p in _stages()], within=[60])

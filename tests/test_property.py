@@ -183,3 +183,39 @@ def test_strip_duplicate_spans_matches_reference(spark, texts, window):
         for r in strip_duplicate_spans(df, window=window).collect()
     }
     assert got == _ref_strip(rows, window)
+
+
+# ---- simhash multiprobe banding ---------------------------------------
+
+
+@SETTINGS
+@given(
+    sigs=st.lists(
+        st.integers(-(1 << 63), (1 << 63) - 1), min_size=2, max_size=10, unique=True
+    ),
+    geometry=st.sampled_from([(4, 1), (8, 1), (8, 0), (16, 1)]),
+)
+def test_simhash_banded_matches_exhaustive_within_guarantee(spark, sigs, geometry):
+    """For ANY 64-bit signature multiset, banded candidates (exact or
+    1-bit multiprobe) must reproduce the exhaustive hamming join exactly
+    at max_hamming = n_chunks*(probe+1) - 1 — the pigeonhole guarantee at
+    the bit level, independent of the shingle pipeline."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        simhash_banded_pairs,
+        simhash_exact_pairs,
+    )
+
+    n_chunks, probe = geometry
+    h = n_chunks * (probe + 1) - 1
+    sh = spark.createDataFrame(
+        list(enumerate(sigs)), "doc_id long, simhash long"
+    )
+    banded = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_banded_pairs(sh, h, n_chunks, probe).collect()
+    }
+    exact = {
+        (r.a_id, r.b_id, r.hamming)
+        for r in simhash_exact_pairs(sh, h).collect()
+    }
+    assert banded == exact
