@@ -74,6 +74,7 @@ def main() -> int:
             "docs_token_rarity_by_source",
             "events_funnel_conversion",
             "events_funnel_4stage",
+            "events_funnel_windowed",
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
