@@ -156,6 +156,7 @@ def _ensure_imported() -> None:
         relational,
         similarity,
         text,
+        tpch_extra,
     )
 
 

@@ -1,0 +1,741 @@
+"""Extended TPC-H shape coverage over the reduced driver schema.
+
+The driver tables carry a trimmed TPC-H column set (no ``partsupp`` table,
+no ``l_shipmode``/``l_commitdate``/``l_receiptdate``/``c_phone``), so the
+queries here implement each remaining TPC-H query's *shape* — its join
+topology, subquery class, and aggregation pattern — adapted to the columns
+that exist. Adaptations are documented per query. Together with
+``relational.py``/``advanced.py`` (Q1, Q3-Q7, Q10, Q13, Q14, Q16-Q18) this
+covers all 22 TPC-H query shapes.
+
+Oracle-parity rule (same as relational.py): money aggregates go through
+exact DECIMAL arithmetic materialized as scaled BIGINTs; ratio/threshold
+comparisons are done in integer arithmetic (cross-multiplication, never
+float division) so both engines branch identically; every LIMIT carries a
+full deterministic ORDER BY.
+
+Scale notes: every dimension join (part, supplier, nation, region,
+customer at these SFs) is an explicit ``F.broadcast`` — the fact table
+never shuffles for them. The only wide shuffles are lineitem⋈orders on
+orderkey and the per-key aggregations, both AQE-managed. Scalar "compare
+against a global aggregate" steps use a one-row broadcast cross join (the
+sanctioned scalar BNLJ — the same plan Catalyst builds for an
+uncorrelated scalar subquery), never a driver-side collect.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from creatorops_lakehouse_spark.queries import (
+    exact_avg_expr,
+    exact_avg_sql,
+    load,
+    query,
+)
+
+_MONEY = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+
+
+def _dec_revenue() -> F.Column:
+    """Exact-decimal l_extendedprice * (1 - l_discount), scale 4."""
+    return F.col("l_extendedprice").cast(_MONEY) * (
+        F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast(_RATE)
+    )
+
+
+_SQL_REVENUE = (
+    "CAST(l_extendedprice AS DECIMAL(12,2))"
+    " * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))"
+)
+
+
+def _rev_units() -> F.Column:
+    """Scaled-integer (x10^4) revenue sum as BIGINT — exact on both engines."""
+    return (F.sum(_dec_revenue()) * 10000).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated-min over a region-restricted supplier/part graph.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q2_cheapest_supplier",
+    oracle="""
+    WITH region_lines AS (
+        SELECT l.l_partkey, s.s_suppkey, s.s_name, s.s_acctbal, n.n_name,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS price_cents
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        WHERE r.r_name = 'EUROPE' AND p.p_size = 15 AND p.p_type = 'STANDARD'
+    )
+    SELECT DISTINCT rl.s_acctbal AS acctbal, rl.s_name AS supplier_name,
+           rl.n_name AS nation, rl.l_partkey AS part_key,
+           CAST(rl.price_cents AS DOUBLE) / 100 AS min_price
+    FROM region_lines rl
+    WHERE rl.price_cents = (
+        SELECT MIN(rl2.price_cents) FROM region_lines rl2
+        WHERE rl2.l_partkey = rl.l_partkey
+    )
+    ORDER BY acctbal DESC, nation, supplier_name, part_key
+    LIMIT 20
+    """,
+)
+def tpch_q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted): cheapest supplier per part in a region.
+
+    The reference schema has no ``partsupp``/``ps_supplycost``; the
+    supplier↔part relationship and its cost are taken from observed
+    lineitems (min extendedprice in cents — integer-exact, no float-tie
+    risk). Shape preserved: region-restricted 5-way join + correlated MIN
+    subquery + deterministic top-k.
+
+    Plan: dims broadcast; one shuffle to aggregate min-per-part; the
+    min-table (≤ |part| rows) broadcasts back onto the line set, so the
+    correlated subquery costs one small broadcast, not a second fact
+    shuffle.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    lines = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "l_partkey",
+            "s_name",
+            "s_acctbal",
+            "n_name",
+            (F.col("l_extendedprice").cast(_MONEY) * 100)
+            .cast("long")
+            .alias("price_cents"),
+        )
+    )
+    mins = lines.groupBy(F.col("l_partkey").alias("min_partkey")).agg(
+        F.min("price_cents").alias("min_cents")
+    )
+    return (
+        lines.join(
+            F.broadcast(mins),
+            (F.col("l_partkey") == F.col("min_partkey"))
+            & (F.col("price_cents") == F.col("min_cents")),
+        )
+        .select(
+            F.col("s_acctbal").alias("acctbal"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+            F.col("l_partkey").alias("part_key"),
+            (F.col("price_cents").cast("double") / 100).alias("min_price"),
+        )
+        .distinct()
+        .orderBy(
+            F.desc("acctbal"), F.asc("nation"), F.asc("supplier_name"), F.asc("part_key")
+        )
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape: national market share (two nation roles, conditional ratio).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH slice AS (
+        SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST({_SQL_REVENUE.replace("l_", "l.l_")} * 10000 AS BIGINT)
+                   AS rev_units,
+               ns.n_name AS supp_nation
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON p.p_partkey = l.l_partkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+        JOIN region rc ON rc.r_regionkey = nc.n_regionkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+        WHERE rc.r_name = 'ASIA' AND p.p_type = 'ECONOMY'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_year,
+           {exact_avg_sql(
+               "SUM(CASE WHEN supp_nation = 'NATION_5' THEN rev_units ELSE 0 END)",
+               "SUM(rev_units)",
+               6,
+           )} AS mkt_share
+    FROM slice
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: 8-way join with nation in two roles (customer's
+    region filters; supplier's nation is measured), conditional-sum market
+    share per order year.
+
+    The share is an exact integer rounded division of scaled revenue units
+    (scale 6) — float division would round differently per engine.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    c = load(spark, sf_dir, "customer")
+    nc = load(spark, sf_dir, "nation").alias("nc")
+    ns = load(spark, sf_dir, "nation").alias("ns")
+    rc = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = load(spark, sf_dir, "supplier")
+    slice_df = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc.n_nationkey"))
+        .join(F.broadcast(rc), F.col("nc.n_regionkey") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns.n_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("long").alias("o_year"),
+            (_dec_revenue() * 10000).cast("long").alias("rev_units"),
+            F.col("ns.n_name").alias("supp_nation"),
+        )
+    )
+    return (
+        slice_df.groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("rev_units")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_nation_units"),
+            F.sum("rev_units").alias("_total_units"),
+        )
+        .select(
+            "o_year",
+            exact_avg_expr("_nation_units", "_total_units", 6).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: profit by nation and year over a name-filtered part set.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q9_profit_by_nation_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(CAST(SUM(
+               CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2)))
+               - CAST(p.p_retailprice AS DECIMAL(12,2))
+                 * CAST(l.l_quantity AS DECIMAL(12,2))
+                 * CAST(0.10 AS DECIMAL(3,2))
+           ) * 1000000 AS BIGINT) AS DOUBLE) / 1000000 AS sum_profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%gizmo%'
+    GROUP BY n.n_name, CAST(year(o.o_orderdate) AS BIGINT)
+    ORDER BY nation, o_year DESC
+    """,
+)
+def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted): profit per supplier-nation per year for
+    parts whose name matches a token.
+
+    The schema has no ``ps_supplycost``; cost is modeled as a 10% handling
+    charge on retail price x quantity — preserving Q9's profit expression
+    shape (revenue minus a part-dependent cost) in exact decimal
+    arithmetic (micros BIGINT).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gizmo%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    o = load(spark, sf_dir, "orders")
+    profit = _dec_revenue() - (
+        F.col("p_retailprice").cast(_MONEY)
+        * F.col("l_quantity").cast(_MONEY)
+        * F.lit(0.10).cast("decimal(3,2)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(profit) * 1000000).cast("long").alias("_micros"))
+        .select(
+            "nation",
+            "o_year",
+            (F.col("_micros").cast("double") / 1000000).alias("sum_profit"),
+        )
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: groups exceeding a share of a global aggregate (HAVING vs
+# uncorrelated scalar subquery).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q11_important_parts",
+    oracle="""
+    WITH slice AS (
+        SELECT l.l_partkey,
+               CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+    )
+    SELECT l_partkey AS part_key,
+           CAST(SUM(cents) AS DOUBLE) / 100 AS part_value
+    FROM slice
+    GROUP BY l_partkey
+    HAVING SUM(cents) * 500 > (SELECT SUM(cents) FROM slice)
+    ORDER BY part_value DESC, part_key
+    """,
+)
+def tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted): parts whose supplied value within a
+    nation slice exceeds 0.2% of the slice total.
+
+    No ``partsupp`` — "value" is the extendedprice volume supplied by the
+    slice nations' suppliers. The threshold test is exact cross-multiplied
+    integer arithmetic (``part_cents * 500 > total_cents``), so both
+    engines make the identical keep/drop decision at the boundary. The
+    slice total rides a one-row broadcast cross join (the plan Catalyst
+    builds for the uncorrelated scalar subquery in the SQL form).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    slice_df = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            "l_partkey",
+            (F.col("l_extendedprice").cast(_MONEY) * 100).cast("long").alias("cents"),
+        )
+    )
+    per_part = slice_df.groupBy("l_partkey").agg(F.sum("cents").alias("part_cents"))
+    total = slice_df.agg(F.sum("cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_cents") * 500 > F.col("total_cents"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            (F.col("part_cents").cast("double") / 100).alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), F.asc("part_key"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: join + conditional two-way counts by a derived category.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q12_late_shipment_priority",
+    oracle="""
+    SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 120 DAY
+                THEN 'VERY_LATE' ELSE 'LATE' END AS lateness_band,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1
+    ORDER BY lateness_band
+    """,
+)
+def tpch_q12_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted): the schema has no ``l_shipmode`` /
+    ``l_commitdate`` / ``l_receiptdate``, so the grouping category is a
+    derived lateness band (ship lag vs order date) and "late" is ship >
+    order + 60 days — preserving Q12's join + CASE-bucketed dual
+    conditional counts. The lag predicate is computed pre-aggregation on
+    the joined rows (one lineitem⋈orders shuffle; AQE handles skew)."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        joined.groupBy(
+            F.when(
+                F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS"),
+                "VERY_LATE",
+            )
+            .otherwise("LATE")
+            .alias("lateness_band")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("lateness_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: argmax against an aggregated view (ties kept).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                    * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+                    * 10000 AS BIGINT) AS rev_units
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey AS supp_key, s.s_name AS supplier_name,
+           CAST(r.rev_units AS DOUBLE) / 10000 AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.rev_units = (SELECT MAX(rev_units) FROM revenue)
+    ORDER BY supp_key
+    """,
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue view + argmax with ties kept.
+
+    The max comparison happens on scaled-integer revenue units, so "equals
+    the maximum" is exact on both engines. The revenue view is tiny
+    (|supplier| rows) post-aggregation: the max rides a one-row broadcast
+    cross join and the supplier dim broadcasts — one fact-table shuffle
+    total.
+    """
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        _rev_units().alias("rev_units")
+    )
+    max_rev = revenue.agg(F.max("rev_units").alias("max_units"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("rev_units") == F.col("max_units"))
+        .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
+        .select(
+            F.col("s_suppkey").alias("supp_key"),
+            F.col("s_name").alias("supplier_name"),
+            (F.col("rev_units").cast("double") / 10000).alias("total_revenue"),
+        )
+        .orderBy("supp_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: three-branch disjunctive join predicate -> single scalar row.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q19_disjunctive_revenue",
+    oracle=f"""
+    SELECT CAST(CAST(SUM({_SQL_REVENUE.replace("l_", "l.l_")}) * 10000 AS BIGINT)
+                AS DOUBLE) / 10000 AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#15' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of three (brand, size-range, quantity-range)
+    conjunctions across the join — the disjunctive-predicate pushdown
+    test. Adapted to existing columns (no p_container/l_shipmode):
+    quantity bands play the container role.
+
+    The part-only disjunction (brand x size) is implied by the full
+    predicate, and Catalyst derives it for the broadcast build side; the
+    quantity conjuncts evaluate post-join. Single-row scalar output.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    branch = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    ) | (
+        (F.col("p_brand") == "Brand#15")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(branch)
+        .agg(
+            (F.sum(_dec_revenue()) * 10000).cast("long").alias("_units"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .select(
+            (F.col("_units").cast("double") / 10000).alias("revenue"),
+            "n_lineitems",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: semi-join against a grouped-volume subquery.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q20_volume_suppliers",
+    oracle="""
+    SELECT s.s_name AS supplier_name, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_4')
+      AND EXISTS (
+        SELECT 1
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE l.l_suppkey = s.s_suppkey AND p.p_name LIKE '%red%'
+        GROUP BY l.l_partkey
+        HAVING SUM(l.l_quantity) > 50
+      )
+    ORDER BY supplier_name
+    """,
+)
+def tpch_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers in a nation set who moved more
+    than a threshold quantity of any name-matched part.
+
+    No ``partsupp``: the original's "excess stock" availability test
+    becomes an observed-volume test over lineitem, keeping the nested
+    grouped-HAVING EXISTS shape. The inner aggregate groups by
+    (suppkey, partkey) — one fact shuffle — and collapses to a distinct
+    supplier list for a left-semi join against the broadcast supplier dim.
+    Quantity sums are integral doubles at driver data (cast long — exact).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_4")
+    )
+    qualifying = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").cast("long").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(qualifying, s.s_suppkey == qualifying.l_suppkey, "left_semi")
+        .select(
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation"),
+        )
+        .orderBy("supplier_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: multi-supplier orders where exactly one supplier shipped late.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    WITH flags AS (
+        SELECT l.l_orderkey, l.l_suppkey,
+               MAX(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+        GROUP BY l.l_orderkey, l.l_suppkey
+    ),
+    orders_agg AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supps,
+               SUM(is_late) AS n_late_supps
+        FROM flags
+        GROUP BY l_orderkey
+    )
+    SELECT s.s_name AS supplier_name,
+           COUNT(*) AS numwait
+    FROM flags f
+    JOIN orders_agg oa ON oa.l_orderkey = f.l_orderkey
+    JOIN supplier s ON s.s_suppkey = f.l_suppkey
+    WHERE f.is_late = 1 AND oa.n_supps > 1 AND oa.n_late_supps = 1
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, supplier_name
+    LIMIT 20
+    """,
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers who were the SOLE late shipper
+    on multi-supplier finalized orders; numwait counts such orders.
+
+    No ``l_receiptdate``/``l_commitdate`` — "late" is ship > order + 90
+    days. The original's EXISTS (another supplier on the order) + NOT
+    EXISTS (another LATE supplier) pair is algebraized into one per-order
+    aggregate (supplier count, late-supplier count) — same result set, and
+    the fact table shuffles once on orderkey instead of three times for
+    the two correlated probes. The oracle SQL uses the same algebraic
+    form, which DuckDB evaluates identically to the EXISTS formulation.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    flags = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(late, 1).otherwise(0)).alias("is_late"))
+    )
+    orders_agg = flags.groupBy(F.col("l_orderkey").alias("agg_orderkey")).agg(
+        F.count("*").alias("n_supps"),
+        F.sum("is_late").alias("n_late_supps"),
+    )
+    return (
+        flags.filter(F.col("is_late") == 1)
+        .join(
+            orders_agg,
+            (F.col("l_orderkey") == F.col("agg_orderkey"))
+            & (F.col("n_supps") > 1)
+            & (F.col("n_late_supps") == 1),
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("supplier_name"))
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("supplier_name"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: above-average balances among order-less customers.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+    WITH pool AS (
+        SELECT c_custkey, c_mktsegment,
+               CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents
+        FROM customer
+        WHERE c_mktsegment IN ('AUTOMOBILE', 'MACHINERY', 'FURNITURE')
+    ),
+    thresh AS (
+        SELECT SUM(bal_cents) AS sum_cents, COUNT(*) AS n
+        FROM pool WHERE bal_cents > 0
+    )
+    SELECT p.c_mktsegment AS mktsegment,
+           COUNT(*) AS numcust,
+           CAST(SUM(p.bal_cents) AS DOUBLE) / 100 AS totacctbal
+    FROM pool p, thresh t
+    WHERE p.bal_cents * t.n > t.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = p.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY p.c_mktsegment
+    ORDER BY mktsegment
+    """,
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted): customers in a segment set with
+    above-average positive balances and no orders at all.
+
+    No ``c_phone`` — market segment plays the country-prefix role. The
+    "above average" comparison is cross-multiplied integer cents
+    (``bal_cents * n > sum_cents``) so the threshold decision is exact on
+    both engines; "idle" means no orders since 1999 (every driver customer
+    has some order, so the original's no-orders-at-all test is vacuous
+    here) — a left-anti join against the date-filtered orders key set.
+    """
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("AUTOMOBILE", "MACHINERY", "FURNITURE")
+    )
+    pool = c.select(
+        "c_custkey",
+        "c_mktsegment",
+        (F.col("c_acctbal").cast(_MONEY) * 100).cast("long").alias("bal_cents"),
+    )
+    thresh = (
+        pool.filter(F.col("bal_cents") > 0)
+        .agg(F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("n"))
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        pool.crossJoin(F.broadcast(thresh))
+        .filter(F.col("bal_cents") * F.col("n") > F.col("sum_cents"))
+        .join(o, pool.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count("*").alias("numcust"),
+            (F.sum("bal_cents").cast("double") / 100).alias("totacctbal"),
+        )
+        .orderBy("mktsegment")
+    )
