@@ -822,3 +822,71 @@ def docs_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(10)
     )
+
+
+def _lang_oracle() -> str:
+    """Build the lang-id confusion oracle from LANG_PROFILES so the SQL
+    stopword lists can never drift from the operator's."""
+    from creatorops_lakehouse_spark.operators.text import LANG_PROFILES
+
+    score_cols = ",\n               ".join(
+        f"len(list_intersect(t, [{', '.join(repr(w) for w in words)}])) AS s_{lang}"
+        for lang, words in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)  # tie-break: first-listed wins
+    # first lang attaining the running strict max == iterative argmax chain
+    arms = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1 :]
+        if rest:
+            cond = " AND ".join(f"s_{lang} >= s_{r}" for r in rest)
+            arms.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            arms.append(f"ELSE '{lang}'")
+    all_scores = ", ".join(f"s_{lang}" for lang in langs)
+    return f"""
+    WITH toks AS (
+        SELECT lang AS labeled_lang,
+               list_distinct({_SQL_TOKENS}) AS t
+        FROM documents
+    ),
+    scores AS (
+        SELECT labeled_lang,
+               {score_cols}
+        FROM toks
+    )
+    SELECT labeled_lang,
+           CASE WHEN greatest({all_scores}) < 1 THEN 'und'
+                {' '.join(arms)}
+           END AS predicted_lang,
+           COUNT(*) AS n_docs
+    FROM scores
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+
+
+@query("docs_lang_id_confusion", oracle=_lang_oracle())
+def docs_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: labeled lang vs the stopword-profile
+    heuristic's prediction (operators/text.py::lang_id).
+
+    Pure Column expressions (array_intersect over the distinct token set) —
+    one codegen-fused projection pass, no shuffle beyond the tiny 
+    (labeled x predicted) aggregate. Documents in languages without a
+    profile (e.g. zh) predict 'und' — the confusion matrix shows exactly
+    where the heuristic's coverage ends, which is the honest statement of
+    a stopword lang-id at corpus scale.
+    """
+    from creatorops_lakehouse_spark.operators.text import lang_id
+
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled_lang"),
+            F.coalesce(lang_id(F.col("text")), F.lit("und")).alias("predicted_lang"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("labeled_lang", "predicted_lang")
+    )
