@@ -152,6 +152,7 @@ def _ensure_imported() -> None:
         dedup,
         events,
         functions,
+        graph,
         llmprep,
         relational,
         similarity,

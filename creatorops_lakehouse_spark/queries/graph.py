@@ -1,0 +1,95 @@
+"""Graph-analytics queries over the trade graph implied by the driver
+tables.
+
+The customer–supplier trade graph (an edge wherever a customer's order has
+a lineitem from a supplier) is the natural graph hiding in the TPC-H-ish
+schema. PageRank over its symmetrized form ranks the most central
+counterparties; because the operator runs fixed-iteration integer
+arithmetic (operators/pagerank.py), the full iterative computation is
+hash-checked against a DuckDB oracle that unrolls the identical steps —
+not just "close to" parity.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from creatorops_lakehouse_spark.operators.pagerank import (
+    pagerank,
+    pagerank_oracle_sql,
+)
+from creatorops_lakehouse_spark.queries import load, query
+
+# Distinct customer->supplier trade edges, symmetrized so every node has
+# out-edges (no dangling mass). Node ids: customer = 2k, supplier = 2k+1.
+_EDGES_SQL = """
+    SELECT src, dst FROM (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    UNION ALL
+    SELECT dst AS src, src AS dst FROM (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+"""
+
+_ITERS = 6
+
+
+@query(
+    "graph_pagerank_trade",
+    oracle=f"""
+    WITH pr AS ({pagerank_oracle_sql(_EDGES_SQL, iters=_ITERS)})
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS node_key,
+           rank_units
+    FROM pr
+    ORDER BY rank_units DESC, node_type, node_key
+    LIMIT 20
+    """,
+)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality of the symmetrized customer–supplier trade
+    graph: 6 integer-arithmetic power iterations, top-20 nodes.
+
+    The distinct-edge build shuffles the fact join once; each iteration
+    is one join + one aggregate over the persisted degree-annotated edge
+    list (lineage cut per step). Suppliers dominate the top ranks — there
+    are ~15x fewer of them, so the symmetrized random walk concentrates
+    there, which is the expected bipartite behavior."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # Persist the distinct directed edges BEFORE symmetrizing: the union
+    # reads them twice, and without the persist the join+distinct runs
+    # twice (measured 2x the edge-build cost at sf0.1).
+    directed = scoped_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Symmetrized by construction -> no dangling nodes; skip the extra
+    # pass. ~16k nodes -> broadcast the per-iteration ranks (skip the
+    # auto-decide count).
+    ranks = pagerank(edges, iters=_ITERS, check_dangling=False, broadcast_ranks=True)
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            "rank_units",
+        )
+        .orderBy(F.desc("rank_units"), F.asc("node_type"), F.asc("node_key"))
+        .limit(20)
+    )

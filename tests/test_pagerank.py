@@ -1,0 +1,101 @@
+"""PageRank operator: integer-arithmetic parity vs a pure-Python
+reference, dangling-node guard, and damping/teleport bookkeeping."""
+
+from __future__ import annotations
+
+import pytest
+
+from creatorops_lakehouse_spark.operators.pagerank import (
+    INIT_UNITS,
+    pagerank,
+    pagerank_oracle_sql,
+)
+
+
+def _py_pagerank(edges, iters=6, damping=(85, 100)):
+    """Reference implementation of the exact same integer arithmetic."""
+    d_num, d_den = damping
+    teleport = (INIT_UNITS * (d_den - d_num)) // d_den
+    outdeg: dict[int, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    units = {n: INIT_UNITS for n in outdeg}
+    for _ in range(iters):
+        acc: dict[int, int] = {}
+        for s, d in edges:
+            acc[d] = acc.get(d, 0) + units[s] // outdeg[s]
+        units = {n: teleport + (d_num * c) // d_den for n, c in acc.items()}
+    return units
+
+
+@pytest.fixture(scope="module")
+def small_graph():
+    # 5-node directed graph, every node has an out-edge (no dangling):
+    # a hub (0) plus a cycle, with a multi-edge to exercise multiplicity.
+    return [
+        (0, 1),
+        (0, 2),
+        (0, 3),
+        (1, 0),
+        (2, 0),
+        (3, 4),
+        (4, 0),
+        (4, 0),  # parallel edge: outdeg counts multiplicity
+        (4, 1),
+    ]
+
+
+def test_matches_python_reference(spark, small_graph):
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(edges, iters=6, broadcast_ranks=True).collect()
+    }
+    assert got == _py_pagerank(small_graph, iters=6)
+
+
+def test_shuffle_path_matches_broadcast_path(spark, small_graph):
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    bc = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(edges, iters=3, broadcast_ranks=True).collect()
+    }
+    sh = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(edges, iters=3, broadcast_ranks=False).collect()
+    }
+    assert bc == sh
+
+
+def test_dangling_node_raises(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])  # 3 dangles
+    with pytest.raises(ValueError, match="dangling"):
+        pagerank(edges, iters=2)
+
+
+def test_oracle_sql_matches_spark(spark, small_graph):
+    duckdb = pytest.importorskip("duckdb")
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(edges, iters=4, broadcast_ranks=True).collect()
+    }
+    values = ", ".join(f"({s}, {d})" for s, d in small_graph)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)", iters=4
+    )
+    want = dict(duckdb.connect().execute(sql).fetchall())
+    assert got == want
+
+
+def test_mass_roughly_conserved(spark, small_graph):
+    # Integer floor-divisions only LOSE dust mass; total stays within
+    # iters * (1 unit per edge + 1 per node) of N * INIT_UNITS and never grows.
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    total = sum(
+        r["rank_units"]
+        for r in pagerank(edges, iters=6, broadcast_ranks=True).collect()
+    )
+    n_nodes = len({s for s, _ in small_graph})
+    assert total <= n_nodes * INIT_UNITS
+    assert total >= int(n_nodes * INIT_UNITS * 0.999)
