@@ -890,3 +890,107 @@ def docs_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
         .orderBy("labeled_lang", "predicted_lang")
     )
+
+
+#: BM25 demo query terms (mid-frequency words in the driver corpus)
+_BM25_TERMS = ("vector", "window", "stream", "merge")
+#: rational BM25 constants: k1 = 12/10, b = 3/4, idf scale 10^4
+_BM25_IDF_SCALE = 10_000
+
+
+def _bm25_oracle() -> str:
+    terms = ", ".join(repr(t) for t in _BM25_TERMS)
+    return f"""
+    WITH doc_tokens AS (
+        SELECT doc_id, unnest({_SQL_TOKENS}) AS w
+        FROM documents
+    ),
+    dl AS (
+        SELECT doc_id, COUNT(*) AS dl FROM doc_tokens GROUP BY 1
+    ),
+    globals AS (
+        SELECT CAST(SUM(dl) AS BIGINT) AS total, COUNT(*) AS n FROM dl
+    ),
+    df AS (
+        SELECT w, COUNT(DISTINCT doc_id) AS df
+        FROM doc_tokens WHERE w IN ({terms})
+        GROUP BY 1
+    ),
+    tf AS (
+        SELECT doc_id, w, COUNT(*) AS tf
+        FROM doc_tokens WHERE w IN ({terms})
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST((((g.n - df.df + 1) * {_BM25_IDF_SCALE}) // (df.df + 1))
+                    * tf.tf * 22 * g.total AS BIGINT)
+               // CAST(10 * g.total * tf.tf + 3 * g.total + 9 * dl.dl * g.n
+                       AS BIGINT) AS s_units
+        FROM tf
+        JOIN dl ON dl.doc_id = tf.doc_id
+        JOIN df ON df.w = tf.w
+        CROSS JOIN globals g
+    )
+    SELECT doc_id, CAST(SUM(s_units) AS BIGINT) AS score_units,
+           COUNT(*) AS n_terms_hit
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_units DESC, doc_id
+    LIMIT 10
+    """
+
+
+@query("docs_bm25_search", oracle=_bm25_oracle())
+def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25-shape relevance ranking (top-10 docs for a 4-term query) in
+    exact integer arithmetic.
+
+    The classic BM25 idf is a log — transcendental, so not bit-stable to
+    re-derive on two engines. This variant substitutes a rational idf
+    (``(N - df + 1) * 10^4 // (df + 1)``, same monotone-in-df ordering)
+    and clears k1 = 12/10, b = 3/4 denominators by cross-multiplication,
+    making the entire score one BIGINT expression:
+
+        s = idf_units * tf * 22 * total // (10*total*tf + 3*total + 9*dl*N)
+
+    Scale: one explode+groupBy over the corpus (tf is filtered to the
+    query terms BEFORE the shuffle, so the aggregate moves only matching
+    tokens); df and the N/total scalars are tiny broadcast joins. The
+    integer formula bounds: idf <= N*10^4, so the numerator stays under
+    int64 for corpora up to ~10^6 docs x 10^9 tokens — past that, drop
+    the idf scale a decade.
+    """
+    from creatorops_lakehouse_spark.operators.text import tokens
+
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
+    globals_df = dl.agg(
+        F.sum("dl").cast("long").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    hits = toks.filter(F.col("w").isin(*_BM25_TERMS))
+    df_t = hits.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    tf = hits.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_t), "w")
+        .crossJoin(F.broadcast(globals_df))
+        .select(
+            "doc_id",
+            F.expr(
+                f"(((n - df + 1) * {_BM25_IDF_SCALE}) div (df + 1))"
+                " * tf * 22 * total"
+                " div (10 * total * tf + 3 * total + 9 * dl * n)"
+            ).alias("s_units"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("s_units").cast("long").alias("score_units"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("score_units"), F.asc("doc_id"))
+        .limit(10)
+    )
