@@ -652,3 +652,40 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         within=[1800, 86400],
     )
+
+
+@query(
+    "events_salted_hot_key_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+    ORDER BY event_type
+    """,
+)
+def events_salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through explicit salting (operators/skew.py).
+
+    ``event_type`` has single-digit cardinality — the worst case for a
+    direct groupBy at cluster scale (a handful of reducers own the whole
+    table while the rest idle). ``salted_count`` spreads each hot key
+    over 16 salt reducers in a partial count, then sums the partials —
+    the same two-phase shape Spark's own partial aggregation applies to
+    ALGEBRAIC aggregates, made explicit so it also covers composed
+    per-key pipelines where a single reducer would otherwise be the
+    straggler. n_users rides a distinct-aggregate beside it; the oracle
+    pins both against the plain one-phase answer.
+    """
+    from creatorops_lakehouse_spark.operators.skew import salted_count
+
+    ev = load(spark, sf_dir, "events")
+    counts = salted_count(ev, ["event_type"], n_salts=16)
+    users = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    return (
+        counts.join(users, "event_type")
+        .select("event_type", F.col("n").alias("n_events"), "n_users")
+        .orderBy("event_type")
+    )
