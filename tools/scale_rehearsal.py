@@ -86,8 +86,10 @@ def synthesize(spark, copies: int = COPIES) -> None:
     escaled.repartition(8).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
 
-def suite(spark, docs, emb):
-    """(name, thunk) pairs over the given tables."""
+def suite(spark, docs, emb, ddir=None):
+    """(name, thunk) pairs over the given tables. ``ddir`` lets entries
+    invoke registered queries (they only need documents/embeddings, which
+    the synthesized corpus provides)."""
     from creatorops_lakehouse_spark.operators.decontam import ngram_contamination
     from creatorops_lakehouse_spark.operators.dedup import (
         connected_components,
@@ -209,7 +211,43 @@ def suite(spark, docs, emb):
             "dsir_resample",
             lambda: _dsir(docs),
         ),
+        (
+            # hub-skewed bipartite doc<->source graph: 5 source hubs whose
+            # degree grows 10x with the corpus — the iteration cost model
+            # (K scans of the degree-annotated edge list) under max skew
+            "pagerank_6iter",
+            lambda: _pagerank(docs),
+        ),
+        (
+            "bm25_search",
+            lambda: _registered(spark, ddir, "docs_bm25_search"),
+        ),
+        (
+            "lang_id_confusion",
+            lambda: _registered(spark, ddir, "docs_lang_id_confusion"),
+        ),
     ]
+
+
+def _registered(spark, ddir, name):
+    from creatorops_lakehouse_spark.queries import all_queries
+
+    return all_queries()[name](spark, ddir).count()
+
+
+def _pagerank(docs):
+    from creatorops_lakehouse_spark.operators.pagerank import pagerank
+
+    directed = docs.select(
+        (F.col("doc_id") * 2).alias("src"),
+        (F.pmod(F.xxhash64("source"), F.lit(1000)) * 2 + 1).alias("dst"),
+    ).persist()
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    n = pagerank(edges, iters=6, check_dangling=False, broadcast_ranks=True).count()
+    directed.unpersist()
+    return n
 
 
 def _strip_spans(docs):
@@ -254,7 +292,7 @@ def main() -> int:
         docs = spark.read.parquet(f"{ddir}/documents.parquet")
         emb = spark.read.parquet(f"{ddir}/embeddings.parquet")
         only = [a.split("=", 1)[1] for a in sys.argv if a.startswith("--only=")]
-        for name, thunk in suite(spark, docs, emb):
+        for name, thunk in suite(spark, docs, emb, ddir):
             if only and not any(o in name for o in only):
                 continue
             t0 = time.time()
