@@ -12,11 +12,22 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 
-def salt(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataFrame:
+def salt(
+    df: DataFrame,
+    n_salts: int,
+    salt_col: str = "_salt",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
     """Add a deterministic salt in [0, n_salts) derived from a stable hash
-    of the whole row — not rand(), so retries/replays stay consistent."""
+    — not rand(), so retries/replays stay consistent.
+
+    ``salt_cols`` defaults to all columns; pass a narrow high-cardinality
+    subset (e.g. the row's id) when the DataFrame is wide — hashing every
+    column would drag the full row width through the scan just to compute
+    the salt, defeating column pruning."""
+    cols = salt_cols if salt_cols is not None else df.columns
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(F.struct(*df.columns)), F.lit(n_salts))
+        salt_col, F.pmod(F.xxhash64(F.struct(*cols)), F.lit(n_salts))
     )
 
 
@@ -28,10 +39,16 @@ def explode_salts(df: DataFrame, n_salts: int, salt_col: str = "_salt") -> DataF
     )
 
 
-def salted_count(df: DataFrame, keys: list[str], n_salts: int = 16) -> DataFrame:
+def salted_count(
+    df: DataFrame,
+    keys: list[str],
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
     """Two-phase count for hot grouping keys: partial count per (key, salt),
     then final sum per key — the partial shuffle spreads a hot key over
-    n_salts reducers."""
-    salted = salt(df, n_salts)
+    n_salts reducers. Pass ``salt_cols`` (e.g. a row id) on wide tables so
+    the salt doesn't force a full-width scan."""
+    salted = salt(df, n_salts, salt_cols=salt_cols)
     partial = salted.groupBy(*keys, "_salt").agg(F.count("*").alias("_partial"))
     return partial.groupBy(*keys).agg(F.sum("_partial").alias("n"))

@@ -680,7 +680,7 @@ def events_salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from creatorops_lakehouse_spark.operators.skew import salted_count
 
     ev = load(spark, sf_dir, "events")
-    counts = salted_count(ev, ["event_type"], n_salts=16)
+    counts = salted_count(ev, ["event_type"], n_salts=16, salt_cols=["event_id"])
     users = ev.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("n_users")
     )

@@ -75,6 +75,13 @@ def main() -> int:
             "events_funnel_conversion",
             "events_funnel_4stage",
             "events_funnel_windowed",
+            # one-row corpus aggregates cross-joined for exact integer
+            # threshold/score arithmetic (the plan Catalyst builds for an
+            # uncorrelated scalar subquery):
+            "docs_bm25_search",  # N/total-token scalars
+            "tpch_q11_important_parts",  # slice total for HAVING share
+            "tpch_q15_top_supplier",  # max-revenue scalar (ties kept)
+            "tpch_q22_idle_rich_customers",  # avg-balance threshold pair
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
