@@ -149,6 +149,76 @@ def sort_for_skipping(df: DataFrame, cols: list[str], target_files: int) -> Data
     )
 
 
+def zorder_key(cols: list[str], bits: int = 21) -> "F.Column":
+    """Bit-interleaved Z-order key over numeric columns — the real ZORDER
+    curve, not the lexicographic stand-in.
+
+    ``sort_for_skipping`` gives perfect min/max pruning on the LEADING
+    sort column but none on the rest (every file spans the full range of
+    column 2). Interleaving the bits of rank-normalized columns makes
+    files cluster in hypercubes, so parquet footer min/max prunes on
+    EVERY participating column at once — what Delta's OPTIMIZE ZORDER BY
+    does, computed here as one pure-expression projection.
+
+    Each column is linearly scaled to [0, 2^bits) using its min/max from
+    a one-row broadcast aggregate (the sanctioned scalar cross join; the
+    expression resolves the ``_zmin_j``/``_zmax_j`` scalars against the
+    cross-joined frame), then bits are interleaved LSB-first.
+    ``bits * len(cols)`` must stay <= 63;
+    21 bits x 3 cols fills a BIGINT. Linear scaling (not exact rank) is
+    deliberate: it needs only one tiny aggregate, and skewed values cost
+    curve balance, not correctness — heavy skew callers can pre-transform
+    (e.g. log) the column.
+    """
+    from pyspark.sql import functions as F
+
+    if bits * len(cols) > 63:
+        raise ValueError(f"bits*cols = {bits * len(cols)} exceeds BIGINT range")
+    terms = []
+    for j, c in enumerate(cols):
+        lo, hi = f"_zmin_{j}", f"_zmax_{j}"
+        # scaled = (x - min) * (2^bits - 1) / (max - min), exact integer
+        scaled = (
+            f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
+            f"(CAST({c} AS BIGINT) - {lo}) * {(1 << bits) - 1} "
+            f"div ({hi} - {lo}) END"
+        )
+        terms.append(
+            " + ".join(
+                # full parens: SQL << binds looser than +, so an unwrapped
+                # `a << p + b << q` would parse as `a << (p + b) << q`
+                f"(((({scaled}) >> {i}) & 1) << {i * len(cols) + j})"
+                for i in range(bits)
+            )
+        )
+    return F.expr(" + ".join(f"({t})" for t in terms)).alias("_zkey")
+
+
+def zorder_for_skipping(
+    df: DataFrame, cols: list[str], target_files: int, bits: int = 21
+) -> DataFrame:
+    """Range-partition + sort by the interleaved Z-key before writing, so
+    every file's footer min/max is tight on ALL ``cols``. One extra tiny
+    aggregate (per-column min/max) + the same single range shuffle as
+    ``sort_for_skipping``."""
+    from pyspark.sql import functions as F
+
+    aggs = []
+    for j, c in enumerate(cols):
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"_zmin_{j}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"_zmax_{j}"))
+    bounds = df.agg(*aggs)
+    keyed = df.crossJoin(F.broadcast(bounds)).withColumn(
+        "_zkey", zorder_key(cols, bits)
+    )
+    return (
+        keyed.repartitionByRange(target_files, F.col("_zkey"))
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", *[f"_zmin_{j}" for j in range(len(cols))],
+              *[f"_zmax_{j}" for j in range(len(cols))])
+    )
+
+
 def upsert_table(
     spark: SparkSession,
     spec: TableSpec,
