@@ -689,3 +689,50 @@ def events_salted_hot_key_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", F.col("n").alias("n_events"), "n_users")
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_trailing_30min_spend",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT))
+                OVER w AS BIGINT) AS trailing_value_units
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, event_id
+    """,
+)
+def events_trailing_30min_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based RANGE window frame (§2.5 gap): per event, the count and
+    exact-decimal value sum of the user's events in the trailing 30
+    minutes INCLUDING timestamp peers — semantics a ROWS frame can't
+    express (peers at the same ts must all be in-frame regardless of
+    row order, and gaps wider than the interval exclude rows a fixed
+    ROWS count would include).
+
+    Both engines order by integer epoch-micros with a numeric RANGE
+    bound, so frame membership is integer-exact; the summed value goes
+    through scaled-BIGINT units. One shuffle on user_id; within a
+    partition the running frame is O(n) two-pointer work in both
+    engines.
+    """
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-1800 * 1_000_000, Window.currentRow)
+    )
+    units = (F.col("value").cast("decimal(14,4)") * 10000).cast("long")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing"),
+            F.sum(units).over(w).alias("trailing_value_units"),
+        )
+        .orderBy("user_id", "event_id")
+    )
