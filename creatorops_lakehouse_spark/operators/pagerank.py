@@ -30,6 +30,11 @@ Scale design (100 TB / 10^9-node graphs):
   least one out-edge (an undirected/symmetrized edge list satisfies this
   by construction); the operator raises otherwise, because dangling mass
   redistribution is a modeling choice, not a default.
+- Overflow bound: total system mass is N x INIT_UNITS, so the worst-case
+  single-node inflow times d_num must stay under 2^63 — fine through
+  N ~ 10^8 nodes at the default 10^9 scale; for web-scale graphs drop
+  INIT_UNITS a decade per extra decade of N (rank resolution trades off
+  against headroom).
 """
 
 from __future__ import annotations
