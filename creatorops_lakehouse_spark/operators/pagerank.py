@@ -66,7 +66,9 @@ def pagerank(
     Returns ``(node, rank_units)`` — BIGINT units on a 10^9-per-node
     scale, bit-identical to the unrolled-CTE SQL form of the same
     arithmetic. ``edges`` must cover every node with >= 1 out-edge
-    (symmetrize first for undirected graphs).
+    (symmetrize first for undirected graphs); nodes with no IN-edges are
+    fine — they hold exactly the teleport mass each iteration and keep
+    contributing along their out-edges.
 
     Join strategy: the ranks table is one row per node — tiny next to the
     edge list — so by default it is BROADCAST into the per-iteration
@@ -125,6 +127,10 @@ def pagerank(
             deg.select(F.col("node").alias("e_src"), "outdeg"), "e_src"
         )
     ed = scoped_persist(annotated)
+    # The node universe: every node has an out-edge (checked above), so
+    # deg IS the node set. Persist-worthy: re-read every iteration for the
+    # no-inflow left join below.
+    nodes = scoped_persist(deg.select("node"))
     ranks = deg.select("node", F.lit(INIT_UNITS).cast("long").alias("units"))
     for _ in range(iters):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
@@ -132,10 +138,21 @@ def pagerank(
             F.col("e_dst").alias("node"),
             F.expr("units div outdeg").alias("c"),
         )
-        ranks = contrib.groupBy("node").agg(
-            (F.lit(teleport) + F.expr(f"({d_num} * sum(c)) div {d_den}"))
+        inflow = contrib.groupBy("node").agg(
+            F.expr(f"({d_num} * sum(c)) div {d_den}").cast("long").alias("_damped")
+        )
+        # Left-join back onto the full node set: a node with no in-edges
+        # receives exactly the teleport mass — dropping it (the aggregate
+        # alone) would also drop its OUT-edges from every later iteration,
+        # silently corrupting directed-graph ranks. On the broadcast path
+        # the aggregate side is broadcast; on the big-graph path both
+        # sides are node-partitioned so the join reuses the shuffle.
+        agg_side = F.broadcast(inflow) if broadcast_ranks else inflow
+        ranks = nodes.join(agg_side, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("_damped"), F.lit(0)))
             .cast("long")
-            .alias("units")
+            .alias("units"),
         )
         # Cut lineage EVERY iteration: persist() alone keeps the logical
         # plan, so iteration k would re-optimize a k-deep join tree and
@@ -170,10 +187,13 @@ def pagerank_oracle_sql(
     )
     for k in range(1, iters + 1):
         steps.append(
-            f"r{k} AS (SELECT ed.dst AS node, "
-            f"CAST({teleport} + ({d_num} * CAST(SUM(r{k-1}.units // ed.outdeg) "
-            f"AS BIGINT)) // {d_den} AS BIGINT) AS units "
-            f"FROM ed JOIN r{k-1} ON r{k-1}.node = ed.src GROUP BY ed.dst)"
+            f"r{k} AS (SELECT deg.node, "
+            f"CAST({teleport} + COALESCE(a{k}.damped, 0) AS BIGINT) AS units "
+            f"FROM deg LEFT JOIN ("
+            f"SELECT ed.dst AS node, ({d_num} * CAST(SUM(r{k-1}.units // ed.outdeg) "
+            f"AS BIGINT)) // {d_den} AS damped "
+            f"FROM ed JOIN r{k-1} ON r{k-1}.node = ed.src GROUP BY ed.dst"
+            f") a{k} ON a{k}.node = deg.node)"
         )
     return (
         "WITH " + ",\n    ".join(steps) + f"\n    SELECT node, units AS rank_units FROM r{iters}"

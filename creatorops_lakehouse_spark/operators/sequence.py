@@ -46,11 +46,13 @@ def funnel_stage_times(
     via the registry hook).
 
     ``within`` (optional, length len(stages) − 1): per-gap deadline in
-    whole seconds — stage i must occur within ``within[i-1]`` seconds of
-    t_{i-1} (conversion-window funnels: "click within 30 minutes of the
-    first view"). None entries leave that gap unbounded. The deadline is
-    INTERVAL arithmetic on both engines — no epoch-double casts, so
-    timestamp comparison parity is exact."""
+    seconds (fractional allowed — carried as exact DECIMAL(18,6) into
+    make_interval, so a 0.5 s window means 500 ms, not a silent
+    truncation to zero) — stage i must occur within ``within[i-1]``
+    seconds of t_{i-1} (conversion-window funnels: "click within 30
+    minutes of the first view"). None entries leave that gap unbounded.
+    The deadline is INTERVAL arithmetic on both engines — no
+    epoch-double casts, so timestamp comparison parity is exact."""
     if not stages:
         raise ValueError("funnel needs at least one stage predicate")
     if within is not None and len(within) != len(stages) - 1:
@@ -72,7 +74,8 @@ def funnel_stage_times(
                 matched = matched.filter(
                     F.col(ts_col)
                     <= F.expr(
-                        f"t_{i - 1} + make_interval(0, 0, 0, 0, 0, 0, {int(gap)})"
+                        f"t_{i - 1} + make_interval(0, 0, 0, 0, 0, 0, "
+                        f"CAST({float(gap)!r} AS DECIMAL(18, 6)))"
                     )
                 )
         stage = scoped_persist(

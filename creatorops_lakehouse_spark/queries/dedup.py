@@ -523,7 +523,17 @@ def docs_streaming_admission_verdict(spark: SparkSession, sf_dir: str) -> DataFr
         spark, src, schema, tb, ts, ta,
         checkpoint_dir=f"{root}/ckpt", max_files_per_trigger=1,
     )
-    q.awaitTermination(300)
+    # availableNow triggers terminate on their own; the timeout is only a
+    # hang backstop. awaitTermination(timeout) returns False instead of
+    # raising on expiry — proceeding then would read a partially-written
+    # accepted table and report a spurious semantics MISMATCH, so fail
+    # loud as the infrastructure error it actually is.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "streaming admission verdict: stream did not terminate within "
+            "300s (host contention or checkpoint I/O stall)"
+        )
     stream_admitted = scoped_persist(accepted_corpus(spark, ta))
     stream_ids = stream_admitted.select("doc_id")
 

@@ -165,23 +165,31 @@ def zorder_key(cols: list[str], bits: int = 21) -> "F.Column":
     expression resolves the ``_zmin_j``/``_zmax_j`` scalars against the
     cross-joined frame), then bits are interleaved LSB-first.
     ``bits * len(cols)`` must stay <= 63;
-    21 bits x 3 cols fills a BIGINT. Linear scaling (not exact rank) is
-    deliberate: it needs only one tiny aggregate, and skewed values cost
-    curve balance, not correctness — heavy skew callers can pre-transform
-    (e.g. log) the column.
+    21 bits x 3 cols fills a BIGINT. The scaling runs in DOUBLE with a
+    clamp — integer cross-multiplication ``(x - lo) * (2^bits - 1)``
+    would overflow int64 for any column whose range exceeds ~4.4e12
+    (epoch-micros spans, hash-derived ids) and Spark's non-ANSI
+    arithmetic would wrap it into garbage keys silently. A double is
+    exact up to 2^53 and off by at most 1 ulp past that — a one-bucket
+    wobble at cell edges, irrelevant to clustering quality. Linear
+    scaling (not exact rank) is deliberate: it needs only one tiny
+    aggregate, and skewed values cost curve balance, not correctness —
+    heavy skew callers can pre-transform (e.g. log) the column.
     """
     from pyspark.sql import functions as F
 
     if bits * len(cols) > 63:
         raise ValueError(f"bits*cols = {bits * len(cols)} exceeds BIGINT range")
+    top = (1 << bits) - 1
     terms = []
     for j, c in enumerate(cols):
         lo, hi = f"_zmin_{j}", f"_zmax_{j}"
-        # scaled = (x - min) * (2^bits - 1) / (max - min), exact integer
         scaled = (
             f"CASE WHEN {hi} = {lo} THEN 0 ELSE "
-            f"(CAST({c} AS BIGINT) - {lo}) * {(1 << bits) - 1} "
-            f"div ({hi} - {lo}) END"
+            f"LEAST({top}, GREATEST(0, CAST("
+            f"(CAST({c} AS DOUBLE) - CAST({lo} AS DOUBLE))"
+            f" / (CAST({hi} AS DOUBLE) - CAST({lo} AS DOUBLE)) * {top}"
+            f" AS BIGINT))) END"
         )
         terms.append(
             " + ".join(

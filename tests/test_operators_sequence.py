@@ -78,3 +78,21 @@ def test_funnel_validation(events):
         funnel(events, [("a", F.lit(True)), ("a", F.lit(True))])
     with pytest.raises(ValueError, match="within must have"):
         funnel_stage_times(events, [p for _, p in _stages()], within=[60])
+
+
+def test_fractional_second_window_not_truncated(spark):
+    # u1 clicks 400 ms after view, u2 clicks 800 ms after: a 0.5 s window
+    # must admit u1 only (regression: int() truncated 0.5 -> 0 s, which
+    # with the strictly-after filter silently matched nothing)
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "view", base), (1, "click", base + dt.timedelta(milliseconds=400)),
+        (2, "view", base), (2, "click", base + dt.timedelta(milliseconds=800)),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    stages = funnel_stage_times(
+        ev,
+        [F.col("event_type") == "view", F.col("event_type") == "click"],
+        within=[0.5],
+    )
+    assert [r.user_id for r in stages[1].collect()] == [1]

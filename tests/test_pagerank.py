@@ -13,7 +13,10 @@ from creatorops_lakehouse_spark.operators.pagerank import (
 
 
 def _py_pagerank(edges, iters=6, damping=(85, 100)):
-    """Reference implementation of the exact same integer arithmetic."""
+    """Reference implementation of the exact same integer arithmetic.
+
+    The node universe is the out-edge set; a node with no in-edges holds
+    exactly the teleport mass each iteration (and keeps contributing)."""
     d_num, d_den = damping
     teleport = (INIT_UNITS * (d_den - d_num)) // d_den
     outdeg: dict[int, int] = {}
@@ -24,7 +27,10 @@ def _py_pagerank(edges, iters=6, damping=(85, 100)):
         acc: dict[int, int] = {}
         for s, d in edges:
             acc[d] = acc.get(d, 0) + units[s] // outdeg[s]
-        units = {n: teleport + (d_num * c) // d_den for n, c in acc.items()}
+        units = {
+            n: teleport + (d_num * acc[n]) // d_den if n in acc else teleport
+            for n in outdeg
+        }
     return units
 
 
@@ -65,6 +71,29 @@ def test_shuffle_path_matches_broadcast_path(spark, small_graph):
         for r in pagerank(edges, iters=3, broadcast_ranks=False).collect()
     }
     assert bc == sh
+
+
+def test_no_inflow_node_keeps_teleport_mass(spark):
+    # node 3 has out-edges but NO in-edges: it must stay in the result
+    # with exactly the teleport mass, and its outgoing contribution must
+    # keep flowing in every iteration (regression: the dst-aggregate
+    # alone silently dropped it after iteration 1).
+    edges = [(1, 2), (2, 1), (3, 1)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iters=4, broadcast_ranks=True).collect()
+    }
+    want = _py_pagerank(edges, iters=4)
+    assert got == want
+    assert 3 in got
+    teleport = (INIT_UNITS * 15) // 100
+    assert got[3] == teleport
+    # node 3's contribution keeps flowing: without it, node 1 would hold
+    # only teleport + damped(r(2)); with it there's an extra damped
+    # teleport-unit inflow every iteration
+    without_3 = _py_pagerank([(1, 2), (2, 1)], iters=4)
+    assert got[1] > without_3[1]
 
 
 def test_dangling_node_raises(spark):

@@ -67,6 +67,21 @@ def test_zorder_preserves_rows(spark, tmp_path):
     )
 
 
+def test_zorder_full_int64_range_column(spark, tmp_path):
+    # raw xxhash64 spans nearly the whole int64 range: integer
+    # cross-multiplied scaling would overflow and wrap (regression);
+    # the double-scaled key must still cluster both dims
+    df = spark.range(0, 1 << 13).select(
+        F.xxhash64("id").alias("x"),  # ~[-2^63, 2^63)
+        F.pmod(F.xxhash64(F.col("id") + 3), F.lit(512)).alias("y"),
+    )
+    out = str(tmp_path / "wide")
+    zorder_for_skipping(df, ["x", "y"], target_files=16).write.parquet(out)
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert _coverage(out, 1, 0, 511) < 0.6  # y still prunes despite x's range
+
+
 def test_zorder_key_bit_budget(spark):
     import pytest
 
