@@ -91,6 +91,16 @@ def pagerank(
     e = scoped_persist(
         edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
     )
+    # Right-size the partitioning from the actual edge count (~250k edge
+    # rows per task) BEFORE any other pass: an edge list assembled by
+    # unions/joins inherits far too many tiny partitions, and every
+    # downstream pass (degree aggregate, dangling check, K iteration
+    # scans) would pay pure task-scheduling overhead. The count is the
+    # only pass over the raw partitioning — it also materializes the
+    # persisted edge list. coalesce (not repartition): narrow, no shuffle.
+    n_edges = e.count()
+    parts = max(1, min(e.rdd.getNumPartitions(), -(-n_edges // 250_000)))
+    e = e.coalesce(parts)
     deg = e.groupBy(F.col("e_src").alias("node")).agg(
         F.count(F.lit(1)).cast("long").alias("outdeg")
     )
@@ -108,18 +118,11 @@ def pagerank(
             )
     if broadcast_ranks is None:
         broadcast_ranks = deg.count() <= BROADCAST_NODE_LIMIT
-    # The iteration loop scans ed K times: right-size its partitioning
-    # from the actual edge count (~250k edge rows per task) — an edge list
-    # assembled by unions/joins otherwise inherits far too many tiny
-    # partitions and the K iterations pay pure task-scheduling overhead.
-    # coalesce (not repartition): narrow, no extra shuffle.
-    n_edges = e.count()  # cheap: also materializes the persisted edge list
-    parts = max(1, min(e.rdd.getNumPartitions(), -(-n_edges // 250_000)))
     # Attach out-degrees. Small graphs: deg broadcasts -> map-side join,
     # no edge shuffle at all. Big graphs: pre-partition edges on src so
     # the per-iteration SMJ against ranks reuses this partitioning.
     if broadcast_ranks:
-        annotated = e.coalesce(parts).join(
+        annotated = e.join(
             F.broadcast(deg.select(F.col("node").alias("e_src"), "outdeg")), "e_src"
         )
     else:
@@ -129,8 +132,10 @@ def pagerank(
     ed = scoped_persist(annotated)
     # The node universe: every node has an out-edge (checked above), so
     # deg IS the node set. Persist-worthy: re-read every iteration for the
-    # no-inflow left join below.
-    nodes = scoped_persist(deg.select("node"))
+    # no-inflow left join below. Coalesced like the edge table — K
+    # iterations over a 32-partition 16k-row table would pay pure task
+    # scheduling, same failure mode as the edge list.
+    nodes = scoped_persist(deg.select("node").coalesce(parts))
     ranks = deg.select("node", F.lit(INIT_UNITS).cast("long").alias("units"))
     for _ in range(iters):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
