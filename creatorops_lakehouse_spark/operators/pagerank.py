@@ -60,6 +60,8 @@ def pagerank(
     damping: tuple[int, int] = (85, 100),
     check_dangling: bool = True,
     broadcast_ranks: bool | None = None,
+    weight: str | None = None,
+    seeds: DataFrame | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
@@ -69,6 +71,15 @@ def pagerank(
     (symmetrize first for undirected graphs); nodes with no IN-edges are
     fine — they hold exactly the teleport mass each iteration and keep
     contributing along their out-edges.
+
+    ``weight`` names an integer edge-weight column: contributions become
+    ``units * w div sum_w(u)`` — trade volume, link multiplicity — with
+    the unweighted case exactly equivalent to all-ones weights.
+    ``seeds`` (a one-column ``node`` DataFrame) switches to PERSONALIZED
+    PageRank: the teleport mass lands only on the seed set (random-walk-
+    with-restart proximity to the seeds, the recommendation primitive);
+    non-seed no-inflow nodes then hold 0, and seeds must be a subset of
+    the out-edge node universe.
 
     Join strategy: the ranks table is one row per node — tiny next to the
     edge list — so by default it is BROADCAST into the per-iteration
@@ -88,8 +99,13 @@ def pagerank(
     # Persist the raw edge list first: the degree aggregate, the dangling
     # check, and the degree-annotate join all read it — without the persist
     # each one would recompute the (possibly join-heavy) edge derivation.
+    w_col = (
+        F.col(weight).cast("long") if weight is not None else F.lit(1).cast("long")
+    )
     e = scoped_persist(
-        edges.select(F.col(src).alias("e_src"), F.col(dst).alias("e_dst"))
+        edges.select(
+            F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("w")
+        )
     )
     # Right-size the partitioning from the actual edge count (~250k edge
     # rows per task) BEFORE any other pass: an edge list assembled by
@@ -101,8 +117,10 @@ def pagerank(
     n_edges = e.count()
     parts = max(1, min(e.rdd.getNumPartitions(), -(-n_edges // 250_000)))
     e = e.coalesce(parts)
+    # outdeg = total outgoing WEIGHT (== edge count when unweighted: the
+    # weight column defaults to 1, so both cases share one code path)
     deg = e.groupBy(F.col("e_src").alias("node")).agg(
-        F.count(F.lit(1)).cast("long").alias("outdeg")
+        F.sum("w").cast("long").alias("outdeg")
     )
     if check_dangling:
         n_dst_only = (
@@ -131,23 +149,38 @@ def pagerank(
         )
     ed = scoped_persist(annotated)
     # The node universe: every node has an out-edge (checked above), so
-    # deg IS the node set. Persist-worthy: re-read every iteration for the
-    # no-inflow left join below. Coalesced like the edge table — K
-    # iterations over a 32-partition 16k-row table would pay pure task
-    # scheduling, same failure mode as the edge list.
-    nodes = scoped_persist(deg.select("node").coalesce(parts))
+    # deg IS the node set, annotated with its per-node teleport mass —
+    # uniform by default, restricted to the seed set for personalized
+    # PageRank. Persist-worthy: re-read every iteration for the no-inflow
+    # left join below. Coalesced like the edge table — K iterations over
+    # a 32-partition 16k-row table would pay pure task scheduling, same
+    # failure mode as the edge list.
+    if seeds is None:
+        node_tele = deg.select("node", F.lit(teleport).cast("long").alias("tele"))
+    else:
+        seed_set = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        node_tele = deg.select("node").join(
+            F.broadcast(seed_set.withColumn("_is_seed", F.lit(1))), "node", "left"
+        ).select(
+            "node",
+            F.when(F.col("_is_seed").isNotNull(), F.lit(teleport))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("tele"),
+        )
+    nodes = scoped_persist(node_tele.coalesce(parts))
     ranks = deg.select("node", F.lit(INIT_UNITS).cast("long").alias("units"))
     for _ in range(iters):
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ed.join(rhs, ed.e_src == ranks.node).select(
             F.col("e_dst").alias("node"),
-            F.expr("units div outdeg").alias("c"),
+            F.expr("(units * w) div outdeg").alias("c"),
         )
         inflow = contrib.groupBy("node").agg(
             F.expr(f"({d_num} * sum(c)) div {d_den}").cast("long").alias("_damped")
         )
         # Left-join back onto the full node set: a node with no in-edges
-        # receives exactly the teleport mass — dropping it (the aggregate
+        # receives exactly its teleport mass — dropping it (the aggregate
         # alone) would also drop its OUT-edges from every later iteration,
         # silently corrupting directed-graph ranks. On the broadcast path
         # the aggregate side is broadcast; on the big-graph path both
@@ -155,7 +188,7 @@ def pagerank(
         agg_side = F.broadcast(inflow) if broadcast_ranks else inflow
         ranks = nodes.join(agg_side, "node", "left").select(
             "node",
-            (F.lit(teleport) + F.coalesce(F.col("_damped"), F.lit(0)))
+            (F.col("tele") + F.coalesce(F.col("_damped"), F.lit(0)))
             .cast("long")
             .alias("units"),
         )
@@ -175,30 +208,53 @@ def pagerank_oracle_sql(
     edges_sql: str,
     iters: int = 6,
     damping: tuple[int, int] = (85, 100),
+    weighted: bool = False,
+    seeds_sql: str | None = None,
 ) -> str:
     """DuckDB SQL computing the identical integer arithmetic: K unrolled
     join-aggregate CTE steps over ``edges_sql`` (must yield columns
-    ``src, dst``). Returns a relation ``(node, rank_units)``."""
+    ``src, dst`` — plus ``w`` when ``weighted``). ``seeds_sql`` (yields
+    ``node``) restricts teleport mass to the seed set (personalized).
+    Returns a relation ``(node, rank_units)``."""
     d_num, d_den = damping
     teleport = (INIT_UNITS * (d_den - d_num)) // d_den
     steps = []
-    steps.append(f"e AS ({edges_sql})")
-    steps.append("deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM e GROUP BY 1)")
+    if weighted:
+        steps.append(f"e AS ({edges_sql})")
+    else:
+        steps.append(f"e AS (SELECT src, dst, 1 AS w FROM ({edges_sql}))")
     steps.append(
-        "ed AS (SELECT e.src, e.dst, d.outdeg FROM e JOIN deg d ON d.node = e.src)"
+        "deg AS (SELECT src AS node, CAST(SUM(w) AS BIGINT) AS outdeg"
+        " FROM e GROUP BY 1)"
     )
+    steps.append(
+        "ed AS (SELECT e.src, e.dst, e.w, d.outdeg FROM e JOIN deg d"
+        " ON d.node = e.src)"
+    )
+    if seeds_sql is None:
+        steps.append(
+            f"nt AS (SELECT node, CAST({teleport} AS BIGINT) AS tele FROM deg)"
+        )
+    else:
+        steps.append(
+            f"nt AS (SELECT deg.node, CAST(CASE WHEN s.node IS NOT NULL"
+            f" THEN {teleport} ELSE 0 END AS BIGINT) AS tele"
+            f" FROM deg LEFT JOIN (SELECT DISTINCT node FROM ({seeds_sql})) s"
+            f" ON s.node = deg.node)"
+        )
     steps.append(
         f"r0 AS (SELECT node, CAST({INIT_UNITS} AS BIGINT) AS units FROM deg)"
     )
     for k in range(1, iters + 1):
         steps.append(
-            f"r{k} AS (SELECT deg.node, "
-            f"CAST({teleport} + COALESCE(a{k}.damped, 0) AS BIGINT) AS units "
-            f"FROM deg LEFT JOIN ("
-            f"SELECT ed.dst AS node, ({d_num} * CAST(SUM(r{k-1}.units // ed.outdeg) "
+            f"r{k} AS (SELECT nt.node, "
+            f"CAST(nt.tele + COALESCE(a{k}.damped, 0) AS BIGINT) AS units "
+            f"FROM nt LEFT JOIN ("
+            f"SELECT ed.dst AS node, "
+            f"({d_num} * CAST(SUM((r{k-1}.units * ed.w) // ed.outdeg) "
             f"AS BIGINT)) // {d_den} AS damped "
             f"FROM ed JOIN r{k-1} ON r{k-1}.node = ed.src GROUP BY ed.dst"
-            f") a{k} ON a{k}.node = deg.node)"
+            f") a{k} ON a{k}.node = nt.node)"
         )
     return (
         "WITH " + ",\n    ".join(steps) + f"\n    SELECT node, units AS rank_units FROM r{iters}"

@@ -12,24 +12,30 @@ from creatorops_lakehouse_spark.operators.pagerank import (
 )
 
 
-def _py_pagerank(edges, iters=6, damping=(85, 100)):
+def _py_pagerank(edges, iters=6, damping=(85, 100), seeds=None):
     """Reference implementation of the exact same integer arithmetic.
 
     The node universe is the out-edge set; a node with no in-edges holds
-    exactly the teleport mass each iteration (and keeps contributing)."""
+    exactly its teleport mass each iteration (and keeps contributing).
+    ``edges`` rows are (src, dst) or (src, dst, w); ``seeds`` restricts
+    teleport mass to the given node set (personalized)."""
     d_num, d_den = damping
     teleport = (INIT_UNITS * (d_den - d_num)) // d_den
-    outdeg: dict[int, int] = {}
-    for s, _ in edges:
-        outdeg[s] = outdeg.get(s, 0) + 1
-    units = {n: INIT_UNITS for n in outdeg}
+    edges = [(e[0], e[1], e[2] if len(e) > 2 else 1) for e in edges]
+    outw: dict[int, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    tele = {
+        n: teleport if seeds is None or n in seeds else 0 for n in outw
+    }
+    units = {n: INIT_UNITS for n in outw}
     for _ in range(iters):
         acc: dict[int, int] = {}
-        for s, d in edges:
-            acc[d] = acc.get(d, 0) + units[s] // outdeg[s]
+        for s, d, w in edges:
+            acc[d] = acc.get(d, 0) + (units[s] * w) // outw[s]
         units = {
-            n: teleport + (d_num * acc[n]) // d_den if n in acc else teleport
-            for n in outdeg
+            n: tele[n] + ((d_num * acc[n]) // d_den if n in acc else 0)
+            for n in outw
         }
     return units
 
@@ -115,6 +121,59 @@ def test_oracle_sql_matches_spark(spark, small_graph):
     )
     want = dict(duckdb.connect().execute(sql).fetchall())
     assert got == want
+
+
+def test_weighted_matches_python_reference(spark):
+    wedges = [(1, 2, 3), (1, 3, 1), (2, 1, 2), (3, 1, 5), (3, 2, 1)]
+    df = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iters=5, weight="w", broadcast_ranks=True).collect()
+    }
+    assert got == _py_pagerank(wedges, iters=5)
+    # weights matter: node 2 (heavy inflow from 1's w=3 edge) must differ
+    # from the unweighted run
+    unweighted = _py_pagerank([(s, d) for s, d, _ in wedges], iters=5)
+    assert got != unweighted
+
+
+def test_weighted_oracle_sql_matches_spark(spark):
+    duckdb = pytest.importorskip("duckdb")
+    wedges = [(1, 2, 3), (1, 3, 1), (2, 1, 2), (3, 1, 5), (3, 2, 1)]
+    df = spark.createDataFrame(wedges, ["src", "dst", "w"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(df, iters=4, weight="w", broadcast_ranks=True).collect()
+    }
+    values = ", ".join(f"({s}, {d}, {w})" for s, d, w in wedges)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst, w)",
+        iters=4,
+        weighted=True,
+    )
+    assert got == dict(duckdb.connect().execute(sql).fetchall())
+
+
+def test_personalized_teleports_only_to_seeds(spark, small_graph):
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,)], ["node"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(
+            edges, iters=5, seeds=seeds, broadcast_ranks=True
+        ).collect()
+    }
+    assert got == _py_pagerank(small_graph, iters=5, seeds={0})
+    # proximity ordering: the seed and its direct predecessors dominate
+    assert got[0] == max(got.values())
+    duckdb = pytest.importorskip("duckdb")
+    values = ", ".join(f"({s}, {d})" for s, d in small_graph)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+        iters=5,
+        seeds_sql="SELECT 0 AS node",
+    )
+    assert got == dict(duckdb.connect().execute(sql).fetchall())
 
 
 def test_mass_roughly_conserved(spark, small_graph):
