@@ -736,3 +736,87 @@ def events_trailing_30min_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_value_outliers_3sigma",
+    oracle="""
+    WITH cents AS (
+        SELECT event_type,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(c) AS BIGINT) AS s,
+               CAST(SUM(c * c) AS BIGINT) AS sq
+        FROM cents
+        GROUP BY 1
+    )
+    SELECT c.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN
+               CAST(c.c * st.n - st.s AS HUGEINT)
+                 * CAST(c.c * st.n - st.s AS HUGEINT)
+               > 9 * (CAST(st.n AS HUGEINT) * CAST(st.sq AS HUGEINT)
+                      - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT))
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(SUM(CASE WHEN
+               CAST(c.c * st.n - st.s AS HUGEINT)
+                 * CAST(c.c * st.n - st.s AS HUGEINT)
+               > 9 * (CAST(st.n AS HUGEINT) * CAST(st.sq AS HUGEINT)
+                      - CAST(st.s AS HUGEINT) * CAST(st.s AS HUGEINT))
+               THEN c.c ELSE 0 END) AS DOUBLE) / 100 AS outlier_value_sum
+    FROM cents c
+    JOIN stats st ON st.event_type = c.event_type
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-sigma outlier detection per event type, decided in EXACT integer
+    arithmetic so both engines flag the identical rows.
+
+    |v - mean| > 3*sigma (population) is squared and cross-multiplied to
+    clear the divisions:  (v*n - s)^2 > 9*(n*sq - s^2)  over integer
+    cents — no float mean/stddev, so there is no boundary row that one
+    engine keeps and the other drops. The squares exceed int64 at large
+    n, so they evaluate in DECIMAL (Spark) / HUGEINT (DuckDB): different
+    containers, identical integers. Plan: one aggregate for per-type
+    stats (5 rows, broadcast back), one scan to flag — no window, no
+    second shuffle of the fact table.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("sq"),
+    )
+    # d = v*n - s fits long (|d| <= max_cents * n ~ 1e11 at sf1); the
+    # SQUARES move to decimal: d^2 -> DECIMAL(25,0), rhs -> DECIMAL(34,0).
+    d = F.expr("CAST(c * n - s AS DECIMAL(12,0))")
+    rhs = F.expr(
+        "CAST(9 AS DECIMAL(1,0)) * (CAST(n AS DECIMAL(10,0)) * CAST(sq AS DECIMAL(18,0))"
+        " - CAST(s AS DECIMAL(15,0)) * CAST(s AS DECIMAL(15,0)))"
+    )
+    is_outlier = (d * d) > rhs
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(is_outlier, 1).otherwise(0)).cast("long").alias("n_outliers"),
+            F.sum(F.when(is_outlier, F.col("c")).otherwise(0)).alias("_oc"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_outliers",
+            (F.col("_oc").cast("double") / 100).alias("outlier_value_sum"),
+        )
+        .orderBy("event_type")
+    )
