@@ -820,3 +820,63 @@ def events_value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "events_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+        FROM events
+        GROUP BY 1
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               CAST((CAST(date_trunc('week', e.ts) AS DATE)
+                     - CAST(f.cohort_week AS DATE)) // 7 AS BIGINT) AS week_offset
+        FROM events e
+        JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active_users
+    FROM activity
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week,
+    distinct active users per (cohort, week-offset) cell — the classic
+    product-analytics triangle.
+
+    Week arithmetic stays integral (date_trunc to Monday, day-difference
+    div 7) so cell membership is exact on both engines. Plan: one
+    aggregate for first-weeks (|users| rows, broadcast back onto the
+    event scan), distinct per (user, cell), then the cell count — the
+    fact table shuffles twice (first-week agg, cell distinct), both with
+    map-side partials.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    activity = (
+        ev.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.to_date("active_week"), F.to_date("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy(
+            F.to_date("cohort_week").alias("cohort_week"), "week_offset"
+        )
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

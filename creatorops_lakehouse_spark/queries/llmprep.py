@@ -552,3 +552,65 @@ def docs_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame
         scale=DSIR_SCALE,
     )
     return importance_resample(scores, scale=DSIR_SCALE)
+
+
+@query(
+    "docs_temperature_mixture",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, COUNT(*) AS n
+        FROM documents
+        GROUP BY 1
+    ),
+    weighted AS (
+        SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w
+        FROM counts
+    ),
+    tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM weighted)
+    SELECT w.lang, w.n AS n_docs, w.w AS weight_isqrt,
+           CAST((CASE WHEN (w.w * 1000000) < 0 THEN -1
+                      WHEN (w.w * 1000000) > 0 THEN 1 ELSE 0 END)
+                * ((2 * abs(w.w * 1000000) * 1 + t.sw) // (2 * t.sw))
+                AS BIGINT) AS share_ppm,
+           CAST((2 * w.w * 10000 + t.sw) // (2 * t.sw) AS BIGINT)
+               AS sampled_per_10k
+    FROM weighted w, tot t
+    ORDER BY w.lang
+    """,
+)
+def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture reweighting (alpha = 0.5): sampling
+    shares proportional to sqrt(corpus size) — the standard multilingual
+    rebalancing that up-samples low-resource languages relative to raw
+    proportions (XLM-R-style alpha-sampling, here with integer-exact
+    floor-sqrt weights).
+
+    floor(sqrt(n)) is bit-stable across engines for n far below 2^52
+    (IEEE sqrt is correctly rounded; the floor can only disagree within
+    half an ulp of an integer boundary, impossible at corpus-count
+    magnitudes). Shares and per-10k budgets round half-away-from-zero in
+    pure integer arithmetic. One tiny aggregate + one-row scalar cross
+    join — nothing touches the corpus twice.
+    """
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    weighted = counts.select(
+        "lang", "n", F.floor(F.sqrt(F.col("n"))).cast("long").alias("w")
+    )
+    tot = weighted.agg(F.sum("w").cast("long").alias("sw"))
+    return (
+        weighted.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.col("w").alias("weight_isqrt"),
+            F.expr(
+                "CAST(sign(w * 1000000) * ((2 * abs(w * 1000000) + sw)"
+                " div (2 * sw)) AS BIGINT)"
+            ).alias("share_ppm"),
+            F.expr("CAST((2 * w * 10000 + sw) div (2 * sw) AS BIGINT)").alias(
+                "sampled_per_10k"
+            ),
+        )
+        .orderBy("lang")
+    )
