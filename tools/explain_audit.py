@@ -82,6 +82,7 @@ def main() -> int:
             "tpch_q11_important_parts",  # slice total for HAVING share
             "tpch_q15_top_supplier",  # max-revenue scalar (ties kept)
             "tpch_q22_idle_rich_customers",  # avg-balance threshold pair
+            "docs_temperature_mixture",  # total-isqrt-weight scalar
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
