@@ -880,3 +880,77 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@query(
+    "events_partial_agg_merge",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)
+                AS DOUBLE) / 100 AS sum_value,
+           TRUE AS merge_matches_direct,
+           TRUE AS hll_estimate_sane
+    FROM events
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def events_partial_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable partial aggregation — the pre-aggregation pattern that
+    makes incremental rollup maintenance work at 100 TB: store per-day
+    partials (count, exact cents sum, DataSketches HLL user sketch),
+    answer coarser queries by MERGING partials instead of rescanning
+    facts.
+
+    The query materializes daily partials, merges them up to event_type,
+    and pins two contracts as hash-checked literal TRUEs:
+    - ``merge_matches_direct``: merged counts/sums/HLL estimate equal
+      the direct single-pass computation (HLL union is lossless at equal
+      precision, so even the sketch estimate matches EXACTLY — that is
+      the property that makes sketch partials storable);
+    - ``hll_estimate_sane``: merged estimate within 5% of the exact
+      distinct-user count.
+    A regression in either flips a hash-checked value. The exact columns
+    (count, decimal cents) are checked against DuckDB directly.
+    """
+    ev = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("event_date"),
+        "event_type",
+        "user_id",
+        (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("c"),
+    )
+    daily = ev.groupBy("event_date", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s"),
+        F.expr("hll_sketch_agg(user_id)").alias("sk"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("m_n"),
+        F.sum("s").cast("long").alias("m_s"),
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("m_users"),
+    )
+    direct = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("d_n"),
+        F.sum("c").cast("long").alias("d_s"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id))").alias("d_users"),
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select(
+            "event_type",
+            F.col("m_n").alias("n_events"),
+            (F.col("m_s").cast("double") / 100).alias("sum_value"),
+            (
+                (F.col("m_n") == F.col("d_n"))
+                & (F.col("m_s") == F.col("d_s"))
+                & (F.col("m_users") == F.col("d_users"))
+            ).alias("merge_matches_direct"),
+            (
+                F.abs(F.col("m_users") - F.col("exact_users")) * 100
+                <= F.col("exact_users") * 5
+            ).alias("hll_estimate_sane"),
+        )
+        .orderBy("event_type")
+    )
