@@ -1,0 +1,86 @@
+"""Graph combinatorics: exact triangle counting with degree orientation.
+
+Naive triangle counting joins the edge list with itself on shared
+endpoints — on a graph with a hub of degree d that wedge join
+materializes d^2 rows for that hub alone, the classic quadratic blowup.
+The standard fix (degree orientation): direct every undirected edge from
+its lower-(degree, id) endpoint to the higher one. The resulting DAG has
+out-degree O(sqrt(m)) for ANY graph, so the wedge join is bounded by
+m^1.5 total work regardless of skew — the difference between a day and a
+minute on a social graph.
+
+Count invariance: each triangle {a, b, c} has exactly one node with two
+out-edges under a total order (the minimum), so counting (u -> v, u -> w,
+v -> w oriented) wedges closed by an oriented edge counts every triangle
+exactly once. The result is therefore identical to the naive a<b<c
+formulation a SQL oracle runs — same number, different join geometry.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+
+def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Exact triangle count + global clustering coefficient over an
+    undirected simple edge list (one row per edge, ``a < b``, no
+    self-loops / duplicates — caller guarantees, e.g. via distinct()).
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
+    clustering_ppm) with clustering_ppm = 3 * triangles * 10^6 div
+    wedges (exact integer; 0 when the graph has no wedges).
+    """
+    e = scoped_persist(edges.select(F.col(a).alias("a"), F.col(b).alias("b")))
+    # total degree per node (edges stored once per unordered pair)
+    deg = scoped_persist(
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+    )
+    # orient: lower (deg, id) -> higher (deg, id); total order via tiebreak
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    ann = e.join(da, "a").join(db, "b")
+    fwd = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = scoped_persist(
+        ann.select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    # wedges at the oriented source: pairs of out-neighbors; closing edge
+    # is oriented too (consistent total order), so one equi-join finishes
+    o1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    o2 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+    wedges = o1.join(o2, "u").filter(F.col("v") < F.col("w"))
+    # the closing edge may be oriented v->w or w->v depending on degrees
+    closer = oriented.select(
+        F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
+    )
+    tri = wedges.join(closer, ["v", "w"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+    stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
+        deg.agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum(F.expr("deg * (deg - 1) div 2")).cast("long").alias("n_wedges"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(tri)).select(
+        "n_nodes",
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN 0"
+            " ELSE (3 * n_triangles * 1000000) div n_wedges END"
+        )
+        .cast("long")
+        .alias("clustering_ppm"),
+    )

@@ -93,3 +93,75 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_units"), F.asc("node_type"), F.asc("node_key"))
         .limit(20)
     )
+
+
+@query(
+    "graph_triangles_copurchase",
+    oracle="""
+    WITH lp AS (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    ),
+    e AS (
+        SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        FROM lp x JOIN lp y
+          ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+    ),
+    deg AS (
+        SELECT node, COUNT(*) AS d FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM e x JOIN e y ON y.a = x.b JOIN e z ON z.a = x.a AND z.b = y.b
+    )
+    SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+           (SELECT COUNT(*) FROM e) AS n_edges,
+           (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+           CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN (SELECT SUM(d * (d - 1) // 2) FROM deg) = 0 THEN 0
+                ELSE (3 * tri.n_triangles * 1000000)
+                     // (SELECT SUM(d * (d - 1) // 2) FROM deg) END AS BIGINT)
+               AS clustering_ppm
+    FROM tri
+    """,
+)
+def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of the 1997
+    part co-purchase graph (parts sharing an order are adjacent; the
+    year slice keeps the wedge mass bench-scale — the full-history graph
+    at sf0.1 has 148M wedges and runs fine, just not in a 100-query
+    bench loop).
+
+    The operator (operators/graph.py::triangle_count) uses degree
+    orientation so the wedge join is bounded O(m^1.5) under ANY degree
+    skew; the DuckDB oracle runs the naive a<b<c three-way join — same
+    count, different join geometry, which is exactly the point: the
+    orientation is a physical optimization with a provably identical
+    answer.
+    """
+    from creatorops_lakehouse_spark.operators.graph import triangle_count
+
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    lp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    x = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))
+    y = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("b"))
+    edges = (
+        x.join(y, "o")
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    return triangle_count(edges)
