@@ -83,6 +83,7 @@ def main() -> int:
             "tpch_q15_top_supplier",  # max-revenue scalar (ties kept)
             "tpch_q22_idle_rich_customers",  # avg-balance threshold pair
             "docs_temperature_mixture",  # total-isqrt-weight scalar
+            "graph_triangles_copurchase",  # one-row stats x one-row triangle count
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
