@@ -165,3 +165,89 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return triangle_count(edges)
+
+
+@query(
+    "graph_khop_reach",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    seed AS (
+        SELECT MIN(s_suppkey) * 2 + 1 AS node FROM supplier
+    ),
+    h1 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM e JOIN seed s ON e.src = s.node
+        WHERE e.dst NOT IN (SELECT node FROM seed)
+    ),
+    h2 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM e JOIN h1 ON e.src = h1.node
+        WHERE e.dst NOT IN (SELECT node FROM seed)
+          AND e.dst NOT IN (SELECT node FROM h1)
+    ),
+    h3 AS (
+        SELECT DISTINCT e.dst AS node
+        FROM e JOIN h2 ON e.src = h2.node
+        WHERE e.dst NOT IN (SELECT node FROM seed)
+          AND e.dst NOT IN (SELECT node FROM h1)
+          AND e.dst NOT IN (SELECT node FROM h2)
+    )
+    SELECT hop, n_new_nodes FROM (
+        SELECT 1 AS hop, COUNT(*) AS n_new_nodes FROM h1
+        UNION ALL SELECT 2, COUNT(*) FROM h2
+        UNION ALL SELECT 3, COUNT(*) FROM h3
+    ) ORDER BY hop
+    """,
+)
+def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (path query class): frontier sizes of a BFS
+    from the lowest-keyed supplier over the symmetrized trade graph,
+    3 hops.
+
+    Classic frontier expansion: each hop is one equi-join of the
+    (persisted, degree-bounded) edge list against the current frontier,
+    anti-joined against the visited set — the visited/frontier tables
+    are node-sized, so they broadcast while only the edge scan is big.
+    The hop-3 frontier of a dense bipartite graph collapses to near
+    zero (almost everything is within 2 hops of a supplier) — the query
+    pins that structural fact exactly.
+    """
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    directed = scoped_persist(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = scoped_persist(
+        directed.unionAll(
+            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).coalesce(8)
+    )
+    s = load(spark, sf_dir, "supplier")
+    frontier = s.agg((F.min("s_suppkey") * 2 + 1).alias("node"))
+    visited = frontier
+    rows = []
+    for hop in range(1, 4):
+        frontier = scoped_persist(
+            edges.join(
+                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(visited), "node", "left_anti")
+        )
+        visited = scoped_persist(visited.unionAll(frontier).distinct())
+        rows.append(
+            frontier.agg(F.count(F.lit(1)).cast("long").alias("n_new_nodes"))
+            .select(F.lit(hop).cast("int").alias("hop"), "n_new_nodes")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("hop")
