@@ -38,6 +38,28 @@ _EDGES_SQL = """
 _ITERS = 6
 
 
+def _trade_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct directed trade edges, sticky-persisted per corpus: both
+    graph queries (PageRank, k-hop) walk the same edge list, so the
+    join+distinct build runs once per session per sf_dir — the same
+    build-once/probe-many scope as the shingle tables and IVF index."""
+    from creatorops_lakehouse_spark.operators.cache import sticky_persist
+
+    def build() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+
+    return sticky_persist(f"trade_directed:{sf_dir}", build)
+
+
 @query(
     "graph_pagerank_trade",
     oracle=f"""
@@ -60,21 +82,10 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     list (lineage cut per step). Suppliers dominate the top ranks — there
     are ~15x fewer of them, so the symmetrized random walk concentrates
     there, which is the expected bipartite behavior."""
-    from creatorops_lakehouse_spark.operators.cache import scoped_persist
-
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # Persist the distinct directed edges BEFORE symmetrizing: the union
-    # reads them twice, and without the persist the join+distinct runs
-    # twice (measured 2x the edge-build cost at sf0.1).
-    directed = scoped_persist(
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    # Sticky-persisted distinct directed edges (shared with k-hop);
+    # persisting BEFORE symmetrizing matters — the union reads the table
+    # twice, and without the persist the join+distinct would run twice.
+    directed = _trade_directed(spark, sf_dir)
     edges = directed.unionAll(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -214,16 +225,7 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
 
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    directed = scoped_persist(
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .select(
-            (F.col("o_custkey") * 2).alias("src"),
-            (F.col("l_suppkey") * 2 + 1).alias("dst"),
-        )
-        .distinct()
-    )
+    directed = _trade_directed(spark, sf_dir)
     edges = scoped_persist(
         directed.unionAll(
             directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
