@@ -34,7 +34,10 @@ Scale design (100 TB / 10^9-node graphs):
   single-node inflow times d_num must stay under 2^63 — fine through
   N ~ 10^8 nodes at the default 10^9 scale; for web-scale graphs drop
   INIT_UNITS a decade per extra decade of N (rank resolution trades off
-  against headroom).
+  against headroom). WEIGHTED runs shrink that headroom further: the
+  per-edge product units(u) * w must also stay under 2^63, so divide the
+  N bound by max edge weight (or pre-normalize weights to a small
+  integer range) — a hub holding ~1e13 units with w ~ 1e6 weights wraps.
 """
 
 from __future__ import annotations
@@ -107,6 +110,17 @@ def pagerank(
             F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("w")
         )
     )
+    if weight is not None:
+        # Zero/negative/NULL weights poison the arithmetic silently: a
+        # node whose weights sum to 0 divides by zero (NULL under
+        # non-ANSI Spark, an ERROR in the DuckDB oracle) and its rank
+        # mass vanishes. Same fail-loud contract as the dangling check.
+        n_bad = e.filter((F.col("w") <= 0) | F.col("w").isNull()).count()
+        if n_bad:
+            raise ValueError(
+                f"pagerank: {n_bad} edge(s) with non-positive or NULL "
+                f"weight in column {weight!r}; weights must be >= 1"
+            )
     # Right-size the partitioning from the actual edge count (~250k edge
     # rows per task) BEFORE any other pass: an edge list assembled by
     # unions/joins inherits far too many tiny partitions, and every
@@ -159,6 +173,16 @@ def pagerank(
         node_tele = deg.select("node", F.lit(teleport).cast("long").alias("tele"))
     else:
         seed_set = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
+        # A seed outside the node universe would be silently ignored by
+        # the left join below (zero teleport mass lands anywhere near
+        # it) — a typo'd or un-mangled id is a modeling error, not a
+        # no-op. Fail loud, matching the dangling/weight guards.
+        n_unknown = seed_set.join(deg, "node", "left_anti").count()
+        if n_unknown:
+            raise ValueError(
+                f"pagerank: {n_unknown} seed node(s) not present in the "
+                "edge list's out-edge node universe"
+            )
         node_tele = deg.select("node").join(
             F.broadcast(seed_set.withColumn("_is_seed", F.lit(1))), "node", "left"
         ).select(

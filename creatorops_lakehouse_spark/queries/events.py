@@ -794,14 +794,21 @@ def events_value_outliers_3sigma(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("sq"),
+        # sum of squares in DECIMAL: a long SUM(c*c) wraps near 9.2e18
+        # (reachable at sf >= 10 with large values) while DuckDB's
+        # HUGEINT keeps going — exactness envelope must match.
+        F.sum(F.col("c").cast("decimal(18,0)") * F.col("c")).alias("sq"),
     )
-    # d = v*n - s fits long (|d| <= max_cents * n ~ 1e11 at sf1); the
-    # SQUARES move to decimal: d^2 -> DECIMAL(25,0), rhs -> DECIMAL(34,0).
-    d = F.expr("CAST(c * n - s AS DECIMAL(12,0))")
+    # Exactness envelope (documented, matches the HUGEINT oracle up to
+    # DECIMAL(38)): with cents <= 1e8 ($1M events) and n <= 1e9 rows per
+    # group, |d| <= 1e17 -> DECIMAL(18,0); d^2 <= 1e34 -> DECIMAL(37,0);
+    # n*sq <= 1e34 and s^2 <= 1e34 stay inside DECIMAL(38,0). Beyond that
+    # envelope Spark's decimal overflows to NULL (flagged row dropped)
+    # rather than silently wrapping a long.
+    d = F.expr("CAST(CAST(c AS DECIMAL(18,0)) * n - s AS DECIMAL(18,0))")
     rhs = F.expr(
-        "CAST(9 AS DECIMAL(1,0)) * (CAST(n AS DECIMAL(10,0)) * CAST(sq AS DECIMAL(18,0))"
-        " - CAST(s AS DECIMAL(15,0)) * CAST(s AS DECIMAL(15,0)))"
+        "CAST(9 AS DECIMAL(1,0)) * (CAST(n AS DECIMAL(10,0)) * sq"
+        " - CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0)))"
     )
     is_outlier = (d * d) > rhs
     return (
@@ -853,17 +860,20 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Week arithmetic stays integral (date_trunc to Monday, day-difference
     div 7) so cell membership is exact on both engines. Plan: one
-    aggregate for first-weeks (|users| rows, broadcast back onto the
-    event scan), distinct per (user, cell), then the cell count — the
-    fact table shuffles twice (first-week agg, cell distinct), both with
-    map-side partials.
+    aggregate for first-weeks (one row per USER — AQE decides broadcast
+    vs shuffle from its actual size; forcing broadcast would OOM at
+    sf10+ user counts), distinct per (user, cell), then the cell
+    count — the fact table shuffles twice (first-week agg, cell
+    distinct), both with map-side partials.
     """
     ev = load(spark, sf_dir, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
     )
     firsts = ev.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
     activity = (
-        ev.join(F.broadcast(firsts), "user_id")
+        # no broadcast hint: firsts is one row per USER (millions at
+        # sf10+) — let AQE pick broadcast vs shuffle from actual size
+        ev.join(firsts, "user_id")
         .select(
             "user_id",
             "cohort_week",
@@ -996,12 +1006,19 @@ def events_audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame
     relative error at default lgK is ~1.6%; the absolute slack covers
     near-empty intersections).
     """
-    ut = (
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    # ut feeds both sides of the pair self-join AND the sketch table;
+    # per_type is branched into the a/b roles — persist both or the
+    # events scan+distinct runs up to 4x and the theta aggregation 2x.
+    ut = scoped_persist(
         load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
     )
-    per_type = ut.groupBy("event_type").agg(
-        F.expr("theta_sketch_agg(user_id)").alias("sk"),
-        F.count(F.lit(1)).cast("long").alias("n_users"),
+    per_type = scoped_persist(
+        ut.groupBy("event_type").agg(
+            F.expr("theta_sketch_agg(user_id)").alias("sk"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
     )
     a = per_type.select(
         F.col("event_type").alias("type_a"),

@@ -568,10 +568,8 @@ def docs_dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame
     ),
     tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sw FROM weighted)
     SELECT w.lang, w.n AS n_docs, w.w AS weight_isqrt,
-           CAST((CASE WHEN (w.w * 1000000) < 0 THEN -1
-                      WHEN (w.w * 1000000) > 0 THEN 1 ELSE 0 END)
-                * ((2 * abs(w.w * 1000000) * 1 + t.sw) // (2 * t.sw))
-                AS BIGINT) AS share_ppm,
+           CAST((2 * w.w * 1000000 + t.sw) // (2 * t.sw) AS BIGINT)
+               AS share_ppm,
            CAST((2 * w.w * 10000 + t.sw) // (2 * t.sw) AS BIGINT)
                AS sampled_per_10k
     FROM weighted w, tot t
@@ -604,9 +602,10 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
             F.col("n").alias("n_docs"),
             F.col("w").alias("weight_isqrt"),
+            # w = floor(sqrt(n)) >= 1 always, so no sign handling —
+            # plain half-up integer rounding of the positive ratio
             F.expr(
-                "CAST(sign(w * 1000000) * ((2 * abs(w * 1000000) + sw)"
-                " div (2 * sw)) AS BIGINT)"
+                "CAST((2 * w * 1000000 + sw) div (2 * sw) AS BIGINT)"
             ).alias("share_ppm"),
             F.expr("CAST((2 * w * 10000 + sw) div (2 * sw) AS BIGINT)").alias(
                 "sampled_per_10k"

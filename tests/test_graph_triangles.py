@@ -34,4 +34,5 @@ def test_triangle_free_bipartite(spark):
     edges = [(a, b) for a in (0, 1) for b in (10, 11, 12)]
     r = _run(spark, edges)
     assert r.n_triangles == 0
-    assert r.clustering_ppm == 0 or r.n_wedges > 0  # no wedge closes
+    assert r.n_wedges > 0  # wedges exist (hubs see multiple rim nodes)...
+    assert r.clustering_ppm == 0  # ...but none of them closes

@@ -187,3 +187,16 @@ def test_mass_roughly_conserved(spark, small_graph):
     n_nodes = len({s for s, _ in small_graph})
     assert total <= n_nodes * INIT_UNITS
     assert total >= int(n_nodes * INIT_UNITS * 0.999)
+
+
+def test_nonpositive_weight_raises(spark):
+    edges = spark.createDataFrame([(1, 2, 1), (2, 1, 0)], ["src", "dst", "w"])
+    with pytest.raises(ValueError, match="non-positive or NULL weight"):
+        pagerank(edges, iters=2, weight="w", broadcast_ranks=True)
+
+
+def test_unknown_seed_raises(spark, small_graph):
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    seeds = spark.createDataFrame([(0,), (999,)], ["node"])  # 999 not a node
+    with pytest.raises(ValueError, match="seed node"):
+        pagerank(edges, iters=2, seeds=seeds, broadcast_ranks=True)
