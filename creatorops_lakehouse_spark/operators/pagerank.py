@@ -50,9 +50,14 @@ from creatorops_lakehouse_spark.operators.cache import scoped_persist
 INIT_UNITS = 10**9
 
 
-#: below this node count the per-iteration ranks table is broadcast
-#: (16 bytes/row -> ~160 MB at the threshold, well under executor memory)
-BROADCAST_NODE_LIMIT = 10_000_000
+#: below this node count the per-iteration ranks table is broadcast.
+#: A broadcast relation costs far more than its 16 B/row raw width — the
+#: rows are collected to the driver, rebuilt as a hash relation (typically
+#: 5-10x raw), and the ranks table is re-collected and re-broadcast EVERY
+#: one of the K iterations. 2M nodes ≈ 32 MB raw ≈ a few hundred MB of
+#: transient driver/executor footprint per step — comfortably safe; the
+#: old 10M default was not (ADVICE r5).
+BROADCAST_NODE_LIMIT = 2_000_000
 
 
 def pagerank(
@@ -65,15 +70,34 @@ def pagerank(
     broadcast_ranks: bool | None = None,
     weight: str | None = None,
     seeds: DataFrame | None = None,
+    dangling: str | None = None,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
     Returns ``(node, rank_units)`` — BIGINT units on a 10^9-per-node
     scale, bit-identical to the unrolled-CTE SQL form of the same
-    arithmetic. ``edges`` must cover every node with >= 1 out-edge
-    (symmetrize first for undirected graphs); nodes with no IN-edges are
-    fine — they hold exactly the teleport mass each iteration and keep
-    contributing along their out-edges.
+    arithmetic. Nodes with no IN-edges are fine — they hold exactly the
+    teleport mass each iteration and keep contributing along their
+    out-edges. Nodes with no OUT-edges (dangling) are governed by
+    ``dangling``:
+
+    - ``"check"`` (default): raise — the caller must orient the graph so
+      every node has >= 1 out-edge (an undirected/symmetrized edge list
+      satisfies this by construction).
+    - ``"ignore"``: skip the check; dangling mass silently leaks (only
+      correct when the caller has proven there are no dangling nodes and
+      wants to skip the verification pass).
+    - ``"redistribute"``: the standard random-surfer treatment for real
+      directed graphs (web links, citations): each iteration the total
+      rank mass sitting on dangling nodes is re-spread uniformly —
+      ``share = dangling_mass div N`` integer units added to every node's
+      inflow before damping — still bit-exact against the unrolled SQL
+      oracle. The node universe becomes src ∪ dst. (Not combinable with
+      ``seeds``: where dangling mass restarts under personalization is a
+      modeling choice this operator refuses to default.)
+
+    ``check_dangling=False`` is the legacy spelling of
+    ``dangling="ignore"``; the ``dangling`` keyword wins when given.
 
     ``weight`` names an integer edge-weight column: contributions become
     ``units * w div sum_w(u)`` — trade volume, link multiplicity — with
@@ -97,6 +121,26 @@ def pagerank(
     small side per step.
     """
     d_num, d_den = damping
+    # Fail-loud on a nonsense damping tuple (ADVICE r5): d_num > d_den
+    # yields a negative teleport and silently garbage ranks; d_den <= 0
+    # would only surface as a ZeroDivisionError below. Same guard
+    # convention as the dangling/weight/seed checks.
+    if d_den <= 0 or not (0 <= d_num <= d_den):
+        raise ValueError(
+            f"pagerank: damping must satisfy 0 <= d_num <= d_den with "
+            f"d_den > 0, got {damping!r}"
+        )
+    mode = dangling if dangling is not None else (
+        "check" if check_dangling else "ignore"
+    )
+    if mode not in ("check", "ignore", "redistribute"):
+        raise ValueError(f"pagerank: unknown dangling mode {mode!r}")
+    if mode == "redistribute" and seeds is not None:
+        raise ValueError(
+            "pagerank: dangling='redistribute' with seeds is a modeling "
+            "choice this operator refuses to default; handle dangling "
+            "mass explicitly for personalized runs"
+        )
     teleport = (INIT_UNITS * (d_den - d_num)) // d_den
 
     # Persist the raw edge list first: the degree aggregate, the dangling
@@ -136,7 +180,7 @@ def pagerank(
     deg = e.groupBy(F.col("e_src").alias("node")).agg(
         F.sum("w").cast("long").alias("outdeg")
     )
-    if check_dangling:
+    if mode == "check":
         n_dst_only = (
             e.select(F.col("e_dst").alias("node"))
             .distinct()
@@ -146,10 +190,28 @@ def pagerank(
         if n_dst_only:
             raise ValueError(
                 f"pagerank: {n_dst_only} dangling node(s) (no out-edges); "
-                "symmetrize the edge list or handle dangling mass first"
+                "symmetrize the edge list, pass dangling='redistribute', "
+                "or handle dangling mass first"
             )
+    dangling_nodes = None
+    n_nodes = None
+    if mode == "redistribute":
+        # Node universe widens to src ∪ dst; the dangling set (nodes with
+        # no out-edges) is re-read every iteration for the mass sum.
+        universe_nodes = scoped_persist(
+            e.select(F.col("e_src").alias("node"))
+            .union(e.select(F.col("e_dst").alias("node")))
+            .distinct()
+        )
+        n_nodes = universe_nodes.count()
+        dangling_nodes = scoped_persist(
+            universe_nodes.join(deg, "node", "left_anti")
+        )
+    else:
+        universe_nodes = deg.select("node")
     if broadcast_ranks is None:
-        broadcast_ranks = deg.count() <= BROADCAST_NODE_LIMIT
+        n_universe = n_nodes if n_nodes is not None else deg.count()
+        broadcast_ranks = n_universe <= BROADCAST_NODE_LIMIT
     # Attach out-degrees. Small graphs: deg broadcasts -> map-side join,
     # no edge shuffle at all. Big graphs: pre-partition edges on src so
     # the per-iteration SMJ against ranks reuses this partitioning.
@@ -170,7 +232,9 @@ def pagerank(
     # a 32-partition 16k-row table would pay pure task scheduling, same
     # failure mode as the edge list.
     if seeds is None:
-        node_tele = deg.select("node", F.lit(teleport).cast("long").alias("tele"))
+        node_tele = universe_nodes.select(
+            "node", F.lit(teleport).cast("long").alias("tele")
+        )
     else:
         seed_set = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
         # A seed outside the node universe would be silently ignored by
@@ -193,16 +257,38 @@ def pagerank(
             .alias("tele"),
         )
     nodes = scoped_persist(node_tele.coalesce(parts))
-    ranks = deg.select("node", F.lit(INIT_UNITS).cast("long").alias("units"))
+    ranks = universe_nodes.select(
+        "node", F.lit(INIT_UNITS).cast("long").alias("units")
+    )
     for _ in range(iters):
+        share = 0
+        if mode == "redistribute":
+            # Scalar dangling-mass sum (bounded collect — same class as
+            # the CC convergence counters): share is the per-node uniform
+            # re-spread, floor-divided so the arithmetic stays integer-
+            # exact against the unrolled SQL oracle.
+            dm = (
+                ranks.join(F.broadcast(dangling_nodes), "node")
+                .agg(F.coalesce(F.sum("units"), F.lit(0)).alias("dm"))
+                .collect()[0]
+                .dm
+            )
+            share = int(dm) // n_nodes
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ed.join(rhs, ed.e_src == ranks.node).select(
             F.col("e_dst").alias("node"),
             F.expr("(units * w) div outdeg").alias("c"),
         )
-        inflow = contrib.groupBy("node").agg(
-            F.expr(f"({d_num} * sum(c)) div {d_den}").cast("long").alias("_damped")
-        )
+        if mode == "redistribute":
+            inflow = contrib.groupBy("node").agg(
+                F.sum("c").cast("long").alias("_sum_c")
+            )
+        else:
+            inflow = contrib.groupBy("node").agg(
+                F.expr(f"({d_num} * sum(c)) div {d_den}")
+                .cast("long")
+                .alias("_damped")
+            )
         # Left-join back onto the full node set: a node with no in-edges
         # receives exactly its teleport mass — dropping it (the aggregate
         # alone) would also drop its OUT-edges from every later iteration,
@@ -210,12 +296,29 @@ def pagerank(
         # the aggregate side is broadcast; on the big-graph path both
         # sides are node-partitioned so the join reuses the shuffle.
         agg_side = F.broadcast(inflow) if broadcast_ranks else inflow
-        ranks = nodes.join(agg_side, "node", "left").select(
-            "node",
-            (F.col("tele") + F.coalesce(F.col("_damped"), F.lit(0)))
-            .cast("long")
-            .alias("units"),
-        )
+        if mode == "redistribute":
+            # units' = tele + (d * (edge inflow + uniform dangling share)),
+            # composed OUTSIDE the aggregate so every node (even one with
+            # zero edge inflow) receives its dangling share.
+            ranks = nodes.join(agg_side, "node", "left").select(
+                "node",
+                (
+                    F.col("tele")
+                    + F.expr(
+                        f"({d_num} * (coalesce(_sum_c, 0) + {share})) "
+                        f"div {d_den}"
+                    )
+                )
+                .cast("long")
+                .alias("units"),
+            )
+        else:
+            ranks = nodes.join(agg_side, "node", "left").select(
+                "node",
+                (F.col("tele") + F.coalesce(F.col("_damped"), F.lit(0)))
+                .cast("long")
+                .alias("units"),
+            )
         # Cut lineage EVERY iteration: persist() alone keeps the logical
         # plan, so iteration k would re-optimize a k-deep join tree and
         # driver-side planning dominates (measured: ~8s warm for 6
@@ -234,14 +337,20 @@ def pagerank_oracle_sql(
     damping: tuple[int, int] = (85, 100),
     weighted: bool = False,
     seeds_sql: str | None = None,
+    dangling: str = "ignore",
 ) -> str:
     """DuckDB SQL computing the identical integer arithmetic: K unrolled
     join-aggregate CTE steps over ``edges_sql`` (must yield columns
     ``src, dst`` — plus ``w`` when ``weighted``). ``seeds_sql`` (yields
     ``node``) restricts teleport mass to the seed set (personalized).
-    Returns a relation ``(node, rank_units)``."""
+    ``dangling="redistribute"`` mirrors the operator's uniform dangling-
+    mass re-spread over the src ∪ dst node universe (not combinable with
+    ``seeds_sql``). Returns a relation ``(node, rank_units)``."""
     d_num, d_den = damping
     teleport = (INIT_UNITS * (d_den - d_num)) // d_den
+    redistribute = dangling == "redistribute"
+    if redistribute and seeds_sql is not None:
+        raise ValueError("redistribute + seeds unsupported (see pagerank())")
     steps = []
     if weighted:
         steps.append(f"e AS ({edges_sql})")
@@ -255,9 +364,21 @@ def pagerank_oracle_sql(
         "ed AS (SELECT e.src, e.dst, e.w, d.outdeg FROM e JOIN deg d"
         " ON d.node = e.src)"
     )
+    universe = "deg"
+    if redistribute:
+        steps.append(
+            "uni AS (SELECT DISTINCT node FROM ("
+            "SELECT src AS node FROM e UNION ALL SELECT dst FROM e))"
+        )
+        steps.append(
+            "dang AS (SELECT uni.node FROM uni LEFT JOIN deg"
+            " ON deg.node = uni.node WHERE deg.node IS NULL)"
+        )
+        universe = "uni"
     if seeds_sql is None:
         steps.append(
-            f"nt AS (SELECT node, CAST({teleport} AS BIGINT) AS tele FROM deg)"
+            f"nt AS (SELECT node, CAST({teleport} AS BIGINT) AS tele"
+            f" FROM {universe})"
         )
     else:
         steps.append(
@@ -267,19 +388,38 @@ def pagerank_oracle_sql(
             f" ON s.node = deg.node)"
         )
     steps.append(
-        f"r0 AS (SELECT node, CAST({INIT_UNITS} AS BIGINT) AS units FROM deg)"
+        f"r0 AS (SELECT node, CAST({INIT_UNITS} AS BIGINT) AS units"
+        f" FROM {universe})"
     )
     for k in range(1, iters + 1):
-        steps.append(
-            f"r{k} AS (SELECT nt.node, "
-            f"CAST(nt.tele + COALESCE(a{k}.damped, 0) AS BIGINT) AS units "
-            f"FROM nt LEFT JOIN ("
-            f"SELECT ed.dst AS node, "
-            f"({d_num} * CAST(SUM((r{k-1}.units * ed.w) // ed.outdeg) "
-            f"AS BIGINT)) // {d_den} AS damped "
-            f"FROM ed JOIN r{k-1} ON r{k-1}.node = ed.src GROUP BY ed.dst"
-            f") a{k} ON a{k}.node = nt.node)"
-        )
+        if redistribute:
+            steps.append(
+                f"dm{k} AS (SELECT CAST(COALESCE(SUM(r.units), 0) AS BIGINT)"
+                f" // (SELECT COUNT(*) FROM uni) AS share"
+                f" FROM r{k-1} r JOIN dang ON dang.node = r.node)"
+            )
+            steps.append(
+                f"r{k} AS (SELECT nt.node, "
+                f"CAST(nt.tele + ({d_num} * (COALESCE(a{k}.sum_c, 0) + "
+                f"(SELECT share FROM dm{k}))) // {d_den} AS BIGINT) AS units "
+                f"FROM nt LEFT JOIN ("
+                f"SELECT ed.dst AS node, "
+                f"CAST(SUM((r{k-1}.units * ed.w) // ed.outdeg) AS BIGINT)"
+                f" AS sum_c "
+                f"FROM ed JOIN r{k-1} ON r{k-1}.node = ed.src GROUP BY ed.dst"
+                f") a{k} ON a{k}.node = nt.node)"
+            )
+        else:
+            steps.append(
+                f"r{k} AS (SELECT nt.node, "
+                f"CAST(nt.tele + COALESCE(a{k}.damped, 0) AS BIGINT) AS units "
+                f"FROM nt LEFT JOIN ("
+                f"SELECT ed.dst AS node, "
+                f"({d_num} * CAST(SUM((r{k-1}.units * ed.w) // ed.outdeg) "
+                f"AS BIGINT)) // {d_den} AS damped "
+                f"FROM ed JOIN r{k-1} ON r{k-1}.node = ed.src GROUP BY ed.dst"
+                f") a{k} ON a{k}.node = nt.node)"
+            )
     return (
         "WITH " + ",\n    ".join(steps) + f"\n    SELECT node, units AS rank_units FROM r{iters}"
     )

@@ -93,7 +93,11 @@ def per_group_sample(
 
 
 def epoch_order(
-    df: DataFrame, key_col: str, epoch: int, n_buckets: int = 1 << 32
+    df: DataFrame,
+    key_col: str,
+    epoch: int,
+    n_buckets: int = 1 << 32,
+    n_range_buckets: int = 64,
 ) -> DataFrame:
     """Deterministic per-epoch training order: attach ``epoch_pos``, the
     row's position under the epoch-keyed hash permutation
@@ -103,24 +107,47 @@ def epoch_order(
     nevertheless REPRODUCIBLE (resume from a checkpoint mid-epoch, re-run
     an ablation bit-for-bit) and cheap at 100 TB. Sorting by a salted
     cryptographic hash gives both: the order is uniform-pseudorandom per
-    epoch, identical across engines/runs, and computing it is one
-    projection — writers consume it as a sort key (one global sort, the
-    unavoidable cost of ANY explicit ordering) or bucket it for
-    partitioned shuffling without a global sort at all.
+    epoch and identical across engines/runs.
 
     ``epoch_pos`` is the dense 0-based rank under (hash-bucket, key) —
     the key tiebreak makes the permutation total even on bucket
-    collisions. The rank is computed with a single window over the hash
-    order; at cluster scale prefer writing sorted-by-(_eb, key) files and
-    letting consumers stream them in order instead of materializing the
-    rank (the two-phase distributed prefix sum in operators/packing.py is
-    the pattern if a materialized global position is genuinely needed).
+    collisions. The rank is the two-phase distributed prefix sum (same
+    shape as operators/packing.py): hash buckets are sliced into
+    ``n_range_buckets`` contiguous ranges, phase 1 aggregates per-range
+    row counts (≤ n_range_buckets scalar rows to the driver), phase 2
+    ranks WITHIN each range under a partitioned window and adds the
+    broadcast exclusive range offset. Range order == hash order, so the
+    result is bit-identical to a global ORDER BY — without ever moving
+    all rows to one partition (the single-partition ``Window.orderBy``
+    this replaces was flagged as the one scale-killer at 100 TB).
     """
+    width = max(1, -(-n_buckets // n_range_buckets))  # ceil division
     eb = hash_bucket(
         F.concat(F.lit(f"e{epoch}:"), F.col(key_col).cast("string")),
         n_buckets,
     )
-    w = Window.orderBy(eb.asc(), F.col(key_col).asc())
-    return df.withColumn(
-        "epoch_pos", (F.row_number().over(w) - 1).cast("long")
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    # Persisted: the per-range count aggregate and the ranking window are
+    # two consumers of the same hashed projection.
+    bucketed = scoped_persist(
+        df.withColumn("_eb", eb).withColumn("_rb", F.expr(f"_eb div {width}"))
+    )
+    counts = {
+        r._rb: r.c
+        for r in bucketed.groupBy("_rb").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    running, offsets = 0, []
+    for b in sorted(counts):
+        offsets.append((b, running))
+        running += counts[b]
+    off_df = df.sparkSession.createDataFrame(offsets, "_rb long, _boff long")
+    w = Window.partitionBy("_rb").orderBy(F.col("_eb").asc(), F.col(key_col).asc())
+    return (
+        bucketed.join(F.broadcast(off_df), on="_rb")
+        .withColumn(
+            "epoch_pos",
+            (F.col("_boff") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_rb", "_eb", "_boff")
     )

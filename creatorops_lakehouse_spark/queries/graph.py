@@ -106,6 +106,52 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIRECTED_EDGES_SQL = """
+    SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+"""
+
+
+@query(
+    "graph_pagerank_directed",
+    oracle=f"""
+    WITH pr AS ({pagerank_oracle_sql(_DIRECTED_EDGES_SQL, iters=_ITERS,
+                                     dangling="redistribute")})
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS node_key,
+           rank_units
+    FROM pr
+    ORDER BY rank_units DESC, node_type, node_key
+    LIMIT 20
+    """,
+)
+def graph_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the DIRECTED customer→supplier trade graph with
+    uniform dangling-mass redistribution (VERDICT r5 item 4): every
+    supplier is a sink (no out-edges), so each iteration the rank mass
+    sitting on suppliers is re-spread uniformly over the whole node
+    universe before damping — the standard random-surfer treatment for
+    real directed graphs, in the same bit-exact integer arithmetic as
+    the symmetrized query, hash-checked against the unrolled-CTE oracle
+    extended with per-step dangling-mass scalar CTEs."""
+    directed = _trade_directed(spark, sf_dir)
+    ranks = pagerank(
+        directed, iters=_ITERS, dangling="redistribute", broadcast_ranks=True
+    )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            "rank_units",
+        )
+        .orderBy(F.desc("rank_units"), F.asc("node_type"), F.asc("node_key"))
+        .limit(20)
+    )
+
+
 @query(
     "graph_triangles_copurchase",
     oracle="""
@@ -215,41 +261,22 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the lowest-keyed supplier over the symmetrized trade graph,
     3 hops.
 
-    Classic frontier expansion: each hop is one equi-join of the
-    (persisted, degree-bounded) edge list against the current frontier,
-    anti-joined against the visited set — the visited/frontier tables
-    are node-sized, so they broadcast while only the edge scan is big.
-    The hop-3 frontier of a dense bipartite graph collapses to near
-    zero (almost everything is within 2 hops of a supplier) — the query
-    pins that structural fact exactly.
+    Classic frontier expansion (operators/graph.py::khop_frontier_sizes):
+    each hop is one equi-join of the (persisted, degree-bounded) edge
+    list against the current frontier, anti-joined against the visited
+    set. The visited/frontier joins broadcast below
+    BROADCAST_VISITED_LIMIT nodes and auto-fall back to copartitioned
+    shuffle anti-joins above it (a 10^9-node visited set outgrows any
+    broadcast). The hop-3 frontier of a dense bipartite graph collapses
+    to near zero (almost everything is within 2 hops of a supplier) —
+    the query pins that structural fact exactly.
     """
-    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.graph import khop_frontier_sizes
 
     directed = _trade_directed(spark, sf_dir)
-    edges = scoped_persist(
-        directed.unionAll(
-            directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        ).coalesce(8)
-    )
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).coalesce(8)
     s = load(spark, sf_dir, "supplier")
-    frontier = s.agg((F.min("s_suppkey") * 2 + 1).alias("node"))
-    visited = frontier
-    rows = []
-    for hop in range(1, 4):
-        frontier = scoped_persist(
-            edges.join(
-                F.broadcast(frontier.withColumnRenamed("node", "src")), "src"
-            )
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(F.broadcast(visited), "node", "left_anti")
-        )
-        visited = scoped_persist(visited.unionAll(frontier).distinct())
-        rows.append(
-            frontier.agg(F.count(F.lit(1)).cast("long").alias("n_new_nodes"))
-            .select(F.lit(hop).cast("int").alias("hop"), "n_new_nodes")
-        )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionAll(r)
-    return out.orderBy("hop")
+    seed = s.agg((F.min("s_suppkey") * 2 + 1).alias("node"))
+    return khop_frontier_sizes(edges, seed, hops=3, broadcast_visited=True)

@@ -297,6 +297,73 @@ def emb_ann_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ann_recall_verdict(exact, ann, floor=0.6)
 
 
+NEARDUP_VERDICT_TAU = 0.45
+
+
+@query(
+    "emb_neardup_recall_verdict",
+    oracle=f"""
+    WITH p AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                           CAST(b.embedding AS DOUBLE[])),
+                    4) >= {NEARDUP_VERDICT_TAU}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_global_pairs,
+           TRUE AS precision_ok, TRUE AS recall_ok
+    FROM p
+    """,
+)
+def emb_neardup_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the LSH-banded near-dup route (VERDICT r5
+    item 2: the registered emb_neardup_pairs row returns 0 rows at sf0.01 —
+    vacuously green — so this companion pins the SAME operator at
+    τ={NEARDUP_VERDICT_TAU}, where every tested scale has true pairs).
+    Against the in-engine exact all-pairs baseline: every found pair must
+    be a true τ-pair (precision_ok — raw cos ≥ τ implies rounded cos ≥ τ
+    for grid-aligned τ, so band geometry cannot manufacture a false
+    positive) and ≥ 60% of the true τ-pairs must be found (recall_ok;
+    auto_planes/auto_tables size the band-OR geometry for 0.9 recall at
+    the threshold — the 0.6 floor leaves deterministic margin). The
+    oracle recomputes n_global_pairs in SQL and pins both booleans TRUE;
+    a collapsed table count or broken bucket join flips the hash."""
+    from creatorops_lakehouse_spark.operators.similarity import pair_cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    found = embedding_neardup_pairs(emb, threshold=NEARDUP_VERDICT_TAU).select(
+        "a_id", "b_id"
+    )
+    va = emb.select(F.col("vec_id").alias("a_id"), F.col("embedding").alias("a_vec"))
+    vb = emb.select(F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_vec"))
+    glob = (
+        va.crossJoin(vb)
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(pair_cosine(F.col("a_vec"), F.col("b_vec")), 4).alias("r"),
+        )
+        .filter(F.col("r") >= NEARDUP_VERDICT_TAU)
+        .select("a_id", "b_id")
+    )
+    merged = glob.withColumn("_g", F.lit(1)).join(
+        found.withColumn("_f", F.lit(1)), on=["a_id", "b_id"], how="full_outer"
+    )
+    agg = merged.agg(
+        F.count("_g").alias("_n_global"),
+        F.count(F.when(F.col("_g").isNotNull() & F.col("_f").isNotNull(), 1)).alias(
+            "_n_both"
+        ),
+        F.count(F.when(F.col("_g").isNull(), 1)).alias("_n_false_pos"),
+    )
+    return agg.select(
+        F.col("_n_global").cast("long").alias("n_global_pairs"),
+        (F.col("_n_false_pos") == 0).alias("precision_ok"),
+        ((F.col("_n_both") / F.col("_n_global")) >= 0.6).alias("recall_ok"),
+    )
+
+
 EMB_DECONTAM_THRESHOLD = 0.4
 EMB_EVAL_MOD = 10
 

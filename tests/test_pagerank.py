@@ -200,3 +200,90 @@ def test_unknown_seed_raises(spark, small_graph):
     seeds = spark.createDataFrame([(0,), (999,)], ["node"])  # 999 not a node
     with pytest.raises(ValueError, match="seed node"):
         pagerank(edges, iters=2, seeds=seeds, broadcast_ranks=True)
+
+
+def _py_pagerank_redistribute(edges, iters=4, damping=(85, 100)):
+    """Reference for dangling='redistribute': node universe src ∪ dst,
+    per-iteration uniform integer re-spread of the dangling mass."""
+    d_num, d_den = damping
+    teleport = (INIT_UNITS * (d_den - d_num)) // d_den
+    edges = [(e[0], e[1], e[2] if len(e) > 2 else 1) for e in edges]
+    outw: dict[int, int] = {}
+    for s, _, w in edges:
+        outw[s] = outw.get(s, 0) + w
+    nodes = {s for s, _, _ in edges} | {d for _, d, _ in edges}
+    dang = nodes - set(outw)
+    n = len(nodes)
+    units = {v: INIT_UNITS for v in nodes}
+    for _ in range(iters):
+        share = sum(units[v] for v in dang) // n
+        acc: dict[int, int] = {}
+        for s, d, w in edges:
+            acc[d] = acc.get(d, 0) + (units[s] * w) // outw[s]
+        units = {
+            v: teleport + (d_num * (acc.get(v, 0) + share)) // d_den
+            for v in nodes
+        }
+    return units
+
+
+@pytest.fixture(scope="module")
+def dangling_graph():
+    # 1 and 2 feed sinks 4 and 5 (no out-edges) — classic directed graph
+    # with dangling mass; 3 only receives from the cycle.
+    return [(1, 2), (2, 1), (1, 4), (2, 5), (1, 3), (3, 1)]
+
+
+def test_redistribute_matches_python_reference(spark, dangling_graph):
+    edges = spark.createDataFrame(dangling_graph, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(
+            edges, iters=4, dangling="redistribute", broadcast_ranks=True
+        ).collect()
+    }
+    assert got == _py_pagerank_redistribute(dangling_graph, iters=4)
+    # sinks hold rank (they receive inflow) but the system mass stays
+    # bounded: no node should exceed the hub's rank
+    assert set(got) == {1, 2, 3, 4, 5}
+
+
+def test_redistribute_both_join_paths_match(spark, dangling_graph):
+    edges = spark.createDataFrame(dangling_graph, ["src", "dst"])
+    bc = pagerank(edges, iters=3, dangling="redistribute", broadcast_ranks=True)
+    sh = pagerank(edges, iters=3, dangling="redistribute", broadcast_ranks=False)
+    assert {(r.node, r.rank_units) for r in bc.collect()} == {
+        (r.node, r.rank_units) for r in sh.collect()
+    }
+
+
+def test_redistribute_oracle_sql_matches_spark(spark, dangling_graph):
+    duckdb = pytest.importorskip("duckdb")
+    edges = spark.createDataFrame(dangling_graph, ["src", "dst"])
+    got = {
+        r["node"]: r["rank_units"]
+        for r in pagerank(
+            edges, iters=4, dangling="redistribute", broadcast_ranks=True
+        ).collect()
+    }
+    values = ", ".join(f"({s}, {d})" for s, d in dangling_graph)
+    sql = pagerank_oracle_sql(
+        f"SELECT * FROM (VALUES {values}) AS t(src, dst)",
+        iters=4,
+        dangling="redistribute",
+    )
+    assert got == dict(duckdb.connect().execute(sql).fetchall())
+
+
+def test_damping_guard_raises(spark, small_graph):
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    for bad in [(101, 100), (-1, 100), (85, 0), (85, -10)]:
+        with pytest.raises(ValueError, match="damping"):
+            pagerank(edges, iters=1, damping=bad)
+
+
+def test_redistribute_with_seeds_raises(spark, dangling_graph):
+    edges = spark.createDataFrame(dangling_graph, ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    with pytest.raises(ValueError, match="redistribute"):
+        pagerank(edges, iters=1, dangling="redistribute", seeds=seeds)
