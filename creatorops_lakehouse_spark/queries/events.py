@@ -655,6 +655,79 @@ def events_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_funnel_by_region",
+    oracle="""
+    WITH ev AS (
+        SELECT r.r_name AS region, e.user_id, e.event_type, e.ts
+        FROM events e
+        JOIN customer c ON c.c_custkey = e.user_id
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+    ),
+    t0 AS (
+        SELECT region, user_id, MIN(ts) AS t_0 FROM ev
+        WHERE event_type = 'view' GROUP BY 1, 2
+    ),
+    t1 AS (
+        SELECT e.region, e.user_id, MIN(e.ts) AS t_1
+        FROM ev e JOIN t0 ON e.region = t0.region
+            AND e.user_id = t0.user_id AND e.ts > t0.t_0
+        WHERE e.event_type = 'click' GROUP BY 1, 2
+    ),
+    t2 AS (
+        SELECT e.region, e.user_id, MIN(e.ts) AS t_2
+        FROM ev e JOIN t1 ON e.region = t1.region
+            AND e.user_id = t1.user_id AND e.ts > t1.t_1
+        WHERE e.event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT b.region, b.n_users,
+           COALESCE(v.n, 0) AS n_viewed,
+           COALESCE(k.n, 0) AS n_clicked_after_view,
+           COALESCE(p.n, 0) AS n_purchased_after_click,
+           (10000 * COALESCE(p.n, 0)) // GREATEST(COALESCE(v.n, 0), 1)
+               AS conversion_bp
+    FROM (SELECT region, COUNT(DISTINCT user_id) AS n_users
+          FROM ev GROUP BY 1) b
+    LEFT JOIN (SELECT region, COUNT(*) AS n FROM t0 GROUP BY 1) v
+        ON v.region = b.region
+    LEFT JOIN (SELECT region, COUNT(*) AS n FROM t1 GROUP BY 1) k
+        ON k.region = b.region
+    LEFT JOIN (SELECT region, COUNT(*) AS n FROM t2 GROUP BY 1) p
+        ON p.region = b.region
+    """,
+)
+def events_funnel_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort funnel (VERDICT r5 item 8): the 3-stage view → click →
+    purchase chain grouped by the user's customer region (events.user_id
+    → customer → nation → region, dims broadcast onto the fact scan).
+    Runs on operators/sequence.py::funnel_by_group — the region key rides
+    each stage's semi-join, per-region counts left-join onto the
+    user-universe base so regions with no completions report zeros, and
+    conversion_bp stays exact integer basis points per region."""
+    from creatorops_lakehouse_spark.operators.sequence import funnel_by_group
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .select(F.col("c_custkey").alias("user_id"), F.col("r_name").alias("region"))
+    )
+    evr = ev.join(F.broadcast(dim), "user_id")
+    return funnel_by_group(
+        evr,
+        [
+            ("viewed", F.col("event_type") == "view"),
+            ("clicked_after_view", F.col("event_type") == "click"),
+            ("purchased_after_click", F.col("event_type") == "purchase"),
+        ],
+        group_cols=["region"],
+    )
+
+
+@query(
     "events_salted_hot_key_counts",
     oracle="""
     SELECT event_type, COUNT(*) AS n_events,

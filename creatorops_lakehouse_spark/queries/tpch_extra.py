@@ -554,7 +554,7 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN part p ON p.p_partkey = l.l_partkey
         WHERE l.l_suppkey = s.s_suppkey AND p.p_name LIKE '%red%'
         GROUP BY l.l_partkey
-        HAVING SUM(l.l_quantity) > 50
+        HAVING SUM(CAST(ROUND(l.l_quantity * 100, 0) AS BIGINT)) > 5000
       )
     ORDER BY supplier_name
     """,
@@ -568,7 +568,11 @@ def tpch_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     grouped-HAVING EXISTS shape. The inner aggregate groups by
     (suppkey, partkey) — one fact shuffle — and collapses to a distinct
     supplier list for a left-semi join against the broadcast supplier dim.
-    Quantity sums are integral doubles at driver data (cast long — exact).
+    The volume threshold compares in centiquantity integers on BOTH
+    engines (per-row ROUND(q*100) then BIGINT sum > 5000), so the
+    keep/drop decision is exact for any fractional quantities — not just
+    the integral doubles the driver generator happens to emit (ADVICE
+    r5: a sum like 50.5 would otherwise disagree at the threshold).
     """
     li = load(spark, sf_dir, "lineitem")
     p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
@@ -579,8 +583,12 @@ def tpch_q20_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
-        .agg(F.sum("l_quantity").cast("long").alias("qty"))
-        .filter(F.col("qty") > 50)
+        .agg(
+            F.sum(F.round(F.col("l_quantity") * 100, 0).cast("long")).alias(
+                "qty_c"
+            )
+        )
+        .filter(F.col("qty_c") > 5000)
         .select("l_suppkey")
         .distinct()
     )

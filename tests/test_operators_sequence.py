@@ -96,3 +96,56 @@ def test_fractional_second_window_not_truncated(spark):
         within=[0.5],
     )
     assert [r.user_id for r in stages[1].collect()] == [1]
+
+
+def test_funnel_by_group_per_cohort_counts(spark, events):
+    from creatorops_lakehouse_spark.operators.sequence import funnel_by_group
+
+    # cohort A: u1 (full chain), u2 (broken order), u3 (view only)
+    # cohort B: u4 (view -> later click), u5 (never views)
+    cohort = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")],
+        ["user_id", "cohort"],
+    )
+    ev = events.join(cohort, "user_id")
+    got = {
+        r.cohort: r.asDict()
+        for r in funnel_by_group(ev, _stages(), group_cols=["cohort"]).collect()
+    }
+    a, b = got["A"], got["B"]
+    assert (a["n_users"], a["n_viewed"], a["n_clicked"], a["n_purchased"]) == (
+        3, 3, 1, 1,
+    )
+    assert a["conversion_bp"] == 10000 * 1 // 3
+    assert (b["n_users"], b["n_viewed"], b["n_clicked"], b["n_purchased"]) == (
+        2, 1, 1, 0,
+    )
+    assert b["conversion_bp"] == 0
+
+
+def test_funnel_by_group_zero_stage0_group_reports_zeros(spark, events):
+    from creatorops_lakehouse_spark.operators.sequence import funnel_by_group
+
+    # u5 alone in cohort C: no view at all -> all stage counts 0, not a
+    # dropped row
+    cohort = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "A"), (5, "C")],
+        ["user_id", "cohort"],
+    )
+    ev = events.join(cohort, "user_id")
+    got = {
+        r.cohort: r.asDict()
+        for r in funnel_by_group(ev, _stages(), group_cols=["cohort"]).collect()
+    }
+    c = got["C"]
+    assert (c["n_users"], c["n_viewed"], c["n_clicked"], c["n_purchased"]) == (
+        1, 0, 0, 0,
+    )
+    assert c["conversion_bp"] == 0
+
+
+def test_funnel_by_group_requires_group_cols(spark, events):
+    from creatorops_lakehouse_spark.operators.sequence import funnel_by_group
+
+    with pytest.raises(ValueError, match="group column"):
+        funnel_by_group(events, _stages(), group_cols=[])
