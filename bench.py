@@ -9,6 +9,14 @@ Each query is executed to completion (count() action — full plan runs,
 result rows are materialized on executors but not shipped to the driver, so
 timings measure the engine, not Py4J serialization).
 
+Each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) within the
+session and reports the per-query MEDIAN (VERDICT r5 item 7: round 5
+measured a uniform ~1.4x host-window drift across code-identical queries —
+single samples conflate host noise with regressions). The headline value is
+the sum of medians; per-rep samples and mins land in BENCH_DETAIL.json,
+along with the peak cached-storage footprint sampled after every query
+(sticky-cache memory discipline, item 5).
+
 The harness that records this output keeps only the LAST 2000 characters of
 stdout and JSON-parses within that window — rounds 2 and 3 each produced a
 (valid) >2000-char line that therefore recorded as ``parsed: None``. The
@@ -40,8 +48,11 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't paying startup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
+    peak_storage = 0
     # *_verdict queries are oracle-checkable correctness AUDITS: each runs a
     # deliberately-exhaustive exact baseline (all-pairs hamming, full-corpus
     # exact Jaccard) next to the fast operator to pin its recall contract.
@@ -49,13 +60,21 @@ def main() -> None:
     # headline — timing them would measure the audit baseline, not the engine.
     queries = {n: f for n, f in all_queries().items() if not n.endswith("_verdict")}
     for name, fn in queries.items():
-        t0 = time.time()
-        try:
-            fn(spark, sf_dir).count()
-            timings[name] = round(time.time() - t0, 3)
-        except Exception as e:  # noqa: BLE001
-            failures[name] = str(e)[:200]
+        runs: list[float] = []
+        for _ in range(reps):
+            t0 = time.time()
+            try:
+                fn(spark, sf_dir).count()
+                runs.append(round(time.time() - t0, 3))
+            except Exception as e:  # noqa: BLE001
+                failures[name] = str(e)[:200]
+                break
+        if runs and name not in failures:
+            samples[name] = runs
+            timings[name] = sorted(runs)[len(runs) // 2]  # median (upper)
+        else:
             timings[name] = -1.0
+        peak_storage = max(peak_storage, _cached_bytes(spark))
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,17 +84,34 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "reps": reps,
+        "peak_storage_mb": round(peak_storage / 1e6, 1),
     }
     if failures:
         result["failures"] = failures
 
+    detail = dict(result)
+    detail["samples"] = samples
+    detail["queries_min"] = {n: min(r) for n, r in samples.items()}
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as f:
-        json.dump(result, f, indent=1, sort_keys=True)
+        json.dump(detail, f, indent=1, sort_keys=True)
 
     print(json.dumps(_fit_line(result), separators=(",", ":")))
+
+
+def _cached_bytes(spark) -> int:
+    """Current executor-memory footprint of all cached partitions (bytes);
+    sampled after every query so the detail file reports the bench run's
+    peak storage usage under the sticky-cache LRU cap."""
+    try:
+        return sum(
+            i.memSize() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        )
+    except Exception:  # private API: never let accounting fail the bench
+        return 0
 
 
 def _fit_line(result: dict) -> dict:

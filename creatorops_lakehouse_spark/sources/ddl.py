@@ -74,3 +74,61 @@ def register_catalog(spark: SparkSession, root: str) -> list[str]:
             spark.sql(f"MSCK REPAIR TABLE {spec.name}")
         executed.append(ddl)
     return executed
+
+
+def maintenance_sql(
+    table: str,
+    zorder_by: tuple[str, ...] = (),
+    retain_hours: int | None = None,
+) -> list[str]:
+    """Delta maintenance statements for a table — the commands the
+    reference's DDL files prescribe in comments but never run
+    (sql/ddl/01_bronze.sql:25-26 ``OPTIMIZE`` + ``VACUUM ... RETAIN 168
+    HOURS``, 02_silver_events.sql:62 ``OPTIMIZE ... ZORDER BY``).
+
+    delta-spark is not installable in this sandbox, so the statements are
+    generated (and string-asserted in tests/test_ddl.py) rather than
+    executed; on a Delta-enabled session they run verbatim via
+    ``spark.sql``. The parquet stand-ins with equivalent capability are
+    tables.py::compact_table (OPTIMIZE) and zorder_for_skipping (ZORDER).
+    """
+    stmts = [
+        f"OPTIMIZE {table} ZORDER BY ({', '.join(zorder_by)})"
+        if zorder_by
+        else f"OPTIMIZE {table}"
+    ]
+    if retain_hours is not None:
+        if retain_hours < 0:
+            raise ValueError(f"retain_hours must be >= 0, got {retain_hours}")
+        stmts.append(f"VACUUM {table} RETAIN {int(retain_hours)} HOURS")
+    return stmts
+
+
+def merge_upsert_sql(
+    table: str,
+    source: str,
+    keys: tuple[str, ...],
+    partition_keys: tuple[str, ...] = (),
+) -> str:
+    """The ``MERGE INTO`` statement the silver upsert becomes on Delta —
+    the documented write pattern (runbooks/silver-transform.md:121-122:
+    "Use MERGE INTO (upsert) to enforce uniqueness") that
+    tables.py::upsert_table realizes without Delta via anti-join +
+    dynamic partition overwrite.
+
+    ``partition_keys`` join the match condition so the engine prunes the
+    rewrite to touched partitions (the same pruning upsert_table does
+    with its broadcast partition filter — SURVEY.md §7.4 scale note).
+    """
+    if not keys:
+        raise ValueError("merge needs >= 1 equality key")
+    on = " AND ".join(
+        f"t.{k} = s.{k}" for k in (*keys, *partition_keys)
+    )
+    return (
+        f"MERGE INTO {table} AS t\n"
+        f"USING {source} AS s\n"
+        f"ON {on}\n"
+        f"WHEN MATCHED THEN UPDATE SET *\n"
+        f"WHEN NOT MATCHED THEN INSERT *"
+    )

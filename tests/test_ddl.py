@@ -82,3 +82,50 @@ def test_delta_format_seam(tmp_path):
         assert rows == {1: "A", 2: "b", 3: "c"}
     finally:
         spark.stop()
+
+
+def test_maintenance_sql_matches_reference_prescription():
+    """The exact commands the reference DDL comments prescribe but never
+    run: 01_bronze.sql:25-26 and 02_silver_events.sql:62. String-level —
+    delta-spark is not installable here (pip re-verified round 6), so the
+    swap is specified by assertion instead of execution."""
+    from creatorops_lakehouse_spark.sources.ddl import maintenance_sql
+
+    assert maintenance_sql(
+        "bronze.creatorops_events_raw", retain_hours=168
+    ) == [
+        "OPTIMIZE bronze.creatorops_events_raw",
+        "VACUUM bronze.creatorops_events_raw RETAIN 168 HOURS",
+    ]
+    assert maintenance_sql(
+        "silver.creatorops_events",
+        zorder_by=("story_id", "author_id", "event_type"),
+    ) == [
+        "OPTIMIZE silver.creatorops_events "
+        "ZORDER BY (story_id, author_id, event_type)"
+    ]
+    with pytest.raises(ValueError, match="retain_hours"):
+        maintenance_sql("t", retain_hours=-1)
+
+
+def test_merge_upsert_sql_statement():
+    """The MERGE INTO the silver upsert becomes on Delta
+    (runbooks/silver-transform.md:121-122), with partition keys in the
+    match condition for rewrite pruning."""
+    from creatorops_lakehouse_spark.sources.ddl import merge_upsert_sql
+
+    got = merge_upsert_sql(
+        "silver.creatorops_events",
+        "updates",
+        keys=("event_id",),
+        partition_keys=("p_event_date",),
+    )
+    assert got == (
+        "MERGE INTO silver.creatorops_events AS t\n"
+        "USING updates AS s\n"
+        "ON t.event_id = s.event_id AND t.p_event_date = s.p_event_date\n"
+        "WHEN MATCHED THEN UPDATE SET *\n"
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    with pytest.raises(ValueError, match="key"):
+        merge_upsert_sql("t", "s", keys=())
