@@ -261,19 +261,21 @@ def pagerank(
         "node", F.lit(INIT_UNITS).cast("long").alias("units")
     )
     for _ in range(iters):
-        share = 0
+        share_df = None
         if mode == "redistribute":
-            # Scalar dangling-mass sum (bounded collect — same class as
-            # the CC convergence counters): share is the per-node uniform
-            # re-spread, floor-divided so the arithmetic stays integer-
-            # exact against the unrolled SQL oracle.
-            dm = (
+            # One-row dangling-mass scalar, kept IN the plan (a broadcast
+            # cross join, the sanctioned one-row-aggregate pattern) so
+            # each iteration stays a single job — a driver-side collect
+            # here would double the per-iteration job count. share is the
+            # per-node uniform re-spread, floor-divided so the arithmetic
+            # stays integer-exact against the unrolled SQL oracle.
+            share_df = (
                 ranks.join(F.broadcast(dangling_nodes), "node")
-                .agg(F.coalesce(F.sum("units"), F.lit(0)).alias("dm"))
-                .collect()[0]
-                .dm
+                .agg(F.coalesce(F.sum("units"), F.lit(0)).alias("_dm"))
+                .select(
+                    F.expr(f"_dm div {n_nodes}").cast("long").alias("_share")
+                )
             )
-            share = int(dm) // n_nodes
         rhs = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = ed.join(rhs, ed.e_src == ranks.node).select(
             F.col("e_dst").alias("node"),
@@ -300,17 +302,21 @@ def pagerank(
             # units' = tele + (d * (edge inflow + uniform dangling share)),
             # composed OUTSIDE the aggregate so every node (even one with
             # zero edge inflow) receives its dangling share.
-            ranks = nodes.join(agg_side, "node", "left").select(
-                "node",
-                (
-                    F.col("tele")
-                    + F.expr(
-                        f"({d_num} * (coalesce(_sum_c, 0) + {share})) "
-                        f"div {d_den}"
+            ranks = (
+                nodes.join(agg_side, "node", "left")
+                .crossJoin(F.broadcast(share_df))
+                .select(
+                    "node",
+                    (
+                        F.col("tele")
+                        + F.expr(
+                            f"({d_num} * (coalesce(_sum_c, 0) + _share)) "
+                            f"div {d_den}"
+                        )
                     )
+                    .cast("long")
+                    .alias("units"),
                 )
-                .cast("long")
-                .alias("units"),
             )
         else:
             ranks = nodes.join(agg_side, "node", "left").select(
