@@ -208,6 +208,107 @@ def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orders_scd2_priority_history",
+    oracle="""
+    WITH s AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(1) OVER w IS NULL AS is_first,
+               LAG(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    c AS (
+        SELECT * FROM s
+        WHERE is_first OR prev_p IS DISTINCT FROM o_orderpriority
+    )
+    SELECT o_custkey AS custkey, o_orderpriority AS priority,
+           o_orderdate AS valid_from,
+           LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS valid_to,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version
+    FROM c
+    """,
+)
+def orders_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension history built from a change stream
+    (operators/scd.py::scd2_intervals): each customer's order-priority
+    regime as half-open validity intervals — consecutive same-priority
+    orders collapse into one run, valid_to = the next run's valid_from
+    (NULL on the current run), version = per-key change ordinal. The
+    immutable-event-log data model's dimension-building step: one shuffle
+    on the key, run detection + interval assembly fused into a single
+    sort/window stage (no self-join). Downstream as-of joins consume the
+    intervals instead of daily dimension snapshots."""
+    from creatorops_lakehouse_spark.operators.scd import scd2_intervals
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    hist = scd2_intervals(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    )
+    return hist.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+
+
+@query(
+    "events_rolling_7d_user_cents",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_7d_cents,
+           CAST(COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_7d_events
+    FROM events
+    """,
+)
+def events_rolling_7d_user_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day time-RANGE window per user (§2.5 extension: a
+    range-interval frame, not a ROWS frame — the frame boundary is a
+    timestamp offset, so same-ts peers are always framed together and
+    both engines agree row-for-row). The feature-engineering staple for
+    training-data pipelines: per-entity trailing-window aggregates.
+
+    The order key is epoch seconds (Spark's rangeBetween needs a numeric
+    key); the value sums in exact integer cents. One shuffle on user_id;
+    each partition's frame slide is O(n) two-pointer work inside the
+    window exec — no self-join, which is how a naive SQL translation
+    (events x events ON ts BETWEEN ...) would quadratically blow up at
+    100 TB."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-7 * 86400, 0)
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", cents.alias("cents"))
+        .select(
+            "user_id",
+            "event_id",
+            F.sum("cents").over(w).cast("long").alias("rolling_7d_cents"),
+            F.count(F.lit(1)).over(w).cast("long").alias("rolling_7d_events"),
+        )
+    )
+
+
+@query(
     "tpch_q4_order_priority_exists",
     oracle="""
     SELECT o_orderpriority, COUNT(*) AS order_count

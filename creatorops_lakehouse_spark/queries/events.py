@@ -1135,3 +1135,72 @@ def events_audience_overlap_theta(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("type_a", "type_b")
     )
+
+
+CMS_DEPTH, CMS_WIDTH = 5, 272
+
+
+@query(
+    "events_cms_frequency_verdict",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS overest_ok, TRUE AS bound_ok, TRUE AS merge_ok
+    FROM events
+    """,
+)
+def events_cms_frequency_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency contract (operators/cms.py), hash-checked
+    the same way as the HLL/Theta rows: per distinct user_id the CMS
+    estimate must never undercount (overest_ok — counters only add), the
+    worst overcount must stay within the 3N/width bound (bound_ok — the
+    classic eN/w tail at depth {CMS_DEPTH}, deterministic on the fixed
+    seeds + driver corpus), and the counter-wise merge of two disjoint
+    half-sketches (event_id parity split) must equal the full-corpus
+    sketch EXACTLY (merge_ok — the mergeability that makes the sketch a
+    partition/day/stream rollup primitive). n_keys/n_events are
+    SQL-recomputed by the oracle; the booleans pin against literal TRUE,
+    so any geometry or merge regression flips the value hash."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id")
+    full = scoped_persist(cms_build(ev, "user_id", CMS_DEPTH, CMS_WIDTH))
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    est = cms_estimate(
+        full, exact.select("user_id"), "user_id", CMS_DEPTH, CMS_WIDTH
+    )
+    freq = exact.join(est, "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("exact").cast("long").alias("n_events"),
+        F.sum(F.when(F.col("est") < F.col("exact"), 1).otherwise(0)).alias(
+            "_n_under"
+        ),
+        F.max(F.col("est") - F.col("exact")).alias("_max_over"),
+    )
+    halves = cms_merge(
+        cms_build(ev.filter(F.col("event_id") % 2 == 0), "user_id", CMS_DEPTH, CMS_WIDTH),
+        cms_build(ev.filter(F.col("event_id") % 2 == 1), "user_id", CMS_DEPTH, CMS_WIDTH),
+    )
+    n_diff = (
+        full.withColumnRenamed("cnt", "cnt_a")
+        .join(halves.withColumnRenamed("cnt", "cnt_b"), ["row_i", "bucket"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(~F.col("cnt_a").eqNullSafe(F.col("cnt_b")), 1).otherwise(0)
+            ).alias("_n_diff")
+        )
+    )
+    return freq.crossJoin(F.broadcast(n_diff)).select(
+        "n_keys",
+        "n_events",
+        (F.col("_n_under") == 0).alias("overest_ok"),
+        (F.col("_max_over") <= F.expr(f"(3 * n_events) div {CMS_WIDTH}")).alias(
+            "bound_ok"
+        ),
+        (F.col("_n_diff") == 0).alias("merge_ok"),
+    )

@@ -1,0 +1,95 @@
+"""SCD2 interval builder and count-min-sketch operator semantics."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+import pytest
+
+from creatorops_lakehouse_spark.operators.cms import (
+    cms_build,
+    cms_estimate,
+    cms_merge,
+)
+from creatorops_lakehouse_spark.operators.scd import scd2_intervals
+
+
+def _d(day):
+    return dt.datetime(2024, 1, day)
+
+
+def test_scd2_collapses_runs_and_builds_half_open_intervals(spark):
+    rows = [
+        # key 1: a,a,b,a -> three runs (a@1, b@3, a@4)
+        (1, "a", _d(1), 10),
+        (1, "a", _d(2), 11),
+        (1, "b", _d(3), 12),
+        (1, "a", _d(4), 13),
+        # key 2: single run
+        (2, "x", _d(5), 14),
+    ]
+    df = spark.createDataFrame(rows, ["k", "attr", "ts", "tb"])
+    got = sorted(
+        (r.k, r.attr, r.valid_from, r.valid_to, r.version)
+        for r in scd2_intervals(
+            df, ["k"], "ts", ["attr"], tiebreak_cols=["tb"]
+        ).collect()
+    )
+    assert got == [
+        (1, "a", _d(1), _d(3), 1),
+        (1, "a", _d(4), None, 3),
+        (1, "b", _d(3), _d(4), 2),
+        (2, "x", _d(5), None, 1),
+    ]
+
+
+def test_scd2_null_attr_is_a_value(spark):
+    rows = [(1, None, _d(1), 1), (1, "a", _d(2), 2), (1, None, _d(3), 3)]
+    df = spark.createDataFrame(rows, "k int, attr string, ts timestamp, tb int")
+    got = [
+        (r.attr, r.version)
+        for r in scd2_intervals(df, ["k"], "ts", ["attr"], ["tb"])
+        .orderBy("version")
+        .collect()
+    ]
+    assert got == [(None, 1), ("a", 2), (None, 3)]
+
+
+def test_scd2_requires_attrs(spark):
+    df = spark.createDataFrame([(1, _d(1))], ["k", "ts"])
+    with pytest.raises(ValueError, match="attribute"):
+        scd2_intervals(df, ["k"], "ts", [])
+
+
+def test_cms_never_undercounts_and_merges_exactly(spark):
+    data = [(i % 7,) for i in range(200)] + [(99,)] * 50
+    df = spark.range(0, 1).sparkSession.createDataFrame(data, ["k"]).withColumn(
+        "rid", F.monotonically_increasing_id()
+    )
+    full = cms_build(df, "k", depth=4, width=64)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("exact"))
+    est = cms_estimate(full, exact.select("k"), "k", depth=4, width=64)
+    j = {r.k: (r.exact, r.est) for r in exact.join(est, "k").collect()}
+    assert all(e >= x for x, e in j.values())
+    # the planted heavy hitter is estimated within the eps*N envelope
+    assert j[99][1] <= j[99][0] + (3 * 250) // 64
+    # disjoint split merges counter-wise to the identical sketch
+    a = cms_build(df.filter(F.col("rid") % 2 == 0), "k", depth=4, width=64)
+    b = cms_build(df.filter(F.col("rid") % 2 == 1), "k", depth=4, width=64)
+    merged = cms_merge(a, b)
+    diff = (
+        full.withColumnRenamed("cnt", "ca")
+        .join(merged.withColumnRenamed("cnt", "cb"), ["row_i", "bucket"], "full_outer")
+        .filter(~F.col("ca").eqNullSafe(F.col("cb")))
+        .count()
+    )
+    assert diff == 0
+
+
+def test_cms_guards(spark):
+    df = spark.createDataFrame([(1,)], ["k"])
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(df, "k", depth=0)
+    with pytest.raises(ValueError, match="sketch"):
+        cms_merge()
