@@ -207,6 +207,107 @@ def events_running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SCD2 history CTE chain shared by the history query and its as-of
+#: consumer (identical semantics in both oracles)
+_SCD2_HIST_SQL = """
+    s AS (
+        SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+               LAG(1) OVER w IS NULL AS is_first,
+               LAG(o_orderpriority) OVER w AS prev_p
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey)
+    ),
+    c AS (
+        SELECT * FROM s
+        WHERE is_first OR prev_p IS DISTINCT FROM o_orderpriority
+    ),
+    hist AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS valid_to,
+               CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS version
+        FROM c
+    )
+"""
+
+
+@query(
+    "lineitem_enrich_scd2_interval",
+    oracle=f"""
+    WITH {_SCD2_HIST_SQL}
+    SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+           h.priority AS priority_at_ship, h.version
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN hist h ON h.custkey = o.o_custkey
+        AND h.valid_from <= l.l_shipdate
+        AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+    WHERE l.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1999-01-01 00:00:00'
+    """,
+)
+def lineitem_enrich_scd2_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact enrichment via SCD2 interval membership: each 1998-shipped
+    lineitem picks up the ordering customer's priority regime valid AT
+    its ship date (valid_from <= ship < valid_to, open-ended current
+    run) — the downstream consumption pattern the SCD2 operator exists
+    for, probing MID-history (ship dates fall inside the 1995-2001
+    change timeline, so different lineitems of one customer hit
+    different versions). Interval membership (not a plain as-of) is
+    deliberate: same-date double changes produce zero-length intervals
+    that must match nothing (15 such pairs at sf0.01 — an as-of 'latest
+    wins' would be ambiguous there). The history is dimension-sized →
+    broadcast onto the fact scan; the year filter is pushed to the
+    lineitem scan."""
+    from creatorops_lakehouse_spark.operators.scd import scd2_intervals
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey"
+    )
+    hist = scd2_intervals(
+        o,
+        key_cols=["o_custkey"],
+        ts_col="o_orderdate",
+        attr_cols=["o_orderpriority"],
+        tiebreak_cols=["o_orderkey"],
+    ).select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority_at_ship"),
+        "valid_from",
+        "valid_to",
+        "version",
+    )
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    )
+    # orders is a FACT (not forced broadcast — AQE picks the strategy;
+    # at 100 TB this is the one genuine shuffle join in the plan), the
+    # SCD2 history is a dimension (forced broadcast below).
+    with_cust = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select("l_orderkey", "l_linenumber", "l_shipdate", F.col("o_custkey").alias("custkey"))
+    return (
+        with_cust.join(F.broadcast(hist), "custkey")
+        .filter(
+            (F.col("valid_from") <= F.col("l_shipdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("l_shipdate") < F.col("valid_to"))
+            )
+        )
+        .select("l_orderkey", "l_linenumber", "custkey", "priority_at_ship", "version")
+    )
+
+
 @query(
     "orders_scd2_priority_history",
     oracle="""

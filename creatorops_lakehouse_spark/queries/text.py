@@ -994,3 +994,36 @@ def docs_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_units"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+_PROFILE_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+@query(
+    "docs_profile_columns",
+    oracle="\n    UNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS "column", COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(MIN(length(CAST({c} AS VARCHAR))) AS BIGINT) AS min_len,
+           CAST(MAX(length(CAST({c} AS VARCHAR))) AS BIGINT) AS max_len
+    FROM documents
+    """
+        for c in _PROFILE_COLS
+    ),
+)
+def docs_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the documents corpus
+    (operators/profile.py::profile_columns): per column the null count,
+    exact distinct count, and string-rendering length extrema — the
+    data-quality triage that precedes dedup-key choice and contract
+    drafting. All six statistics for all five columns ride ONE
+    aggregation over one scan (count_distinct expands the shuffle 5-way;
+    the oracle recomputes per column and unions)."""
+    from creatorops_lakehouse_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        load(spark, sf_dir, "documents"), cols=list(_PROFILE_COLS)
+    )

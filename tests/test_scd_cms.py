@@ -93,3 +93,20 @@ def test_cms_guards(spark):
         cms_build(df, "k", depth=0)
     with pytest.raises(ValueError, match="sketch"):
         cms_merge()
+
+
+def test_profile_columns_stats(spark):
+    from creatorops_lakehouse_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "ab", None), (2, "c", 1.5), (2, None, 2.5)],
+        "id long, s string, v double",
+    )
+    got = {r.column: r.asDict() for r in profile_columns(df).collect()}
+    assert got["id"]["n_rows"] == 3
+    assert (got["id"]["n_nulls"], got["id"]["n_distinct"]) == (0, 2)
+    assert (got["s"]["n_nulls"], got["s"]["n_distinct"]) == (1, 2)
+    assert (got["s"]["min_len"], got["s"]["max_len"]) == (1, 2)
+    assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (1, 2)
+    with pytest.raises(ValueError, match="column"):
+        profile_columns(df, cols=[])
