@@ -1204,3 +1204,186 @@ def events_cms_frequency_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("_n_diff") == 0).alias("merge_ok"),
     )
+
+
+@query(
+    "events_streaming_window_verdict",
+    oracle="""
+    WITH wm1 AS (SELECT MAX(ts) AS wm FROM events WHERE event_id % 2 = 0),
+    w AS (SELECT CAST(ts AS DATE) AS day FROM events GROUP BY 1)
+    SELECT CAST((SELECT COUNT(*) FROM w) AS BIGINT) AS n_windows_total,
+           CAST((SELECT COUNT(*) FROM w, wm1
+                 WHERE day + INTERVAL 1 DAY <= wm) AS BIGINT)
+               AS n_windows_closed,
+           TRUE AS complete_matches_batch,
+           TRUE AS append_emits_once,
+           TRUE AS append_contents_ok
+    """,
+)
+def events_streaming_window_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable contract for STREAMING tumbling-window aggregation
+    with watermarks (§2.8), same harness pattern as
+    docs_streaming_admission_verdict: the events table is staged as three
+    JSON files (mtime-ordered: even-parity rows; odd-parity rows after
+    the corpus's 10th day; odd-parity STRAGGLERS from the first 10 days)
+    and replayed through real Structured Streaming (readStream json →
+    maxFilesPerTrigger=1 → availableNow → memory sink). Five hash-checked
+    facts:
+
+    - n_windows_total / n_windows_closed: SQL-recomputed by the oracle —
+      closed means window_end <= the even-parity max event time (the
+      watermark in force at the close, 0s delay), pinning the close
+      boundary exactly;
+    - complete_matches_batch: the complete-mode streaming aggregate's
+      final snapshot equals the batch groupBy(window) aggregate
+      row-for-row (counts and exact cents);
+    - append_emits_once: append mode emits every closed window EXACTLY
+      once and the open last window never — and batch 3's post-eviction
+      stragglers do not resurrect an already-emitted window (which would
+      duplicate rows downstream);
+    - append_contents_ok: each emitted window carries exactly the rows
+      that were in state at its close — full contents for windows whose
+      late-but-pre-close rows merged into live state (no premature
+      loss), even-parity-only contents for the first-10-days windows
+      whose odd rows arrived only after eviction (the watermark drop
+      discipline).
+    """
+    import datetime as _dt
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    rows = ev.collect()  # bounded staging to CREATE a stream source
+    split_day = min(r.ts.date() for r in rows) + _dt.timedelta(days=9)
+    root = _tempfile.mkdtemp(prefix="stream_window_")
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    batches = (
+        ("b0", lambda r: r.event_id % 2 == 0),
+        ("b1", lambda r: r.event_id % 2 == 1 and r.ts.date() > split_day),
+        ("b2", lambda r: r.event_id % 2 == 1 and r.ts.date() <= split_day),
+    )
+    for i, (name, pred) in enumerate(batches):
+        path = _os.path.join(src, f"{name}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                if pred(r):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "event_id": r.event_id,
+                                "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                "cents": r.cents,
+                            }
+                        )
+                        + "\n"
+                    )
+        _os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    schema = "event_id long, ts timestamp, cents long"
+
+    def windowed(df):
+        return (
+            df.groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("c"),
+            )
+            .select(F.to_date(F.col("w.start")).alias("day"), "n", "c")
+        )
+
+    def run_stream(mode: str, name: str):
+        reader = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        agg = windowed(reader.withWatermark("ts", "0 seconds"))
+        q = (
+            agg.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", f"{root}/ckpt_{name}")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):  # hang backstop only
+            q.stop()
+            raise TimeoutError(f"streaming window query {name} did not finish")
+        return spark.table(name)
+
+    tag = _uuid.uuid4().hex[:8]
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    complete = scoped_persist(run_stream("complete", f"win_c_{tag}"))
+    append = scoped_persist(run_stream("append", f"win_a_{tag}"))
+
+    batch_full = scoped_persist(windowed(ev))
+    wm_e = ev.filter(F.col("event_id") % 2 == 0).agg(F.max("ts").alias("wm"))
+    sd = F.lit(split_day.strftime("%Y-%m-%d")).cast("date")
+    # In-engine expected emission: even-only contents for first-10-days
+    # windows (their odd rows arrived post-eviction and were dropped),
+    # full contents for later windows (late-but-pre-close merge), only
+    # windows closed by the even-parity max watermark.
+    expected = (
+        windowed(ev.filter(F.col("event_id") % 2 == 0))
+        .filter(F.col("day") <= sd)
+        .unionByName(batch_full.filter(F.col("day") > sd))
+        .crossJoin(F.broadcast(wm_e))
+        .filter(
+            F.col("day").cast("timestamp") + F.expr("INTERVAL 1 DAY")
+            <= F.col("wm")
+        )
+        .select("day", "n", "c")
+    )
+
+    def n_mismatch(a, b):
+        return (
+            a.withColumnRenamed("n", "n_a")
+            .withColumnRenamed("c", "c_a")
+            .join(
+                b.withColumnRenamed("n", "n_b").withColumnRenamed("c", "c_b"),
+                "day",
+                "full_outer",
+            )
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("n_a").eqNullSafe(F.col("n_b"))
+                        & F.col("c_a").eqNullSafe(F.col("c_b")),
+                        0,
+                    ).otherwise(1)
+                ).alias("m")
+            )
+        )
+
+    totals = batch_full.agg(F.count(F.lit(1)).cast("long").alias("n_windows_total"))
+    emit_stats = append.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_emitted"),
+        F.count_distinct("day").cast("long").alias("n_windows_closed"),
+    )
+    n_expected = expected.agg(F.count(F.lit(1)).cast("long").alias("_n_expected"))
+    mc = n_mismatch(complete, batch_full).withColumnRenamed("m", "m_c")
+    ma = n_mismatch(append, expected).withColumnRenamed("m", "m_a")
+    return (
+        totals.crossJoin(F.broadcast(emit_stats))
+        .crossJoin(F.broadcast(n_expected))
+        .crossJoin(F.broadcast(mc))
+        .crossJoin(F.broadcast(ma))
+        .select(
+            "n_windows_total",
+            "n_windows_closed",
+            (F.coalesce(F.col("m_c"), F.lit(0)) == 0).alias(
+                "complete_matches_batch"
+            ),
+            (
+                (F.col("_n_emitted") == F.col("n_windows_closed"))
+                & (F.col("_n_emitted") == F.col("_n_expected"))
+            ).alias("append_emits_once"),
+            (F.coalesce(F.col("m_a"), F.lit(0)) == 0).alias("append_contents_ok"),
+        )
+    )
