@@ -1387,3 +1387,54 @@ def events_streaming_window_verdict(spark: SparkSession, sf_dir: str) -> DataFra
             (F.coalesce(F.col("m_a"), F.lit(0)) == 0).alias("append_contents_ok"),
         )
     )
+
+
+@query(
+    "events_value_mad_by_type",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS median_half_cents
+        FROM c GROUP BY 1
+    ),
+    d AS (
+        SELECT c.event_type, m.median_half_cents,
+               ABS(2 * c.cents - m.median_half_cents) AS d2
+        FROM c JOIN m USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ANY_VALUE(median_half_cents) AS median_half_cents,
+           CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad_quarter_cents
+    FROM d GROUP BY 1
+    """,
+)
+def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per event type — the robust dispersion
+    statistic (outlier-insensitive, unlike the 3-sigma query's variance).
+    Exactness trick: medians of integers are k or k+0.5, so carrying
+    2x-scaled units (half-cents, then quarter-cents for the MAD of
+    absolute deviations) keeps every number an exact BIGINT on both
+    engines — no float rounding at interpolation boundaries. Two grouped
+    percentile passes; the per-type median table is 5 rows → broadcast
+    back onto the event scan."""
+    c = load(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    m = c.groupBy("event_type").agg(
+        (F.percentile("cents", F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("median_half_cents")
+    )
+    d = c.join(F.broadcast(m), "event_type").withColumn(
+        "d2", F.abs(2 * F.col("cents") - F.col("median_half_cents"))
+    )
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.first("median_half_cents").alias("median_half_cents"),
+        (F.percentile("d2", F.lit(0.5)) * 2).cast("long").alias("mad_quarter_cents"),
+    )

@@ -9,10 +9,14 @@ round through exact integer arithmetic.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from creatorops_lakehouse_spark.operators.multimodal import to_asset_table
-from creatorops_lakehouse_spark.operators.text import quality_features, token_count
+from creatorops_lakehouse_spark.operators.text import (
+    quality_features,
+    token_count,
+    tokens,
+)
 from creatorops_lakehouse_spark.queries import exact_avg_expr, exact_avg_sql, load, query
 
 #: identical token regex on both engines
@@ -1026,4 +1030,63 @@ def docs_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return profile_columns(
         load(spark, sf_dir, "documents"), cols=list(_PROFILE_COLS)
+    )
+
+
+@query(
+    "docs_vocab_coverage_curve",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest({_SQL_TOKENS}) AS w FROM documents
+    ),
+    freq AS (SELECT w, COUNT(*) AS n FROM toks GROUP BY 1),
+    ranked AS (
+        SELECT w, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rank,
+               SUM(n) OVER (ORDER BY n DESC, w
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum
+        FROM freq
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, w AS token, CAST(n AS BIGINT) AS n,
+           CAST((1000000 * cum) // (SELECT SUM(n) FROM freq) AS BIGINT)
+               AS cum_coverage_ppm
+    FROM ranked WHERE rank <= 50
+    """,
+)
+def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve (tokenizer-budget planning: how much of
+    the token stream the top-k vocabulary entries cover): corpus token
+    frequencies ranked desc with a cumulative-share prefix sum in exact
+    ppm, top 50. The ranking window runs over the FREQUENCY table (one
+    row per distinct token — vocabulary-sized, not corpus-sized), so the
+    single-partition window is bounded by |vocab| after an early top-k
+    cut would even be possible; at a 10^8-type vocabulary the two-phase
+    prefix sum of operators/sampling.py::epoch_order is the drop-in."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("w"))
+    )
+    freq = toks.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    freq = scoped_persist(freq)
+    total = freq.agg(F.sum("n").alias("_tot"))
+    w = Window.orderBy(F.desc("n"), F.asc("w"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum",
+            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            "n",
+            F.expr("(1000000 * cum) div _tot").cast("long").alias(
+                "cum_coverage_ppm"
+            ),
+        )
     )
