@@ -497,3 +497,62 @@ def events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+@query(
+    "events_daily_fill_forward",
+    oracle="""
+    WITH c AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    b AS (SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1
+          FROM c),
+    spine AS (
+        SELECT CAST(unnest(generate_series(
+            (SELECT d0 FROM b), (SELECT d1 FROM b), INTERVAL 1 DAY
+        )) AS DATE) AS day
+    ),
+    u AS (SELECT DISTINCT user_id FROM c),
+    grid AS (SELECT u.user_id, s.day FROM u CROSS JOIN spine s),
+    obs AS (
+        SELECT user_id, day, observed FROM (
+            SELECT user_id, CAST(ts AS DATE) AS day, cents AS observed,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM c
+        ) WHERE rn = 1
+    )
+    SELECT g.user_id, g.day, o.observed,
+           last_value(o.observed IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS carried
+    FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.day = g.day
+    """,
+)
+def events_daily_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal resampling (operators/timeseries.py::daily_fill_forward):
+    densify each user onto the corpus's full day spine and carry the
+    last observed value (exact cents) forward across gap days — the
+    feature-mart/BI staple the sparse event log can't serve directly.
+    The fact table contributes ONE hash aggregate (per-user-day last
+    value via max_by on the (ts, event_id) total order); the spine is
+    generated by sequence(), the user x day grid is a broadcast cross
+    join of two dimension-sized tables, and the fill is one window pass
+    over the grid."""
+    from creatorops_lakehouse_spark.operators.timeseries import (
+        daily_fill_forward,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return daily_fill_forward(
+        ev, entity_col="user_id", ts_col="ts", value_col="cents",
+        tiebreak_col="event_id",
+    ).select(F.col("entity").alias("user_id"), "day", "observed", "carried")

@@ -1438,3 +1438,93 @@ def events_value_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("median_half_cents").alias("median_half_cents"),
         (F.percentile("d2", F.lit(0.5)) * 2).cast("long").alias("mad_quarter_cents"),
     )
+
+
+@query(
+    "events_value_trend_ols",
+    oracle="""
+    WITH c AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS y,
+               epoch_us(ts) AS es
+        FROM events
+    ),
+    x AS (
+        SELECT event_type, y,
+               CAST((es - MIN(es) OVER (PARTITION BY event_type))
+                    // 3600000000 AS BIGINT) AS xh
+        FROM c
+    ),
+    s AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xh) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(xh * y) AS BIGINT) AS sxy,
+               CAST(SUM(xh * xh) AS BIGINT) AS sxx
+        FROM x GROUP BY 1
+    )
+    SELECT event_type, n AS n_events,
+           CAST(CASE
+               WHEN n * sxx - sx * sx = 0 THEN 0
+               WHEN n * sxy - sx * sy < 0 THEN
+                   -((CAST(-(n * sxy - sx * sy) AS HUGEINT) * 24000)
+                     // (n * sxx - sx * sx))
+               ELSE
+                   (CAST(n * sxy - sx * sy AS HUGEINT) * 24000)
+                     // (n * sxx - sx * sx)
+           END AS BIGINT) AS slope_milli_cents_per_day
+    FROM s
+    """,
+)
+def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS value trend in EXACT integer arithmetic: regress cents
+    on hours-since-first-event (hour-bucketed x keeps every moment sum in
+    int64 through sf1; see envelope note) and report the slope in milli-
+    cents per day via cross-multiplied integer division — no float means,
+    so both engines emit the identical BIGINT at every group.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²), scaled ×24,000
+    (cents/hour → milli-cents/day). Negative slopes split into
+    sign × magnitude before the integer division: Spark's div truncates
+    toward zero while DuckDB's // floors, and the two agree only on
+    non-negative operands. The ×24,000 product can exceed int64, so the
+    magnitude multiplies in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) —
+    same container split as events_value_outliers_3sigma. Plan: one
+    min-window pass per type + one hash aggregate (x is recentred per
+    group, which is what keeps Σxy small — raw epoch seconds would
+    overflow immediately)."""
+    c = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("y"),
+        F.unix_micros("ts").alias("es"),
+    )
+    x = c.select(
+        "event_type",
+        "y",
+        F.expr(
+            "(es - min(es) OVER (PARTITION BY event_type)) div 3600000000"
+        )
+        .cast("long")
+        .alias("xh"),
+    )
+    s = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xh").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("xh") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("xh") * F.col("xh")).cast("long").alias("sxx"),
+    )
+    num = "(n * sxy - sx * sy)"
+    den = "(n * sxx - sx * sx)"
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_events"),
+        F.expr(
+            f"CAST(CASE WHEN {den} = 0 THEN 0 "
+            f"WHEN {num} < 0 THEN "
+            f"-((CAST(-{num} AS DECIMAL(38,0)) * 24000) div {den}) "
+            f"ELSE (CAST({num} AS DECIMAL(38,0)) * 24000) div {den} "
+            f"END AS BIGINT)"
+        ).alias("slope_milli_cents_per_day"),
+    )

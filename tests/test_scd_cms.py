@@ -110,3 +110,30 @@ def test_profile_columns_stats(spark):
     assert (got["v"]["n_nulls"], got["v"]["n_distinct"]) == (1, 2)
     with pytest.raises(ValueError, match="column"):
         profile_columns(df, cols=[])
+
+
+def test_daily_fill_forward_carries_and_gaps(spark):
+    from creatorops_lakehouse_spark.operators.timeseries import (
+        daily_fill_forward,
+    )
+
+    rows = [
+        # entity 1: obs day1 (two events, later wins), gap day2, obs day3
+        (1, dt.datetime(2024, 1, 1, 8), 10, 100),
+        (1, dt.datetime(2024, 1, 1, 9), 11, 200),
+        (1, dt.datetime(2024, 1, 3, 8), 12, 300),
+        # entity 2: first obs day2 -> day1 has NULL carried
+        (2, dt.datetime(2024, 1, 2, 8), 13, 900),
+    ]
+    df = spark.createDataFrame(rows, ["e", "ts", "eid", "v"])
+    got = {
+        (r.entity, str(r.day)): (r.observed, r.carried)
+        for r in daily_fill_forward(df, "e", "ts", "v", "eid").collect()
+    }
+    assert got[(1, "2024-01-01")] == (200, 200)  # later event wins
+    assert got[(1, "2024-01-02")] == (None, 200)  # gap carries
+    assert got[(1, "2024-01-03")] == (300, 300)
+    assert got[(2, "2024-01-01")] == (None, None)  # before first obs
+    assert got[(2, "2024-01-02")] == (900, 900)
+    assert got[(2, "2024-01-03")] == (None, 900)
+    assert len(got) == 6  # 2 entities x 3 spine days
