@@ -556,3 +556,47 @@ def events_daily_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, entity_col="user_id", ts_col="ts", value_col="cents",
         tiebreak_col="event_id",
     ).select(F.col("entity").alias("user_id"), "day", "observed", "carried")
+
+
+@query(
+    "supplier_revenue_rollup_region_nation",
+    oracle="""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100)
+                AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def supplier_revenue_rollup_region_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLUP grouping sets (completes the family next to the CUBE query):
+    supplier revenue at nation, region-subtotal, and grand-total grain in
+    ONE shuffle via grouping-set expansion — the hierarchy-subtotal
+    pattern a BI mart would otherwise compute as three queries. Revenue
+    sums in exact cents (DECIMAL intermediate x 100 -> BIGINT); dims
+    broadcast onto the fact scan."""
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    dim = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+    )
+    return (
+        li.join(F.broadcast(dim), li.l_suppkey == dim.s_suppkey)
+        .rollup("region", "nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(12,2)") * 100))
+            .cast("long")
+            .alias("revenue_cents"),
+        )
+    )
