@@ -1058,11 +1058,14 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve (tokenizer-budget planning: how much of
     the token stream the top-k vocabulary entries cover): corpus token
     frequencies ranked desc with a cumulative-share prefix sum in exact
-    ppm, top 50. The ranking window runs over the FREQUENCY table (one
-    row per distinct token — vocabulary-sized, not corpus-sized), so the
-    single-partition window is bounded by |vocab| after an early top-k
-    cut would even be possible; at a 10^8-type vocabulary the two-phase
-    prefix sum of operators/sampling.py::epoch_order is the drop-in."""
+    ppm, top 50. Scale shape: the top-50 cut happens FIRST via
+    orderBy().limit() — Spark's distributed TakeOrdered (per-partition
+    heaps + merge, O(n log k), never a global sort or single-partition
+    shuffle) — and the rank/prefix-sum window then runs over those 50
+    rows only. The cumulative share of rank k needs exactly the masses
+    of ranks 1..k, all inside the cut, so the bounded window is
+    mathematically sufficient at ANY vocabulary size; the corpus total
+    comes from a separate scalar aggregate."""
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -1072,14 +1075,14 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     freq = scoped_persist(freq)
     total = freq.agg(F.sum("n").alias("_tot"))
+    top = freq.orderBy(F.desc("n"), F.asc("w")).limit(50)
     w = Window.orderBy(F.desc("n"), F.asc("w"))
     return (
-        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn(
             "cum",
             F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
         )
-        .filter(F.col("rank") <= 50)
         .crossJoin(F.broadcast(total))
         .select(
             "rank",
