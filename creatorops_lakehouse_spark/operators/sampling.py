@@ -151,3 +151,43 @@ def epoch_order(
         )
         .drop("_rb", "_eb", "_boff")
     )
+
+
+def distributed_global_rank(
+    df: DataFrame, order_cols: list[Column], rank_col: str = "_rank"
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global row_number under a total order WITHOUT a
+    single-partition window: repartitionByRange on the order key (range
+    partitioner — partition i's keys all precede partition i+1's), then
+    per-partition counts to the driver, broadcast exclusive offsets, and
+    a partitioned window adds the local rank. Returns (ranked_df,
+    n_rows). ``order_cols`` must be a TOTAL order (unique composite key)
+    so no tie straddles a range boundary.
+
+    The global-sort cousin of epoch_order's two-phase hash prefix sum:
+    use THIS when the rank must follow a value order (ranked extracts,
+    ntile/percent_rank), the hash variant when any uniform permutation
+    will do."""
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    parts = scoped_persist(
+        df.repartitionByRange(*order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
+    )
+    counts = {
+        r._pid: r.c
+        for r in parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    running, offsets = 0, []
+    for p in sorted(counts):
+        offsets.append((p, running))
+        running += counts[p]
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _poff long")
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    ranked = (
+        parts.join(F.broadcast(off_df), on="_pid")
+        .withColumn(rank_col, (F.col("_poff") + F.row_number().over(w)).cast("long"))
+        .drop("_pid", "_poff")
+    )
+    return ranked, running

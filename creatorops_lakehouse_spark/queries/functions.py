@@ -59,19 +59,33 @@ def events_pivot_daily_types(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def orders_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution windows: NTILE quartiles + PERCENT_RANK over a global
-    order (unique tiebreak). percent_rank = (rank-1)/(n-1): small-integer
-    division → identical doubles on both engines.
+    order (unique tiebreak), computed WITHOUT a single-partition window:
+    operators/sampling.py::distributed_global_rank range-partitions on
+    the order key and assembles the exact global row_number from
+    per-partition ranks + broadcast offsets; quartile and percent_rank
+    are then pure arithmetic on (rank, n) — NTILE's uneven-split rule
+    (first n mod k tiles get the extra row) and
+    percent_rank = (rank-1)/(n-1) reproduce Spark's window semantics
+    bit-for-bit, so the oracle's native NTILE/PERCENT_RANK agree."""
+    from creatorops_lakehouse_spark.operators.sampling import (
+        distributed_global_rank,
+    )
 
-    Scale note: a global (unpartitioned) window is a single-reducer sort —
-    fine for ranked reporting extracts, wrong for per-entity analytics;
-    the partitioned variants elsewhere are the scale path.
-    """
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
-    ranked = load(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.ntile(4).over(w).alias("price_quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    ranked, n = distributed_global_rank(
+        load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        rank_col="_rk",
+    )
+    k = 4
+    q, r = n // k, n % k
+    # rank -> tile under NTILE's rule: first r tiles hold q+1 rows
+    tile = F.expr(
+        f"CAST(CASE WHEN _rk <= {r * (q + 1)} THEN (_rk - 1) div {q + 1} "
+        f"ELSE {r} + (_rk - 1 - {r * (q + 1)}) div {max(q, 1)} END + 1 AS INT)"
+    )
+    pct = F.round((F.col("_rk") - 1).cast("double") / F.lit(max(n - 1, 1)), 6)
+    ranked = ranked.select(
+        "o_totalprice", tile.alias("price_quartile"), pct.alias("pct_rank")
     )
     return ranked.groupBy("price_quartile").agg(
         F.count("*").alias("n_orders"),

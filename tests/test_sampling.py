@@ -191,3 +191,27 @@ def test_epoch_order_permutes_differently_but_reproducibly(spark):
     assert e0 != e1  # epochs differ
     assert sorted(e0) == sorted(e1) == list(range(100))  # true permutations
     assert e0 != list(range(100))  # actually shuffled
+
+
+def test_distributed_global_rank_matches_window(spark):
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from creatorops_lakehouse_spark.operators.sampling import (
+        distributed_global_rank,
+    )
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.col("id") * 37 % 101).alias("v")
+    )
+    ranked, n = distributed_global_rank(
+        df, [F.col("v").asc(), F.col("id").asc()], rank_col="rk"
+    )
+    assert n == 500
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    want = {
+        (r.id, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w)).collect()
+    }
+    got = {(r.id, r.rk) for r in ranked.collect()}
+    assert got == want
