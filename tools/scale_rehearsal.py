@@ -212,6 +212,16 @@ def suite(spark, docs, emb, ddir=None):
             lambda: _dsir(docs),
         ),
         (
+            # round-6: the two-phase distributed epoch permutation (the
+            # r5 single-partition window fix) — rank mass grows 10x, the
+            # per-range windows stay partitioned
+            "epoch_order_e1",
+            lambda: __import__(
+                "creatorops_lakehouse_spark.operators.sampling",
+                fromlist=["epoch_order"],
+            ).epoch_order(docs.select("doc_id"), "doc_id", epoch=1).count(),
+        ),
+        (
             # hub-skewed bipartite doc<->source graph: 5 source hubs whose
             # degree grows 10x with the corpus — the iteration cost model
             # (K scans of the degree-annotated edge list) under max skew
