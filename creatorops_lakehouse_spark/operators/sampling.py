@@ -191,3 +191,18 @@ def distributed_global_rank(
         .drop("_pid", "_poff")
     )
     return ranked, running
+
+
+def ntile_from_rank(rank_col: str, n: int, k: int) -> Column:
+    """Spark/SQL NTILE(k) reproduced arithmetically from an exact global
+    rank: the first ``n mod k`` tiles hold ``n div k + 1`` rows, the rest
+    ``n div k`` — the uneven-split rule both Spark and DuckDB implement.
+    Lets ntile ride :func:`distributed_global_rank` instead of a
+    single-partition window."""
+    q, r = divmod(n, k)
+    return F.expr(
+        f"CAST(CASE WHEN {rank_col} <= {r * (q + 1)} THEN "
+        f"({rank_col} - 1) div {q + 1} "
+        f"ELSE {r} + ({rank_col} - 1 - {r * (q + 1)}) div {max(q, 1)} "
+        f"END + 1 AS INT)"
+    )

@@ -1528,3 +1528,74 @@ def events_value_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"END AS BIGINT)"
         ).alias("slope_milli_cents_per_day"),
     )
+
+
+@query(
+    "events_dow_anomaly",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(ts AS DATE) AS day,
+               dayofweek(CAST(ts AS DATE)) AS dow,
+               event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    daily AS (
+        SELECT day, dow, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS c
+        FROM d GROUP BY 1, 2, 3
+    ),
+    base AS (
+        SELECT dow, event_type,
+               CAST(SUM(n) AS BIGINT) AS bn,
+               CAST(SUM(c) AS BIGINT) AS bc,
+               CAST(COUNT(*) AS BIGINT) AS bdays
+        FROM daily GROUP BY 1, 2
+    )
+    SELECT daily.day, daily.event_type, daily.n, daily.c,
+           CASE WHEN 5 * bdays * daily.c > 6 * bc THEN 'high'
+                WHEN 5 * bdays * daily.c < 4 * bc THEN 'low'
+                ELSE 'normal' END AS anomaly
+    FROM daily JOIN base
+      ON base.dow = daily.dow AND base.event_type = daily.event_type
+    """,
+)
+def events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (day, type)'s spend is
+    compared against the SAME-WEEKDAY baseline (total cents over all
+    same-dow days), flagged high/low when outside ±20% of the per-day
+    baseline mean. The ±20% test is cross-multiplied to integers
+    (5·bdays·c vs 6·bc / 4·bc) so the keep/flag boundary is exact on
+    both engines — no float division. Two hash aggregates (daily grain,
+    then dow baseline — 7×5 rows, broadcast back); the weekday seasonal
+    profile every ops dashboard needs."""
+    d = load(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    daily = d.groupBy("day", "dow", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    )
+    base = daily.groupBy("dow", "event_type").agg(
+        F.sum("n").cast("long").alias("bn"),
+        F.sum("c").cast("long").alias("bc"),
+        F.count(F.lit(1)).cast("long").alias("bdays"),
+    )
+    return (
+        daily.join(F.broadcast(base), ["dow", "event_type"])
+        .select(
+            "day",
+            "event_type",
+            "n",
+            "c",
+            F.expr(
+                "CASE WHEN 5 * bdays * c > 6 * bc THEN 'high' "
+                "WHEN 5 * bdays * c < 4 * bc THEN 'low' "
+                "ELSE 'normal' END"
+            ).alias("anomaly"),
+        )
+    )

@@ -69,6 +69,7 @@ def orders_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit, so the oracle's native NTILE/PERCENT_RANK agree."""
     from creatorops_lakehouse_spark.operators.sampling import (
         distributed_global_rank,
+        ntile_from_rank,
     )
 
     ranked, n = distributed_global_rank(
@@ -76,13 +77,7 @@ def orders_ntile_percentrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
         rank_col="_rk",
     )
-    k = 4
-    q, r = n // k, n % k
-    # rank -> tile under NTILE's rule: first r tiles hold q+1 rows
-    tile = F.expr(
-        f"CAST(CASE WHEN _rk <= {r * (q + 1)} THEN (_rk - 1) div {q + 1} "
-        f"ELSE {r} + (_rk - 1 - {r * (q + 1)}) div {max(q, 1)} END + 1 AS INT)"
-    )
+    tile = ntile_from_rank("_rk", n, 4)
     pct = F.round((F.col("_rk") - 1).cast("double") / F.lit(max(n - 1, 1)), 6)
     ranked = ranked.select(
         "o_totalprice", tile.alias("price_quartile"), pct.alias("pct_rank")
@@ -207,4 +202,81 @@ def events_hourly_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.dayofweek("ts") - 1).alias("day_of_week"),
         )
         .agg(F.count("*").alias("n_events"))
+    )
+
+
+@query(
+    "customer_rfm_segments",
+    oracle="""
+    WITH a AS (
+        SELECT o_custkey AS custkey,
+               MAX(o_orderdate) AS recency,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)) * 100) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT custkey, frequency, monetary_cents,
+               NTILE(4) OVER (ORDER BY recency, custkey) AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency, custkey) AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary_cents, custkey) AS m_quartile
+        FROM a
+    )
+    SELECT CAST(100 * r_quartile + 10 * f_quartile + m_quartile AS INT)
+               AS rfm_code,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM s GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic customer-mart operator): per customer
+    recency/frequency/monetary quartiles composed into a 3-digit segment
+    code, rolled up to segment counts + exact cents mass. Each quartile
+    assignment uses operators/sampling.py::distributed_global_rank +
+    ntile_from_rank — three dimension-table range shuffles, NO
+    single-partition windows (at a 10^8-customer dimension the naive
+    NTILE window would be the scale-killer); the oracle runs native
+    NTILE over the identical (value, custkey) total orders."""
+    from creatorops_lakehouse_spark.operators.sampling import (
+        distributed_global_rank,
+        ntile_from_rank,
+    )
+
+    a = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("recency"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)") * 100))
+            .cast("long")
+            .alias("monetary_cents"),
+        )
+    )
+    cur, n = a, None
+    for dim, col in (("r", "recency"), ("f", "frequency"), ("m", "monetary_cents")):
+        cur, n = distributed_global_rank(
+            cur, [F.col(col).asc(), F.col("custkey").asc()], rank_col="_rk"
+        )
+        cur = cur.withColumn(
+            f"{dim}_quartile", ntile_from_rank("_rk", n, 4)
+        ).drop("_rk")
+    return (
+        cur.select(
+            (
+                100 * F.col("r_quartile")
+                + 10 * F.col("f_quartile")
+                + F.col("m_quartile")
+            )
+            .cast("int")
+            .alias("rfm_code"),
+            "monetary_cents",
+        )
+        .groupBy("rfm_code")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("monetary_cents").cast("long").alias("segment_cents"),
+        )
     )

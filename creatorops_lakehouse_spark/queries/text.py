@@ -1093,3 +1093,59 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+TOKEN_BUDGET = 100_000
+
+
+@query(
+    "docs_mixture_token_budget",
+    oracle=f"""
+    WITH t AS (
+        SELECT source,
+               CAST(SUM(length({_SQL_TOKENS})) AS BIGINT) AS tokens_available
+        FROM documents GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM t)
+    SELECT t.source, t.tokens_available,
+           CAST({TOKEN_BUDGET} // n.n_sources AS BIGINT) AS target_tokens,
+           CAST(LEAST(1000000,
+                (({TOKEN_BUDGET} // n.n_sources) * 1000000)
+                    // t.tokens_available) AS BIGINT) AS sampling_rate_ppm,
+           CAST((({TOKEN_BUDGET} // n.n_sources) * 1000)
+                // t.tokens_available AS BIGINT) AS epochs_milli
+    FROM t, n
+    """,
+)
+def docs_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture budget planner: given a total token budget split
+    uniformly across sources, report each source's available whitespace
+    tokens, its target allocation, the deterministic sampling rate to hit
+    it (capped at 10^6 ppm — you cannot subsample more than everything),
+    and epochs_milli (>1000 ⇒ the source must repeat to meet its target —
+    the upsampling signal mixture schedulers act on). All integer
+    arithmetic; the source token masses are one hash aggregate over the
+    corpus and the planner math is a broadcast scalar."""
+    toks = load(spark, sf_dir, "documents").select(
+        "source", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    t = toks.groupBy("source").agg(
+        F.sum("nt").cast("long").alias("tokens_available")
+    )
+    n = t.agg(F.count(F.lit(1)).cast("long").alias("n_sources"))
+    return t.crossJoin(F.broadcast(n)).select(
+        "source",
+        "tokens_available",
+        F.expr(f"{TOKEN_BUDGET} div n_sources").cast("long").alias("target_tokens"),
+        F.expr(
+            f"least(1000000, (({TOKEN_BUDGET} div n_sources) * 1000000)"
+            f" div tokens_available)"
+        )
+        .cast("long")
+        .alias("sampling_rate_ppm"),
+        F.expr(
+            f"(({TOKEN_BUDGET} div n_sources) * 1000) div tokens_available"
+        )
+        .cast("long")
+        .alias("epochs_milli"),
+    )

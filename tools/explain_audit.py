@@ -84,6 +84,11 @@ def main() -> int:
             "tpch_q22_idle_rich_customers",  # avg-balance threshold pair
             "docs_temperature_mixture",  # total-isqrt-weight scalar
             "graph_triangles_copurchase",  # one-row stats x one-row triangle count
+            "docs_vocab_coverage_curve",  # corpus-total scalar onto 50 rows
+            # grid materialization: entities x broadcast day-spine — the
+            # cross join IS the output (|entities| * |days| rows, both
+            # sides dimension-sized; the fact table never crosses)
+            "events_daily_fill_forward",
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
