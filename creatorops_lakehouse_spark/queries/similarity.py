@@ -543,3 +543,64 @@ def emb_semantic_dedup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("_n_false_pos") == 0).alias("precision_ok"),
         ((F.col("_n_both") / F.col("_n_global")) >= 0.6).alias("recall_ok"),
     )
+
+
+@query(
+    "emb_int8_quantization_stats",
+    oracle="""
+    WITH q AS (
+        SELECT label,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) AS scale,
+               CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    e AS (
+        SELECT label,
+               CASE WHEN scale = 0 THEN 0
+                    ELSE CAST(ROUND(unnest(v) * 127 / scale, 0) AS BIGINT)
+               END AS qi
+        FROM q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_elems,
+           CAST(SUM(qi) AS BIGINT) AS sum_q,
+           CAST(SUM(qi * qi) AS BIGINT) AS sum_q2,
+           CAST(MAX(abs(qi)) AS BIGINT) AS max_abs_q
+    FROM e GROUP BY 1
+    """,
+)
+def emb_int8_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization audit (the compression step a
+    100 TB embedding store applies before ANN serving): per vector the
+    max-abs scale, per element q = round(x·127/scale), aggregated per
+    label as exact integer moments (sum, sum of squares, max |q| — 127
+    by construction on any non-zero vector). Exercises the higher-order
+    array functions (transform → array_max, then explode) as first-class
+    operators; the per-element expression math is identical double
+    arithmetic on both engines, so the rounded integers agree exactly.
+    One projection + one explode + one hash aggregate — no UDFs."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr(
+            "array_max(transform(cast(embedding AS array<double>), x -> abs(x)))"
+        ).alias("scale"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    e = emb.select(
+        "label",
+        F.explode("v").alias("x"),
+        "scale",
+    ).select(
+        "label",
+        F.expr(
+            "CASE WHEN scale = 0 THEN CAST(0 AS BIGINT) "
+            "ELSE CAST(round(x * 127 / scale, 0) AS BIGINT) END"
+        ).alias("qi"),
+    )
+    return e.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_elems"),
+        F.sum("qi").cast("long").alias("sum_q"),
+        F.sum(F.col("qi") * F.col("qi")).cast("long").alias("sum_q2"),
+        F.max(F.abs("qi")).cast("long").alias("max_abs_q"),
+    )
