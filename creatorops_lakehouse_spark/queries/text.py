@@ -1149,3 +1149,90 @@ def docs_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("epochs_milli"),
     )
+
+
+@query(
+    "docs_snapshot_cdf_verdict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_even,
+           TRUE AS travel_ok, TRUE AS cdf_ok, TRUE AS rollback_ok
+    FROM documents
+    """,
+)
+def docs_snapshot_cdf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked contract for the native snapshot log
+    (sources/snapshots.py): commit the even-doc_id half as v0, overwrite
+    with the full corpus as v1, and pin three facts — time travel (v0
+    re-reads exactly the even half while v1 is current), the change-data
+    feed (diff v0→v1 is precisely the odd half as inserts, zero
+    deletes), and rollback (restoring v0 commits a NEW version whose
+    content equals v0 while v1 stays readable). n_docs/n_even are
+    SQL-recomputed by the oracle; booleans pin against literal TRUE."""
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        rollback,
+        snapshot_diff,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    docs = scoped_persist(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    spec = TableSpec("t.docsnap", _tempfile.mkdtemp(prefix="snap_cdf_") + "/t")
+    snapshot_write(docs.filter(F.col("doc_id") % 2 == 0), spec)
+    snapshot_write(docs, spec, mode="overwrite")
+
+    even = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id")
+    odd = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+
+    def ids_equal(a, b):
+        return (
+            a.withColumn("_a", F.lit(1))
+            .join(b.withColumn("_b", F.lit(1)), "doc_id", "full_outer")
+            .agg(
+                F.sum(
+                    F.when(F.col("_a").isNull() | F.col("_b").isNull(), 1).otherwise(0)
+                ).alias("m")
+            )
+            .select((F.coalesce(F.col("m"), F.lit(0)) == 0).alias("ok"))
+        )
+
+    travel = ids_equal(snapshot_read(spark, spec, version=0).select("doc_id"), even)
+    diff = scoped_persist(snapshot_diff(spark, spec, 0, 1, keys=["doc_id"]))
+    cdf_inserts = ids_equal(
+        diff.filter(F.col("_change_type") == "insert").select("doc_id"), odd
+    )
+    n_deletes = diff.filter(F.col("_change_type") == "delete").agg(
+        (F.count(F.lit(1)) == 0).alias("no_del")
+    )
+    v2 = rollback(spec, 0)
+    rb = ids_equal(snapshot_read(spark, spec, version=v2).select("doc_id"), even)
+    v1_alive = snapshot_read(spark, spec, version=1).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_v1")
+    )
+    totals = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_even"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(travel.withColumnRenamed("ok", "travel_ok")))
+        .crossJoin(F.broadcast(cdf_inserts.withColumnRenamed("ok", "_ins_ok")))
+        .crossJoin(F.broadcast(n_deletes))
+        .crossJoin(F.broadcast(rb.withColumnRenamed("ok", "_rb_ok")))
+        .crossJoin(F.broadcast(v1_alive))
+        .select(
+            "n_docs",
+            "n_even",
+            "travel_ok",
+            (F.col("_ins_ok") & F.col("no_del")).alias("cdf_ok"),
+            (F.col("_rb_ok") & (F.col("_n_v1") == F.col("n_docs"))).alias(
+                "rollback_ok"
+            ),
+        )
+    )
