@@ -259,8 +259,9 @@ def lineitem_enrich_scd2_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     different versions). Interval membership (not a plain as-of) is
     deliberate: same-date double changes produce zero-length intervals
     that must match nothing (15 such pairs at sf0.01 — an as-of 'latest
-    wins' would be ambiguous there). The history is dimension-sized →
-    broadcast onto the fact scan; the year filter is pushed to the
+    wins' would be ambiguous there). The history is fact-derived (one
+    row per priority run), so it joins by shuffle on custkey — AQE may
+    still broadcast at small scale; the year filter is pushed to the
     lineitem scan."""
     from creatorops_lakehouse_spark.operators.scd import scd2_intervals
 
@@ -295,8 +296,13 @@ def lineitem_enrich_scd2_interval(spark: SparkSession, sf_dir: str) -> DataFrame
         o.select("o_orderkey", "o_custkey"),
         li.l_orderkey == F.col("o_orderkey"),
     ).select("l_orderkey", "l_linenumber", "l_shipdate", F.col("o_custkey").alias("custkey"))
+    # The SCD2 history is fact-DERIVED (one row per priority run — ~80%
+    # of orders here), so it is NOT force-broadcast: the join shuffles on
+    # custkey and AQE may still broadcast at bench scale. The interval
+    # predicate rides the join as a post-join filter; per customer the
+    # history rows are few, so the per-key expansion is bounded.
     return (
-        with_cust.join(F.broadcast(hist), "custkey")
+        with_cust.join(hist, "custkey")
         .filter(
             (F.col("valid_from") <= F.col("l_shipdate"))
             & (

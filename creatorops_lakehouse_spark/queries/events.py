@@ -711,11 +711,14 @@ def events_funnel_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     dim = (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(F.col("c_custkey").alias("user_id"), F.col("r_name").alias("region"))
     )
-    evr = ev.join(F.broadcast(dim), "user_id")
+    # customer-cardinality map: NOT force-broadcast (a 10^8-customer dim
+    # outgrows broadcast; AQE picks broadcast at bench scale anyway —
+    # same unforced-cohort discipline as the retention queries)
+    evr = ev.join(dim, "user_id")
     return funnel_by_group(
         evr,
         [
