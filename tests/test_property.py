@@ -219,3 +219,87 @@ def test_simhash_banded_matches_exhaustive_within_guarantee(spark, sigs, geometr
         for r in simhash_exact_pairs(sh, h).collect()
     }
     assert banded == exact
+
+
+# ---- SCD2 run collapse (round 6) --------------------------------------
+
+
+def _py_scd2(rows):
+    """rows: (key, attr, ts, tb). Reference run collapse under the
+    (ts, tb) total order with half-open intervals."""
+    out = []
+    bykey: dict = {}
+    for k, a, ts, tb in sorted(rows, key=lambda r: (r[0], r[2], r[3])):
+        bykey.setdefault(k, []).append((a, ts))
+    for k, seq in bykey.items():
+        runs = []
+        for a, ts in seq:
+            if not runs or runs[-1][0] != a:
+                runs.append((a, ts))
+        for i, (a, ts) in enumerate(runs):
+            nxt = runs[i + 1][1] if i + 1 < len(runs) else None
+            out.append((k, a, ts, nxt, i + 1))
+    return sorted(out, key=lambda t: (t[0], t[2], t[4]))
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),  # key
+            st.sampled_from(["a", "b", None]),  # attr (None is a value)
+            st.integers(0, 8),  # ts (collisions likely)
+        ),
+        min_size=1,
+        max_size=15,
+        unique_by=lambda r: (r[0], r[2]),  # unique (key, ts): tb unneeded
+    )
+)
+def test_scd2_matches_python_reference(spark, rows):
+    import datetime as dt
+
+    from creatorops_lakehouse_spark.operators.scd import scd2_intervals
+
+    data = [
+        (k, a, dt.datetime(2024, 1, 1 + ts), i)
+        for i, (k, a, ts) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(
+        data, "k int, attr string, ts timestamp, tb int"
+    )
+    got = sorted(
+        (
+            (r.k, r.attr, r.valid_from, r.valid_to, r.version)
+            for r in scd2_intervals(df, ["k"], "ts", ["attr"], ["tb"]).collect()
+        ),
+        key=lambda t: (t[0], t[2], t[4]),
+    )
+    want = _py_scd2(
+        [(k, a, ts, tb) for (k, a, ts, tb) in (tuple(d) for d in data)]
+    )
+    assert got == want
+
+
+# ---- count-min sketch never undercounts (round 6) ----------------------
+
+
+@SETTINGS
+@given(
+    keys=st.lists(st.integers(0, 30), min_size=1, max_size=60),
+    depth=st.integers(1, 4),
+    width=st.integers(4, 32),
+)
+def test_cms_never_undercounts_property(spark, keys, depth, width):
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.cms import cms_build, cms_estimate
+
+    df = spark.createDataFrame([(k,) for k in keys], ["k"])
+    sk = cms_build(df, "k", depth=depth, width=width)
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("x"))
+    est = cms_estimate(sk, exact.select("k"), "k", depth=depth, width=width)
+    j = exact.join(est, "k").collect()
+    assert all(r.est >= r.x for r in j)
+    # total mass conservation per sketch row
+    per_row = {r.row_i: r.s for r in sk.groupBy("row_i").agg(F.sum("cnt").alias("s")).collect()}
+    assert all(v == len(keys) for v in per_row.values())
