@@ -1236,3 +1236,59 @@ def docs_snapshot_cdf_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "docs_lang_source_contingency",
+    oracle="""
+    WITH o AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS obs
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, CAST(SUM(obs) AS BIGINT) AS r FROM o GROUP BY 1),
+    ct AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS c FROM o GROUP BY 1),
+    n AS (SELECT CAST(SUM(obs) AS BIGINT) AS n FROM o)
+    SELECT o.lang, o.source, o.obs,
+           CAST((rt.r * ct.c * 1000) // n.n AS BIGINT) AS expected_milli,
+           CAST(n.n * o.obs - rt.r * ct.c AS BIGINT) AS dev_units
+    FROM o JOIN rt ON rt.lang = o.lang
+           JOIN ct ON ct.source = o.source
+           CROSS JOIN n
+    """,
+)
+def docs_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language x source contingency table with exact independence
+    deviations: observed counts, the independence expectation in
+    milli-units (row_total x col_total x 1000 div N), and
+    dev_units = N*obs − row_total*col_total — the exact-integer signed
+    numerator of the chi-square cell statistic (positive ⇒ the pair is
+    over-represented vs independence; the corpus-balance diagnostic
+    mixture planning consumes). One hash aggregate + two marginal
+    aggregates broadcast back; int64 holds through N*obs ≈ 9e18
+    (N ≈ 3e9 docs at these marginals — beyond that, lift to DECIMAL(38)
+    as in events_value_outliers_3sigma)."""
+    o = (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    )
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    o = scoped_persist(o)
+    rt = o.groupBy("lang").agg(F.sum("obs").cast("long").alias("r"))
+    ct = o.groupBy("source").agg(F.sum("obs").cast("long").alias("c"))
+    n = o.agg(F.sum("obs").cast("long").alias("n"))
+    return (
+        o.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            "obs",
+            F.expr("(r * c * 1000) div n").cast("long").alias("expected_milli"),
+            (F.col("n") * F.col("obs") - F.col("r") * F.col("c"))
+            .cast("long")
+            .alias("dev_units"),
+        )
+    )
