@@ -731,3 +731,57 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(4,2)"
     )
     return li.agg((F.sum(rev) * 10000).cast("long").alias("revenue_units"))
+
+
+@query(
+    "lineitem_bloom_semi_verdict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_match,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS BIGINT)
+               AS qty_centisum,
+           TRUE AS parity_ok
+    FROM lineitem l
+    WHERE EXISTS (
+        SELECT 1 FROM supplier s
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE s.s_suppkey = l.l_suppkey AND n.n_name = 'NATION_1'
+    )
+    """,
+)
+def lineitem_bloom_semi_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pre-filtered semi-join parity contract (operators/bloom.py):
+    lineitems of NATION_1 suppliers via bloom_semi_join must equal the
+    plain left-semi join row-for-row — the oracle recomputes the match
+    count and exact centiquantity mass in SQL and pins parity TRUE. The
+    bloom route probes a broadcast (word, bits) bitset with k=4 hash
+    lookups and filters BEFORE any join machinery touches the fact rows
+    (false positives removed by the final exact semi-join; false
+    negatives impossible) — the explicit form of AQE's runtime bloom
+    filter, usable in any plan shape."""
+    from creatorops_lakehouse_spark.operators.bloom import bloom_semi_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_quantity")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+    sel = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    via_bloom = bloom_semi_join(li, sel, on="l_suppkey", m_bits=1 << 16)
+    plain = li.join(sel, "l_suppkey", "left_semi")
+    cents = F.round(F.col("l_quantity") * 100).cast("long")
+    a = via_bloom.agg(
+        F.count(F.lit(1)).cast("long").alias("n_match"),
+        F.sum(cents).cast("long").alias("qty_centisum"),
+    )
+    b = plain.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_plain"),
+        F.sum(cents).cast("long").alias("_c_plain"),
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_match",
+        "qty_centisum",
+        (
+            (F.col("n_match") == F.col("_n_plain"))
+            & (F.col("qty_centisum").eqNullSafe(F.col("_c_plain")))
+        ).alias("parity_ok"),
+    )

@@ -137,3 +137,24 @@ def test_daily_fill_forward_carries_and_gaps(spark):
     assert got[(2, "2024-01-02")] == (900, 900)
     assert got[(2, "2024-01-03")] == (None, 900)
     assert len(got) == 6  # 2 entities x 3 spine days
+
+
+def test_bloom_semi_join_parity_and_thinning(spark):
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.bloom import (
+        bloom_build,
+        bloom_semi_join,
+    )
+
+    left = spark.range(0, 2000).select(F.col("id").alias("k"))
+    right = spark.range(0, 2000).filter(F.col("id") % 97 == 0).select(
+        F.col("id").alias("k")
+    )
+    got = {r.k for r in bloom_semi_join(left, right, "k", m_bits=4096).collect()}
+    want = {r.k for r in left.join(right, "k", "left_semi").collect()}
+    assert got == want and len(want) == 21
+    # the bitset is compact regardless of build size
+    assert bloom_build(right, "k", m_bits=4096).count() <= 4096 // 64
+    with pytest.raises(ValueError, match="bloom"):
+        bloom_build(right, "k", m_bits=32)

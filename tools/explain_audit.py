@@ -85,6 +85,8 @@ def main() -> int:
             "docs_temperature_mixture",  # total-isqrt-weight scalar
             "graph_triangles_copurchase",  # one-row stats x one-row triangle count
             "docs_vocab_coverage_curve",  # corpus-total scalar onto 50 rows
+            "docs_mixture_token_budget",  # n_sources scalar onto source rows
+            "docs_lang_source_contingency",  # corpus-total scalar onto cells
             # grid materialization: entities x broadcast day-spine — the
             # cross join IS the output (|entities| * |days| rows, both
             # sides dimension-sized; the fact table never crosses)
