@@ -1602,3 +1602,93 @@ def events_dow_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("anomaly"),
         )
     )
+
+
+@query(
+    "events_incremental_rollup_verdict",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS incremental_matches_full
+    FROM events
+    """,
+)
+def events_incremental_rollup_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance via the snapshot change-data feed
+    (sources/snapshots.py + mergeable aggregation): commit the first ~20
+    days of events as v0, append the rest as v1, then maintain the daily
+    (day, type) rollup INCREMENTALLY — old rollup ⊎ rollup(CDF inserts),
+    merged counter-wise — and pin it equal, row-for-row in exact cents,
+    to a full recompute over v1. This is the composition a 100 TB gold
+    tier runs nightly: the fact table is touched only for the delta, and
+    additive aggregates merge losslessly (the same mergeability contract
+    the HLL/CMS rows pin for sketches). n_days/n_events SQL-recomputed;
+    the boolean pins against literal TRUE."""
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_diff,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    split = ev.agg(F.date_add(F.min("day"), 19).alias("s")).collect()[0].s
+    spec = TableSpec("t.evsnap", _tempfile.mkdtemp(prefix="snap_ivm_") + "/t")
+    snapshot_write(ev.filter(F.col("day") <= F.lit(split)), spec)
+    snapshot_write(ev.filter(F.col("day") > F.lit(split)), spec, mode="append")
+
+    def rollup(df):
+        return df.groupBy("day", "event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        )
+
+    old = rollup(snapshot_read(spark, spec, version=0))
+    delta = rollup(
+        snapshot_diff(spark, spec, 0, 1, keys=["event_id"]).filter(
+            F.col("_change_type") == "insert"
+        )
+    )
+    incr = (
+        old.unionByName(delta)
+        .groupBy("day", "event_type")
+        .agg(F.sum("n").cast("long").alias("n"), F.sum("c").cast("long").alias("c"))
+    )
+    full = rollup(snapshot_read(spark, spec))
+    mismatch = (
+        incr.withColumnRenamed("n", "n_a")
+        .withColumnRenamed("c", "c_a")
+        .join(
+            full.withColumnRenamed("n", "n_b").withColumnRenamed("c", "c_b"),
+            ["day", "event_type"],
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("n_a").eqNullSafe(F.col("n_b"))
+                    & F.col("c_a").eqNullSafe(F.col("c_b")),
+                    0,
+                ).otherwise(1)
+            ).alias("m")
+        )
+    )
+    totals = ev.agg(
+        F.count_distinct("day").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    return totals.crossJoin(F.broadcast(mismatch)).select(
+        "n_days",
+        "n_events",
+        (F.coalesce(F.col("m"), F.lit(0)) == 0).alias("incremental_matches_full"),
+    )
