@@ -555,3 +555,67 @@ def docs_streaming_admission_verdict(spark: SparkSession, sf_dir: str) -> DataFr
         "stream_matches_sequential boolean, no_residual_pairs boolean, "
         "replay_idempotent boolean",
     )
+
+
+@query(
+    "docs_dedup_cc_keep_best",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRIGRAM_COMMON},
+    pairs AS (
+        SELECT a_id, b_id FROM common
+        WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.6
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    m AS (
+        SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+               ROW_NUMBER() OVER (PARTITION BY cl.cluster_id
+                                  ORDER BY d.n_chars DESC, cl.doc_id) AS rn
+        FROM cl JOIN documents d USING (doc_id)
+    )
+    SELECT cluster_id,
+           CAST(MAX(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT)
+               AS kept_doc_id,
+           CAST(MAX(n_chars) AS BIGINT) AS kept_n_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM m GROUP BY 1
+    """,
+)
+def docs_dedup_cc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representative selection: the keep-ONE policy
+    every dedup pipeline ends with, but keeping the BEST document (argmax
+    n_chars, min-doc_id tiebreak) instead of the arbitrary min-id — the
+    policy production corpora actually want (retire the truncated copies,
+    keep the longest). Reuses the sticky corpus pair table and the same
+    connected components as docs_dedup_clusters_cc; the representative is
+    one max_by struct aggregate per cluster (clusters are tiny relative
+    to the corpus, so this tier costs one hash aggregate)."""
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+
+    pairs = corpus_trigram_pairs(spark, sf_dir).select("a_id", "b_id")
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    m = cc.join(docs, "doc_id")
+    return m.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id", F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("_t"))
+        )
+        .cast("long")
+        .alias("kept_doc_id"),
+        F.max("n_chars").cast("long").alias("kept_n_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )

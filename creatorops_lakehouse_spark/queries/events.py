@@ -1692,3 +1692,56 @@ def events_incremental_rollup_verdict(spark: SparkSession, sf_dir: str) -> DataF
         "n_events",
         (F.coalesce(F.col("m"), F.lit(0)) == 0).alias("incremental_matches_full"),
     )
+
+
+@query(
+    "events_attribution_first_last",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+    f AS (SELECT user_id, MIN(ts) AS first_ts FROM c GROUP BY 1),
+    l AS (
+        SELECT p.event_id, MAX(c.ts) AS last_ts
+        FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY 1
+    )
+    SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+           CASE WHEN f.first_ts <= p.ts THEN f.first_ts END AS first_click_ts,
+           l.last_ts AS last_click_ts
+    FROM p
+    LEFT JOIN f ON f.user_id = p.user_id
+    LEFT JOIN l ON l.event_id = p.event_id
+    """,
+)
+def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution per purchase (the marketing-
+    analytics staple): the user's earliest click overall (nulled when it
+    postdates the purchase) and the latest click at-or-before the
+    purchase. Last-touch rides the as-of operator in LEFT mode (one
+    union-tag window shuffle on user_id — no per-purchase scan of the
+    click history); first-touch is one per-user min aggregate joined
+    back. Purchases with no prior click keep NULLs instead of dropping —
+    unattributed conversions are a number analysts need."""
+    from creatorops_lakehouse_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+    last = asof_join(p, c, on="user_id", right_payload=[], how="left")
+    f = c.groupBy("user_id").agg(F.min("ts").alias("_first_ts"))
+    return (
+        last.join(f, "user_id", "left")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(F.col("_first_ts") <= F.col("ts"), F.col("_first_ts")).alias(
+                "first_click_ts"
+            ),
+            F.col("asof_ts").alias("last_click_ts"),
+        )
+    )
