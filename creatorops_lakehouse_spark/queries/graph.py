@@ -280,3 +280,131 @@ def graph_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier")
     seed = s.agg((F.min("s_suppkey") * 2 + 1).alias("node"))
     return khop_frontier_sizes(edges, seed, hops=3, broadcast_visited=True)
+
+
+_WEDGES_SQL = """
+    SELECT src, dst, w FROM (
+        SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+               COUNT(*) AS w
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    )
+    UNION ALL
+    SELECT dst, src, w FROM (
+        SELECT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst,
+               COUNT(*) AS w
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _trade_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed trade edges weighted by lineitem count, sticky-persisted
+    (same build-once scope as the distinct edge list)."""
+    from creatorops_lakehouse_spark.operators.cache import sticky_persist
+
+    def build() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        )
+
+    return sticky_persist(f"trade_weighted:{sf_dir}", build)
+
+
+@query(
+    "graph_pagerank_weighted_trade",
+    oracle=f"""
+    WITH pr AS ({pagerank_oracle_sql(_WEDGES_SQL, iters=4, weighted=True)})
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS node_key,
+           rank_units
+    FROM pr
+    ORDER BY rank_units DESC, node_type, node_key
+    LIMIT 20
+    """,
+)
+def graph_pagerank_weighted_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED PageRank over the symmetrized trade graph: contribution
+    splits by trade VOLUME (lineitem count per counterparty pair) instead
+    of uniformly per edge — units * w div sum_w(u), still bit-exact
+    integer arithmetic against the weighted unrolled-CTE oracle. Promotes
+    the weight knob from operator-tier (pytest-only) to a driver-gate
+    oracle row. 4 iterations; heavy counterparties concentrate rank mass
+    vs the unweighted query."""
+    directed = _trade_weighted(spark, sf_dir)
+    edges = directed.unionAll(
+        directed.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    ranks = pagerank(
+        edges, iters=4, weight="w", check_dangling=False, broadcast_ranks=True
+    )
+    return (
+        ranks.select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            "rank_units",
+        )
+        .orderBy(F.desc("rank_units"), F.asc("node_type"), F.asc("node_key"))
+        .limit(20)
+    )
+
+
+@query(
+    "graph_pagerank_personalized",
+    oracle=f"""
+    WITH pr AS ({pagerank_oracle_sql(
+        _EDGES_SQL, iters=4,
+        seeds_sql="SELECT s_suppkey * 2 + 1 AS node FROM supplier "
+                  "WHERE s_suppkey < 5")})
+    SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END
+               AS node_type,
+           node // 2 AS node_key,
+           rank_units
+    FROM pr
+    WHERE rank_units > 0
+    ORDER BY rank_units DESC, node_type, node_key
+    LIMIT 20
+    """,
+)
+def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSONALIZED PageRank (random walk with restart) seeded at the five
+    lowest-keyed suppliers: teleport mass lands only on the seed set, so
+    ranks measure PROXIMITY to those suppliers — the recommendation /
+    related-entities primitive. Zero-rank nodes are filtered (nodes
+    unreachable from the seeds hold exactly 0 in integer arithmetic).
+    Promotes the seeds knob from operator-tier to a driver-gate oracle
+    row; same symmetrized edge list (sticky) as the global query."""
+    directed = _trade_directed(spark, sf_dir)
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    s = load(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 5)
+    seeds = s.select((F.col("s_suppkey") * 2 + 1).alias("node"))
+    ranks = pagerank(
+        edges, iters=4, seeds=seeds, check_dangling=False, broadcast_ranks=True
+    )
+    return (
+        ranks.filter(F.col("rank_units") > 0)
+        .select(
+            F.when(F.col("node") % 2 == 0, "customer")
+            .otherwise("supplier")
+            .alias("node_type"),
+            F.expr("node div 2").alias("node_key"),
+            "rank_units",
+        )
+        .orderBy(F.desc("rank_units"), F.asc("node_type"), F.asc("node_key"))
+        .limit(20)
+    )
