@@ -280,3 +280,32 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("monetary_cents").cast("long").alias("segment_cents"),
         )
     )
+
+
+@query(
+    "events_sliding_6h_3h_windows",
+    oracle="""
+    SELECT time_bucket(INTERVAL 3 HOURS, ts) - i * INTERVAL 3 HOURS
+               AS window_start,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS i)
+    GROUP BY 1
+    """,
+)
+def events_sliding_6h_3h_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLIDING (hopping) time windows in batch — 6-hour duration, 3-hour
+    slide, so every event lands in exactly duration/slide = 2 windows
+    (F.window's overlap expansion; completes the window family next to
+    the tumbling and session queries). The oracle reconstructs the same
+    assignment arithmetically: an event's windows start at its 3-hour
+    bucket minus i*3h for i in 0..1, epoch-aligned on both engines."""
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "6 hours", "3 hours").alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "n_users")
+    )
