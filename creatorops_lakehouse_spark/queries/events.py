@@ -1745,3 +1745,139 @@ def events_attribution_first_last(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("asof_ts").alias("last_click_ts"),
         )
     )
+
+
+@query(
+    "events_streaming_join_verdict",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.event_id
+        FROM p JOIN c ON c.user_id = p.user_id
+            AND c.ts <= p.ts
+            AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_purchases_matched,
+           TRUE AS stream_matches_batch
+    FROM j
+    """,
+)
+def events_streaming_join_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join contract (§2.8's last uncovered slice): clicks
+    and purchases replay as two independent file streams (each its own
+    micro-batch cadence), inner-joined on user with an event-time bound
+    (click within 30 minutes before the purchase) under watermarks on
+    BOTH sides — Spark buffers each side's state until the watermark
+    proves no more matches can arrive. The verdict pins the streamed
+    match set equal to the batch interval join (match count + distinct
+    purchases, SQL-recomputed by the oracle; boolean pinned TRUE).
+    Inner stream-stream matches emit eagerly, so parity holds for any
+    batching; the watermark governs state eviction, not emission."""
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+    rows = ev.collect()  # bounded staging to CREATE the stream sources
+    root = _tempfile.mkdtemp(prefix="stream_join_")
+    dirs = {}
+    for kind in ("purchase", "click"):
+        d = _os.path.join(root, kind)
+        _os.makedirs(d)
+        dirs[kind] = d
+        # two files per side -> multiple micro-batches on each stream
+        for parity in (0, 1):
+            path = _os.path.join(d, f"b{parity}.json")
+            with open(path, "w") as f:
+                for r in rows:
+                    if r.event_type == kind and r.event_id % 2 == parity:
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "event_id": r.event_id,
+                                    "user_id": r.user_id,
+                                    "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                }
+                            )
+                            + "\n"
+                        )
+            _os.utime(path, (1700000000 + parity,) * 2)
+
+    schema = "event_id long, user_id long, ts timestamp"
+
+    def stream(kind, alias):
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .json(dirs[kind])
+            .withWatermark("ts", "1 hour")
+            .select(
+                F.col("event_id").alias(f"{alias}_id"),
+                F.col("user_id").alias(f"{alias}_user"),
+                F.col("ts").alias(f"{alias}_ts"),
+            )
+        )
+
+    p, c = stream("purchase", "p"), stream("click", "c")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select("p_id", "c_id")
+    name = f"sj_{_uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("stream-stream join did not finish")
+    streamed = scoped_persist(spark.table(name))
+
+    pb = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), F.col("user_id").alias("u"), F.col("ts").alias("pt")
+    )
+    cb = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("c_id"), F.col("user_id").alias("u"), F.col("ts").alias("ct")
+    )
+    batch = pb.join(cb, "u").filter(
+        (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") >= F.col("pt") - F.expr("INTERVAL 30 MINUTES"))
+    ).select("p_id", "c_id")
+    mismatch = (
+        streamed.withColumn("_s", F.lit(1))
+        .join(batch.withColumn("_b", F.lit(1)), ["p_id", "c_id"], "full_outer")
+        .agg(
+            F.sum(
+                F.when(F.col("_s").isNull() | F.col("_b").isNull(), 1).otherwise(0)
+            ).alias("m")
+        )
+    )
+    totals = batch.agg(
+        F.count(F.lit(1)).cast("long").alias("n_matches"),
+        F.count_distinct("p_id").cast("long").alias("n_purchases_matched"),
+    )
+    return totals.crossJoin(F.broadcast(mismatch)).select(
+        "n_matches",
+        "n_purchases_matched",
+        (F.coalesce(F.col("m"), F.lit(0)) == 0).alias("stream_matches_batch"),
+    )
