@@ -1292,3 +1292,37 @@ def docs_lang_source_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dev_units"),
         )
     )
+
+
+K_ANON = 20
+
+
+@query(
+    "docs_k_anonymity_report",
+    oracle=f"""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= {K_ANON} AS k_anonymous
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def docs_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier columns (lang, source):
+    every equivalence class with its size and whether it meets k={K_ANON}
+    — classes below k are re-identification risks that a release
+    pipeline must suppress or generalize (the data-governance gate that
+    complements the PII scan's direct-identifier redaction). One hash
+    aggregate; at 100 TB the class table is quasi-identifier-cardinality,
+    not row-cardinality."""
+    return (
+        load(spark, sf_dir, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("class_size"))
+        .select(
+            "lang",
+            "source",
+            "class_size",
+            (F.col("class_size") >= K_ANON).alias("k_anonymous"),
+        )
+    )
