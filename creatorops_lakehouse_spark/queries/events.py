@@ -1881,3 +1881,48 @@ def events_streaming_join_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_purchases_matched",
         (F.coalesce(F.col("m"), F.lit(0)) == 0).alias("stream_matches_batch"),
     )
+
+
+@query(
+    "events_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS row_n FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST((1000000 * t.n) // r.row_n AS BIGINT) AS p_ppm
+    FROM t JOIN r ON r.from_type = t.from_type
+    """,
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    stream (the sequence-model feature + journey diagnostic): consecutive
+    event pairs under the (ts, event_id) total order, counted per
+    (from, to) with row-normalized probabilities in exact ppm. One
+    lead-window pass per user partition + two tiny aggregates — the
+    5x5-ish matrix is dimension-sized at any corpus scale."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    seq = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    )
+    t = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return t.join(F.broadcast(r), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(1000000 * n) div row_n").cast("long").alias("p_ppm"),
+    )

@@ -408,3 +408,53 @@ def graph_pagerank_personalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_units"), F.asc("node_type"), F.asc("node_key"))
         .limit(20)
     )
+
+
+@query(
+    "graph_degree_histogram",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM e GROUP BY 1),
+    b AS (
+        SELECT node,
+               CAST(FLOOR(LOG2(d)) AS INTEGER) AS degree_band,
+               d
+        FROM deg
+    )
+    SELECT degree_band,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(d) AS BIGINT) AS min_degree,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(SUM(d) AS BIGINT) AS total_degree
+    FROM b GROUP BY 1
+    """,
+)
+def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the symmetrized trade graph in log2 bands —
+    the first diagnostic before choosing graph-algorithm strategies
+    (skew decides broadcast vs salting vs degree orientation; a heavy
+    tail here is why triangle counting orients by degree). One aggregate
+    over the sticky edge list; band boundaries are exact (FLOOR(LOG2) of
+    integer degrees agrees across engines — degrees are exact integers
+    and log2 of an int is exact at band boundaries because powers of two
+    are exactly representable)."""
+    directed = _trade_directed(spark, sf_dir)
+    edges = directed.unionAll(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    return (
+        deg.withColumn(
+            "degree_band", F.floor(F.log2("d")).cast("int")
+        )
+        .groupBy("degree_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.min("d").cast("long").alias("min_degree"),
+            F.max("d").cast("long").alias("max_degree"),
+            F.sum("d").cast("long").alias("total_degree"),
+        )
+    )
