@@ -1926,3 +1926,47 @@ def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame
         "n",
         F.expr("(1000000 * n) div row_n").cast("long").alias("p_ppm"),
     )
+
+
+@query(
+    "events_weekly_value_quantiles",
+    oracle="""
+    WITH c AS (
+        SELECT date_trunc('week', ts) AS week_start, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT week_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(quantile_cont(cents, 0.5) * 2, 0) AS BIGINT)
+               AS p50_half_cents,
+           CAST(ROUND(quantile_cont(cents, 0.9) * 10, 0) AS BIGINT)
+               AS p90_deci_cents
+    FROM c GROUP BY 1, 2
+    """,
+)
+def events_weekly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly per-type value quantile trend — the time-series percentile
+    panel ops dashboards plot. Exactness: linear-interpolated quantiles
+    of integers have denominators dividing (n-1)'s interpolation grid —
+    2 for p50 (k or k+.5) and 10 for p90 (tenths) — so 2x / 10x scaled
+    units are integers up to the ~1e-10 binary error of the 0.9*(n-1)
+    interpolation weight; an explicit ROUND(,0) on BOTH engines absorbs
+    that ulp before the BIGINT cast (Spark casts truncate, DuckDB casts
+    round — without the shared ROUND the engines disagree exactly at
+    the .999.. artifacts). One
+    grouped percentile pass; groups are (week x type)-cardinality."""
+    c = load(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return c.groupBy("week_start", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.percentile("cents", F.lit(0.5)) * 2, 0)
+        .cast("long")
+        .alias("p50_half_cents"),
+        F.round(F.percentile("cents", F.lit(0.9)) * 10, 0)
+        .cast("long")
+        .alias("p90_deci_cents"),
+    )
