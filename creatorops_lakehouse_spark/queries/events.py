@@ -1970,3 +1970,141 @@ def events_weekly_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("long")
         .alias("p90_deci_cents"),
     )
+
+
+@query(
+    "events_pit_purchase_features",
+    oracle="""
+    WITH e AS (
+        SELECT event_id, user_id, event_type, ts, epoch_us(ts) AS eu,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT p.event_id AS purchase_id, p.user_id,
+           CAST(COALESCE(SUM(h.cents), 0) AS BIGINT) AS spend_7d_cents,
+           CAST(COUNT(h.event_id) AS BIGINT) AS n_events_7d,
+           CAST((SELECT COUNT(*) FROM e h2
+                 WHERE h2.user_id = p.user_id AND h2.eu < p.eu) AS BIGINT)
+               AS n_events_prior
+    FROM e p
+    LEFT JOIN e h ON h.user_id = p.user_id
+        AND h.eu < p.eu AND h.eu >= p.eu - CAST(604800000000 AS BIGINT)
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id, p.user_id, p.eu
+    """,
+)
+def events_pit_purchase_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct feature join (the feature-store pattern that
+    prevents label leakage): for every purchase label, the user's
+    trailing-7-day spend and activity computed over events STRICTLY
+    BEFORE the label timestamp (frame upper bound −1 microsecond — a
+    same-instant event must not leak into its own features), plus the
+    all-history prior event count. One window pass over the full stream
+    per frame (no per-label self-join — the oracle's correlated form is
+    the quadratic plan this operator exists to avoid), then filtered to
+    the label rows."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("eu"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("eu")
+        .rangeBetween(-7 * 86400 * 1_000_000, -1)
+    )
+    wall = (
+        Window.partitionBy("user_id")
+        .orderBy("eu")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    feat = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.coalesce(F.sum("cents").over(w7), F.lit(0))
+        .cast("long")
+        .alias("spend_7d_cents"),
+        F.count(F.lit(1)).over(w7).cast("long").alias("n_events_7d"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n_events_prior"),
+    )
+    return feat.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "spend_7d_cents",
+        "n_events_7d",
+        "n_events_prior",
+    )
+
+
+N_NEGATIVES = 4
+
+
+@query(
+    "events_negative_samples",
+    oracle=f"""
+    WITH n AS (
+        SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS nu FROM events
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id FROM events
+        WHERE event_type = 'purchase'
+    ),
+    j AS (SELECT unnest(range(1, {N_NEGATIVES} + 1)) AS neg_rank)
+    SELECT p.purchase_id, p.user_id, CAST(j.neg_rank AS INTEGER) AS neg_rank,
+           CAST((p.user_id + 1 +
+                 CAST('0x' || substr(sha256(p.purchase_id || ':' || j.neg_rank),
+                                     1, 8) AS BIGINT) % (n.nu - 1)
+                ) % n.nu AS BIGINT) AS neg_user_id
+    FROM p CROSS JOIN j CROSS JOIN n
+    """,
+)
+def events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training pairs:
+    each purchase (positive user-item interaction) gets {N_NEGATIVES}
+    pseudo-random negative users drawn by the engine-portable sha256
+    recipe (operators/sampling.py::hash_bucket's construction) — offset
+    ``1 + sha(purchase_id:j) mod (n_users-1)`` guarantees the negative
+    can NEVER equal the positive user, and the draw is bit-reproducible
+    across engines and runs (ablation-stable training sets; Spark's
+    rand() is neither). One projection + a {N_NEGATIVES}-way explode —
+    no shuffle; n_users rides as a broadcast scalar. User ids here are
+    the dense 0..n-1 driver range; for sparse id spaces map through a
+    dense index first."""
+    ev = load(spark, sf_dir, "events")
+    n = ev.agg(F.count_distinct("user_id").cast("long").alias("nu"))
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id"
+    )
+    j = F.explode(F.sequence(F.lit(1), F.lit(N_NEGATIVES))).alias("neg_rank")
+    out = p.select("purchase_id", "user_id", j).crossJoin(F.broadcast(n))
+    # raw 32-bit sha prefix (hash_bucket's construction without the
+    # fixed modulus — the modulus here is the data-dependent nu-1)
+    h = F.conv(
+        F.substring(
+            F.sha2(
+                F.concat(
+                    F.col("purchase_id").cast("string"),
+                    F.lit(":"),
+                    F.col("neg_rank").cast("string"),
+                ),
+                256,
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.col("neg_rank").cast("int").alias("neg_rank"),
+        (
+            (F.col("user_id") + 1 + h % (F.col("nu") - 1)) % F.col("nu")
+        )
+        .cast("long")
+        .alias("neg_user_id"),
+    )
