@@ -619,3 +619,88 @@ def docs_dedup_cc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").cast("long").alias("kept_n_chars"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
+
+
+@query(
+    "docs_split_leakage_report",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_TRIGRAM_COMMON},
+    pairs AS (
+        SELECT a_id, b_id FROM common
+        WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.6
+    ),
+    edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pairs
+        UNION
+        SELECT b_id, a_id FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (
+        SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+        FROM reach GROUP BY src
+    ),
+    split AS (
+        SELECT cl.doc_id, cl.cluster_id,
+               CASE WHEN CAST('0x' || substr(sha256(CAST(cl.doc_id AS VARCHAR)),
+                                             1, 8) AS BIGINT) % 10000 < 9000
+                    THEN 'train' ELSE 'test' END AS naive_split,
+               CASE WHEN CAST('0x' || substr(sha256(CAST(cl.cluster_id AS VARCHAR)),
+                                             1, 8) AS BIGINT) % 10000 < 9000
+                    THEN 'train' ELSE 'test' END AS safe_split
+        FROM cl
+    ),
+    by_cluster AS (
+        SELECT cluster_id,
+               COUNT(DISTINCT naive_split) AS n_naive,
+               COUNT(DISTINCT safe_split) AS n_safe
+        FROM split GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(CASE WHEN n_naive > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaky_naive,
+           CAST(SUM(CASE WHEN n_safe > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaky_cluster_split
+    FROM by_cluster
+    """,
+)
+def docs_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit across near-dup clusters — the integrity
+    check every training-data split needs: a per-DOCUMENT hash split
+    (stratified_split on doc_id, 90/10) scatters members of the same
+    near-dup cluster across train and test (counted as n_leaky_naive —
+    eval contamination by construction), while the cluster-aware split
+    (same hash recipe keyed on cluster_id) provably never splits a
+    cluster (n_leaky_cluster_split == 0 for ANY corpus — every member
+    hashes the same key). Clusters from the same sticky pair table /
+    connected components as docs_dedup_clusters_cc; split assignment is
+    the engine-portable sha bucket, so the whole report is SQL-exact."""
+    from creatorops_lakehouse_spark.operators.dedup import connected_components
+    from creatorops_lakehouse_spark.operators.sampling import split_column
+
+    pairs = corpus_trigram_pairs(spark, sf_dir).select("a_id", "b_id")
+    cc = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "cluster_id"
+    )
+    splits = {"train": 0.9, "test": 0.1}
+    assigned = cc.select(
+        "cluster_id",
+        split_column(F.col("doc_id"), splits).alias("naive_split"),
+        split_column(F.col("cluster_id"), splits).alias("safe_split"),
+    )
+    by_cluster = assigned.groupBy("cluster_id").agg(
+        F.count_distinct("naive_split").alias("n_naive"),
+        F.count_distinct("safe_split").alias("n_safe"),
+    )
+    return by_cluster.agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("n_naive") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaky_naive"),
+        F.sum(F.when(F.col("n_safe") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaky_cluster_split"),
+    )
