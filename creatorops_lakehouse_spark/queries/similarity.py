@@ -604,3 +604,72 @@ def emb_int8_quantization_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("qi") * F.col("qi")).cast("long").alias("sum_q2"),
         F.max(F.abs("qi")).cast("long").alias("max_abs_q"),
     )
+
+
+HARD_NEG_K = 3
+
+
+@query(
+    "emb_hard_negatives",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      CAST(embedding AS DOUBLE[]) AS q_vec FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    sims AS (
+        SELECT q.query_id, c.vec_id AS neg_id,
+               list_cosine_similarity(q.q_vec,
+                                      CAST(c.embedding AS DOUBLE[])) AS sim
+        FROM embeddings c CROSS JOIN q
+        WHERE c.label <> q.q_label
+    ),
+    ranked AS (
+        SELECT query_id, neg_id, ROUND(sim, 4) AS cos_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY ROUND(sim, 4) DESC, neg_id) AS rank
+        FROM sims
+    )
+    SELECT query_id, neg_id, cos_sim_r, rank
+    FROM ranked WHERE rank <= {HARD_NEG_K}
+    """,
+)
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for metric learning: per query vector the
+    {HARD_NEG_K} most-similar vectors of a DIFFERENT label — the
+    negatives that actually move a contrastive loss (random negatives
+    are trivially separable; the hash-drawn events_negative_samples row
+    is the cheap complement). Same exact-rerank discipline as the top-k
+    queries (ROUND(,4) + id tiebreak so both engines rank identically);
+    at corpus scale the candidate set comes from the ANN index instead
+    of the broadcast brute force (ann_lsh_topk / IVF — same rerank)."""
+    from pyspark.sql import Window
+
+    from creatorops_lakehouse_spark.operators.similarity import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_vec"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("c_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), 4).alias("cos_sim_r"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r").desc(), F.col("neg_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select("query_id", "neg_id", "cos_sim_r", "rank")
+    )
