@@ -87,6 +87,11 @@ def main() -> int:
             "docs_vocab_coverage_curve",  # corpus-total scalar onto 50 rows
             "docs_mixture_token_budget",  # n_sources scalar onto source rows
             "docs_lang_source_contingency",  # corpus-total scalar onto cells
+            "events_negative_samples",  # n_users scalar onto label rows
+            # 8-query broadcast exact rerank — same sanctioned shape as
+            # emb_cosine_topk_bruteforce (ANN is the scale path, see
+            # docstring)
+            "emb_hard_negatives",
             # grid materialization: entities x broadcast day-spine — the
             # cross join IS the output (|entities| * |days| rows, both
             # sides dimension-sized; the fact table never crosses)
