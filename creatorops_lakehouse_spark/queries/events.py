@@ -2108,3 +2108,95 @@ def events_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("neg_user_id"),
     )
+
+
+@query(
+    "events_forget_user_verdict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN user_id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_subject_rows,
+           TRUE AS deleted_ok, TRUE AS history_gone_ok, TRUE AS others_intact
+    FROM events
+    """,
+)
+def events_forget_user_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten contract over the snapshot log (the
+    governance workflow Delta documents as delete + VACUUM): commit the
+    events table as v0, commit an erasure version v1 = v0 minus the data
+    subject's rows (user_id 0), then vacuum history. Three pinned facts:
+
+    - deleted_ok: the current version contains ZERO subject rows and
+      exactly n_events - n_subject_rows total;
+    - history_gone_ok: after vacuum_snapshots(keep_last=1) the
+      pre-erasure version is unreadable AND its data directory is gone
+      from disk — erasure is not erasure while time travel can resurrect
+      the subject (the honest tension the snapshot log's immutability
+      creates, resolved exactly as Delta resolves it: VACUUM past the
+      retention horizon);
+    - others_intact: every non-subject row survives byte-for-byte
+      (count + cents checksum parity with the in-engine filter).
+    """
+    import os as _os
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    spec = TableSpec("t.forget", _tempfile.mkdtemp(prefix="snap_forget_") + "/t")
+    snapshot_write(ev, spec)
+    snapshot_write(ev.filter(F.col("user_id") != 0), spec, mode="overwrite")
+    deleted = vacuum_snapshots(spec, keep_last=1)
+    v0_dir_gone = not _os.path.isdir(_os.path.join(spec.path, "data", "b0"))
+    v0_unreadable = False
+    try:
+        snapshot_read(spark, spec, version=0)
+    except ValueError:
+        v0_unreadable = True
+    history_gone = bool(deleted) and v0_dir_gone and v0_unreadable
+
+    cur = scoped_persist(snapshot_read(spark, spec))
+    cur_stats = cur.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_cur"),
+        F.sum(F.when(F.col("user_id") == 0, 1).otherwise(0)).alias("_n_subj_cur"),
+        F.sum("cents").cast("long").alias("_c_cur"),
+    )
+    want = ev.filter(F.col("user_id") != 0).agg(
+        F.count(F.lit(1)).cast("long").alias("_n_want"),
+        F.sum("cents").cast("long").alias("_c_want"),
+    )
+    totals = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("user_id") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_subject_rows"),
+    )
+    return (
+        totals.crossJoin(F.broadcast(cur_stats))
+        .crossJoin(F.broadcast(want))
+        .select(
+            "n_events",
+            "n_subject_rows",
+            (
+                (F.col("_n_subj_cur") == 0)
+                & (F.col("_n_cur") == F.col("n_events") - F.col("n_subject_rows"))
+            ).alias("deleted_ok"),
+            F.lit(history_gone).alias("history_gone_ok"),
+            (
+                (F.col("_n_cur") == F.col("_n_want"))
+                & F.col("_c_cur").eqNullSafe(F.col("_c_want"))
+            ).alias("others_intact"),
+        )
+    )
