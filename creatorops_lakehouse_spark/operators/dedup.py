@@ -202,6 +202,75 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    ngram: int = 1,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Exact pairwise containment ≥ threshold over token (or word-ngram)
+    sets: C(a,b) = |A ∩ B| / min(|A|, |B|).
+
+    Containment is the asymmetric complement to Jaccard for corpus dedup: a
+    short document fully embedded in a long one (quote pages, excerpt
+    farms, boilerplate-wrapped reposts) has near-1.0 containment but
+    arbitrarily low Jaccard, so a Jaccard-threshold pass never finds it.
+    Curation pipelines (e.g. the suffix-array / containment passes described
+    in Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better") run both metrics over the same shingle projection — which is
+    exactly what this does: it accepts the same prebuilt ``sets`` table as
+    ``jaccard_pairs`` so one corpus shingle cache feeds both.
+
+    Plan shape (scale): identical to the unpruned ``jaccard_pairs`` path —
+    inverted-index self-join on shingles where the join ITSELF counts the
+    intersection (groupBy the matches), so there is no cross join and no
+    per-pair array materialization. PPJoin prefix filtering is deliberately
+    NOT offered here: its correctness bound is derived from the Jaccard
+    overlap constraint and does not hold for min-denominator containment
+    (a small set can be fully contained while sharing none of its indexed
+    prefix under the rarest-first order), so pruning would silently drop
+    true pairs.
+
+    The threshold test runs in exact integer arithmetic
+    (n_common · 10⁴ ≥ ⌊t·10⁴⌋ · min(|A|,|B|)) so the keep/drop decision is
+    identical on any engine; the reported ``containment`` column is the
+    int64/int64 IEEE division both Spark and DuckDB produce bit-identically.
+    Pairs are emitted once (a_id < b_id).
+    """
+    if sets is None:
+        sets = scoped_persist(
+            _token_sets(df, text_col, id_col, ngram).filter(F.col("set_size") > 0)
+        )
+    else:
+        sets = sets.filter(F.col("set_size") > 0)
+    posts = scoped_persist(
+        sets.select("doc_id", "set_size", F.explode("toks").alias("tok"))
+    )
+    a = posts.select(
+        "tok", F.col("doc_id").alias("a_id"), F.col("set_size").alias("a_size")
+    )
+    b = posts.select(
+        "tok", F.col("doc_id").alias("b_id"), F.col("set_size").alias("b_size")
+    )
+    common = (
+        a.join(b, on="tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "a_size", "b_size")
+        .agg(F.count("*").alias("n_common"))
+    )
+    ts = int(round(threshold * 10000))
+    min_size = F.least("a_size", "b_size")
+    keep = F.col("n_common") * 10000 >= F.lit(ts) * min_size
+    return common.filter(keep).select(
+        "a_id",
+        "b_id",
+        "n_common",
+        (F.col("n_common") / min_size).alias("containment"),
+    )
+
+
 #: Mersenne prime 2^31-1: with a, b, h all < 2^31, a*h + b < 2^62 stays
 #: inside int64 — no 128-bit modular multiplication needed.
 _MERSENNE_31 = (1 << 31) - 1

@@ -181,6 +181,41 @@ def docs_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_containment_neardup_pairs",
+    oracle=f"""
+    WITH {_SQL_TRIGRAM_COMMON}
+    SELECT a_id, b_id, n_common,
+           CAST(n_common AS DOUBLE) / least(a_size, b_size) AS containment
+    FROM common
+    WHERE n_common * 10000 >= 8000 * least(a_size, b_size)
+    """,
+)
+def docs_containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-trigram containment pairs (C = |A∩B|/min(|A|,|B|) ≥ 0.8):
+    the asymmetric dedup metric that catches a short document embedded in a
+    long one — quote pages, excerpt reposts, boilerplate-wrapped copies —
+    which Jaccard misses because the union denominator dilutes them.
+
+    Same inverted-index plan and the same session shingle cache as
+    docs_jaccard_neardup_pairs (one corpus projection feeds both metrics);
+    the keep/drop decision runs in exact scaled-integer arithmetic on both
+    engines (operators/dedup.py::containment_pairs for the prefix-filter
+    caveat: PPJoin pruning is Jaccard-only and would drop true containment
+    pairs, so this path never prunes).
+    """
+    from creatorops_lakehouse_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load(spark, sf_dir, "documents"),
+        text_col="text",
+        id_col="doc_id",
+        threshold=0.8,
+        ngram=3,
+        sets=corpus_sets(spark, sf_dir, 3),
+    )
+
+
+@query(
     "docs_dedup_clusters_cc",
     oracle=f"""
     WITH RECURSIVE {_SQL_TRIGRAM_COMMON},

@@ -2200,3 +2200,61 @@ def events_forget_user_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("others_intact"),
         )
     )
+
+
+@query(
+    "events_key_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           CAST((MAX(cnt) * 10000) // SUM(cnt) AS BIGINT) AS top1_share_bp,
+           CAST((MAX(cnt) * COUNT(*) * 100) // SUM(cnt) AS BIGINT)
+               AS max_over_avg_pct,
+           CAST(ROUND(quantile_cont(cnt, 0.5) * 2, 0) AS BIGINT)
+               AS p50_key_rows_x2,
+           CAST(ROUND(quantile_cont(cnt, 0.99) * 100, 0) AS BIGINT)
+               AS p99_key_rows_x100
+    FROM per_key
+    """,
+)
+def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics over the events fact's join/agg key
+    (user_id): key cardinality, heaviest-key share (basis points), max/avg
+    ratio, and exact p50/p99 of per-key row counts.
+
+    This is the pre-flight a 100 TB pipeline runs BEFORE a user-keyed
+    join/groupBy to decide between plain hash partitioning, AQE skew-join,
+    and explicit salting (operators/skew.py) — a top1_share_bp in the
+    hundreds means one reducer owns whole percents of the fact table and
+    the salted path should be taken. Two aggregations, both key-bounded:
+    the per-key count is one map-side-combined shuffle on user_id; the
+    stats pass reduces the key-cardinality table to one row. All ratios in
+    exact integer arithmetic (floor div on both engines); quantiles follow
+    the shared-ROUND scaled-integer convention of
+    events_weekly_value_quantiles (denominators 2 and 100 cover the
+    0.5/0.99 interpolation grids).
+    """
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("total_rows"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+        F.expr("(MAX(cnt) * 10000) div SUM(cnt)").alias("top1_share_bp"),
+        F.expr("(MAX(cnt) * COUNT(*) * 100) div SUM(cnt)").alias(
+            "max_over_avg_pct"
+        ),
+        F.round(F.percentile("cnt", F.lit(0.5)) * 2, 0)
+        .cast("long")
+        .alias("p50_key_rows_x2"),
+        F.round(F.percentile("cnt", F.lit(0.99)) * 100, 0)
+        .cast("long")
+        .alias("p99_key_rows_x100"),
+    )

@@ -12,7 +12,7 @@ trivially green at zero — seeding makes the regex-parity check real.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from creatorops_lakehouse_spark.operators.packing import (
     pack_sequences,
@@ -612,4 +612,65 @@ def docs_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("lang")
+    )
+
+
+@query(
+    "docs_interleave_curriculum",
+    oracle="""
+    WITH src AS (
+        SELECT source, ROW_NUMBER() OVER (ORDER BY source) - 1 AS sidx
+        FROM (SELECT DISTINCT source FROM documents)
+    ),
+    n AS (SELECT COUNT(*) AS n_sources FROM src),
+    ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) - 1
+                   AS rank_in_source
+        FROM documents
+    )
+    SELECT r.doc_id, r.source,
+           CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+           CAST(r.rank_in_source * n.n_sources + s.sidx AS BIGINT)
+               AS interleave_pos
+    FROM ranked r JOIN src s USING (source) CROSS JOIN n
+    """,
+)
+def docs_interleave_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-interleaved data-loader order: reading the
+    corpus by ascending ``interleave_pos`` round-robins across sources,
+    each source in stable doc_id order — the third loader-order primitive
+    next to docs_epoch_shuffle (seeded random permutation) and
+    docs_mixture_resample (weighted sampling). Training runs use this when
+    the mixture must be locally uniform from step 0 (no burn-in window
+    dominated by whichever source a shuffle front-loaded).
+
+    Scale shape: the per-source rank is a PARTITIONED window (source is the
+    partition key — no single-partition global window; a skewed giant
+    source is the data's own skew, the same row set any loader must order).
+    The source index comes from a driver-side sort of the DISTINCT source
+    list — a bounded-cardinality metadata collect (sources are a dimension,
+    like the k-row centroid pulls PLAN_AUDIT sanctions), broadcast back as
+    a literal map. interleave_pos = rank·n_sources + sidx is collision-free
+    by construction; exhausted sources leave gaps, which a priority order
+    tolerates (consumers sort, they don't index)."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sources = sorted(
+        r[0] for r in docs.select("source").distinct().collect()
+    )
+    n_sources = len(sources)
+    sidx = F.element_at(
+        F.create_map(
+            *[F.lit(x) for pair in zip(sources, range(n_sources)) for x in pair]
+        ),
+        F.col("source"),
+    )
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        (F.row_number().over(w) - 1).cast("long").alias("rank_in_source"),
+    ).withColumn(
+        "interleave_pos",
+        (F.col("rank_in_source") * n_sources + sidx).cast("long"),
     )

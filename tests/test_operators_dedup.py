@@ -387,3 +387,40 @@ def test_strip_duplicate_spans_overlapping_union(spark):
     assert out[10].n_removed == 0  # keeper of both windows
     assert out[20].n_removed == 17
     assert out[20].text_clean == "head1 head2"
+
+
+def test_containment_finds_embedded_short_doc(spark):
+    """A short doc fully embedded in a long one has containment 1.0 but low
+    Jaccard — the asymmetric case containment_pairs exists to catch."""
+    from creatorops_lakehouse_spark.operators.dedup import containment_pairs
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} token{i} item{i}" for i in range(30))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),  # contains all of doc 1's unigrams
+        (3, "wholly unrelated text about columnar storage engines"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = containment_pairs(df, threshold=0.8, ngram=1).collect()
+    pairs = {(r.a_id, r.b_id): r.containment for r in out}
+    assert pairs == {(1, 2): 1.0}
+    # Jaccard at the same threshold misses it (union-diluted)
+    jac = jaccard_pairs(df, threshold=0.8, ngram=1, prefix_filter=False).collect()
+    assert not any({r.a_id, r.b_id} == {1, 2} for r in jac)
+
+
+def test_containment_integer_threshold_boundary(spark):
+    """keep/drop at the threshold is exact: 4 of 5 shingles shared = 0.8
+    keeps at t=0.8, drops at t=0.8001."""
+    from creatorops_lakehouse_spark.operators.dedup import containment_pairs
+
+    rows = [
+        (1, "a b c d e"),          # unigrams {a..e}
+        (2, "a b c d x y z w v"),  # shares 4 of doc 1's 5
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    at = containment_pairs(df, threshold=0.8, ngram=1).collect()
+    assert [(r.a_id, r.b_id, r.n_common) for r in at] == [(1, 2, 4)]
+    above = containment_pairs(df, threshold=0.8001, ngram=1).collect()
+    assert above == []
