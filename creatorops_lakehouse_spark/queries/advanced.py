@@ -606,3 +606,57 @@ def supplier_revenue_rollup_region_nation(
             .alias("revenue_cents"),
         )
     )
+
+
+@query(
+    "customer_fuzzy_name_pairs",
+    oracle="""
+    SELECT a.c_custkey AS a_custkey,
+           b.c_custkey AS b_custkey,
+           a.c_nationkey AS nationkey,
+           CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS edit_distance
+    FROM customer a
+    JOIN customer b
+      ON a.c_nationkey = b.c_nationkey
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy matching: near-identical customer names
+    (Levenshtein ≤ 1) inside a nation block — the blocked-similarity-join
+    primitive record-linkage pipelines run before merging duplicate
+    entities. Both engines implement classic unit-cost edit distance, so
+    the distance (and the keep/drop decision) is integer-exact.
+
+    Scale shape: the pair space is BLOCKED on the equi-key (nationkey) —
+    the join is a hash/sort-merge equi-join with the quadratic work
+    confined inside each block, the same bounded-block pattern as the
+    dedup tier's LSH buckets; an unblocked fuzzy join would be a cartesian
+    scan and is exactly what this query exists to avoid. For skewed blocks
+    at 100 TB, sub-block with a cheap second key (name prefix / length
+    band — an edit-distance-1 pair differs by at most 1 in length) before
+    the distance evaluation."""
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = cust.select(
+        F.col("c_custkey").alias("a_custkey"),
+        F.col("c_name").alias("a_name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    b = cust.select(
+        F.col("c_custkey").alias("b_custkey"),
+        F.col("c_name").alias("b_name"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return (
+        a.join(b, on="nationkey")
+        .filter(F.col("a_custkey") < F.col("b_custkey"))
+        .withColumn(
+            "edit_distance",
+            F.levenshtein(F.col("a_name"), F.col("b_name")).cast("long"),
+        )
+        .filter(F.col("edit_distance") <= 1)
+        .select("a_custkey", "b_custkey", "nationkey", "edit_distance")
+    )

@@ -2258,3 +2258,146 @@ def events_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p99_key_rows_x100"),
     )
+
+
+@query(
+    "events_cusum_changepoint",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, COUNT(*) AS n_t, SUM(cents) AS sum_t
+        FROM c GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.event_id, c.event_type, c.ts, s.n_t,
+               c.cents * s.n_t - s.sum_t AS dev_scaled
+        FROM c JOIN stats s USING (event_type)
+    ),
+    cusum AS (
+        SELECT event_id, event_type, ts, n_t,
+               CAST(SUM(dev_scaled) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cs
+        FROM dev
+    ),
+    ranked AS (
+        SELECT event_type, CAST(n_t AS BIGINT) AS n_events,
+               abs(cs) AS abs_cusum, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(cs) DESC, ts ASC, event_id ASC
+               ) AS rn
+        FROM cusum
+    )
+    SELECT event_type, n_events,
+           CAST(abs_cusum AS BIGINT) AS max_abs_cusum_scaled,
+           event_id AS changepoint_event_id,
+           ts AS changepoint_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint candidate per event type: the position where the
+    running sum of (value − type mean) deviations peaks in magnitude — the
+    classic level-shift detector, complementing the pointwise
+    events_value_outliers_3sigma (spikes) and calendar-relative
+    events_dow_anomaly (seasonality breaks).
+
+    Exactness: deviations are scaled by n_t (dev = cents·n_t − sum_t) so
+    the mean subtraction never leaves int64 — no floats anywhere, both
+    engines agree bit-for-bit. Magnitude bound: |CUSUM| ≤ n_t²·max_cents,
+    inside int64 through ~3·10⁷ rows per type at 10⁴ max cents; beyond
+    that the same expression runs in DECIMAL(38,0) on both engines (Spark
+    and DuckDB both support it) — swap the two CASTs.
+
+    Scale shape: one broadcast-joined stats pass, then a PARTITIONED
+    running window (event_type is the partition key) and a per-type
+    argmax window — no global window, no single-partition funnel. Ties at
+    the peak break deterministically by (ts, event_id)."""
+    c = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("cents").alias("sum_t")
+    )
+    dev = c.join(F.broadcast(stats), on="event_type").withColumn(
+        "dev_scaled", F.col("cents") * F.col("n_t") - F.col("sum_t")
+    )
+    run = Window.partitionBy("event_type").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cusum = dev.withColumn("cs", F.sum("dev_scaled").over(run).cast("long"))
+    pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cs")).desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("n_t").cast("long").alias("n_events"),
+            F.abs(F.col("cs")).alias("max_abs_cusum_scaled"),
+            F.col("event_id").alias("changepoint_event_id"),
+            F.col("ts").alias("changepoint_ts"),
+        )
+    )
+
+
+@query(
+    "events_grouping_sets_summary",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           GROUPING(event_type) * 2
+               + GROUPING(strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+               AS grouping_mask,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (strftime(CAST(ts AS DATE), '%Y-%m-%d')),
+                            (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d')), ())
+    """,
+)
+def events_grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with a grouping_id mask — completes the
+    multi-granularity aggregation trio next to
+    nation_rollup_order_stats (ROLLUP) and lineitem_cube_returnflag_status
+    (CUBE), covering the case where the wanted granularities are an
+    arbitrary subset, not a lattice prefix. Runs through the spark.sql
+    entry path (Catalyst expands the sets into one Expand + single
+    aggregate — one shuffle, not one scan per set; that expansion IS the
+    scale argument vs unioning four groupBys).
+
+    The mask is built from per-column GROUPING() bits (not grouping_id())
+    so the bit order is pinned identically on both engines; the day key is
+    grouped as a yyyy-MM-dd STRING so the NULLed-out slots of non-day sets
+    normalize identically (a DATE column with grouping NULLs lands as
+    datetime64-with-NaT in one engine's pandas frame and object-with-None
+    in the other's)."""
+    load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).createOrReplaceTempView("_ev_gs")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(ts, 'yyyy-MM-dd') AS day,
+               GROUPING(event_type) * 2
+                   + GROUPING(date_format(ts, 'yyyy-MM-dd'))
+                   AS grouping_mask,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM _ev_gs
+        GROUP BY GROUPING SETS ((event_type), (date_format(ts, 'yyyy-MM-dd')),
+                                (event_type, date_format(ts, 'yyyy-MM-dd')), ())
+        """
+    )
