@@ -202,6 +202,88 @@ def jaccard_pairs(
     )
 
 
+def edit1_pairs(
+    df: DataFrame,
+    name_col: str,
+    id_col: str,
+    block_cols: list[str] | None = None,
+    max_distance: int = 1,
+) -> DataFrame:
+    """Exact string pairs at Levenshtein distance ≤ 1 via symmetric-delete
+    (SymSpell-style) candidate generation + exact verification.
+
+    Candidate rule: two strings are within one unit edit only if their
+    deletion neighborhoods {s} ∪ {s minus one char} intersect — a
+    substitution at position p means deleting p from both yields the same
+    string; an insert/delete means the shorter string itself is in the
+    longer one's neighborhood. The intersection test admits false
+    positives (e.g. transposed "ab"/"ba" share {a,b} at distance 2), so
+    every candidate is verified with the real ``levenshtein`` before
+    emission — the output is EXACT, identical to the quadratic
+    block-scan.
+
+    Scale shape: this replaces per-block O(n²) distance evaluations with
+    an inverted-index equi-join on (block_cols, variant) — |s|+1 variant
+    rows per string, so the index is linear in corpus size × string
+    length, the same posting-join pattern as the shingle dedup tier. The
+    quadratic blowup only reappears if many strings share a variant key,
+    i.e. a genuine near-duplicate cluster — work proportional to true
+    output, not to block size. Only max_distance=1 is supported: the
+    symmetric-delete neighborhood at k grows as C(|s|,k), and k ≥ 2
+    wants the PassJoin segment scheme instead — fail loud rather than
+    silently approximate.
+
+    Output: (a_id, b_id, *block_cols, edit_distance), pairs emitted once
+    (a_id < b_id). Block columns are optional equi-keys (e.g. a nation /
+    tenant id) that candidates must also share.
+    """
+    if max_distance != 1:
+        raise ValueError(
+            f"edit1_pairs supports max_distance=1 only (symmetric-delete "
+            f"neighborhood); got {max_distance}"
+        )
+    block_cols = list(block_cols or [])
+    variants = F.explode(
+        F.array_union(
+            F.array(F.col(name_col)),
+            F.expr(
+                f"transform(sequence(1, length({name_col})), i -> "
+                f"concat(substring({name_col}, 1, i - 1), "
+                f"substring({name_col}, i + 1, length({name_col}))))"
+            ),
+        )
+    ).alias("_variant")
+    posts = scoped_persist(
+        df.select(id_col, name_col, *block_cols).select(
+            "*", variants
+        )
+    )
+    a = posts.select(
+        *block_cols,
+        F.col("_variant"),
+        F.col(id_col).alias("a_id"),
+        F.col(name_col).alias("_a_name"),
+    )
+    b = posts.select(
+        *block_cols,
+        F.col("_variant"),
+        F.col(id_col).alias("b_id"),
+        F.col(name_col).alias("_b_name"),
+    )
+    cands = (
+        a.join(b, on=[*block_cols, "_variant"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", *block_cols, "_a_name", "_b_name")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    dist = F.levenshtein(F.col("_a_name"), F.col("_b_name")).cast("long")
+    return (
+        cands.withColumn("edit_distance", dist)
+        .filter(F.col("edit_distance") <= max_distance)
+        .select("a_id", "b_id", *block_cols, "edit_distance")
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

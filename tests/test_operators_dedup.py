@@ -424,3 +424,49 @@ def test_containment_integer_threshold_boundary(spark):
     assert [(r.a_id, r.b_id, r.n_common) for r in at] == [(1, 2, 4)]
     above = containment_pairs(df, threshold=0.8001, ngram=1).collect()
     assert above == []
+
+
+def test_edit1_pairs_matches_bruteforce(spark):
+    """Symmetric-delete candidates + verify == quadratic block scan,
+    including the indel (length±1) and transposition-false-positive cases."""
+    from creatorops_lakehouse_spark.operators.dedup import edit1_pairs
+
+    rows = [
+        (1, "alpha", 0),
+        (2, "alphb", 0),   # substitution: dist 1
+        (3, "alpha1", 0),  # insertion: dist 1
+        (4, "alph", 0),    # deletion: dist 1
+        (5, "lapha", 0),   # transposition: dist 2 — candidate but must verify out
+        (6, "alpha", 1),   # other block: must not pair with 1
+        (7, "omega", 0),
+    ]
+    df = spark.createDataFrame(rows, ["id", "name", "blk"])
+    out = edit1_pairs(df, "name", "id", block_cols=["blk"]).collect()
+    got = {(r.a_id, r.b_id): r.edit_distance for r in out}
+    ref = {}
+    for i, (ia, na, ba) in enumerate(rows):
+        for ib, nb, bb in rows[i + 1:]:
+            if ba != bb:
+                continue
+            import difflib
+            # tiny exact DP levenshtein
+            m, n = len(na), len(nb)
+            d = list(range(n + 1))
+            for x in range(1, m + 1):
+                prev, d[0] = d[0], x
+                for y in range(1, n + 1):
+                    prev, d[y] = d[y], min(
+                        d[y] + 1, d[y - 1] + 1, prev + (na[x - 1] != nb[y - 1])
+                    )
+            if d[n] <= 1:
+                ref[(min(ia, ib), max(ia, ib))] = d[n]
+    assert got == ref
+    assert (1, 5) not in got and (1, 6) not in got
+
+
+def test_edit1_pairs_rejects_k2(spark):
+    from creatorops_lakehouse_spark.operators.dedup import edit1_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["id", "name"])
+    with pytest.raises(ValueError, match="max_distance=1"):
+        edit1_pairs(df, "name", "id", max_distance=2)
