@@ -1326,3 +1326,81 @@ def docs_k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("class_size") >= K_ANON).alias("k_anonymous"),
         )
     )
+
+
+@query(
+    "docs_token_cooccurrence_lift",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, list_distinct({_SQL_TOKENS}) AS l FROM documents
+    ),
+    posts AS (SELECT doc_id, unnest(l) AS tok FROM toks),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM posts GROUP BY 1),
+    top AS (SELECT tok, df FROM dfreq ORDER BY df DESC, tok ASC LIMIT 40),
+    fposts AS (SELECT p.doc_id, p.tok, t.df FROM posts p JOIN top t USING (tok)),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.tok AS a_tok, b.tok AS b_tok,
+               a.df AS a_df, b.df AS b_df, COUNT(*) AS n_both
+        FROM fposts a
+        JOIN fposts b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_tok, b_tok,
+           CAST(a_df AS BIGINT) AS a_df,
+           CAST(b_df AS BIGINT) AS b_df,
+           CAST(n_both AS BIGINT) AS n_both,
+           CAST((n_both * n.n_docs * 1000000) // (a_df * b_df) AS BIGINT)
+               AS lift_ppm
+    FROM pairs CROSS JOIN n
+    """,
+)
+def docs_token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level token co-occurrence lift over the 40 highest-df
+    tokens: lift = P(a,b) / (P(a)·P(b)) in exact integer ppm — the
+    collocation/association-mining signal (PMI's argument) that phrase
+    detection and tokenizer-merge audits read, with no logarithm so both
+    engines agree bit-for-bit.
+
+    Scale shape: the pair space is capped by the top-k vocabulary cut
+    (40·39/2 = 780 pairs max), not by corpus size — the top-k itself is a
+    distributed TakeOrdered (orderBy+limit over the token-cardinality df
+    table, the same cut docs_vocab_topk uses), the filtered posting table
+    is a broadcast semi-join of the tiny top-k list against postings, and
+    the per-doc pair expansion is ≤ C(40,2) per document. Deterministic:
+    ties in the top-k cut break on (df DESC, tok ASC) and tok is unique.
+    int64 bound: n_both·N·10⁶ needs N ≲ 3·10⁶ docs per partition-of-truth;
+    past that, run the lift division in DECIMAL(38,0) on both engines
+    (swap the two CASTs), the same escape hatch as events_cusum_changepoint.
+    """
+    from creatorops_lakehouse_spark.queries.dedup import corpus_sets
+
+    sets = corpus_sets(spark, sf_dir, 1).select(
+        "doc_id", F.array_distinct("toks").alias("l")
+    )
+    posts = sets.select("doc_id", F.explode("l").alias("tok"))
+    dfreq = posts.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    top = dfreq.orderBy(F.col("df").desc(), F.col("tok").asc()).limit(40)
+    fposts = posts.join(F.broadcast(top), on="tok")
+    n = sets.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = fposts.select(
+        "doc_id", F.col("tok").alias("a_tok"), F.col("df").alias("a_df")
+    )
+    b = fposts.select(
+        "doc_id", F.col("tok").alias("b_tok"), F.col("df").alias("b_df")
+    )
+    pairs = (
+        a.join(b, on="doc_id")
+        .filter(F.col("a_tok") < F.col("b_tok"))
+        .groupBy("a_tok", "b_tok", "a_df", "b_df")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return pairs.crossJoin(F.broadcast(n)).select(
+        "a_tok",
+        "b_tok",
+        F.col("a_df").cast("long").alias("a_df"),
+        F.col("b_df").cast("long").alias("b_df"),
+        F.col("n_both").cast("long").alias("n_both"),
+        F.expr("CAST((n_both * n_docs * 1000000) div (a_df * b_df) AS BIGINT)")
+            .alias("lift_ppm"),
+    )
