@@ -236,6 +236,39 @@ def suite(spark, docs, emb, ddir=None):
             "lang_id_confusion",
             lambda: _registered(spark, ddir, "docs_lang_id_confusion"),
         ),
+        (
+            # round-6 late: min-denominator containment over the same
+            # trigram posting join as jaccard — candidate mass scales with
+            # posting density, accept test differs
+            "containment_0.8",
+            lambda: __import__(
+                "creatorops_lakehouse_spark.operators.dedup",
+                fromlist=["containment_pairs"],
+            ).containment_pairs(docs, threshold=0.8, ngram=3).count(),
+        ),
+        (
+            # round-6 late: symmetric-delete fuzzy join on synthesized
+            # zero-padded names (the customer-name shape) — variant-index
+            # density and true dist-1 pair mass both grow with the corpus
+            "edit1_names",
+            lambda: __import__(
+                "creatorops_lakehouse_spark.operators.dedup",
+                fromlist=["edit1_pairs"],
+            ).edit1_pairs(
+                docs.select(
+                    "doc_id",
+                    F.format_string("Doc#%09d", F.col("doc_id")).alias("nm"),
+                    (F.col("doc_id") % 25).alias("blk"),
+                ),
+                name_col="nm",
+                id_col="doc_id",
+                block_cols=["blk"],
+            ).count(),
+        ),
+        (
+            "cooccurrence_lift_top40",
+            lambda: _registered(spark, ddir, "docs_token_cooccurrence_lift"),
+        ),
     ]
 
 
