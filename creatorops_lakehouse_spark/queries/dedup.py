@@ -739,3 +739,54 @@ def docs_split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaky_cluster_split"),
     )
+
+
+@query(
+    "docs_fingerprint_dedup_seeded",
+    oracle="""
+    WITH seeded AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000000, text
+        FROM documents WHERE doc_id % 97 = 0
+        UNION ALL
+        SELECT doc_id + 2000000000, upper(text) || '  !!'
+        FROM documents WHERE doc_id % 101 = 0
+    )
+    SELECT doc_fingerprint, n_docs, canonical_id
+    FROM (
+        SELECT sha256(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g'))) AS doc_fingerprint,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS canonical_id
+        FROM seeded
+        GROUP BY 1
+    )
+    WHERE n_docs > 1
+    """,
+)
+def docs_fingerprint_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-vacuous companion to docs_exact_dedup_clusters /
+    docs_fingerprint_dedup: the current driver corpus generation contains
+    no duplicates at all, so those two honest corpus reports are
+    hash-green AT ZERO ROWS — proving the plumbing but not the cluster
+    semantics. This query SELF-SEEDS deterministic duplicates inside the
+    query (the docs_pii_scan pattern — both engines construct identical
+    rows): every 97th doc gets a byte-exact copy (id + 1e9) and every
+    101st a formatting variant (uppercased, trailing punctuation,
+    id + 2e9) that only the normalize-then-hash fingerprint can unify.
+    The clusters found must then be exactly the seeded ones, canonical id
+    = the original — a hash-checked end-to-end pin of both the exact and
+    the normalization legs of the dedup hasher on driver data."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact_copies = docs.filter(F.col("doc_id") % 97 == 0).select(
+        (F.col("doc_id") + 1_000_000_000).alias("doc_id"), "text"
+    )
+    fmt_copies = docs.filter(F.col("doc_id") % 101 == 0).select(
+        (F.col("doc_id") + 2_000_000_000).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  !!")).alias("text"),
+    )
+    seeded = docs.unionByName(exact_copies).unionByName(fmt_copies)
+    return fingerprint_clusters(seeded, "text", "doc_id").filter(
+        F.col("n_docs") > 1
+    )
