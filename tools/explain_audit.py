@@ -96,6 +96,9 @@ def main() -> int:
             # cross join IS the output (|entities| * |days| rows, both
             # sides dimension-sized; the fact table never crosses)
             "events_daily_fill_forward",
+            # one-row n_docs scalar cross-joined for the exact integer
+            # lift division; pair space already capped at C(40,2)
+            "docs_token_cooccurrence_lift",
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
