@@ -303,3 +303,45 @@ def test_cms_never_undercounts_property(spark, keys, depth, width):
     # total mass conservation per sketch row
     per_row = {r.row_i: r.s for r in sk.groupBy("row_i").agg(F.sum("cnt").alias("s")).collect()}
     assert all(v == len(keys) for v in per_row.values())
+
+
+# ---- symmetric-delete fuzzy pairs --------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    m, n = len(a), len(b)
+    d = list(range(n + 1))
+    for x in range(1, m + 1):
+        prev, d[0] = d[0], x
+        for y in range(1, n + 1):
+            prev, d[y] = d[y], min(
+                d[y] + 1, d[y - 1] + 1, prev + (a[x - 1] != b[y - 1])
+            )
+    return d[n]
+
+
+@SETTINGS
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=5), min_size=2, max_size=10
+    ),
+)
+def test_edit1_pairs_equals_bruteforce_random(spark, names):
+    """edit1_pairs over a tiny alphabet (dense dist-1 AND dist-2 structure
+    — substitutions, indels, transpositions, repeats) must equal the
+    quadratic DP scan exactly; duplicates at dist 0 also pair."""
+    from creatorops_lakehouse_spark.operators.dedup import edit1_pairs
+
+    rows = [(i, nm) for i, nm in enumerate(names)]
+    df = spark.createDataFrame(rows, ["id", "name"])
+    got = {
+        (r.a_id, r.b_id): r.edit_distance
+        for r in edit1_pairs(df, "name", "id").collect()
+    }
+    ref = {
+        (ia, ib): _lev(na, nb)
+        for ia, na in rows
+        for ib, nb in rows
+        if ia < ib and _lev(na, nb) <= 1
+    }
+    assert got == ref
