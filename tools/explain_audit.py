@@ -99,6 +99,10 @@ def main() -> int:
             # one-row n_docs scalar cross-joined for the exact integer
             # lift division; pair space already capped at C(40,2)
             "docs_token_cooccurrence_lift",
+            # rank/prefix-sum over the TakeOrdered top-50 cut as a
+            # triangular self-join of two 50-row broadcast sides (the
+            # windowless form of a bounded cumulative sum)
+            "docs_vocab_coverage_curve",
         )
         bad = (
             a["cartesian"] > 0 or a["bnl_joins"] > 0
