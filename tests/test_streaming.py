@@ -121,3 +121,46 @@ def test_streaming_session_windows(spark, stream_dirs):
     # at 10:00 chain onto 09:00 within 90m
     assert any(r.n_events >= 2 for r in rows)
     assert all(r.session_end > r.session_start for r in rows)
+
+
+def test_stream_static_enrichment_join(spark, stream_dirs):
+    """Stream-static join: the silver stream enriched against a static
+    dimension (event_type -> category) must equal the batch join — the
+    standard enrichment topology (static side re-read per micro-batch,
+    no state store, no watermark requirement on the static side)."""
+    import pyspark.sql.functions as F
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        read_event_stream,
+        streaming_silver,
+    )
+
+    inp, root = stream_dirs
+    dim = spark.createDataFrame(
+        [("chapter_written", "authoring"), ("reader_engagement", "audience")],
+        ["event_type", "category"],
+    )
+    stream = streaming_silver(read_event_stream(spark, inp), as_of_ts=AS_OF)
+    enriched = stream.join(F.broadcast(dim), on="event_type", how="left")
+    q = (
+        enriched.select("event_id", "event_type", "category")
+        .writeStream.format("memory")
+        .queryName("enriched_mem")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM enriched_mem").collect()
+    mapping = {"chapter_written": "authoring", "reader_engagement": "audience"}
+    # every streamed row is enriched per the static dim (no null/missed joins)
+    assert rows and all(r.category == mapping[r.event_type] for r in rows)
+    # the first batch's events are all present (other module tests may have
+    # dropped more batches into the shared input dir — they must enrich
+    # too, which the all() above pins)
+    got = {(r.event_id, r.category) for r in rows}
+    assert got >= {
+        ("c1", "authoring"),
+        ("c2", "authoring"),
+        ("c3", "authoring"),
+        ("g1", "audience"),
+    }
