@@ -426,8 +426,104 @@ def minhash_lsh_pairs(
         sets = scoped_persist(  # reread for exact verify after the band join
             _token_sets(df, text_col, id_col, ngram)
         )
+    cands = _lsh_candidates(sets, num_perm, bands)
+    return _verify_jaccard(cands, sets, threshold)
+
+
+def _lsh_candidates(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """Deduplicated (a_id, b_id) candidate pairs from the banded MinHash
+    bucket self-join — ids only; callers attach their own exact verify."""
     banded = _band_buckets(sets, num_perm, bands)
     banded = scoped_persist(banded)  # self-join reads it twice; avoids 2× signature compute
+    left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
+    right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
+    return (
+        left.join(right, on=["band", "bucket"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
+def containment_pairs_lsh(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.8,
+    max_ratio: int = 4,
+    ngram: int = 1,
+    num_perm: int = 64,
+    sets: DataFrame | None = None,
+    max_candidates: int | None = 50_000_000,
+) -> DataFrame:
+    """Scale path for containment dedup at bounded size ratio: min-wise
+    sampled candidate index + exact containment verification.
+
+    Why a separate path: :func:`containment_pairs` is exact but linear in
+    the full posting mass (measured 84.6× wall at 100× data — BENCH_NOTES),
+    and plain MinHash-LSH banding can't be reused as-is because band
+    collision probability tracks JACCARD: a containment-C pair with size
+    ratio R = max/min has only J ≥ C/(R+1), far below any Jaccard-tuned
+    band geometry. The fix here is the rows=1 degenerate geometry: every
+    one of the ``num_perm`` signature slots is its own band, so a pair
+    collides if ANY sampled min-hash matches — P(candidate) =
+    1−(1−J)^num_perm, which at num_perm=64 is ≥ 96% even at J = 0.05
+    (C = 0.8, R ≈ 15). Each document contributes exactly ``num_perm``
+    posting rows REGARDLESS of length — the index is fixed-width per doc,
+    unlike the full inverted index whose posting mass is the corpus token
+    mass. Every candidate is verified with the exact intersection, so
+    output precision is 1.0; recall is the band-collision bound above and
+    is pinned by the docs_containment_lsh_verdict query.
+
+    ``max_ratio`` bounds the size ratio of emitted pairs (integer-exact
+    test: max_size ≤ max_ratio·min_size). Unbounded-ratio containment (a
+    paragraph inside a book) is fundamentally out of reach of ANY
+    whole-document sketch — that case belongs to the span-level pass
+    (:func:`strip_duplicate_spans`), see BENCH_NOTES.
+
+    REGIME GUARD (``max_candidates``): rows=1 sensitivity means every pair
+    with ANY matching sampled min-hash becomes a candidate, and the verify
+    join carries both shingle arrays per candidate. On a corpus whose
+    SUB-threshold similarity is dense (the 100× clone-rehearsal corpus:
+    every doc sits at J≈0.27 to 99 perturbed copies — above the J≈0.16
+    recall floor the containment mapping needs, so no geometry can
+    separate them), the candidate mass is the full J≥floor pair set
+    (~10⁸·array payload = terabytes of shuffle; measured to exhaust local
+    disk — BENCH_NOTES). Before the verify join this computes the
+    bucket-collision pair count from the bucket histogram (Σ C(bucket,2)
+    over one ids-only aggregation — cheap; an upper bound on distinct
+    candidates) and fails loud past the cap, naming the
+    right tool for that regime: the exact posting-join
+    :func:`containment_pairs`, which counts intersections IN the shuffle
+    and never materializes pair payloads (84.6× wall at 100×, linear).
+    Pass ``max_candidates=None`` on a cluster sized for the spill.
+    """
+    if sets is None:
+        sets = scoped_persist(
+            _token_sets(df, text_col, id_col, ngram).filter(F.col("set_size") > 0)
+        )
+    else:
+        sets = sets.filter(F.col("set_size") > 0)
+    # rows=1 banding; persist once — the guard aggregate and both join
+    # sides read the same signature computation
+    banded = scoped_persist(_band_buckets(sets, num_perm, bands=num_perm))
+    if max_candidates is not None:
+        est = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.expr("n * (n - 1) div 2")).alias("c"))
+            .collect()[0]["c"]
+            or 0
+        )
+        if est > max_candidates:
+            raise ValueError(
+                f"containment_pairs_lsh: ~{est:,} bucket-collision pairs exceed "
+                f"max_candidates={max_candidates:,} — the corpus's sub-threshold "
+                f"similarity is denser than LSH can separate from the recall "
+                f"floor; use the exact posting-join containment_pairs() (counts "
+                f"in the shuffle, no pair payloads) or raise/disable the cap on "
+                f"a cluster sized for the verify shuffle"
+            )
     left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
     cands = (
@@ -436,7 +532,30 @@ def minhash_lsh_pairs(
         .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
     )
-    return _verify_jaccard(cands, sets, threshold)
+    sa = sets.select(
+        F.col("doc_id").alias("a_id"), F.col("toks").alias("a_toks"),
+        F.col("set_size").alias("a_size"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("b_id"), F.col("toks").alias("b_toks"),
+        F.col("set_size").alias("b_size"),
+    )
+    verified = cands.join(sa, on="a_id").join(sb, on="b_id")
+    n_common = F.size(F.array_intersect(F.col("a_toks"), F.col("b_toks")))
+    min_size = F.least("a_size", "b_size")
+    max_size = F.greatest("a_size", "b_size")
+    ts = int(round(threshold * 10000))
+    return (
+        verified.withColumn("n_common", n_common)
+        .filter(max_size <= F.lit(int(max_ratio)) * min_size)
+        .filter(F.col("n_common") * 10000 >= F.lit(ts) * min_size)
+        .select(
+            "a_id",
+            "b_id",
+            "n_common",
+            (F.col("n_common") / min_size).alias("containment"),
+        )
+    )
 
 
 def _band_buckets(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:

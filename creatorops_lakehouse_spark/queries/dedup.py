@@ -790,3 +790,80 @@ def docs_fingerprint_dedup_seeded(spark: SparkSession, sf_dir: str) -> DataFrame
     return fingerprint_clusters(seeded, "text", "doc_id").filter(
         F.col("n_docs") > 1
     )
+
+
+@query(
+    "docs_containment_lsh_verdict",
+    oracle=f"""
+    WITH {_SQL_TRIGRAM_COMMON},
+    exact AS (
+        SELECT a_id, b_id FROM common
+        WHERE n_common * 10000 >= 8000 * least(a_size, b_size)
+          AND greatest(a_size, b_size) <= 4 * least(a_size, b_size)
+    )
+    SELECT COUNT(*) AS n_exact_pairs,
+           CAST(0 AS BIGINT) AS n_false_positives,
+           TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def docs_containment_lsh_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision contract for the containment SCALE path
+    (operators/dedup.py::containment_pairs_lsh — min-wise sampled
+    candidate index, fixed num_perm postings per doc) against the exact
+    posting-join containment pairs at the same threshold, restricted to
+    the size-ratio bound (≤4) the sketch guarantees coverage for.
+
+    The DuckDB oracle recomputes the ratio-bounded exact pair set in SQL
+    and asserts the engine-checkable facts: n_exact_pairs matches, zero
+    false positives (the LSH path exact-verifies every candidate, so it
+    is a subset by construction), and the recall verdict as literal TRUE —
+    at rows=1/num_perm=64 geometry the collision bound at C=0.8, R≤4 is
+    1−(1−0.16)^64 ≈ 1−1.4e-5, so the 0.9 floor flags any geometry
+    regression via the driver's value hash."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_lsh,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    sets = corpus_sets(spark, sf_dir, 3)
+    sizes = sets.select("doc_id", "set_size")
+    exact = (
+        containment_pairs(docs, threshold=0.8, ngram=3, sets=sets)
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("a_id"), F.col("set_size").alias("a_size")
+            ),
+            on="a_id",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("b_id"), F.col("set_size").alias("b_size")
+            ),
+            on="b_id",
+        )
+        .filter(
+            F.greatest("a_size", "b_size") <= 4 * F.least("a_size", "b_size")
+        )
+        .select("a_id", "b_id", F.lit(1).alias("_e"))
+    )
+    lsh = containment_pairs_lsh(
+        docs, threshold=0.8, max_ratio=4, ngram=3, num_perm=64, sets=sets
+    ).select("a_id", "b_id", F.lit(1).alias("_l"))
+    merged = exact.join(lsh, on=["a_id", "b_id"], how="full_outer")
+    summary = merged.agg(
+        F.count("_e").alias("n_exact_pairs"),
+        F.count(F.when(F.col("_e").isNull(), 1)).alias("n_false_positives"),
+        F.count(
+            F.when(F.col("_e").isNotNull() & F.col("_l").isNotNull(), 1)
+        ).alias("_n_hits"),
+    )
+    return summary.select(
+        "n_exact_pairs",
+        "n_false_positives",
+        (
+            (F.col("n_exact_pairs") == 0)
+            | (F.col("_n_hits") / F.col("n_exact_pairs") >= 0.9)
+        ).alias("recall_ok"),
+    )

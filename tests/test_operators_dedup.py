@@ -470,3 +470,53 @@ def test_edit1_pairs_rejects_k2(spark):
     df = spark.createDataFrame([(1, "a")], ["id", "name"])
     with pytest.raises(ValueError, match="max_distance=1"):
         edit1_pairs(df, "name", "id", max_distance=2)
+
+
+def test_containment_lsh_recalls_bounded_ratio_pairs(spark):
+    """The min-wise sampled containment path must recover the exact
+    bounded-ratio containment pairs (planted short-in-long, ratio ≤ 4)
+    with zero false positives, and must exclude pairs beyond max_ratio."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_lsh,
+    )
+
+    short = " ".join(f"tok{i}" for i in range(20))
+    bounded = short + " " + " ".join(f"pad{i}" for i in range(40))  # ratio 3
+    huge = short + " " + " ".join(f"big{i}" for i in range(300))  # ratio ~16
+    rows = [
+        (1, short),
+        (2, bounded),
+        (3, huge),
+        (4, " ".join(f"other{i}" for i in range(30))),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r.a_id, r.b_id)
+        for r in containment_pairs_lsh(
+            df, threshold=0.8, max_ratio=4, ngram=1, num_perm=64
+        ).collect()
+    }
+    exact_all = {
+        (r.a_id, r.b_id)
+        for r in containment_pairs(df, threshold=0.8, ngram=1).collect()
+    }
+    # exact (no ratio bound) sees both containments; the sketch path must
+    # return exactly the bounded-ratio subset
+    assert (1, 2) in exact_all and (1, 3) in exact_all
+    assert got == {(1, 2)}
+
+
+def test_containment_lsh_guard_refuses_dense_collisions(spark):
+    """The candidate-mass guard must fail loud (naming the exact pass)
+    when bucket collisions exceed the cap, and pass when raised."""
+    from creatorops_lakehouse_spark.operators.dedup import containment_pairs_lsh
+
+    text = " ".join(f"w{i}" for i in range(30))
+    df = spark.createDataFrame(
+        [(i, text) for i in range(12)], ["doc_id", "text"]
+    )  # 12 identical docs -> every bucket holds all 12
+    with pytest.raises(ValueError, match="containment_pairs()"):
+        containment_pairs_lsh(df, ngram=1, max_candidates=100)
+    out = containment_pairs_lsh(df, ngram=1, max_candidates=None).collect()
+    assert len(out) == 12 * 11 // 2  # all pairs, containment 1.0

@@ -269,6 +269,21 @@ def suite(spark, docs, emb, ddir=None):
             "cooccurrence_lift_top40",
             lambda: _registered(spark, ddir, "docs_token_cooccurrence_lift"),
         ),
+        (
+            # round-6 late: the containment SCALE path — fixed 64 postings
+            # per doc regardless of length. 10x only: at 100x this corpus's
+            # cross-copy noise (J~0.27) sits above the containment recall
+            # floor, the candidate-mass guard refuses (by design — see the
+            # operator's REGIME GUARD docstring), and the exact pass is the
+            # measured tool there (84.6x, BENCH_NOTES)
+            "containment_lsh_0.8",
+            lambda: __import__(
+                "creatorops_lakehouse_spark.operators.dedup",
+                fromlist=["containment_pairs_lsh"],
+            ).containment_pairs_lsh(
+                docs, threshold=0.8, max_ratio=4, ngram=3, num_perm=64
+            ).count(),
+        ),
     ]
 
 
