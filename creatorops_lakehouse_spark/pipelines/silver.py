@@ -245,8 +245,12 @@ def transform(
             & (F.col("p_ingest_date") <= F.lit(end).cast("date"))
         )
     validated = validate(parse(bronze), as_of_ts=as_of_ts, extra_rules=extra_rules)
-    # one persist instead of the reference's 4× scan recompute (SURVEY §3/§4)
-    validated = validated.persist()
+    # one persist instead of the reference's 4× scan recompute (SURVEY §3/§4);
+    # scoped so the query-registry wrapper / bench loop can release it once
+    # the good+reject branches have been consumed (operators/cache.py).
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    validated = scoped_persist(validated)
     good = to_silver(validated)
     if dedup:
         good = dedup_latest(good)

@@ -147,6 +147,10 @@ def all_oracles() -> dict[str, str]:
 
 def _ensure_imported() -> None:
     """Import all query modules so their decorators run."""
+    # medallion first: the driver's correctness gate hash-checks the first
+    # 50 queries() entries, and the composed-pipeline verdict is the one
+    # capability that must be in that window (VERDICT r6 item 1).
+    from creatorops_lakehouse_spark.queries import medallion  # noqa: F401
     from creatorops_lakehouse_spark.queries import (  # noqa: F401
         advanced,
         dedup,
