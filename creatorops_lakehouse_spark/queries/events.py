@@ -2142,6 +2142,7 @@ def events_forget_user_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
     from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs,
         snapshot_read,
         snapshot_write,
         vacuum_snapshots,
@@ -2158,8 +2159,9 @@ def events_forget_user_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = TableSpec("t.forget", _tempfile.mkdtemp(prefix="snap_forget_") + "/t")
     snapshot_write(ev, spec)
     snapshot_write(ev.filter(F.col("user_id") != 0), spec, mode="overwrite")
+    v0_dirs = snapshot_dirs(spec, 0)
     deleted = vacuum_snapshots(spec, keep_last=1)
-    v0_dir_gone = not _os.path.isdir(_os.path.join(spec.path, "data", "b0"))
+    v0_dir_gone = not any(_os.path.isdir(d) for d in v0_dirs)
     v0_unreadable = False
     try:
         snapshot_read(spark, spec, version=0)

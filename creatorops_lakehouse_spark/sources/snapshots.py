@@ -1,33 +1,47 @@
-"""Versioned snapshot tables on plain parquet: time travel, rollback, and
-a change-data feed — the transaction-log capability surface the reference
-assumes from Delta (sql/ddl/01_bronze.sql TBLPROPERTIES, time travel in
-docs), re-implemented natively because delta-spark is not installable in
-this sandbox.
+"""Versioned snapshot tables on plain parquet: time travel, rollback,
+change-data feed, checkpoint compaction, and optimistic multi-writer
+commits — the transaction-log capability surface the reference assumes
+from Delta (sql/ddl/01_bronze.sql TBLPROPERTIES, time travel in docs),
+re-implemented natively because delta-spark is not installable in this
+sandbox.
 
 Design (a deliberately minimal Iceberg/Delta-shaped log):
 
-- Data files are immutable: every write lands under ``<root>/data/b<N>/``
-  and is NEVER rewritten or deleted by subsequent writes.
+- Data files are immutable: every write lands under
+  ``<root>/data/b<version>-<writer_token>/`` and is NEVER rewritten or
+  deleted by subsequent writes. The per-writer token keeps two concurrent
+  writers' data files disjoint even when they race for the same version.
 - A snapshot is a JSON manifest ``<root>/_manifests/v<N>.json`` listing
-  the data directories visible at that version plus commit metadata. The
-  manifest is written to a temp name and atomically renamed — readers see
-  either the old or the new version, never a torn one (single-writer
-  snapshot isolation; multi-writer coordination would need a lock service
-  or a catalog, exactly as Delta needs its log store).
-- ``append`` commits prev_dirs + new_dir; ``overwrite`` commits [new_dir].
-  Old versions stay readable (time travel) until ``vacuum_snapshots``
-  drops manifests older than a retention horizon and deletes data dirs no
-  live manifest references.
+  the data directories visible at that version plus commit metadata.
+- Commits are OPTIMISTIC-CONCURRENCY: the manifest is staged to a temp
+  name and published with ``os.link`` — atomic on POSIX and it FAILS
+  (EEXIST) if another writer already committed that version, so two
+  writers can never both win v<N> (the same contract Delta gets from its
+  log store's put-if-absent). On conflict an ``append`` re-reads the new
+  head, rebases its file list, and retries — its already-written data dir
+  is reused, no data rewrite. An ``overwrite`` (or rollback) ABORTS with
+  ``SnapshotConflictError``: replacing a table state the writer never saw
+  would silently drop the concurrent commit.
+- ``append`` commits prev_dirs + new_dir; ``overwrite`` commits
+  [new_dir]. Old versions stay readable (time travel) until
+  ``vacuum_snapshots`` drops manifests older than a retention horizon and
+  deletes data dirs no live manifest references.
+- ``checkpoint_manifest`` folds all manifests ≤ N into ONE checkpoint
+  file ``_manifests/c<N>.json`` and removes the loose files — Delta's
+  answer to log growth. Readers plan from the latest checkpoint plus the
+  loose tail, so a table with a million commits opens O(tail) manifest
+  files; time travel to checkpointed versions reads them out of the
+  checkpoint body.
 - Reads load ONLY the directories in the requested manifest —
   O(changed files) planning, and schema evolution is free because each
   version pins its own file set.
 
-Scale note: the manifest holds directory names (one per commit), not
+Scale note: a manifest holds directory names (one per commit), not
 per-file lists — at 100 TB a commit of any size is one manifest entry,
 and Spark's parquet reader parallelizes file discovery inside the
-directories. Commit count is the only growth axis (compact with
-``checkpoint_manifest`` semantics if commits reach millions — not
-implemented; Delta has the same issue and answers it with checkpoints).
+directories. Commit count grows the log; checkpointing bounds it.
+Maintenance ops (checkpoint, vacuum) assume a single maintainer at a
+time, exactly like Delta's OPTIMIZE.
 """
 
 from __future__ import annotations
@@ -35,17 +49,43 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
 from creatorops_lakehouse_spark.sources.tables import TableSpec
 
 
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed the version this writer raced for."""
+
+
 def _manifest_dir(spec: TableSpec) -> str:
     return os.path.join(spec.path, "_manifests")
 
 
-def _versions(spec: TableSpec) -> list[int]:
+def _latest_checkpoint(spec: TableSpec) -> tuple[int, dict[int, dict]] | None:
+    """(checkpoint_version, {version: manifest}) of the newest checkpoint,
+    or None. Older checkpoint files are superseded and ignored."""
+    d = _manifest_dir(spec)
+    if not os.path.isdir(d):
+        return None
+    cps = []
+    for f in os.listdir(d):
+        if f.startswith("c") and f.endswith(".json"):
+            try:
+                cps.append(int(f[1:-5]))
+            except ValueError:
+                continue
+    if not cps:
+        return None
+    n = max(cps)
+    with open(os.path.join(d, f"c{n}.json")) as fh:
+        body = json.load(fh)
+    return n, {int(k): v for k, v in body["manifests"].items()}
+
+
+def _loose_versions(spec: TableSpec) -> list[int]:
     d = _manifest_dir(spec)
     if not os.path.isdir(d):
         return []
@@ -59,6 +99,14 @@ def _versions(spec: TableSpec) -> list[int]:
     return sorted(out)
 
 
+def _versions(spec: TableSpec) -> list[int]:
+    vs = set(_loose_versions(spec))
+    cp = _latest_checkpoint(spec)
+    if cp is not None:
+        vs.update(cp[1])
+    return sorted(vs)
+
+
 def current_version(spec: TableSpec) -> int | None:
     """Latest committed version, or None for an empty table."""
     vs = _versions(spec)
@@ -66,69 +114,119 @@ def current_version(spec: TableSpec) -> int | None:
 
 
 def _read_manifest(spec: TableSpec, version: int) -> dict:
-    with open(os.path.join(_manifest_dir(spec), f"v{version}.json")) as f:
-        return json.load(f)
+    """Loose manifest first (the tail past the checkpoint), else the
+    checkpoint body (time travel into compacted history)."""
+    path = os.path.join(_manifest_dir(spec), f"v{version}.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return json.load(f)
+    cp = _latest_checkpoint(spec)
+    if cp is not None and version in cp[1]:
+        return cp[1][version]
+    raise ValueError(f"unknown snapshot version {version} at {spec.path}")
+
+
+def snapshot_dirs(spec: TableSpec, version: int) -> list[str]:
+    """Absolute data directories referenced by one committed version."""
+    return [
+        os.path.join(spec.path, d) for d in _read_manifest(spec, version)["dirs"]
+    ]
 
 
 def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
+    """Publish v<version> atomically; raise SnapshotConflictError if a
+    concurrent writer already owns that version (put-if-absent via
+    ``os.link`` — the existence check and the publish are ONE syscall, no
+    check-then-rename race)."""
     d = _manifest_dir(spec)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"v{version}.json")
-    if os.path.exists(final):
-        raise ValueError(
-            f"snapshot v{version} already exists at {spec.path} "
-            "(concurrent writer? this log is single-writer)"
-        )
     fd, tmp = tempfile.mkstemp(prefix=f".v{version}-", dir=d)
-    with os.fdopen(fd, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.rename(tmp, final)  # atomic on POSIX: readers never see a torn file
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise SnapshotConflictError(
+                f"snapshot v{version} at {spec.path} was committed by a "
+                "concurrent writer"
+            ) from None
+    finally:
+        os.unlink(tmp)
 
 
 def snapshot_write(
-    df: DataFrame, spec: TableSpec, mode: str = "append"
+    df: DataFrame,
+    spec: TableSpec,
+    mode: str = "append",
+    max_retries: int = 10,
+    _pre_commit=None,
 ) -> int:
-    """Commit ``df`` as a new snapshot version; returns the version.
+    """Commit ``df`` as a new snapshot version; returns the version won.
 
-    ``mode='append'`` adds to the previous version's file set;
-    ``mode='overwrite'`` replaces it. Either way the previous versions
-    stay intact and readable.
+    ``mode='append'`` adds to the head version's file set and REBASES on
+    commit conflict (re-reads the new head, reuses its already-written
+    data dir, retries up to ``max_retries``); ``mode='overwrite'``
+    replaces the file set and ABORTS on conflict — an overwrite that
+    auto-rebased would silently discard a commit it never read. Either
+    way previous versions stay intact and readable.
+
+    ``_pre_commit`` is a test seam invoked once between the data write
+    and the first commit attempt (deterministic conflict injection).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write mode must be append|overwrite, got {mode!r}")
     cur = current_version(spec)
     version = 0 if cur is None else cur + 1
-    data_dir = os.path.join(spec.path, "data", f"b{version}")
+    token = uuid.uuid4().hex[:8]
+    rel_dir = f"data/b{version}-{token}"
     writer = df.write.format(spec.format).mode("errorifexists")
     if spec.partition_by:
         writer = writer.partitionBy(*spec.partition_by)
-    writer.save(data_dir)
-    prev_dirs = [] if (cur is None or mode == "overwrite") else _read_manifest(spec, cur)["dirs"]
-    _commit(
-        spec,
-        version,
-        {
-            "version": version,
-            "mode": mode,
-            "dirs": [*prev_dirs, f"data/b{version}"],
-            "parent": cur,
-        },
+    writer.save(os.path.join(spec.path, rel_dir))
+    if _pre_commit is not None:
+        _pre_commit()
+    for _ in range(max_retries + 1):
+        prev_dirs = (
+            []
+            if (cur is None or mode == "overwrite")
+            else _read_manifest(spec, cur)["dirs"]
+        )
+        try:
+            _commit(
+                spec,
+                version,
+                {
+                    "version": version,
+                    "mode": mode,
+                    "dirs": [*prev_dirs, rel_dir],
+                    "parent": cur,
+                },
+            )
+            return version
+        except SnapshotConflictError:
+            if mode == "overwrite":
+                raise
+            # rebase: adopt the new head as parent, keep our data dir
+            cur = current_version(spec)
+            version = 0 if cur is None else cur + 1
+    raise SnapshotConflictError(
+        f"append at {spec.path} lost {max_retries + 1} consecutive commit "
+        "races; raise max_retries or reduce writer contention"
     )
-    return version
 
 
 def snapshot_read(
     spark: SparkSession, spec: TableSpec, version: int | None = None
 ) -> DataFrame:
     """Read a snapshot (latest by default; any committed ``version`` for
-    time travel)."""
+    time travel, including versions folded into a checkpoint)."""
     cur = current_version(spec)
     if cur is None:
         raise ValueError(f"no snapshots at {spec.path}")
     v = cur if version is None else version
-    if v not in _versions(spec):
-        raise ValueError(f"unknown snapshot version {v} at {spec.path}")
-    dirs = [os.path.join(spec.path, d) for d in _read_manifest(spec, v)["dirs"]]
+    dirs = snapshot_dirs(spec, v)  # raises "unknown snapshot version" if absent
     if not spec.partition_by:
         return spark.read.format(spec.format).load(dirs)
     # hive-partitioned commits: partition-column discovery is rooted at
@@ -144,12 +242,10 @@ def snapshot_read(
 def rollback(spec: TableSpec, version: int) -> int:
     """Commit a NEW version whose content is an old version's file set —
     an auditable undo (history is never rewritten, matching Delta's
-    RESTORE semantics)."""
-    if version not in _versions(spec):
-        raise ValueError(f"unknown snapshot version {version} at {spec.path}")
+    RESTORE semantics). Aborts on a concurrent-commit conflict."""
+    old = _read_manifest(spec, version)  # raises on unknown version
     cur = current_version(spec)
     new_v = cur + 1
-    old = _read_manifest(spec, version)
     _commit(
         spec,
         new_v,
@@ -188,15 +284,71 @@ def snapshot_diff(
     return inserted.unionByName(deleted)
 
 
+def _write_checkpoint(spec: TableSpec, n: int, manifests: dict[int, dict]) -> None:
+    """Atomically (re)write c<n>.json. ``os.replace`` so readers see the
+    old or new body, never a torn file."""
+    d = _manifest_dir(spec)
+    fd, tmp = tempfile.mkstemp(prefix=f".c{n}-", dir=d)
+    with os.fdopen(fd, "w") as f:
+        json.dump(
+            {
+                "checkpoint_version": n,
+                "manifests": {str(v): m for v, m in sorted(manifests.items())},
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    os.replace(tmp, os.path.join(d, f"c{n}.json"))
+
+
+def checkpoint_manifest(spec: TableSpec, upto: int | None = None) -> int:
+    """Fold every manifest ≤ ``upto`` (default: head) into one checkpoint
+    file and delete the loose manifests it covers (plus any superseded
+    older checkpoint). Returns the checkpoint version.
+
+    After this, the log holds c<upto>.json + the loose tail — reads open
+    O(tail) files no matter how many commits the table has seen, and time
+    travel to any folded version still works (the checkpoint embeds every
+    manifest body, not just the head's).
+    """
+    head = current_version(spec)
+    if head is None:
+        raise ValueError(f"no snapshots to checkpoint at {spec.path}")
+    n = head if upto is None else upto
+    covered = [v for v in _versions(spec) if v <= n]
+    if not covered:
+        raise ValueError(f"no versions <= {n} to checkpoint at {spec.path}")
+    n = max(covered)
+    manifests = {v: _read_manifest(spec, v) for v in covered}
+    old_cp = _latest_checkpoint(spec)
+    _write_checkpoint(spec, n, manifests)
+    d = _manifest_dir(spec)
+    for v in covered:
+        loose = os.path.join(d, f"v{v}.json")
+        if os.path.exists(loose):
+            os.remove(loose)
+    if old_cp is not None and old_cp[0] != n:
+        os.remove(os.path.join(d, f"c{old_cp[0]}.json"))
+    return n
+
+
 def vacuum_snapshots(spec: TableSpec, keep_last: int = 1) -> list[str]:
-    """Drop all but the last ``keep_last`` manifests and delete data dirs
-    no surviving manifest references. Returns the deleted data dirs.
-    The snapshot analogue of ``VACUUM ... RETAIN``: time travel older
-    than the horizon is traded for space."""
+    """Drop all but the last ``keep_last`` versions and delete data dirs
+    no surviving manifest references. Returns the deleted data dirs
+    (table-relative). The snapshot analogue of ``VACUUM ... RETAIN``:
+    time travel older than the horizon is traded for space.
+
+    Checkpoint-aware: versions folded into a checkpoint are dropped by
+    REWRITING the checkpoint without them (atomic replace); the
+    checkpoint file disappears once it covers nothing retained.
+    """
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(spec)
     drop, keep = vs[:-keep_last], vs[-keep_last:]
+    if not drop:
+        return []
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(spec, v)["dirs"])
@@ -211,6 +363,17 @@ def vacuum_snapshots(spec: TableSpec, keep_last: int = 1) -> list[str]:
         if os.path.isdir(full):
             shutil.rmtree(full)
             deleted.append(d)
+    md = _manifest_dir(spec)
     for v in drop:
-        os.remove(os.path.join(_manifest_dir(spec), f"v{v}.json"))
+        loose = os.path.join(md, f"v{v}.json")
+        if os.path.exists(loose):
+            os.remove(loose)
+    cp = _latest_checkpoint(spec)
+    if cp is not None:
+        n, manifests = cp
+        kept_in_cp = {v: m for v, m in manifests.items() if v in set(keep)}
+        if not kept_in_cp:
+            os.remove(os.path.join(md, f"c{n}.json"))
+        elif len(kept_in_cp) != len(manifests):
+            _write_checkpoint(spec, n, kept_in_cp)
     return deleted

@@ -11,6 +11,7 @@ from creatorops_lakehouse_spark.sources.snapshots import (
     current_version,
     rollback,
     snapshot_diff,
+    snapshot_dirs,
     snapshot_read,
     snapshot_write,
     vacuum_snapshots,
@@ -79,11 +80,135 @@ def test_vacuum_drops_unreferenced_dirs(spark, tmp_path):
     snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
     snapshot_write(spark.createDataFrame([(9, "z")], ["id", "v"]), spec, mode="overwrite")
     snapshot_write(spark.createDataFrame([(8, "y")], ["id", "v"]), spec)
+    v0_dirs = snapshot_dirs(spec, 0)
     deleted = vacuum_snapshots(spec, keep_last=2)
     # v0's data dir is referenced by no surviving manifest -> gone
-    assert deleted == ["data/b0"]
-    assert not os.path.isdir(os.path.join(spec.path, "data", "b0"))
+    assert [os.path.join(spec.path, d) for d in deleted] == v0_dirs
+    assert not any(os.path.isdir(d) for d in v0_dirs)
     assert current_version(spec) == 2
     assert _rows(snapshot_read(spark, spec)) == {(9, "z"), (8, "y")}
     with pytest.raises(ValueError, match="unknown snapshot"):
         snapshot_read(spark, spec, version=0)
+
+
+def test_checkpoint_compaction_1000_commits(spark, tmp_path):
+    """1,000 commits -> checkpoint folds the log into one file + tail;
+    reads (head and pre-checkpoint time travel) still work; vacuum honors
+    the checkpoint (VERDICT r6 item 2)."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _commit,
+        _loose_versions,
+        checkpoint_manifest,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    # three real data commits, then synthesize the remaining 997 manifests
+    # directly (same _commit path real writes use) so the test stays fast —
+    # checkpointing is a pure log operation, data dirs are opaque names.
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), spec)
+    v2_dirs = snapshot_dirs(spec, 2)
+    rel_v2 = [os.path.relpath(d, spec.path) for d in v2_dirs]
+    for v in range(3, 1000):
+        _commit(spec, v, {"version": v, "mode": "append", "dirs": rel_v2, "parent": v - 1})
+    assert current_version(spec) == 999
+    assert len(_loose_versions(spec)) == 1000
+
+    cp = checkpoint_manifest(spec, upto=990)
+    assert cp == 990
+    # log is now one checkpoint + a 9-manifest tail
+    assert _loose_versions(spec) == list(range(991, 1000))
+    assert os.path.exists(os.path.join(spec.path, "_manifests", "c990.json"))
+    assert current_version(spec) == 999
+    # head read plans from checkpointed history + tail
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    # time travel to versions folded INTO the checkpoint still works
+    assert _rows(snapshot_read(spark, spec, version=1)) == {(1, "a"), (2, "b")}
+    assert _rows(snapshot_read(spark, spec, version=0)) == {(1, "a")}
+
+    # a second checkpoint supersedes the first (folds its body + newer tail)
+    cp2 = checkpoint_manifest(spec)
+    assert cp2 == 999
+    assert _loose_versions(spec) == []
+    assert not os.path.exists(os.path.join(spec.path, "_manifests", "c990.json"))
+    assert _rows(snapshot_read(spark, spec, version=0)) == {(1, "a")}
+
+    # vacuum honors the checkpoint: drops folded versions by rewriting it
+    deleted = vacuum_snapshots(spec, keep_last=5)
+    assert current_version(spec) == 999
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        snapshot_read(spark, spec, version=2)
+    # keep_last=5 retains 995..999, all of which reference every data dir
+    assert deleted == []
+    # versions 995+ reference all three commits' dirs -> nothing doomed,
+    # but vacuum to the head-only horizon must now drop v0/v1's exclusives
+    deleted2 = vacuum_snapshots(spec, keep_last=1)
+    assert deleted2 == []  # head (v999) still references rel_v2 = all dirs
+
+
+def test_concurrent_append_rebases(spark, tmp_path):
+    """Two writers race for the same version: the loser's append rebases
+    onto the winner's head — one winner per version, no lost update
+    (VERDICT r6 item 3)."""
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+
+    def competing_commit():
+        snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+
+    v = snapshot_write(
+        spark.createDataFrame([(3, "c")], ["id", "v"]),
+        spec,
+        _pre_commit=competing_commit,
+    )
+    # loser targeted v1, competitor won it, loser rebased to v2
+    assert v == 2 and current_version(spec) == 2
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    # the competitor's intermediate version holds exactly its own view
+    assert _rows(snapshot_read(spark, spec, version=1)) == {(1, "a"), (2, "b")}
+
+
+def test_concurrent_overwrite_aborts(spark, tmp_path):
+    """An overwrite that loses a commit race must raise, not clobber the
+    concurrent commit it never read (VERDICT r6 item 3)."""
+    from creatorops_lakehouse_spark.sources.snapshots import SnapshotConflictError
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+
+    def competing_commit():
+        snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+
+    with pytest.raises(SnapshotConflictError, match="concurrent writer"):
+        snapshot_write(
+            spark.createDataFrame([(9, "z")], ["id", "v"]),
+            spec,
+            mode="overwrite",
+            _pre_commit=competing_commit,
+        )
+    # the concurrent append survives untouched
+    assert current_version(spec) == 1
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b")}
+
+
+def test_threaded_appends_no_lost_update(spark, tmp_path):
+    """Eight truly concurrent appenders: every row lands exactly once,
+    versions are contiguous, each version has exactly one manifest."""
+    import concurrent.futures
+
+    from creatorops_lakehouse_spark.sources.snapshots import _loose_versions
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+
+    def write_one(i: int) -> int:
+        return snapshot_write(
+            spark.createDataFrame([(i, f"w{i}")], ["id", "v"]), spec
+        )
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(write_one, range(8)))
+    assert sorted(versions) == list(range(8))  # one winner per version
+    assert _loose_versions(spec) == list(range(8))
+    assert _rows(snapshot_read(spark, spec)) == {(i, f"w{i}") for i in range(8)}
