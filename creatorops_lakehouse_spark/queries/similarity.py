@@ -112,12 +112,19 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("emb_neardup_pairs")  # rows-only (hyperplane buckets)
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (cos ≥ 0.9), band-OR LSH
-    candidates verified exactly. Plane/table counts auto-sized
+    """Embedding-cosine near-duplicate pairs, band-OR LSH candidates
+    verified exactly. Plane/table counts auto-sized
     (operators/similarity.py::auto_planes/auto_tables) — the registered
-    query rides the same scale-safe defaults the operator ships with."""
+    query rides the same scale-safe defaults the operator ships with.
+
+    τ matches the hash-green recall/precision verdict's threshold
+    (emb_neardup_recall_verdict): the driver corpus is weakly clustered
+    (true neighbors at cos 0.26–0.49), so a production-style τ=0.9 finds
+    nothing at any tested scale and the registered row proved nothing
+    (VERDICT r6 item 4). At τ=0.45 every scale emits pairs
+    (sf0.001/0.01/0.1 → 7/14/144 true pairs)."""
     return embedding_neardup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.9
+        load(spark, sf_dir, "embeddings"), threshold=NEARDUP_VERDICT_TAU
     )
 
 
@@ -203,6 +210,22 @@ def _ann_recall_verdict(exact: DataFrame, ann: DataFrame, floor: float) -> DataF
 _IVF_INDEX_CACHE: dict[str, tuple] = {}
 
 
+def _reap_stale_ivf_dirs(scratch: str) -> None:
+    """Delete ivf_index_* scratch dirs not owned by THIS session's cache —
+    prior sessions' indexes are unreachable (the cache is per-process), so
+    without this every run leaks one dir per corpus (VERDICT r6 item 5)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    live_roots = {
+        os.path.dirname(spec.path) for _, spec in _IVF_INDEX_CACHE.values()
+    }
+    for d in _glob.glob(os.path.join(scratch, "ivf_index_*")):
+        if d not in live_roots:
+            shutil.rmtree(d, ignore_errors=True)
+
+
 def _ivf_index_for(spark: SparkSession, sf_dir: str):
     import os
     import tempfile
@@ -223,6 +246,7 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
             ".scratch",
         )
         os.makedirs(scratch, exist_ok=True)
+        _reap_stale_ivf_dirs(scratch)
         root = tempfile.mkdtemp(prefix="ivf_index_", dir=scratch)
         spec = TableSpec("ivf.index", f"{root}/index", ("cell",))
         build_ivf_index(emb, centroids, spec)
