@@ -270,11 +270,17 @@ def edit1_pairs(
         F.col(id_col).alias("b_id"),
         F.col(name_col).alias("_b_name"),
     )
+    # Dedup on the FULL (pair, block) key: with only (a_id, b_id) the kept
+    # block_cols values would be nondeterministic when the same id pair
+    # matches under multiple block values (possible iff ids repeat across
+    # blocks — ADVICE r6). Unique-id-per-block callers (the customer
+    # query) see identical output; repeated-id callers get one
+    # deterministic row per block the pair matched in.
     cands = (
         a.join(b, on=[*block_cols, "_variant"])
         .filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", *block_cols, "_a_name", "_b_name")
-        .dropDuplicates(["a_id", "b_id"])
+        .dropDuplicates(["a_id", "b_id", *block_cols])
     )
     dist = F.levenshtein(F.col("_a_name"), F.col("_b_name")).cast("long")
     return (
@@ -491,12 +497,29 @@ def containment_pairs_lsh(
     (~10⁸·array payload = terabytes of shuffle; measured to exhaust local
     disk — BENCH_NOTES). Before the verify join this computes the
     bucket-collision pair count from the bucket histogram (Σ C(bucket,2)
-    over one ids-only aggregation — cheap; an upper bound on distinct
-    candidates) and fails loud past the cap, naming the
-    right tool for that regime: the exact posting-join
+    over one ids-only aggregation — cheap) and fails loud past the cap,
+    naming the right tool for that regime: the exact posting-join
     :func:`containment_pairs`, which counts intersections IN the shuffle
     and never materializes pair payloads (84.6× wall at 100×, linear).
     Pass ``max_candidates=None`` on a cluster sized for the spill.
+
+    The estimate is a CONSERVATIVE upper bound with known multiplicity:
+    it counts each distinct pair once per colliding band, and a true
+    near-duplicate collides in ~all ``num_perm`` bands — so on a
+    clone-heavy corpus it overcounts distinct candidates by up to
+    ``num_perm``× (ADVICE r6). That bias is the safe direction for a
+    disk-exhaustion guard (it can only refuse early, never admit an
+    over-cap corpus), but size ``max_candidates`` knowing the default
+    50M cap can trip at ~800k distinct true-duplicate pairs; the verify
+    join's actual shuffle cost scales with the same per-band collision
+    mass the estimate counts, so the estimate tracks the COST being
+    guarded even where it overcounts distinct pairs.
+
+    EAGER: when ``max_candidates`` is set, the guard runs the signature
+    computation as a real job at DataFrame-CONSTRUCTION time (one
+    ids-only aggregate over the persisted banding; the result frame
+    itself stays lazy). Callers building plans they may never execute
+    should pass ``max_candidates=None`` to stay fully lazy.
     """
     if sets is None:
         sets = scoped_persist(

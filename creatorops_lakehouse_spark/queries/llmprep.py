@@ -655,9 +655,16 @@ def docs_interleave_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction; exhausted sources leave gaps, which a priority order
     tolerates (consumers sort, they don't index)."""
     docs = load(spark, sf_dir, "documents").select("doc_id", "source")
-    sources = sorted(
-        r[0] for r in docs.select("source").distinct().collect()
-    )
+    raw_sources = [r[0] for r in docs.select("source").distinct().collect()]
+    # A NULL source would crash the driver-side sorted() (TypeError) and,
+    # worse, silently yield a null interleave_pos via element_at while the
+    # oracle's join still emits the row — fail loud instead (ADVICE r6).
+    if any(s is None for s in raw_sources):
+        raise ValueError(
+            "docs_interleave_curriculum: NULL source value in documents; "
+            "coalesce sources to a sentinel before interleaving"
+        )
+    sources = sorted(raw_sources)
     n_sources = len(sources)
     sidx = F.element_at(
         F.create_map(

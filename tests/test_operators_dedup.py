@@ -516,7 +516,7 @@ def test_containment_lsh_guard_refuses_dense_collisions(spark):
     df = spark.createDataFrame(
         [(i, text) for i in range(12)], ["doc_id", "text"]
     )  # 12 identical docs -> every bucket holds all 12
-    with pytest.raises(ValueError, match="containment_pairs()"):
+    with pytest.raises(ValueError, match=r"containment_pairs\(\)"):
         containment_pairs_lsh(df, ngram=1, max_candidates=100)
     out = containment_pairs_lsh(df, ngram=1, max_candidates=None).collect()
     assert len(out) == 12 * 11 // 2  # all pairs, containment 1.0
