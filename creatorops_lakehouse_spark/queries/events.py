@@ -2403,3 +2403,83 @@ def events_grouping_sets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (event_type, date_format(ts, 'yyyy-MM-dd')), ())
         """
     )
+
+
+@query(
+    "events_snapshot_skipping_verdict",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(user_id // 5, 3) AS band,
+               user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM b) AS n_commits,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS pruned_ok, TRUE AS exact_ok
+    FROM b WHERE user_id BETWEEN 5 AND 9
+    """,
+)
+def events_snapshot_skipping_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats data skipping under the driver hash gate (the
+    snapshot analogue of Delta's per-file stats): commit the events table
+    as one snapshot append per disjoint user_id band, then pruned-read the
+    [5, 9] range. Pins:
+
+    - pruned_ok: the planner kept EXACTLY the one band commit whose
+      min/max intersects the range and skipped every other commit —
+      manifest stats, not file footers, did the skipping;
+    - exact_ok: the pruned read's row count and cents checksum equal the
+      direct in-engine filter (pruning changed I/O only, never semantics);
+    - n_rows / sum_cents hash-check the pruned read's content against the
+      oracle's independent recomputation.
+
+    Eager verdict harness (excluded from bench like all *_verdict rows);
+    scratch snapshot tree deleted before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_read_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.least(F.expr("user_id div 5"), F.lit(3)).alias("band"),
+        )
+    )
+    bands = sorted(r[0] for r in ev.select("band").distinct().collect())
+    root = _tempfile.mkdtemp(prefix="snap_skip_")
+    try:
+        spec = TableSpec("t.skip", root + "/t")
+        for b in bands:
+            snapshot_write(ev.filter(F.col("band") == b).drop("band"), spec)
+        kept, skipped = pruned_dirs(spec, {"user_id": (5, 9)})
+        pr = snapshot_read_where(spark, spec, {"user_id": (5, 9)}).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        direct = ev.filter(F.col("user_id").between(5, 9)).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    pruned_ok = len(kept) == 1 and len(skipped) == len(bands) - 1
+    exact_ok = pr["n"] == direct["n"] and (pr["c"] or 0) == (direct["c"] or 0)
+    return spark.createDataFrame(
+        [(len(bands), pr["n"], pr["c"], pruned_ok, exact_ok)],
+        "n_commits long, n_rows long, sum_cents long, "
+        "pruned_ok boolean, exact_ok boolean",
+    )

@@ -60,6 +60,40 @@ class SnapshotConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+class SchemaMismatchError(ValueError):
+    """Append schema drifts from the table schema (pass merge_schema=True
+    to evolve additively — Delta's mergeSchema)."""
+
+
+def _merge_schemas(old, new):
+    """Delta-style additive evolution: old fields keep their order and
+    types; new fields append. A same-name field with a DIFFERENT type is a
+    conflict (no implicit casts — silent widening corrupts readers)."""
+    from pyspark.sql.types import StructType
+
+    by_name = {f.name: f for f in old.fields}
+    conflicts = [
+        f.name
+        for f in new.fields
+        if f.name in by_name and by_name[f.name].dataType != f.dataType
+    ]
+    if conflicts:
+        raise SchemaMismatchError(
+            f"schema evolution cannot change existing column types: {conflicts}"
+        )
+    added = [f for f in new.fields if f.name not in by_name]
+    return StructType(list(old.fields) + added)
+
+
+def _same_columns(a, b) -> bool:
+    """Schema equality for enforcement: same {name: type} map. Nullability,
+    field metadata, and column ORDER are not drift — parquet projects by
+    name and each version's manifest pins its own canonical order."""
+    return {f.name: f.dataType for f in a.fields} == {
+        f.name: f.dataType for f in b.fields
+    }
+
+
 def _manifest_dir(spec: TableSpec) -> str:
     return os.path.join(spec.path, "_manifests")
 
@@ -133,6 +167,142 @@ def snapshot_dirs(spec: TableSpec, version: int) -> list[str]:
     ]
 
 
+#: atomic types whose min/max land in the manifest as data-skipping stats
+#: (JSON-native or ISO strings whose lexicographic order matches the value
+#: order, so pruning compares without type machinery)
+_STATS_TYPES = (
+    "byte", "short", "int", "integer", "long", "bigint",
+    "float", "double", "string", "date", "timestamp", "timestamp_ntz",
+)
+
+
+def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
+                   df_schema, stats_cols) -> dict | None:
+    """Per-commit min/max column stats for manifest-level data skipping —
+    the snapshot analogue of Delta's per-file stats. Computed by reading
+    back ONLY the just-written commit dir (cost ∝ commit size, never the
+    table; parquet aggregate pushdown serves min/max from footers where
+    eligible). Values serialize JSON-native; dates/timestamps as ISO
+    strings (lexicographic == chronological)."""
+    import pyspark.sql.functions as F
+
+    eligible = [
+        f.name
+        for f in df_schema.fields
+        if f.dataType.typeName() in _STATS_TYPES
+        and f.name not in (spec.partition_by or ())
+    ]
+    cols = eligible if stats_cols is None else [c for c in stats_cols if c in eligible]
+    if not cols:
+        return None
+    part = spark.read.format(spec.format).load(os.path.join(spec.path, rel_dir))
+    aggs = []
+    for c in cols:
+        aggs.append(F.min(c).alias(f"_mn_{c}"))
+        aggs.append(F.max(c).alias(f"_mx_{c}"))
+    row = part.agg(*aggs).collect()[0]
+
+    def _ser(v):
+        import datetime as _dt
+
+        if v is None or isinstance(v, (int, float, str, bool)):
+            return v
+        if isinstance(v, _dt.datetime):
+            return v.isoformat(sep=" ")
+        if isinstance(v, _dt.date):
+            return v.isoformat()
+        return str(v)
+
+    return {
+        c: {"min": _ser(row[f"_mn_{c}"]), "max": _ser(row[f"_mx_{c}"])}
+        for c in cols
+    }
+
+
+def pruned_dirs(
+    spec: TableSpec, ranges: dict[str, tuple], version: int | None = None
+) -> tuple[list[str], list[str]]:
+    """(kept, skipped) table-relative data dirs for a stats-pruned read.
+
+    ``ranges``: {col: (lo, hi)} — None on either side means unbounded. A
+    dir is SKIPPED only when its manifest stats PROVE the range disjoint
+    (dir.max < lo or dir.min > hi); dirs without stats for the column are
+    kept conservatively, and a NULL min/max (all-null commit column) also
+    keeps the dir (nulls don't order)."""
+    v = current_version(spec) if version is None else version
+    if v is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    manifest = _read_manifest(spec, v)
+    per_dir = manifest.get("stats", {})
+    kept, skipped = [], []
+    for d in manifest["dirs"]:
+        st = per_dir.get(d)
+        disjoint = False
+        if st:
+            for col, (lo, hi) in ranges.items():
+                cs = st.get(col)
+                if not cs or cs["min"] is None or cs["max"] is None:
+                    continue
+                if (lo is not None and cs["max"] < lo) or (
+                    hi is not None and cs["min"] > hi
+                ):
+                    disjoint = True
+                    break
+        (skipped if disjoint else kept).append(d)
+    return kept, skipped
+
+
+def snapshot_read_where(
+    spark: SparkSession,
+    spec: TableSpec,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """Stats-pruned snapshot read: plan ONLY the commit dirs whose
+    manifest min/max intersect every range in ``ranges``, then apply the
+    residual row filter — exact semantics, I/O ∝ matching commits (the
+    manifest-level form of Delta data skipping; at 100 TB an append-
+    mostly table prunes to the commits that can contain the key range
+    without opening the others' footers at all)."""
+    import pyspark.sql.functions as F
+
+    v = current_version(spec) if version is None else version
+    kept, _ = pruned_dirs(spec, ranges, v)
+    manifest = _read_manifest(spec, v)
+    reader = spark.read.format(spec.format)
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    if not kept:
+        return _empty_like(spark, spec, manifest)
+    dirs = [os.path.join(spec.path, d) for d in kept]
+    if spec.partition_by:
+        out = None
+        for d in dirs:
+            part = reader.load(d)
+            out = part if out is None else out.unionByName(part)
+    else:
+        out = reader.load(dirs)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            out = out.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            out = out.filter(F.col(col) <= F.lit(hi))
+    return out
+
+
+def _empty_like(spark: SparkSession, spec: TableSpec, manifest: dict) -> DataFrame:
+    """Zero-row frame with the manifest's schema (every dir pruned)."""
+    from pyspark.sql.types import StructType
+
+    if "schema" in manifest:
+        return spark.createDataFrame([], StructType.fromJson(manifest["schema"]))
+    # legacy manifest without schema: fall back to reading one dir's schema
+    d = os.path.join(spec.path, manifest["dirs"][0])
+    return spark.read.format(spec.format).load(d).limit(0)
+
+
 def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
     """Publish v<version> atomically; raise SnapshotConflictError if a
     concurrent writer already owns that version (put-if-absent via
@@ -161,6 +331,8 @@ def snapshot_write(
     spec: TableSpec,
     mode: str = "append",
     max_retries: int = 10,
+    merge_schema: bool = False,
+    stats_cols: tuple | None = None,
     _pre_commit=None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version won.
@@ -172,12 +344,50 @@ def snapshot_write(
     auto-rebased would silently discard a commit it never read. Either
     way previous versions stay intact and readable.
 
+    SCHEMA-ON-WRITE (Delta's enforcement contract): an append whose
+    schema drifts from the table schema raises ``SchemaMismatchError``
+    unless ``merge_schema=True``, which evolves ADDITIVELY — new columns
+    append to the table schema, existing columns keep their types (a type
+    change is always a conflict). Each manifest pins the schema its
+    version is read with, so evolution never rewrites old data: readers
+    of the evolved head see nulls where old files lack the new columns,
+    and time travel to a pre-evolution version sees the old schema.
+    ``overwrite`` replaces the schema outright (overwriteSchema).
+
+    ``stats_cols`` selects the columns whose per-commit min/max land in
+    the manifest for data skipping (``snapshot_read_where``): None (the
+    default) auto-collects every atomic non-partition column, ``()``
+    disables stats for this commit (the dir is then never pruned). Stats
+    cost one aggregate over ONLY the new commit's files.
+
     ``_pre_commit`` is a test seam invoked once between the data write
     and the first commit attempt (deterministic conflict injection).
     """
     if mode not in ("append", "overwrite"):
         raise ValueError(f"snapshot_write mode must be append|overwrite, got {mode!r}")
+    from pyspark.sql.types import StructType
+
     cur = current_version(spec)
+    commit_schema = df.schema
+    if cur is not None and mode == "append":
+        head = _read_manifest(spec, cur)
+        if "schema" in head:
+            table_schema = StructType.fromJson(head["schema"])
+            if _same_columns(df.schema, table_schema):
+                commit_schema = table_schema  # keep the canonical order
+            else:
+                if not merge_schema:
+                    got = {f.name: str(f.dataType) for f in df.schema.fields}
+                    want = {f.name: str(f.dataType) for f in table_schema.fields}
+                    drift = sorted(
+                        set(got.items()) ^ set(want.items()),
+                    )
+                    raise SchemaMismatchError(
+                        f"append schema drifts from table schema at "
+                        f"{spec.path}: {drift}; pass merge_schema=True to "
+                        "evolve additively or mode='overwrite' to replace"
+                    )
+                commit_schema = _merge_schemas(table_schema, df.schema)
     version = 0 if cur is None else cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
@@ -185,14 +395,24 @@ def snapshot_write(
     if spec.partition_by:
         writer = writer.partitionBy(*spec.partition_by)
     writer.save(os.path.join(spec.path, rel_dir))
+    spark = df.sparkSession
+    dir_stats = (
+        None
+        if stats_cols == ()
+        else _collect_stats(spark, spec, rel_dir, df.schema, stats_cols)
+    )
     if _pre_commit is not None:
         _pre_commit()
     for _ in range(max_retries + 1):
-        prev_dirs = (
-            []
-            if (cur is None or mode == "overwrite")
-            else _read_manifest(spec, cur)["dirs"]
-        )
+        if cur is None or mode == "overwrite":
+            prev_dirs, prev_stats = [], {}
+        else:
+            head_m = _read_manifest(spec, cur)
+            prev_dirs = head_m["dirs"]
+            prev_stats = head_m.get("stats", {})
+        stats = {d: s for d, s in prev_stats.items() if d in set(prev_dirs)}
+        if dir_stats:
+            stats[rel_dir] = dir_stats
         try:
             _commit(
                 spec,
@@ -202,15 +422,32 @@ def snapshot_write(
                     "mode": mode,
                     "dirs": [*prev_dirs, rel_dir],
                     "parent": cur,
+                    "schema": commit_schema.jsonValue(),
+                    "stats": stats,
                 },
             )
             return version
         except SnapshotConflictError:
             if mode == "overwrite":
                 raise
-            # rebase: adopt the new head as parent, keep our data dir
+            # rebase: adopt the new head as parent, keep our data dir.
+            # Schema re-validates against the new head: a concurrent
+            # commit may itself have evolved the table.
             cur = current_version(spec)
             version = 0 if cur is None else cur + 1
+            head = _read_manifest(spec, cur)
+            if "schema" in head:
+                table_schema = StructType.fromJson(head["schema"])
+                if _same_columns(df.schema, table_schema):
+                    commit_schema = table_schema
+                elif not merge_schema:
+                    raise SchemaMismatchError(
+                        f"append rebase at {spec.path}: concurrent "
+                        "commit changed the table schema; pass "
+                        "merge_schema=True to evolve additively"
+                    )
+                else:
+                    commit_schema = _merge_schemas(table_schema, df.schema)
     raise SnapshotConflictError(
         f"append at {spec.path} lost {max_retries + 1} consecutive commit "
         "races; raise max_retries or reduce writer contention"
@@ -226,15 +463,24 @@ def snapshot_read(
     if cur is None:
         raise ValueError(f"no snapshots at {spec.path}")
     v = cur if version is None else version
-    dirs = snapshot_dirs(spec, v)  # raises "unknown snapshot version" if absent
+    manifest = _read_manifest(spec, v)  # raises "unknown snapshot version"
+    dirs = [os.path.join(spec.path, d) for d in manifest["dirs"]]
+    # each manifest pins the schema its version is read with: post-
+    # evolution heads project old files to the evolved schema (missing
+    # columns read as null), pre-evolution versions keep the old schema
+    reader = spark.read.format(spec.format)
+    if "schema" in manifest:
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
     if not spec.partition_by:
-        return spark.read.format(spec.format).load(dirs)
+        return reader.load(dirs)
     # hive-partitioned commits: partition-column discovery is rooted at
     # each commit dir, so load per-dir and union (dir count == commit
     # count, small; each load is lazy)
     out = None
     for d in dirs:
-        part = spark.read.format(spec.format).load(d)
+        part = reader.load(d)
         out = part if out is None else out.unionByName(part)
     return out
 
@@ -246,17 +492,18 @@ def rollback(spec: TableSpec, version: int) -> int:
     old = _read_manifest(spec, version)  # raises on unknown version
     cur = current_version(spec)
     new_v = cur + 1
-    _commit(
-        spec,
-        new_v,
-        {
-            "version": new_v,
-            "mode": "rollback",
-            "dirs": old["dirs"],
-            "parent": cur,
-            "restored_from": version,
-        },
-    )
+    manifest = {
+        "version": new_v,
+        "mode": "rollback",
+        "dirs": old["dirs"],
+        "parent": cur,
+        "restored_from": version,
+    }
+    if "schema" in old:  # restore reads with the restored version's schema
+        manifest["schema"] = old["schema"]
+    if "stats" in old:
+        manifest["stats"] = old["stats"]
+    _commit(spec, new_v, manifest)
     return new_v
 
 

@@ -212,3 +212,154 @@ def test_threaded_appends_no_lost_update(spark, tmp_path):
     assert sorted(versions) == list(range(8))  # one winner per version
     assert _loose_versions(spec) == list(range(8))
     assert _rows(snapshot_read(spark, spec)) == {(i, f"w{i}") for i in range(8)}
+
+
+def test_schema_enforcement_rejects_drift(spark, tmp_path):
+    """Schema-on-write: an append whose columns drift from the table schema
+    raises instead of landing unreadable parquet (Delta's enforcement)."""
+    from creatorops_lakehouse_spark.sources.snapshots import SchemaMismatchError
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    with pytest.raises(SchemaMismatchError, match="drifts"):
+        snapshot_write(
+            spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]), spec
+        )
+    # type change on an existing column is drift even under merge_schema
+    with pytest.raises(SchemaMismatchError, match="column types"):
+        snapshot_write(
+            spark.createDataFrame([("x", "b")], ["id", "v"]),
+            spec,
+            merge_schema=True,
+        )
+    assert current_version(spec) == 0  # nothing committed
+
+
+def test_schema_evolution_additive(spark, tmp_path):
+    """merge_schema=True appends new columns; the evolved head reads old
+    files with nulls, time travel keeps the pre-evolution schema, and
+    column ORDER/nullability differences are not drift."""
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(
+        spark.createDataFrame([(2, "b", 9.5)], ["id", "v", "score"]),
+        spec,
+        merge_schema=True,
+    )
+    head = snapshot_read(spark, spec)
+    assert head.columns == ["id", "v", "score"]
+    got = {(r.id, r.v, r.score) for r in head.collect()}
+    assert got == {(1, "a", None), (2, "b", 9.5)}
+    # pre-evolution time travel: old schema, no phantom column
+    assert snapshot_read(spark, spec, version=0).columns == ["id", "v"]
+    # reordered columns are not drift (projection is by name)
+    snapshot_write(
+        spark.createDataFrame([("c", 3, 1.5)], ["v", "id", "score"])
+        .select("v", "id", "score"),
+        spec,
+    )
+    assert snapshot_read(spark, spec).columns == ["id", "v", "score"]
+    assert snapshot_read(spark, spec).count() == 3
+    # overwrite replaces the schema outright (overwriteSchema semantics)
+    snapshot_write(
+        spark.createDataFrame([(7, True)], ["k", "flag"]), spec, mode="overwrite"
+    )
+    assert snapshot_read(spark, spec).columns == ["k", "flag"]
+    # rollback to the evolved append restores that version's schema
+    rollback(spec, 2)
+    assert snapshot_read(spark, spec).columns == ["id", "v", "score"]
+
+
+def test_schema_evolution_partitioned(spark, tmp_path):
+    """Evolution works under hive partitioning: the pinned manifest schema
+    includes the partition column and old commits project with nulls."""
+    spec = TableSpec("t.snap", str(tmp_path / "t"), partition_by=("p",))
+    snapshot_write(
+        spark.createDataFrame([(1, "a", "x")], ["id", "v", "p"]), spec
+    )
+    snapshot_write(
+        spark.createDataFrame([(2, "b", 4, "y")], ["id", "v", "extra", "p"]),
+        spec,
+        merge_schema=True,
+    )
+    head = snapshot_read(spark, spec)
+    got = {(r.id, r.v, r.extra, r.p) for r in head.collect()}
+    assert got == {(1, "a", None, "x"), (2, "b", 4, "y")}
+
+
+def test_stats_pruned_read(spark, tmp_path):
+    """Manifest min/max stats skip commits whose range is provably
+    disjoint; the residual filter keeps semantics exact (the snapshot
+    analogue of Delta data skipping)."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), spec)
+    snapshot_write(spark.range(100, 200).selectExpr("id", "id * 2 AS v"), spec)
+    snapshot_write(spark.range(200, 300).selectExpr("id", "id * 2 AS v"), spec)
+
+    kept, skipped = pruned_dirs(spec, {"id": (120, 150)})
+    assert len(kept) == 1 and len(skipped) == 2
+    got = snapshot_read_where(spark, spec, {"id": (120, 150)})
+    assert got.count() == 31
+    assert {r.id for r in got.collect()} == set(range(120, 151))
+
+    # boundary-touching commits are kept (max == lo)
+    kept, skipped = pruned_dirs(spec, {"id": (99, 100)})
+    assert len(kept) == 2 and len(skipped) == 1
+    # all pruned -> empty frame with the table schema, no read error
+    none = snapshot_read_where(spark, spec, {"id": (1000, 2000)})
+    assert none.count() == 0 and none.columns == ["id", "v"]
+    # multi-column AND: v range that excludes everything under id range
+    kept, _ = pruned_dirs(spec, {"id": (0, 99), "v": (500, 600)})
+    assert kept == []
+
+
+def test_stats_disabled_commit_never_pruned(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.range(0, 100).selectExpr("id"), spec, stats_cols=())
+    snapshot_write(spark.range(100, 200).selectExpr("id"), spec)
+    kept, skipped = pruned_dirs(spec, {"id": (500, 600)})
+    # stats-less commit is conservatively kept; stats-bearing one pruned
+    assert len(kept) == 1 and len(skipped) == 1
+    assert snapshot_read_where(spark, spec, {"id": (500, 600)}).count() == 0
+
+
+def test_stats_timestamp_pruning_and_vacuum_survival(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        pruned_dirs,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    for month in ("2024-01", "2024-02", "2024-03"):
+        df = spark.range(3).select(
+            F.col("id"),
+            F.to_timestamp(F.lit(f"{month}-15 12:00:00")).alias("ts"),
+        )
+        snapshot_write(df, spec)
+    kept, skipped = pruned_dirs(
+        spec, {"ts": ("2024-02-01 00:00:00", "2024-02-28 23:59:59")}
+    )
+    assert len(kept) == 1 and len(skipped) == 2
+    got = snapshot_read_where(
+        spark, spec, {"ts": ("2024-02-01 00:00:00", "2024-02-28 23:59:59")}
+    )
+    assert got.count() == 3
+    # stats survive checkpoint folding (manifests ride into the body)
+    checkpoint_manifest(spec)
+    kept2, skipped2 = pruned_dirs(
+        spec, {"ts": ("2024-02-01 00:00:00", "2024-02-28 23:59:59")}
+    )
+    assert (kept2, skipped2) == (kept, skipped)
