@@ -345,7 +345,12 @@ def pagerank(
         # is one small row per node, so the eager materialization is
         # cheap; on a real cluster localCheckpoint trades executor-loss
         # recovery for exactly this planning cost, the standard deal for
-        # iterative algorithms.
+        # iterative algorithms. Cadence alternatives were MEASURED WORSE
+        # at sf0.1 (r7): cutting every 2nd iteration 3.1/4.1/2.7/3.0 s and
+        # skipping only the final cut 3.2/3.5/2.0/2.2 s vs 3.0/2.7/2.0/2.2
+        # for trade/directed/weighted/personalized — the un-cut tail
+        # recomputes its broadcasts inside the consumer job and costs more
+        # than the saved checkpoint job.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", F.col("units").alias("rank_units"))
 
