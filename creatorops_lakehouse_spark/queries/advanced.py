@@ -655,3 +655,113 @@ def customer_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("nationkey"),
         "edit_distance",
     )
+
+
+@query(
+    "orders_snapshot_merge_verdict",
+    oracle="""
+    WITH k AS (SELECT MAX(o_orderkey) // 4 + 1 AS w FROM orders),
+    b AS (
+        SELECT LEAST(o_orderkey // (SELECT w FROM k), 3) AS band,
+               o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM b) AS n_commits,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents + CASE WHEN band = 1 AND o_orderkey % 7 = 0
+                                 THEN 11111 ELSE 0 END) AS BIGINT)
+               AS sum_cents,
+           TRUE AS untouched_ok, TRUE AS time_travel_ok
+    FROM b
+    """,
+)
+def orders_snapshot_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO with stats-bounded rewrite under the driver hash gate:
+    commit orders as one snapshot append per disjoint orderkey band, merge
+    an update batch whose key envelope sits entirely inside band 1
+    (+11111 cents on every 7th key), then pin:
+
+    - untouched_ok: every band-≠1 commit dir carried into the post-merge
+      manifest byte-identical (manifest stats bounded the rewrite to the
+      one intersecting commit);
+    - time_travel_ok: the pre-merge version still serves the original
+      cents checksum (merge is a new version, not a mutation);
+    - n_rows / sum_cents: the merged head's content hash-checked against
+      the oracle's independent recomputation of the same update.
+
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs,
+        snapshot_merge,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    w = max_key // 4 + 1
+    banded = scoped_persist(
+        orders.withColumn(
+            "band", F.least(F.expr(f"o_orderkey div {w}"), F.lit(3))
+        )
+    )
+    bands = sorted(r[0] for r in banded.select("band").distinct().collect())
+    root = _tempfile.mkdtemp(prefix="snap_merge_")
+    try:
+        spec = TableSpec("t.merge", root + "/t")
+        for b in bands:
+            snapshot_write(banded.filter(F.col("band") == b).drop("band"), spec)
+        pre_v = len(bands) - 1
+        pre_dirs = {b: snapshot_dirs(spec, pre_v)[b] for b in range(len(bands))}
+        pre_sum = snapshot_read(spark, spec).agg(
+            F.sum("cents").cast("long").alias("c")
+        ).collect()[0]["c"]
+
+        source = (
+            banded.filter(
+                (F.col("band") == 1) & (F.col("o_orderkey") % 7 == 0)
+            )
+            .select("o_orderkey", (F.col("cents") + 11111).alias("cents"))
+        )
+        v = snapshot_merge(spark, spec, source, keys=["o_orderkey"])
+        post_dirs = set(snapshot_dirs(spec, v))
+        untouched_ok = all(
+            pre_dirs[b] in post_dirs for b in range(len(bands)) if b != 1
+        ) and pre_dirs[1] not in post_dirs
+
+        head = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        tt_sum = snapshot_read(spark, spec, version=pre_v).agg(
+            F.sum("cents").cast("long").alias("c")
+        ).collect()[0]["c"]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(bands),
+                head["n"],
+                head["c"],
+                bool(untouched_ok),
+                tt_sum == pre_sum,
+            )
+        ],
+        "n_commits long, n_rows long, sum_cents long, "
+        "untouched_ok boolean, time_travel_ok boolean",
+    )

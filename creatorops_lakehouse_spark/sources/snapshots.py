@@ -624,3 +624,148 @@ def vacuum_snapshots(spec: TableSpec, keep_last: int = 1) -> list[str]:
         elif len(kept_in_cp) != len(manifests):
             _write_checkpoint(spec, n, kept_in_cp)
     return deleted
+
+
+def _rewrite_commit(
+    spark: SparkSession,
+    spec: TableSpec,
+    cur: int,
+    untouched: list[str],
+    new_rows: DataFrame,
+    mode: str,
+) -> int:
+    """Shared tail of merge/delete: write ``new_rows`` as one commit dir,
+    publish a manifest of untouched dirs + the new dir. Read-modify-write
+    ops ABORT on a commit race (like overwrite — the rewrite was computed
+    against a head a concurrent writer just replaced)."""
+    head = _read_manifest(spec, cur)
+    version = cur + 1
+    token = uuid.uuid4().hex[:8]
+    rel_dir = f"data/b{version}-{token}"
+    writer = new_rows.write.format(spec.format).mode("errorifexists")
+    if spec.partition_by:
+        writer = writer.partitionBy(*spec.partition_by)
+    writer.save(os.path.join(spec.path, rel_dir))
+    dir_stats = _collect_stats(spark, spec, rel_dir, new_rows.schema, None)
+    stats = {
+        d: s for d, s in head.get("stats", {}).items() if d in set(untouched)
+    }
+    if dir_stats:
+        stats[rel_dir] = dir_stats
+    manifest = {
+        "version": version,
+        "mode": mode,
+        "dirs": [*untouched, rel_dir],
+        "parent": cur,
+        "stats": stats,
+    }
+    if "schema" in head:
+        manifest["schema"] = head["schema"]
+    _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
+    return version
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    spec: TableSpec,
+    source: DataFrame,
+    keys: list[str],
+) -> int:
+    """MERGE INTO (upsert) with stats-bounded rewrite — the Delta MERGE
+    shape on the snapshot log: matched keys take the source row, unmatched
+    source rows insert, and ONLY the commits whose manifest key-range
+    stats intersect the source's key range are rewritten; every other
+    commit dir is carried into the new manifest untouched. At 100 TB an
+    update batch touching one day's keys rewrites that day's commits, not
+    the table.
+
+    ``source`` must have exactly the table's columns (a merge rewrites
+    whole rows; evolve the schema with an append first if needed). The
+    affected-commit test is per key column: a commit is carried untouched
+    only when its stats PROVE it disjoint from the source's key ENVELOPE
+    (min..max per key column) — so a batch whose keys scatter across the
+    whole key space widens the envelope and rewrites conservatively;
+    split wide batches by key locality to keep rewrites bounded (the same
+    discipline Delta MERGE needs for file skipping to bite). Commits
+    without stats always rewrite. Aborts with ``SnapshotConflictError``
+    if a concurrent writer commits first (the rewrite was computed
+    against the old head).
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}; use snapshot_write")
+    head = _read_manifest(spec, cur)
+    if "schema" in head:
+        table_schema = StructType.fromJson(head["schema"])
+        if not _same_columns(source.schema, table_schema):
+            raise SchemaMismatchError(
+                f"snapshot_merge source schema must match the table at "
+                f"{spec.path}; append with merge_schema=True first to evolve"
+            )
+    # source key envelope (one small aggregate) -> affected commits
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(k).alias(f"_mn_{k}"))
+        aggs.append(F.max(k).alias(f"_mx_{k}"))
+    env = source.agg(*aggs).collect()[0]
+    ranges = {k: (env[f"_mn_{k}"], env[f"_mx_{k}"]) for k in keys}
+    affected, untouched = pruned_dirs(spec, ranges, cur)
+    reader = spark.read.format(spec.format)
+    if "schema" in head:
+        reader = reader.schema(StructType.fromJson(head["schema"]))
+    if affected:
+        if spec.partition_by:
+            old = None
+            for d in affected:
+                part = reader.load(os.path.join(spec.path, d))
+                old = part if old is None else old.unionByName(part)
+        else:
+            old = reader.load([os.path.join(spec.path, d) for d in affected])
+        merged = old.join(source.select(*keys), keys, "left_anti").unionByName(
+            source
+        )
+    else:
+        merged = source
+    return _rewrite_commit(spark, spec, cur, untouched, merged, "merge")
+
+
+def snapshot_delete_where(
+    spark: SparkSession, spec: TableSpec, ranges: dict[str, tuple]
+) -> int:
+    """Row-level DELETE with stats-bounded rewrite: rows inside EVERY
+    range in ``ranges`` are deleted; only commits whose stats intersect
+    the predicate rewrite (survivors move to one new commit dir), the
+    rest carry forward untouched — Delta's DELETE file-rewrite shape.
+    History stays readable until vacuum, so deletion-for-governance must
+    pair with ``vacuum_snapshots`` exactly as in the forget-user flow."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    head = _read_manifest(spec, cur)
+    affected, untouched = pruned_dirs(spec, ranges, cur)
+    if not affected:  # nothing can match: no-op, no new version
+        return cur
+    reader = spark.read.format(spec.format)
+    if "schema" in head:
+        reader = reader.schema(StructType.fromJson(head["schema"]))
+    if spec.partition_by:
+        old = None
+        for d in affected:
+            part = reader.load(os.path.join(spec.path, d))
+            old = part if old is None else old.unionByName(part)
+    else:
+        old = reader.load([os.path.join(spec.path, d) for d in affected])
+    doomed = F.lit(True)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            doomed = doomed & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            doomed = doomed & (F.col(col) <= F.lit(hi))
+    survivors = old.filter(~F.coalesce(doomed, F.lit(False)))
+    return _rewrite_commit(spark, spec, cur, untouched, survivors, "delete")

@@ -363,3 +363,73 @@ def test_stats_timestamp_pruning_and_vacuum_survival(spark, tmp_path):
         spec, {"ts": ("2024-02-01 00:00:00", "2024-02-28 23:59:59")}
     )
     assert (kept2, skipped2) == (kept, skipped)
+
+
+def test_snapshot_merge_rewrites_only_affected_commits(spark, tmp_path):
+    """MERGE upsert: matched keys replaced, new keys inserted, and commits
+    whose stats prove them disjoint from the source key range carry into
+    the new manifest UNTOUCHED (Delta's file-level MERGE shape)."""
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_merge
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), spec)
+    snapshot_write(spark.range(100, 150).selectExpr("id", "id * 2 AS v"), spec)
+    snapshot_write(spark.range(200, 300).selectExpr("id", "id * 2 AS v"), spec)
+    before = snapshot_dirs(spec, 2)
+
+    # source envelope [120, 160]: updates two middle-commit keys, inserts a
+    # new key in the unoccupied gap — envelope disjoint from commits 0 and 2
+    source = spark.createDataFrame(
+        [(120, -1), (140, -2), (160, -3)], ["id", "v"]
+    )
+    v = snapshot_merge(spark, spec, source, keys=["id"])
+    assert v == 3
+    after = snapshot_dirs(spec, 3)
+    # commits 0 and 2 carried untouched; commit 1 replaced by the rewrite
+    assert before[0] in after and before[2] in after and before[1] not in after
+    assert len(after) == 3
+    head = snapshot_read(spark, spec)
+    assert head.count() == 251  # 250 + 1 inserted
+    got = {r.id: r.v for r in head.filter("id IN (120, 140, 160, 10)").collect()}
+    assert got == {120: -1, 140: -2, 160: -3, 10: 20}
+    # time travel: pre-merge head intact
+    assert snapshot_read(spark, spec, version=2).filter("id = 120").collect()[0].v == 240
+
+
+def test_snapshot_merge_schema_must_match(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SchemaMismatchError,
+        snapshot_merge,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.range(5).selectExpr("id", "id * 2 AS v"), spec)
+    with pytest.raises(SchemaMismatchError, match="must match"):
+        snapshot_merge(
+            spark, spec, spark.range(3).selectExpr("id"), keys=["id"]
+        )
+
+
+def test_snapshot_delete_where(spark, tmp_path):
+    """Row-level delete rewrites only intersecting commits; disjoint
+    predicate is a version-less no-op."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.range(0, 100).selectExpr("id", "id * 2 AS v"), spec)
+    snapshot_write(spark.range(100, 200).selectExpr("id", "id * 2 AS v"), spec)
+    before = snapshot_dirs(spec, 1)
+
+    v = snapshot_delete_where(spark, spec, {"id": (120, 129)})
+    assert v == 2
+    after = snapshot_dirs(spec, 2)
+    assert before[0] in after and before[1] not in after
+    head = snapshot_read(spark, spec)
+    assert head.count() == 190
+    assert head.filter("id BETWEEN 120 AND 129").count() == 0
+    # history keeps the deleted rows until vacuum (governance pairing)
+    assert snapshot_read(spark, spec, version=1).count() == 200
+    # provably-disjoint predicate: no rewrite, same version
+    assert snapshot_delete_where(spark, spec, {"id": (10_000, 20_000)}) == 2
