@@ -2483,3 +2483,221 @@ def events_snapshot_skipping_verdict(spark: SparkSession, sf_dir: str) -> DataFr
         "n_commits long, n_rows long, sum_cents long, "
         "pruned_ok boolean, exact_ok boolean",
     )
+
+
+@query(
+    "events_streaming_session_verdict",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                        >= 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts, cents,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    ),
+    s AS (
+        SELECT user_id,
+               MIN(ts) AS st,
+               MAX(ts) AS last_ts,
+               MAX(ts) + INTERVAL 30 MINUTE AS en,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS c
+        FROM sess GROUP BY user_id, session_id
+    ),
+    bounds AS (
+        -- Spark tracks watermarks at MILLISECOND precision: the eviction
+        -- boundary is the max event time floored to ms, not the raw
+        -- microsecond max (a session ending inside that sub-ms sliver
+        -- stays open in streaming)
+        SELECT make_timestamp(epoch_ms(MAX(ts)) * 1000) AS wm,
+               MIN(CAST(ts AS DATE)) AS d0
+        FROM events
+    ),
+    closed AS (SELECT s.* FROM s, bounds WHERE s.en <= bounds.wm)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM closed) AS n_sessions_closed,
+           (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM closed)
+               AS n_events_closed,
+           (SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) FROM closed)
+               AS sum_cents_closed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM closed, bounds
+            WHERE LEAST(CAST((CAST(st AS DATE) - d0) AS BIGINT) // 12, 2)
+                  <> LEAST(CAST((CAST(last_ts AS DATE) - d0) AS BIGINT) // 12, 2))
+               AS cross_batch_sessions,
+           TRUE AS append_matches_batch
+    """,
+)
+def events_streaming_session_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING session windows under watermarks (§2.8 — the stateful
+    MERGING-window operator, stronger than tumbling: session state must
+    merge across micro-batches before it can close). The events table is
+    staged as three TIME-ORDERED json files (days [0,12), [12,24), rest —
+    no late rows, so every batch-boundary effect is merge, not eviction)
+    and replayed through real Structured Streaming (readStream →
+    maxFilesPerTrigger=1 → availableNow → append mode → memory sink) with
+    the same 30-minute session_window gap the batch query uses. Pins:
+
+    - n_sessions_closed / n_events_closed / sum_cents_closed: read from
+      the STREAMING append output and hash-checked against the oracle's
+      lag+cumsum sessionization (closed = session_end <= the final
+      watermark = global max event time FLOORED TO MILLISECONDS — Spark
+      tracks watermarks at ms precision; session_end includes the gap);
+    - cross_batch_sessions: sessions whose first and last event landed in
+      DIFFERENT replay files — each one correct only if cross-batch state
+      merging worked (oracle recomputes it from the same day-bucket cut;
+      an observable, not a pinned minimum — its value is corpus-density-
+      dependent and both engines must agree on it exactly);
+    - append_matches_batch: the append emission equals the batch
+      session_window aggregate restricted to closed sessions, row-for-row
+      (full-outer compare on key + counts + exact cents).
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    rows = ev.collect()  # bounded staging to CREATE a stream source
+    d0 = min(r.ts.date() for r in rows)
+
+    def bucket(d):
+        return min((d - d0).days // 12, 2)
+
+    root = _tempfile.mkdtemp(prefix="stream_session_")
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    try:
+        for i in range(3):
+            path = _os.path.join(src, f"b{i}.json")
+            with open(path, "w") as f:
+                for r in rows:
+                    if bucket(r.ts.date()) == i:
+                        f.write(
+                            _json.dumps(
+                                {
+                                    "user_id": r.user_id,
+                                    "ts": r.ts.strftime("%Y-%m-%d %H:%M:%S.%f"),
+                                    "cents": r.cents,
+                                }
+                            )
+                            + "\n"
+                        )
+            _os.utime(path, (1700000000 + i, 1700000000 + i))
+
+        def sessionized(df):
+            return (
+                df.groupBy(
+                    F.session_window("ts", "30 minutes").alias("w"),
+                    F.col("user_id"),
+                )
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("c"),
+                )
+                .select(
+                    "user_id",
+                    F.col("w.start").alias("st"),
+                    F.col("w.end").alias("en"),
+                    "n",
+                    "c",
+                )
+            )
+
+        tag = _uuid.uuid4().hex[:8]
+        reader = (
+            spark.readStream.schema("user_id long, ts timestamp, cents long")
+            .option("maxFilesPerTrigger", 1)
+            .json(src)
+        )
+        q = (
+            sessionized(reader.withWatermark("ts", "0 seconds"))
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(f"sess_{tag}")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("streaming session query did not finish")
+        streamed = scoped_persist(spark.table(f"sess_{tag}"))
+
+        # ms-floored max event time — Spark's watermark precision (see the
+        # oracle's bounds CTE)
+        wm = ev.agg(
+            F.timestamp_millis(F.unix_millis(F.max("ts"))).alias("wm")
+        ).collect()[0][0]
+        # localCheckpoint BARRIER before filtering on session columns:
+        # Spark's optimizer (observed on 4.1.2) pushes a predicate on the
+        # session window's end THROUGH the merging aggregate, rewriting it
+        # against each row's INITIAL [ts, ts+gap) window — which silently
+        # drops late session members pre-merge and emits truncated
+        # sessions (a single event whose successor fell past the pushed
+        # bound came back as its own closed session). Unsound for MERGING
+        # windows; the barrier forces the filter to run on the final
+        # merged sessions.
+        batch_closed = scoped_persist(
+            sessionized(ev)
+            .localCheckpoint(eager=True)
+            .filter(F.col("en") <= F.lit(wm))
+        )
+        mism = (
+            streamed.withColumnRenamed("n", "n_s")
+            .withColumnRenamed("c", "c_s")
+            .join(
+                batch_closed.withColumnRenamed("n", "n_b").withColumnRenamed(
+                    "c", "c_b"
+                ),
+                ["user_id", "st", "en"],
+                "full_outer",
+            )
+            .filter(
+                F.col("n_s").isNull()
+                | F.col("n_b").isNull()
+                | (F.col("n_s") != F.col("n_b"))
+                | (F.col("c_s") != F.col("c_b"))
+            )
+            .count()
+        )
+        stats = streamed.agg(
+            F.count(F.lit(1)).cast("long").alias("ns"),
+            F.sum("n").cast("long").alias("ne"),
+            F.sum("c").cast("long").alias("cc"),
+        ).collect()[0]
+        # sessions whose first/last event fall in different replay files —
+        # recomputed from the batch aggregate (st is the first event time;
+        # en - 30min is the last event time)
+        last_ts = F.col("en") - F.expr("INTERVAL 30 MINUTES")
+        bucket_col = lambda c: F.least(  # noqa: E731
+            F.floor(F.datediff(c.cast("date"), F.lit(d0)) / 12), F.lit(2)
+        )
+        cross = batch_closed.filter(
+            bucket_col(F.col("st")) != bucket_col(last_ts)
+        ).count()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(stats["ns"], stats["ne"] or 0, stats["cc"] or 0, cross, mism == 0)],
+        "n_sessions_closed long, n_events_closed long, "
+        "sum_cents_closed long, cross_batch_sessions long, "
+        "append_matches_batch boolean",
+    )
