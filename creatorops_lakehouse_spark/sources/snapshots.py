@@ -769,3 +769,50 @@ def snapshot_delete_where(
             doomed = doomed & (F.col(col) <= F.lit(hi))
     survivors = old.filter(~F.coalesce(doomed, F.lit(False)))
     return _rewrite_commit(spark, spec, cur, untouched, survivors, "delete")
+
+
+def snapshot_history(spec: TableSpec) -> list[dict]:
+    """DESCRIBE HISTORY parity: one dict per committed version (ascending)
+    with version, mode, parent, commit-dir count, and the extra provenance
+    keys a mode records (restored_from for rollbacks). Reads manifests
+    only — no data I/O."""
+    out = []
+    for v in _versions(spec):
+        m = _read_manifest(spec, v)
+        row = {
+            "version": v,
+            "mode": m.get("mode"),
+            "parent": m.get("parent"),
+            "n_dirs": len(m["dirs"]),
+        }
+        if "restored_from" in m:
+            row["restored_from"] = m["restored_from"]
+        out.append(row)
+    return out
+
+
+def optimize_snapshots(
+    spark: SparkSession,
+    spec: TableSpec,
+    max_dirs: int | None = None,
+) -> int | None:
+    """OPTIMIZE parity for the snapshot log: bin-pack the head version's
+    commit dirs into ONE new commit (mode='optimize') so reads plan one
+    directory instead of one per historical append. Old versions stay
+    time-travelable until ``vacuum_snapshots`` reclaims the small dirs —
+    exactly Delta's OPTIMIZE + VACUUM pairing (the reference prescribes a
+    weekly OPTIMIZE, sql/ddl/01_bronze.sql:25-26).
+
+    ``max_dirs``: only run when the head references MORE than this many
+    dirs (the maintenance-loop guard; None = always). Returns the new
+    version, or None when skipped. Aborts on a concurrent-commit race.
+    Content is byte-preserved; per-commit stats are recollected for the
+    packed dir (the union of the old ranges)."""
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    head = _read_manifest(spec, cur)
+    if max_dirs is not None and len(head["dirs"]) <= max_dirs:
+        return None
+    rows = snapshot_read(spark, spec, cur)
+    return _rewrite_commit(spark, spec, cur, [], rows, "optimize")

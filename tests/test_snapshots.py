@@ -433,3 +433,41 @@ def test_snapshot_delete_where(spark, tmp_path):
     assert snapshot_read(spark, spec, version=1).count() == 200
     # provably-disjoint predicate: no rewrite, same version
     assert snapshot_delete_where(spark, spec, {"id": (10_000, 20_000)}) == 2
+
+
+def test_optimize_snapshots_packs_head(spark, tmp_path):
+    """OPTIMIZE parity: head's many commit dirs pack into one; content is
+    preserved, history stays time-travelable, vacuum then reclaims the
+    small dirs; max_dirs guards the maintenance loop."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+        snapshot_history,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    for i in range(5):
+        snapshot_write(
+            spark.range(i * 10, (i + 1) * 10).selectExpr("id", "id * 2 AS v"),
+            spec,
+        )
+    assert len(snapshot_dirs(spec, 4)) == 5
+    # under the guard threshold: skipped, no new version
+    assert optimize_snapshots(spark, spec, max_dirs=10) is None
+    v = optimize_snapshots(spark, spec, max_dirs=3)
+    assert v == 5 and len(snapshot_dirs(spec, 5)) == 1
+    head = snapshot_read(spark, spec)
+    assert head.count() == 50
+    assert {r.id for r in head.collect()} == set(range(50))
+    # pre-optimize history still readable
+    assert snapshot_read(spark, spec, version=2).count() == 30
+    hist = snapshot_history(spec)
+    assert [h["mode"] for h in hist] == ["append"] * 5 + ["optimize"]
+    # vacuum reclaims the five small dirs
+    deleted = vacuum_snapshots(spec, keep_last=1)
+    assert len(deleted) == 5
+    assert snapshot_read(spark, spec).count() == 50
+    # packed commit keeps data-skipping stats (union of old ranges)
+    from creatorops_lakehouse_spark.sources.snapshots import pruned_dirs
+
+    kept, skipped = pruned_dirs(spec, {"id": (100, 200)})
+    assert kept == [] and len(skipped) == 1
