@@ -102,3 +102,59 @@ def test_dedup_ingest_stream_end_to_end(spark, tmp_path):
     q2.awaitTermination(120)
     assert {r.doc_id for r in accepted_corpus(spark, accepted).collect()} == {1, 5, 6}
     assert os.path.exists(bands.path)
+
+
+def test_native_drop_duplicates_within_watermark(spark, tmp_path):
+    """Native exact-key streaming dedup (dropDuplicatesWithinWatermark):
+    a key re-arriving in a later micro-batch within the watermark horizon
+    is dropped; state for expired keys is evicted instead of growing
+    forever (the API's contract vs plain dropDuplicates in streaming).
+    Complements the custom NEAR-dup admission above — exact keys ride the
+    built-in operator, similarity needs the index."""
+    import uuid
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    rows = {
+        "b0": [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 00:05:00")],
+        # key 1 re-arrives within the 1h horizon -> dropped; key 3 is new
+        "b1": [(1, "2024-01-01 00:30:00"), (3, "2024-01-01 00:40:00")],
+        # watermark advances one batch LATE and state cleanup runs after
+        # a batch's dedup: two spacer batches push the wm past key 2's
+        # expiry (00:05 + 1h) AND give the cleanup a batch to run in
+        "b2": [(4, "2024-01-02 00:00:00")],
+        "b3": [(5, "2024-01-02 01:00:00")],
+        # key 2's state expired before this batch -> re-arrival is KEPT
+        "b4": [(2, "2024-01-05 00:00:00")],
+    }
+    for i, (name, rs) in enumerate(rows.items()):
+        path = os.path.join(src, f"{name}.json")
+        with open(path, "w") as f:
+            for k, ts in rs:
+                f.write(json.dumps({"k": k, "ts": ts}) + "\n")
+        os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    name = f"ddww_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .json(src)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["k"])
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {(r.k, str(r.ts)) for r in spark.table(name).collect()}
+    assert got == {
+        (1, "2024-01-01 00:00:00"),
+        (2, "2024-01-01 00:05:00"),
+        (3, "2024-01-01 00:40:00"),
+        (4, "2024-01-02 00:00:00"),
+        (5, "2024-01-02 01:00:00"),
+        (2, "2024-01-05 00:00:00"),  # expired state -> legitimate re-emit
+    }
