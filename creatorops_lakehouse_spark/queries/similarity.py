@@ -697,3 +697,66 @@ def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HARD_NEG_K)
         .select("query_id", "neg_id", "cos_sim_r", "rank")
     )
+
+
+#: (sf_dir → (codebooks, codes DataFrame)) — PQ index built once per corpus
+#: and probed by every call, the build-once/probe-many shape (same policy
+#: as _IVF_INDEX_CACHE; fresh process per bench/driver run).
+_PQ_INDEX_CACHE: dict[str, tuple] = {}
+
+
+def _pq_index_for(spark: SparkSession, sf_dir: str):
+    from creatorops_lakehouse_spark.operators.similarity import (
+        build_pq_codes,
+        train_pq_codebooks,
+    )
+
+    if sf_dir not in _PQ_INDEX_CACHE:
+        emb = load(spark, sf_dir, "embeddings")
+        books = train_pq_codebooks(emb, m=8, k=32, dim=64, iters=4)
+        codes = build_pq_codes(emb, books).persist()
+        codes.count()  # materialize once; probes reuse the cached codes
+        _PQ_INDEX_CACHE[sf_dir] = (books, codes)
+    return _PQ_INDEX_CACHE[sf_dir]
+
+
+@query("emb_ann_pq_topk")  # Lloyd-trained codebooks → rows-only
+def emb_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the third family next to hyperplane LSH
+    and IVF): 64-dim vectors compress to 8 subspace codes (16 centroids
+    per subspace, Lloyd-trained on the normalized corpus), queries scan
+    the CODES with per-query lookup tables (asymmetric distance), and the
+    ADC shortlist is exact-cosine reranked. At 10^10 vectors this is the
+    memory story — 8 B of code per vector instead of 256 B of float32 —
+    and the scan is one Arrow pass over the code table, shuffle-free
+    until the tiny shortlist."""
+    from creatorops_lakehouse_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    books, codes = _pq_index_for(spark, sf_dir)
+    queries = [
+        (r["vec_id"], r["embedding"])
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .collect()
+    ]
+    return pq_topk(codes, queries, books, emb, k=TOP_K, candidate_factor=16)
+
+
+@query(
+    "emb_ann_pq_recall_verdict",
+    oracle=f"""
+    WITH {_SQL_EXACT_TOPK}
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+    FROM exact
+    """,
+)
+def emb_ann_pq_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-checked recall contract for the PQ route: ≥ 60% of the exact
+    cosine top-5 ids must survive 32^8-cell quantization + ADC shortlist +
+    exact rerank (same floor discipline as the LSH/IVF verdicts — the
+    corpus is weakly clustered, so the floor carries measured margin; a
+    collapsed codebook or broken lookup-table indexing flips the hash)."""
+    exact = emb_cosine_topk_bruteforce(spark, sf_dir)
+    ann = emb_ann_pq_topk(spark, sf_dir)
+    return _ann_recall_verdict(exact, ann, floor=0.6)

@@ -1417,3 +1417,83 @@ def docs_token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((n_both * n_docs * 1000000) div (a_df * b_df) AS BIGINT)")
             .alias("lift_ppm"),
     )
+
+
+@query(
+    "docs_bigram_lm_score",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS ts FROM documents
+    ),
+    bi AS (
+        SELECT doc_id, ts[i] AS a, ts[i + 1] AS b
+        FROM toks, UNNEST(range(1, len(ts))) AS r(i)
+    ),
+    cab AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi GROUP BY 1, 2),
+    ca AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS c_a FROM bi GROUP BY 1),
+    per AS (
+        SELECT doc_id, a, b, CAST(COUNT(*) AS BIGINT) AS n_occ
+        FROM bi GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(SUM(n_occ) AS BIGINT) AS n_bigrams,
+           CAST(SUM(n_occ * ((1000000 * c_ab) // c_a)) // SUM(n_occ) AS BIGINT)
+               AS score_ppm
+    FROM per JOIN cab USING (a, b) JOIN ca USING (a)
+    GROUP BY doc_id
+    """,
+)
+def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score per document —
+    the KenLM-style fluency gate of training-data pipelines, in EXACT
+    integer arithmetic so the driver can hash it: a document's score is
+    the mean (ppm, floor-divided) of floor(1e6 · c(a,b) / c(a)) over its
+    bigram multiset, where the counts are maximum-likelihood estimates
+    trained on the whole corpus's bigram table. Low scores mark documents
+    whose token transitions are rare in-corpus (boilerplate soup, shuffled
+    text); no float log-prob, so there is no cross-engine libm hazard —
+    every division is scaled integer floor.
+
+    Scale shape: the bigram table is one lead()-window over tokens
+    partitioned BY DOCUMENT (no global window); model training is two
+    hash aggregates (c_ab, c_a); scoring joins each doc's distinct
+    bigrams to the model — three shuffles total, all key-partitioned,
+    same plan at 10^9 documents. Single-token documents have no bigrams
+    and drop out on both engines.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: t != F.lit(""),
+    )
+    ex = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", toks.alias("ts"))
+        .select("doc_id", F.posexplode("ts").alias("i", "a"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    bi = (
+        ex.withColumn("b", F.lead("a").over(w))
+        .filter(F.col("b").isNotNull())
+        .select("doc_id", "a", "b")
+    )
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    bi = scoped_persist(bi)
+    cab = bi.groupBy("a", "b").agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+    ca = bi.groupBy("a").agg(F.count(F.lit(1)).cast("long").alias("c_a"))
+    per = bi.groupBy("doc_id", "a", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ")
+    )
+    return (
+        per.join(cab, ["a", "b"])
+        .join(ca, ["a"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_occ").cast("long").alias("n_bigrams"),
+            F.expr(
+                "sum(n_occ * ((1000000 * c_ab) div c_a)) div sum(n_occ)"
+            )
+            .cast("long")
+            .alias("score_ppm"),
+        )
+    )

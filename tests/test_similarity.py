@@ -339,3 +339,43 @@ def test_sample_frames_grid_and_digests(spark):
     assert got[(1, 0)][0] == 64 and got[(1, 2)][0] == 22
     assert got[(2, 0)] == (64, hashlib.sha256(b"b" * 64).hexdigest())
     assert got[(1, 2)][1] == hashlib.sha256(b"a" * 22).hexdigest()
+
+
+def test_pq_encode_roundtrip_and_recall(spark):
+    """Product quantization: codebook training is deterministic, encoding
+    maps every vector to m in-range codes, and ADC + exact rerank recovers
+    the exact top-k on a corpus with planted near-neighbors."""
+    import numpy as np
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        build_pq_codes,
+        cosine_topk,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 16)
+    # plant: vectors 100+i are tiny perturbations of 0..4 -> their true
+    # nearest neighbors
+    rows = [(i, base[i].tolist()) for i in range(40)]
+    rows += [
+        (100 + i, (base[i] + 0.01 * rng.randn(16)).tolist()) for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = train_pq_codebooks(emb, m=4, k=8, dim=16, iters=4)
+    books2 = train_pq_codebooks(emb, m=4, k=8, dim=16, iters=4)
+    assert books == books2  # deterministic training
+    assert len(books) == 4 and all(len(b) == 8 for b in books)
+
+    codes = build_pq_codes(emb, books)
+    got = {r.vec_id: r.codes for r in codes.collect()}
+    assert len(got) == 45
+    assert all(len(c) == 4 and all(0 <= x < 8 for x in c) for c in got.values())
+
+    queries = [(i, base[i].tolist()) for i in range(5)]
+    ann = pq_topk(codes, queries, books, emb, k=1, candidate_factor=8)
+    top1 = {r.query_id: r.neighbor_id for r in ann.collect()}
+    # each planted near-duplicate is its query's exact nearest neighbor
+    assert top1 == {i: 100 + i for i in range(5)}
