@@ -116,15 +116,18 @@ def main() -> int:
                 "neardup",
                 "emb_decontaminate",
                 "semantic",
+                "_pq_",
             )
         ):
             # the sanctioned Arrow-batched Python seams: multimodal decode,
             # IVF centroid assignment, LSH signature matmul
             # (operators/similarity.py::_lsh_buckets_udf), the
             # eval-matrix contamination matmul
-            # (operators/decontam.py::embedding_contamination), and the
+            # (operators/decontam.py::embedding_contamination), the
             # SemDeDup per-cell verify + pair-cosine audit
-            # (operators/similarity.py::semantic_dedup_pairs/_pair_cosine_udf)
+            # (operators/similarity.py::semantic_dedup_pairs/_pair_cosine_udf),
+            # and the PQ encode + ADC lookup-table scan
+            # (operators/similarity.py::_pq_encode_udf/pq_topk)
             bad = True
         if bad:
             flagged.append(name)
@@ -150,7 +153,8 @@ def main() -> int:
             "eval-matrix contamination scoring "
             "(operators/decontam.py::embedding_contamination — expression-"
             "level fold dots are interpreted per element and cost orders "
-            "more than one matmul per batch)."
+            "more than one matmul per batch), and the PQ encode + ADC "
+            "lookup-table scan (similarity.py::_pq_encode_udf/pq_topk)."
         )
     return 1 if flagged else 0
 
