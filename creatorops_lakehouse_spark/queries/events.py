@@ -2701,3 +2701,148 @@ def events_streaming_session_verdict(spark: SparkSession, sf_dir: str) -> DataFr
         "sum_cents_closed long, cross_batch_sessions long, "
         "append_matches_batch boolean",
     )
+
+
+@query(
+    "events_streaming_exactly_once_verdict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(3 AS BIGINT) AS n_commits,
+           TRUE AS exact_ok,
+           TRUE AS restart_noop_ok,
+           TRUE AS redelivery_noop_ok
+    FROM events
+    """,
+)
+def events_streaming_exactly_once_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exactly-once streaming ingestion contract (Delta's txnAppId/
+    txnVersion sink pattern on the snapshot log,
+    streaming/pipeline.py::start_exactly_once_sink): the events table is
+    staged as three JSON files and replayed through a REAL Structured
+    Streaming query (readStream → maxFilesPerTrigger=1 → availableNow →
+    foreachBatch snapshot_write_txn), then attacked with both redelivery
+    modes foreachBatch's at-least-once contract allows. Hash-pinned facts:
+
+    - n_events / sum_cents: the snapshot table's final content equals the
+      staged corpus exactly (count + cents checksum recomputed by the
+      oracle from the raw parquet);
+    - n_commits: exactly one snapshot version per micro-batch — no batch
+      committed twice, none skipped;
+    - exact_ok: row-level full-outer anti-join between table and staged
+      corpus finds zero mismatches (not just matching aggregates);
+    - restart_noop_ok: re-running the whole stream over the same
+      checkpoint (no new input) leaves version and content unchanged;
+    - redelivery_noop_ok: re-invoking the sink body out-of-band for every
+      already-committed batch id (the crash-between-sink-write-and-
+      checkpoint-commit replay) is a no-op — the txns watermark, not the
+      checkpoint, is what holds the exactly-once line.
+    """
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        current_version,
+        last_txn_version,
+        snapshot_read,
+        snapshot_write_txn,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        start_exactly_once_sink,
+    )
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+        )
+    )
+    rows = ev.collect()  # bounded staging to CREATE a stream source
+    root = _tempfile.mkdtemp(prefix="stream_e1x_")
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    n_batches = 3
+    batch_rows: list[list] = [[] for _ in range(n_batches)]
+    for r in rows:
+        batch_rows[r.event_id % n_batches].append(r)
+    try:
+        for i, batch in enumerate(batch_rows):
+            path = _os.path.join(src, f"b{i}.json")
+            with open(path, "w") as f:
+                for r in batch:
+                    f.write(
+                        _json.dumps({"event_id": r.event_id, "cents": r.cents})
+                        + "\n"
+                    )
+            _os.utime(path, (1700000000 + i, 1700000000 + i))
+
+        spec = TableSpec("t.e1x", _os.path.join(root, "t"))
+        ckpt = _os.path.join(root, "ckpt")
+
+        def run() -> None:
+            stream = (
+                spark.readStream.schema("event_id long, cents long")
+                .option("maxFilesPerTrigger", 1)
+                .json(src)
+            )
+            q = start_exactly_once_sink(stream, spec, ckpt, app_id="e1x")
+            if not q.awaitTermination(300):  # hang backstop only
+                q.stop()
+                raise TimeoutError("exactly-once sink stream did not finish")
+
+        run()
+        v_first = current_version(spec)
+        n_commits = (v_first or 0) + 1
+        run()  # checkpoint restart with no new input
+        restart_noop = current_version(spec) == v_first
+        for bid, batch in enumerate(batch_rows):  # crash redelivery
+            snapshot_write_txn(
+                spark.createDataFrame(
+                    [(r.event_id, r.cents) for r in batch],
+                    "event_id long, cents long",
+                ),
+                spec,
+                app_id="e1x",
+                txn_version=bid,
+            )
+        redelivery_noop = (
+            current_version(spec) == v_first
+            and last_txn_version(spec, "e1x") == n_batches - 1
+        )
+        got = scoped_persist(snapshot_read(spark, spec))
+        mism = (
+            got.withColumnRenamed("cents", "c_a")
+            .join(ev.withColumnRenamed("cents", "c_b"), "event_id", "full_outer")
+            .agg(
+                F.sum(
+                    F.when(F.col("c_a").eqNullSafe(F.col("c_b")), 0).otherwise(1)
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        stats = got.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                stats["n"],
+                stats["c"],
+                n_commits,
+                mism == 0,
+                bool(restart_noop),
+                bool(redelivery_noop),
+            )
+        ],
+        "n_events long, sum_cents long, n_commits long, exact_ok boolean, "
+        "restart_noop_ok boolean, redelivery_noop_ok boolean",
+    )

@@ -35,6 +35,10 @@ Design (a deliberately minimal Iceberg/Delta-shaped log):
 - Reads load ONLY the directories in the requested manifest —
   O(changed files) planning, and schema evolution is free because each
   version pins its own file set.
+- ``snapshot_write_txn`` adds Delta's idempotent-commit contract
+  (``txnAppId``/``txnVersion``): each manifest carries a ``txns`` map of
+  per-app watermarks that survives every write mode, so at-least-once
+  micro-batch redelivery (foreachBatch) becomes exactly-once table state.
 
 Scale note: a manifest holds directory names (one per commit), not
 per-file lists — at 100 TB a commit of any size is one manifest entry,
@@ -326,6 +330,51 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
+def last_txn_version(spec: TableSpec, app_id: str) -> int | None:
+    """Highest transaction version the table head has recorded for
+    ``app_id`` (Delta's ``txnAppId``/``txnVersion`` readback — what
+    ``foreachBatch`` writers consult to make redelivered micro-batches
+    no-ops). None if the table is empty or has never seen the app."""
+    cur = current_version(spec)
+    if cur is None:
+        return None
+    v = _read_manifest(spec, cur).get("txns", {}).get(app_id)
+    return None if v is None else int(v)
+
+
+def snapshot_write_txn(
+    df: DataFrame,
+    spec: TableSpec,
+    app_id: str,
+    txn_version: int,
+    mode: str = "append",
+    **kwargs,
+) -> int:
+    """Idempotent transactional write — Delta's exactly-once sink contract
+    (``txnAppId`` + ``txnVersion`` on the commit): if the table head
+    already records ``app_id`` at a version >= ``txn_version``, the write
+    is a NO-OP (no data files written, no commit) and the current version
+    is returned. Otherwise commits like ``snapshot_write`` with the
+    (app_id, txn_version) pair folded into the manifest's ``txns`` map.
+
+    This is what turns at-least-once micro-batch delivery (foreachBatch
+    redelivers a batch whenever the previous attempt crashed between sink
+    write and checkpoint commit) into exactly-once TABLE state: the batch
+    id is the txn version, so a redelivered batch finds itself already
+    recorded and skips. The check is repeated inside the commit-retry loop
+    against the freshly-read head, so two racing deliveries of the same
+    batch cannot both commit — the loser's rebase sees the winner's txn
+    record and backs off (its orphaned data dir is unreferenced by any
+    manifest; ``vacuum_snapshots`` reaps it).
+    """
+    seen = last_txn_version(spec, app_id)
+    if seen is not None and seen >= txn_version:
+        return current_version(spec)
+    return snapshot_write(
+        df, spec, mode=mode, _txn=(str(app_id), int(txn_version)), **kwargs
+    )
+
+
 def snapshot_write(
     df: DataFrame,
     spec: TableSpec,
@@ -334,6 +383,7 @@ def snapshot_write(
     merge_schema: bool = False,
     stats_cols: tuple | None = None,
     _pre_commit=None,
+    _txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version won.
 
@@ -404,28 +454,41 @@ def snapshot_write(
     if _pre_commit is not None:
         _pre_commit()
     for _ in range(max_retries + 1):
-        if cur is None or mode == "overwrite":
+        head_m = None if cur is None else _read_manifest(spec, cur)
+        # txns survive EVERY write mode (Delta keeps SetTransaction
+        # actions across appends and overwrites alike — app progress is
+        # table-level state, not file-set state)
+        txns = {} if head_m is None else dict(head_m.get("txns", {}))
+        if head_m is None or mode == "overwrite":
             prev_dirs, prev_stats = [], {}
         else:
-            head_m = _read_manifest(spec, cur)
             prev_dirs = head_m["dirs"]
             prev_stats = head_m.get("stats", {})
+        if _txn is not None:
+            app_id, txn_v = _txn
+            seen = txns.get(app_id)
+            if seen is not None and int(seen) >= txn_v:
+                # a racing delivery of this very batch already committed
+                # (or a prior attempt crashed AFTER its commit): the table
+                # already contains the batch — back off, leaving our data
+                # dir orphaned for vacuum
+                return cur
+            txns[app_id] = txn_v
         stats = {d: s for d, s in prev_stats.items() if d in set(prev_dirs)}
         if dir_stats:
             stats[rel_dir] = dir_stats
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "dirs": [*prev_dirs, rel_dir],
+            "parent": cur,
+            "schema": commit_schema.jsonValue(),
+            "stats": stats,
+        }
+        if txns:
+            manifest["txns"] = txns
         try:
-            _commit(
-                spec,
-                version,
-                {
-                    "version": version,
-                    "mode": mode,
-                    "dirs": [*prev_dirs, rel_dir],
-                    "parent": cur,
-                    "schema": commit_schema.jsonValue(),
-                    "stats": stats,
-                },
-            )
+            _commit(spec, version, manifest)
             return version
         except SnapshotConflictError:
             if mode == "overwrite":
@@ -499,6 +562,12 @@ def rollback(spec: TableSpec, version: int) -> int:
         "parent": cur,
         "restored_from": version,
     }
+    # app txn watermarks are monotonic progress, not file-set state: a
+    # RESTORE keeps the HEAD's records (matching Delta — rolling them back
+    # would re-admit already-processed streaming batches)
+    head_txns = _read_manifest(spec, cur).get("txns", {})
+    if head_txns:
+        manifest["txns"] = head_txns
     if "schema" in old:  # restore reads with the restored version's schema
         manifest["schema"] = old["schema"]
     if "stats" in old:
@@ -580,11 +649,22 @@ def checkpoint_manifest(spec: TableSpec, upto: int | None = None) -> int:
     return n
 
 
-def vacuum_snapshots(spec: TableSpec, keep_last: int = 1) -> list[str]:
+def vacuum_snapshots(
+    spec: TableSpec, keep_last: int = 1, orphan_grace_s: float | None = None
+) -> list[str]:
     """Drop all but the last ``keep_last`` versions and delete data dirs
     no surviving manifest references. Returns the deleted data dirs
     (table-relative). The snapshot analogue of ``VACUUM ... RETAIN``:
     time travel older than the horizon is traded for space.
+
+    ``orphan_grace_s``: when set, also reap UNCOMMITTED data dirs — dirs
+    no manifest (kept or dropped) has ever referenced, left by writers
+    that crashed before commit or lost a same-batch txn race — provided
+    their mtime is at least this many seconds old. This is Delta VACUUM's
+    uncommitted-file cleanup; the grace window is what keeps a concurrent
+    writer's just-written-not-yet-committed dir safe, so use a horizon
+    comfortably above the longest write-to-commit gap (Delta's default is
+    7 days). None (default) leaves orphans alone.
 
     Checkpoint-aware: versions folded into a checkpoint are dropped by
     REWRITING the checkpoint without them (atomic replace); the
@@ -594,14 +674,30 @@ def vacuum_snapshots(spec: TableSpec, keep_last: int = 1) -> list[str]:
         raise ValueError("keep_last must be >= 1")
     vs = _versions(spec)
     drop, keep = vs[:-keep_last], vs[-keep_last:]
-    if not drop:
-        return []
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(spec, v)["dirs"])
     doomed: set[str] = set()
     for v in drop:
         doomed.update(d for d in _read_manifest(spec, v)["dirs"] if d not in live)
+    if orphan_grace_s is not None:
+        import time
+
+        referenced = set(live) | set(doomed)
+        for v in drop + keep:
+            referenced.update(_read_manifest(spec, v)["dirs"])
+        data_root = os.path.join(spec.path, "data")
+        now = time.time()
+        if os.path.isdir(data_root):
+            for name in os.listdir(data_root):
+                rel = f"data/{name}"
+                full = os.path.join(data_root, name)
+                if rel not in referenced and (
+                    now - os.path.getmtime(full) >= orphan_grace_s
+                ):
+                    doomed.add(rel)
+    if not doomed and not drop:
+        return []
     import shutil
 
     deleted = []
@@ -661,6 +757,8 @@ def _rewrite_commit(
     }
     if "schema" in head:
         manifest["schema"] = head["schema"]
+    if head.get("txns"):  # app txn watermarks survive rewrites
+        manifest["txns"] = head["txns"]
     _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
     return version
 

@@ -136,6 +136,41 @@ def start_velocity_sink(
     return writer.start()
 
 
+def start_exactly_once_sink(
+    stream_df: DataFrame,
+    spec,
+    checkpoint: str,
+    app_id: str | None = None,
+    trigger_once: bool = True,
+) -> StreamingQuery:
+    """EXACTLY-ONCE append into a snapshot table (Delta's streaming-sink
+    contract, re-expressed on the snapshot log): the foreachBatch body is
+    ``snapshot_write_txn(batch, spec, app_id, batch_id)``, so a micro-batch
+    redelivered after a crash between sink write and checkpoint commit —
+    foreachBatch's documented at-least-once hole — finds its batch id
+    already recorded in the table head's ``txns`` map and no-ops. Table
+    state is exactly-once even though delivery is at-least-once.
+
+    ``app_id`` defaults to the checkpoint path, which is what uniquely
+    identifies a logical stream across restarts (Spark reuses batch ids
+    per checkpoint). Distinct streams writing the same table MUST use
+    distinct app_ids or they will swallow each other's batches.
+    """
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_write_txn
+
+    app = app_id or checkpoint
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_write_txn(batch_df, spec, app_id=app, txn_version=batch_id)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_user_sessions(
     silver_stream: DataFrame,
     gap: str = "30 minutes",

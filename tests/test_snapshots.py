@@ -471,3 +471,156 @@ def test_optimize_snapshots_packs_head(spark, tmp_path):
 
     kept, skipped = pruned_dirs(spec, {"id": (100, 200)})
     assert kept == [] and len(skipped) == 1
+
+
+def test_txn_write_idempotent_replay(spark, tmp_path):
+    """snapshot_write_txn: a redelivered (app_id, txn_version) is a no-op —
+    no new rows, no new version, no new data dir — while a NEW txn version
+    commits normally; watermarks are per-app."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        last_txn_version,
+        snapshot_write_txn,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    b1 = spark.createDataFrame([(3, "c")], ["id", "v"])
+
+    assert snapshot_write_txn(b0, spec, app_id="s1", txn_version=0) == 0
+    # exact replay of batch 0: skipped
+    assert snapshot_write_txn(b0, spec, app_id="s1", txn_version=0) == 0
+    assert current_version(spec) == 0
+    assert snapshot_write_txn(b1, spec, app_id="s1", txn_version=1) == 1
+    # LATE replay of batch 0 after batch 1 (out-of-order redelivery):
+    # still skipped — the watermark is monotonic, not exact-match
+    assert snapshot_write_txn(b0, spec, app_id="s1", txn_version=0) == 1
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert len(snapshot_dirs(spec, 1)) == 2  # one data dir per real commit
+    # a DIFFERENT app with the same txn version is independent
+    assert snapshot_write_txn(b1, spec, app_id="s2", txn_version=0) == 2
+    assert last_txn_version(spec, "s1") == 1
+    assert last_txn_version(spec, "s2") == 0
+    assert last_txn_version(spec, "nope") is None
+
+
+def test_txn_watermarks_survive_other_writes(spark, tmp_path):
+    """The txns map rides through plain appends, overwrite, rollback, and
+    rewrite commits (delete), so interleaved batch maintenance can never
+    re-open the exactly-once window."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        last_txn_version,
+        snapshot_delete_where,
+        snapshot_write_txn,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    b0 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    snapshot_write_txn(b0, spec, app_id="s1", txn_version=0)
+    # interleave: plain append, row-level delete, overwrite, rollback
+    snapshot_write(spark.createDataFrame([(9, "z")], ["id", "v"]), spec)
+    snapshot_delete_where(spark, spec, {"id": (9, 9)})
+    assert last_txn_version(spec, "s1") == 0
+    snapshot_write(
+        spark.createDataFrame([(7, "q")], ["id", "v"]), spec, mode="overwrite"
+    )
+    assert last_txn_version(spec, "s1") == 0
+    rollback(spec, 0)
+    assert last_txn_version(spec, "s1") == 0
+    # replay of batch 0 after all that: still skipped
+    head = current_version(spec)
+    assert snapshot_write_txn(b0, spec, app_id="s1", txn_version=0) == head
+
+
+def test_txn_race_same_batch_single_commit(spark, tmp_path):
+    """Two racing deliveries of the SAME batch: exactly one commits; the
+    loser backs off at rebase time (its data dir stays orphaned and
+    unreferenced, reaped by vacuum)."""
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_write_txn
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(0, "seed")], ["id", "v"]), spec)
+    b = spark.createDataFrame([(1, "a")], ["id", "v"])
+
+    def rival():
+        # fires between the loser's data write and its commit attempt:
+        # the SAME batch lands from a concurrent delivery
+        snapshot_write_txn(b, spec, app_id="s1", txn_version=0)
+
+    got = snapshot_write(
+        b, spec, _txn=("s1", 0), _pre_commit=rival
+    )
+    assert got == current_version(spec) == 1
+    assert _rows(snapshot_read(spark, spec)) == {(0, "seed"), (1, "a")}
+    # loser's orphan dir exists on disk but no manifest references it.
+    # Plain vacuum leaves it (it might be a concurrent writer's in-flight
+    # dir); the uncommitted-file cleanup with a grace window reaps it —
+    # Delta VACUUM's exact split.
+    data_root = os.path.join(spec.path, "data")
+    assert len(os.listdir(data_root)) == 3  # seed + winner + orphan
+    vacuum_snapshots(spec, keep_last=1)
+    assert len(os.listdir(data_root)) == 3
+    vacuum_snapshots(spec, keep_last=1, orphan_grace_s=0)
+    assert len(os.listdir(data_root)) == 2
+    assert _rows(snapshot_read(spark, spec)) == {(0, "seed"), (1, "a")}
+
+
+def test_streaming_exactly_once_sink(spark, tmp_path):
+    """End-to-end: a real availableNow stream through start_exactly_once_sink
+    lands every input row exactly once; re-running the stream over the same
+    checkpoint (no new input) and REPLAYING batch bodies out-of-band both
+    leave the table unchanged."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        last_txn_version,
+        snapshot_read,
+        snapshot_write_txn,
+    )
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        start_exactly_once_sink,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("1,a\n2,b\n")
+    (src / "b.csv").write_text("3,c\n")
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.schema("id INT, v STRING")
+            .option("maxFilesPerTrigger", 1)  # force >1 micro-batch
+            .csv(str(src))
+        )
+        q = start_exactly_once_sink(stream, spec, ckpt, app_id="ingest")
+        q.awaitTermination(120)
+
+    run()
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    n_versions = current_version(spec) + 1
+    assert n_versions == 2  # one commit per micro-batch
+    assert last_txn_version(spec, "ingest") == 1
+
+    # restart over the same checkpoint with no new files: no-op
+    run()
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert current_version(spec) + 1 == 2
+
+    # crash-redelivery simulation: the sink body re-runs for already-
+    # committed batch ids (what foreachBatch does after a mid-commit crash)
+    for bid, rows in ((0, [(1, "a"), (2, "b")]), (1, [(3, "c")])):
+        snapshot_write_txn(
+            spark.createDataFrame(rows, ["id", "v"]),
+            spec,
+            app_id="ingest",
+            txn_version=bid,
+        )
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    assert current_version(spec) + 1 == 2
+
+    # new file arrives -> batch 2 commits exactly once
+    (src / "c.csv").write_text("4,d\n")
+    run()
+    assert _rows(snapshot_read(spark, spec)) == {
+        (1, "a"), (2, "b"), (3, "c"), (4, "d"),
+    }
+    assert last_txn_version(spec, "ingest") == 2
