@@ -48,6 +48,23 @@ def main() -> None:
     # JVM/codegen warmup so the first measured query isn't paying startup
     spark.range(1000000).selectExpr("sum(id)").collect()
 
+    # Host-speed calibration: a fixed, data-independent pair of jobs (pure
+    # codegen arithmetic + one 1024-key shuffle) whose cost depends only on
+    # the machine. Round 5 and round 7 both measured uniform ~1.2-1.5x
+    # wall-clock drift across CODE-IDENTICAL queries between measurement
+    # windows (shared-host contention); cross-round comparisons should
+    # divide per-query times by (calib_sec / prior round's calib_sec)
+    # before calling anything a regression.
+    calib = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(200_000_000).selectExpr("sum(id * 3 + 7)").collect()
+        spark.range(20_000_000).selectExpr("id % 1024 AS k").groupBy(
+            "k"
+        ).count().count()
+        calib.append(time.time() - t0)
+    calib_sec = round(sorted(calib)[1], 3)
+
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -86,6 +103,7 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "reps": reps,
         "peak_storage_mb": round(peak_storage / 1e6, 1),
+        "calib_sec": calib_sec,
     }
     if failures:
         result["failures"] = failures
