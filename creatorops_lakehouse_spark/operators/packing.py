@@ -119,3 +119,48 @@ def packing_summary(packed: DataFrame, budget: int = 512) -> DataFrame:
             f"ELSE (10000 * (total_tokens % {budget})) div {budget} END"
         ).alias("last_fill_bp"),
     )
+
+
+def shard_snake(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    n_shards: int,
+    shard_col: str = "shard_id",
+) -> DataFrame:
+    """Balanced training-shard assignment by snake (boustrophedon)
+    placement: rank all rows by (weight DESC, id ASC) and deal rank r into
+    shard ``r%n`` on even passes, ``n-1-(r%n)`` on odd passes — the
+    classic greedy layout that keeps per-shard weight sums within one
+    item of each other on near-uniform weights, entirely deterministic,
+    and (unlike first-fit bin packing) expressible as pure rank
+    arithmetic so a SQL oracle can replay it exactly.
+
+    This is the LAST step of a training-data pipeline: after dedup,
+    quality gates, and packing, the corpus must land in N output shards
+    (one per data-loader worker) with near-equal token budgets, or the
+    slowest shard gates every training step.
+
+    Scale shape: one :func:`distributed_global_rank` (range shuffle +
+    per-partition window + broadcast offsets — no single-partition
+    window), then the shard id is a Project. Writing the shards is then
+    ``.repartition(n_shards, shard_col)`` or a partitionBy sink.
+    """
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    from creatorops_lakehouse_spark.operators.sampling import (
+        distributed_global_rank,
+    )
+
+    ranked, _n = distributed_global_rank(
+        df, [F.col(weight_col).desc(), F.col(id_col).asc()], "_srank"
+    )
+    return ranked.withColumn(
+        shard_col,
+        F.expr(
+            f"CAST(CASE WHEN ((_srank - 1) div {n_shards}) % 2 = 0 "
+            f"THEN (_srank - 1) % {n_shards} "
+            f"ELSE {n_shards} - 1 - ((_srank - 1) % {n_shards}) "
+            f"END AS INT)"
+        ),
+    ).drop("_srank")

@@ -681,3 +681,63 @@ def docs_interleave_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "interleave_pos",
         (F.col("rank_in_source") * n_sources + sidx).cast("long"),
     )
+
+
+N_SHARDS = 8
+
+
+@query(
+    "docs_shard_manifest",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS w FROM documents
+    ),
+    r AS (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) - 1 AS r0
+        FROM toks
+    ),
+    s AS (
+        SELECT w,
+               CAST(CASE WHEN (r0 // {N_SHARDS}) % 2 = 0
+                    THEN r0 % {N_SHARDS}
+                    ELSE {N_SHARDS} - 1 - (r0 % {N_SHARDS}) END AS INT)
+                   AS shard_id
+        FROM r
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w) AS BIGINT) AS sum_tokens,
+           CAST(MAX(w) AS BIGINT) AS max_doc_tokens,
+           CAST(MIN(w) AS BIGINT) AS min_doc_tokens
+    FROM s GROUP BY shard_id
+    """,
+)
+def docs_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest: deal every document into {N_SHARDS} output
+    shards by snake placement over the (token count DESC, doc_id) rank
+    (operators/packing.py::shard_snake) and report each shard's document
+    count and token budget. The hash check against the oracle's
+    ROW_NUMBER replay pins the PLACEMENT itself — every document provably
+    lands in the same shard in both engines — while the sum_tokens spread
+    across the 8 rows exhibits the balance property the layout exists for
+    (the slowest data-loader shard gates every training step).
+
+    Scale shape: distributed_global_rank (range shuffle, no global
+    window) + one hash aggregate on shard_id.
+    """
+    from creatorops_lakehouse_spark.operators.packing import shard_snake
+    from creatorops_lakehouse_spark.operators.text import token_count
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("w")
+    )
+    return (
+        shard_snake(docs, "w", "doc_id", N_SHARDS)
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("sum_tokens"),
+            F.max("w").cast("long").alias("max_doc_tokens"),
+            F.min("w").cast("long").alias("min_doc_tokens"),
+        )
+    )

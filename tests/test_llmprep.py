@@ -96,3 +96,38 @@ def test_pii_redaction_is_clean(spark):
     rescanned = spark.createDataFrame([(red,)], ["t"])
     for kind, col in pii_counts(F.col("t")).items():
         assert rescanned.select(col.alias("c")).collect()[0].c == 0, kind
+
+
+def test_shard_snake_placement_and_balance(spark):
+    """Snake sharding: placement matches the sequential reference dealing
+    (desc-weight rank, boustrophedon), every row lands in exactly one
+    shard, and shard weight sums are near-equal on a skewed corpus."""
+    from creatorops_lakehouse_spark.operators.packing import shard_snake
+
+    n, k = 103, 4  # non-divisible count exercises the ragged last pass
+    rows = [(i, ((i * 37) % 19) + 1) for i in range(n)]  # skewed weights
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = {r.doc_id: r.shard_id for r in shard_snake(df, "w", "doc_id", k).collect()}
+
+    order = sorted(rows, key=lambda t: (-t[1], t[0]))
+    want, loads = {}, [0] * k
+    for r0, (doc, w) in enumerate(order):
+        s = r0 % k if (r0 // k) % 2 == 0 else k - 1 - (r0 % k)
+        want[doc] = s
+        loads[s] += w
+    assert got == want  # exact placement parity incl. weight ties
+    # balance: snake over desc weights keeps the spread within the
+    # largest item
+    assert max(loads) - min(loads) <= max(w for _, w in rows)
+    # and the operator is deterministic across runs
+    got2 = {r.doc_id: r.shard_id for r in shard_snake(df, "w", "doc_id", k).collect()}
+    assert got2 == got
+
+
+def test_shard_snake_single_shard_and_validation(spark):
+    from creatorops_lakehouse_spark.operators.packing import shard_snake
+
+    df = spark.createDataFrame([(1, 5), (2, 3)], "doc_id long, w long")
+    assert {r.shard_id for r in shard_snake(df, "w", "doc_id", 1).collect()} == {0}
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_snake(df, "w", "doc_id", 0)
