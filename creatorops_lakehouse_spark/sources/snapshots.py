@@ -35,6 +35,10 @@ Design (a deliberately minimal Iceberg/Delta-shaped log):
 - Reads load ONLY the directories in the requested manifest —
   O(changed files) planning, and schema evolution is free because each
   version pins its own file set.
+- Every commit records per-dir min/max column stats AND a row count
+  (Delta's numRecords): ``snapshot_read_where`` plans only intersecting
+  commits, and ``snapshot_count`` answers COUNT(*) from the manifest
+  without opening a data file.
 - ``snapshot_write_txn`` adds Delta's idempotent-commit contract
   (``txnAppId``/``txnVersion``): each manifest carries a ``txns`` map of
   per-app watermarks that survives every write mode, so at-least-once
@@ -181,13 +185,15 @@ _STATS_TYPES = (
 
 
 def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
-                   df_schema, stats_cols) -> dict | None:
-    """Per-commit min/max column stats for manifest-level data skipping —
-    the snapshot analogue of Delta's per-file stats. Computed by reading
-    back ONLY the just-written commit dir (cost ∝ commit size, never the
-    table; parquet aggregate pushdown serves min/max from footers where
-    eligible). Values serialize JSON-native; dates/timestamps as ISO
-    strings (lexicographic == chronological)."""
+                   df_schema, stats_cols) -> tuple[dict | None, int]:
+    """Per-commit (min/max column stats, row count) for manifest-level
+    data skipping and metadata-only COUNT — the snapshot analogue of
+    Delta's per-file stats + numRecords. Computed by reading back ONLY
+    the just-written commit dir (cost ∝ commit size, never the table;
+    parquet aggregate pushdown serves min/max/count from footers where
+    eligible, so this is usually a footer read). Values serialize
+    JSON-native; dates/timestamps as ISO strings (lexicographic ==
+    chronological)."""
     import pyspark.sql.functions as F
 
     eligible = [
@@ -197,14 +203,15 @@ def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
         and f.name not in (spec.partition_by or ())
     ]
     cols = eligible if stats_cols is None else [c for c in stats_cols if c in eligible]
-    if not cols:
-        return None
     part = spark.read.format(spec.format).load(os.path.join(spec.path, rel_dir))
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("_nrows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"_mn_{c}"))
         aggs.append(F.max(c).alias(f"_mx_{c}"))
     row = part.agg(*aggs).collect()[0]
+    n_rows = int(row["_nrows"])
+    if not cols:
+        return None, n_rows
 
     def _ser(v):
         import datetime as _dt
@@ -220,7 +227,7 @@ def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
     return {
         c: {"min": _ser(row[f"_mn_{c}"]), "max": _ser(row[f"_mx_{c}"])}
         for c in cols
-    }
+    }, n_rows
 
 
 def pruned_dirs(
@@ -328,6 +335,21 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
             ) from None
     finally:
         os.unlink(tmp)
+
+
+def snapshot_count(spec: TableSpec, version: int | None = None) -> int | None:
+    """Metadata-only COUNT(*): sum of the manifest's per-commit row counts
+    — zero data files opened, the way Delta answers SELECT COUNT(*) from
+    its log. Returns None when any referenced dir predates row-count
+    stats (caller falls back to a scan); 0 for an empty table."""
+    v = current_version(spec) if version is None else version
+    if v is None:
+        return 0
+    m = _read_manifest(spec, v)
+    rows = m.get("rows", {})
+    if any(d not in rows for d in m["dirs"]):
+        return None
+    return sum(int(rows[d]) for d in m["dirs"])
 
 
 def last_txn_version(spec: TableSpec, app_id: str) -> int | None:
@@ -446,11 +468,9 @@ def snapshot_write(
         writer = writer.partitionBy(*spec.partition_by)
     writer.save(os.path.join(spec.path, rel_dir))
     spark = df.sparkSession
-    dir_stats = (
-        None
-        if stats_cols == ()
-        else _collect_stats(spark, spec, rel_dir, df.schema, stats_cols)
-    )
+    # row count is always collected (Delta's numRecords — it is what makes
+    # snapshot_count metadata-only); min/max stats honor stats_cols
+    dir_stats, dir_rows = _collect_stats(spark, spec, rel_dir, df.schema, stats_cols)
     if _pre_commit is not None:
         _pre_commit()
     for _ in range(max_retries + 1):
@@ -460,10 +480,11 @@ def snapshot_write(
         # table-level state, not file-set state)
         txns = {} if head_m is None else dict(head_m.get("txns", {}))
         if head_m is None or mode == "overwrite":
-            prev_dirs, prev_stats = [], {}
+            prev_dirs, prev_stats, prev_rows = [], {}, {}
         else:
             prev_dirs = head_m["dirs"]
             prev_stats = head_m.get("stats", {})
+            prev_rows = head_m.get("rows", {})
         if _txn is not None:
             app_id, txn_v = _txn
             seen = txns.get(app_id)
@@ -477,6 +498,8 @@ def snapshot_write(
         stats = {d: s for d, s in prev_stats.items() if d in set(prev_dirs)}
         if dir_stats:
             stats[rel_dir] = dir_stats
+        rows = {d: r for d, r in prev_rows.items() if d in set(prev_dirs)}
+        rows[rel_dir] = dir_rows
         manifest = {
             "version": version,
             "mode": mode,
@@ -484,6 +507,7 @@ def snapshot_write(
             "parent": cur,
             "schema": commit_schema.jsonValue(),
             "stats": stats,
+            "rows": rows,
         }
         if txns:
             manifest["txns"] = txns
@@ -572,6 +596,8 @@ def rollback(spec: TableSpec, version: int) -> int:
         manifest["schema"] = old["schema"]
     if "stats" in old:
         manifest["stats"] = old["stats"]
+    if "rows" in old:  # row counts follow the restored file set
+        manifest["rows"] = old["rows"]
     _commit(spec, new_v, manifest)
     return new_v
 
@@ -742,18 +768,21 @@ def _rewrite_commit(
     if spec.partition_by:
         writer = writer.partitionBy(*spec.partition_by)
     writer.save(os.path.join(spec.path, rel_dir))
-    dir_stats = _collect_stats(spark, spec, rel_dir, new_rows.schema, None)
+    dir_stats, dir_rows = _collect_stats(spark, spec, rel_dir, new_rows.schema, None)
     stats = {
         d: s for d, s in head.get("stats", {}).items() if d in set(untouched)
     }
     if dir_stats:
         stats[rel_dir] = dir_stats
+    rows = {d: r for d, r in head.get("rows", {}).items() if d in set(untouched)}
+    rows[rel_dir] = dir_rows
     manifest = {
         "version": version,
         "mode": mode,
         "dirs": [*untouched, rel_dir],
         "parent": cur,
         "stats": stats,
+        "rows": rows,
     }
     if "schema" in head:
         manifest["schema"] = head["schema"]
@@ -871,9 +900,11 @@ def snapshot_delete_where(
 
 def snapshot_history(spec: TableSpec) -> list[dict]:
     """DESCRIBE HISTORY parity: one dict per committed version (ascending)
-    with version, mode, parent, commit-dir count, and the extra provenance
-    keys a mode records (restored_from for rollbacks). Reads manifests
-    only — no data I/O."""
+    with version, mode, parent, commit-dir count, the table row count when
+    every dir has recorded stats (Delta's numRecords operation metric),
+    the txn watermarks a streaming writer recorded, and the extra
+    provenance keys a mode records (restored_from for rollbacks). Reads
+    manifests only — no data I/O."""
     out = []
     for v in _versions(spec):
         m = _read_manifest(spec, v)
@@ -883,6 +914,11 @@ def snapshot_history(spec: TableSpec) -> list[dict]:
             "parent": m.get("parent"),
             "n_dirs": len(m["dirs"]),
         }
+        rows = m.get("rows", {})
+        if all(d in rows for d in m["dirs"]):
+            row["n_rows"] = sum(int(rows[d]) for d in m["dirs"])
+        if "txns" in m:
+            row["txns"] = dict(m["txns"])
         if "restored_from" in m:
             row["restored_from"] = m["restored_from"]
         out.append(row)

@@ -462,6 +462,8 @@ def test_optimize_snapshots_packs_head(spark, tmp_path):
     assert snapshot_read(spark, spec, version=2).count() == 30
     hist = snapshot_history(spec)
     assert [h["mode"] for h in hist] == ["append"] * 5 + ["optimize"]
+    # numRecords operation metric: cumulative per version, metadata-only
+    assert [h["n_rows"] for h in hist] == [10, 20, 30, 40, 50, 50]
     # vacuum reclaims the five small dirs
     deleted = vacuum_snapshots(spec, keep_last=1)
     assert len(deleted) == 5
@@ -624,3 +626,48 @@ def test_streaming_exactly_once_sink(spark, tmp_path):
         (1, "a"), (2, "b"), (3, "c"), (4, "d"),
     }
     assert last_txn_version(spec, "ingest") == 2
+
+
+def test_snapshot_count_metadata_only(spark, tmp_path):
+    """snapshot_count answers COUNT(*) from the manifest without touching
+    data files — across append, overwrite, time travel, delete-rewrite,
+    optimize, and rollback — and returns None for pre-rowcount manifests
+    (scan fallback)."""
+    import json as _json
+    import shutil as _shutil
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _manifest_dir,
+        optimize_snapshots,
+        snapshot_count,
+        snapshot_delete_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    assert snapshot_count(spec) == 0  # empty table
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), spec)
+    assert snapshot_count(spec) == 3
+    assert snapshot_count(spec, version=0) == 2
+    snapshot_delete_where(spark, spec, {"id": (2, 3)})
+    assert snapshot_count(spec) == snapshot_read(spark, spec).count() == 1
+    snapshot_write(
+        spark.range(7).selectExpr("id", "'x' AS v"), spec, mode="overwrite"
+    )
+    assert snapshot_count(spec) == 7
+    optimize_snapshots(spark, spec)
+    assert snapshot_count(spec) == 7
+    rollback(spec, 2)
+    assert snapshot_count(spec) == 1
+    # metadata-only: physically delete every data dir — count still answers
+    _shutil.rmtree(str(tmp_path / "t" / "data"))
+    assert snapshot_count(spec) == 1
+    # legacy manifest without row counts -> None (caller scans)
+    head = current_version(spec)
+    p = os.path.join(_manifest_dir(spec), f"v{head}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    del m["rows"]
+    with open(p, "w") as f:
+        _json.dump(m, f)
+    assert snapshot_count(spec) is None

@@ -284,7 +284,46 @@ def suite(spark, docs, emb, ddir=None):
                 docs, threshold=0.8, max_ratio=4, ngram=3, num_perm=64
             ).count(),
         ),
+        (
+            # round-7: PQ ANN — codebook training is a bounded driver
+            # sample, encoding is one Arrow pass (linear), the ADC scan is
+            # one matmul per batch against a fixed 8-query lookup table
+            "pq_topk",
+            lambda: _pq_topk(emb),
+        ),
+        (
+            # round-7: bigram LM score — one doc-partitioned lead window +
+            # two hash aggregates + a model join; all key-partitioned
+            "bigram_lm_score",
+            lambda: _registered(spark, ddir, "docs_bigram_lm_score"),
+        ),
+        (
+            # round-7: snake shard manifest — distributed_global_rank
+            # (range shuffle + per-partition window) + one hash aggregate
+            "shard_manifest",
+            lambda: _registered(spark, ddir, "docs_shard_manifest"),
+        ),
     ]
+
+
+def _pq_topk(emb):
+    from creatorops_lakehouse_spark.operators.similarity import (
+        build_pq_codes,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    books = train_pq_codebooks(emb, m=8, k=32, dim=64, iters=4)
+    codes = build_pq_codes(emb, books)
+    queries = [
+        (r.vec_id, r.embedding)
+        for r in emb.filter(F.col("vec_id") % F.lit(1_000_000) < 8)
+        .select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        .collect()
+    ]
+    return pq_topk(codes, queries, books, emb, k=5, candidate_factor=16).count()
 
 
 def _registered(spark, ddir, name):
