@@ -46,6 +46,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -84,6 +85,60 @@ class _FilePartition(InputPartition):
 
     file_path: str
     hive: tuple[tuple[str, str | None], ...]
+
+
+def _walk_parquet(root: str, rel_dir: str) -> list[_FilePartition]:
+    """File-level partitions for one commit dir, hive segments parsed."""
+    parts: list[_FilePartition] = []
+    base = os.path.join(root, rel_dir)
+    for dirpath, _dirnames, files in os.walk(base):
+        rel = os.path.relpath(dirpath, base)
+        hive: list[tuple[str, str | None]] = []
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" in seg:
+                    k, v = seg.split("=", 1)
+                    hive.append((k, None if v == _HIVE_NULL else v))
+        for fn in files:
+            if fn.endswith(".parquet"):
+                parts.append(
+                    _FilePartition(os.path.join(dirpath, fn), tuple(hive))
+                )
+    return parts
+
+
+def _read_file_partition(schema: StructType, partition: _FilePartition) -> Iterator:
+    """Arrow-batch read of one parquet file projected to ``schema``:
+    missing columns null-fill (schema evolution), hive partition values
+    become constant columns, types cast to the schema's arrow types."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    target = to_arrow_schema(schema)
+    hive = dict(partition.hive)
+    pf = pq.ParquetFile(partition.file_path)
+    file_cols = set(pf.schema_arrow.names)
+    want_from_file = [f.name for f in target if f.name in file_cols]
+    for batch in pf.iter_batches(columns=want_from_file or None):
+        n = batch.num_rows
+        arrays = []
+        for field in target:
+            if field.name in file_cols:
+                col = batch.column(want_from_file.index(field.name))
+                if col.type != field.type:
+                    col = pc.cast(col, field.type)
+                arrays.append(col)
+            elif field.name in hive:
+                v = hive[field.name]
+                const = pa.array([v] * n, type=pa.string())
+                if field.type != pa.string():
+                    const = pc.cast(const, field.type)
+                arrays.append(const)
+            else:  # schema-evolution gap: file predates the column
+                arrays.append(pa.nulls(n, type=field.type))
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
 class SnapshotReader(DataSourceReader):
@@ -143,60 +198,89 @@ class SnapshotReader(DataSourceReader):
                     break
 
     def partitions(self):
-        parts: list[_FilePartition] = []
         skip = set(self._pruned)
-        for d in self._manifest["dirs"]:
-            if d in skip:
-                continue
-            base = os.path.join(self._root, d)
-            for dirpath, _dirnames, files in os.walk(base):
-                rel = os.path.relpath(dirpath, base)
-                hive: list[tuple[str, str | None]] = []
-                if rel != ".":
-                    for seg in rel.split(os.sep):
-                        if "=" in seg:
-                            k, v = seg.split("=", 1)
-                            hive.append((k, None if v == _HIVE_NULL else v))
-                for fn in files:
-                    if fn.endswith(".parquet"):
-                        parts.append(
-                            _FilePartition(
-                                os.path.join(dirpath, fn), tuple(hive)
-                            )
-                        )
+        return [
+            p
+            for d in self._manifest["dirs"]
+            if d not in skip
+            for p in _walk_parquet(self._root, d)
+        ]
+
+    def read(self, partition: _FilePartition) -> Iterator:
+        return _read_file_partition(self._schema, partition)
+
+
+class SnapshotStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("snapshot")`` — the snapshot log as a
+    streaming SOURCE, Delta's table-as-a-stream feature on the manifest
+    log: the commit VERSION is the offset, each micro-batch reads exactly
+    the data dirs the versions in (start, end] added, and the immutable
+    log makes replay after a checkpoint recovery byte-identical.
+
+    Options: ``startingVersion`` (default 0 — full history; ``N`` starts
+    AFTER version N-1, i.e. the first batch begins at version N);
+    ``ignoreChanges`` ("true"/"false", default false): a non-append commit
+    (overwrite / merge / delete rewrite / optimize / rollback) FAILS the
+    stream by default — its rewritten dirs would re-emit rows already
+    streamed; with ignoreChanges=true the new dirs are emitted anyway and
+    downstream must dedup, exactly Delta's documented contract.
+
+    Paired with ``start_exactly_once_sink`` this closes the loop:
+    snapshot tables compose into incremental pipelines — stream out of
+    one, transform, exactly-once append into the next."""
+
+    def __init__(self, schema: StructType, options: dict) -> None:
+        from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+        self._schema = schema
+        path = options.get("path")
+        if not path:
+            raise ValueError("snapshot source requires .option('path', <root>)")
+        self._root = path
+        self._spec = TableSpec("pyds.snapshot.stream", path)
+        self._start_v = int(options.get("startingVersion", "0"))
+        self._ignore_changes = (
+            str(options.get("ignoreChanges", "false")).lower() == "true"
+        )
+
+    def initialOffset(self) -> dict:  # noqa: N802
+        return {"version": self._start_v - 1}
+
+    def latestOffset(self) -> dict:  # noqa: N802
+        from creatorops_lakehouse_spark.sources.snapshots import current_version
+
+        cur = current_version(self._spec)
+        return {"version": self._start_v - 1 if cur is None else cur}
+
+    def partitions(self, start: dict, end: dict):
+        from creatorops_lakehouse_spark.sources.snapshots import _read_manifest
+
+        parts: list[_FilePartition] = []
+        for v in range(int(start["version"]) + 1, int(end["version"]) + 1):
+            m = _read_manifest(self._spec, v)
+            parent = m.get("parent")
+            prev_dirs = (
+                set() if parent is None
+                else set(_read_manifest(self._spec, parent)["dirs"])
+            )
+            if m.get("mode") != "append" and not self._ignore_changes:
+                raise ValueError(
+                    f"snapshot stream at {self._root}: version {v} is a "
+                    f"'{m.get('mode')}' commit — rewritten data would "
+                    "re-emit already-streamed rows. Pass .option("
+                    "'ignoreChanges', 'true') to stream its new files "
+                    "anyway (downstream must dedup)."
+                )
+            for d in m["dirs"]:
+                if d not in prev_dirs:
+                    parts.extend(_walk_parquet(self._root, d))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:
-        import pyarrow as pa
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-        from pyspark.sql.pandas.types import to_arrow_schema
+        return _read_file_partition(self._schema, partition)
 
-        target = to_arrow_schema(self._schema)
-        hive = dict(partition.hive)
-        pf = pq.ParquetFile(partition.file_path)
-        file_cols = set(pf.schema_arrow.names)
-        want_from_file = [
-            f.name for f in target if f.name in file_cols
-        ]
-        for batch in pf.iter_batches(columns=want_from_file or None):
-            n = batch.num_rows
-            arrays = []
-            for field in target:
-                if field.name in file_cols:
-                    col = batch.column(want_from_file.index(field.name))
-                    if col.type != field.type:
-                        col = pc.cast(col, field.type)
-                    arrays.append(col)
-                elif field.name in hive:
-                    v = hive[field.name]
-                    const = pa.array([v] * n, type=pa.string())
-                    if field.type != pa.string():
-                        const = pc.cast(const, field.type)
-                    arrays.append(const)
-                else:  # schema-evolution gap: file predates the column
-                    arrays.append(pa.nulls(n, type=field.type))
-            yield pa.RecordBatch.from_arrays(arrays, schema=target)
+    def commit(self, end: dict) -> None:
+        pass  # the log is immutable; nothing to acknowledge
 
 
 class SnapshotDataSource(DataSource):
@@ -216,6 +300,9 @@ class SnapshotDataSource(DataSource):
 
     def reader(self, schema: StructType) -> SnapshotReader:
         return SnapshotReader(schema, self.options)
+
+    def streamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802
+        return SnapshotStreamReader(schema, self.options)
 
 
 def register_snapshot_source(spark) -> None:

@@ -161,6 +161,12 @@ def start_exactly_once_sink(
     app = app_id or checkpoint
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # empty micro-batches (a source tick with no new offsets) commit
+        # nothing: skipping keeps restart-heavy streams from growing the
+        # destination log, and replaying an empty batch is idempotent by
+        # construction, so the txn watermark need not advance
+        if batch_df.isEmpty():
+            return
         snapshot_write_txn(batch_df, spec, app_id=app, txn_version=batch_id)
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(

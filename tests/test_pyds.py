@@ -102,3 +102,133 @@ def test_snapshot_format_pushdown_prunes_dirs(spark, tmp_path):
     want = snapshot_read(spark, spec).filter("id > 500")
     assert got.count() == want.count() == 100
     assert {r.id for r in got.collect()} == {r.id for r in want.collect()}
+
+
+def _run_stream(spark, path, out_name, ckpt, **opts):
+    """Run the snapshot stream availableNow and return the emitted rows.
+    foreachBatch (not the memory sink — it cannot recover from a
+    checkpoint, and restart-resume is exactly what these tests pin)."""
+    del out_name
+    rows: list[tuple] = []
+
+    def collect_batch(batch_df, _bid):
+        rows.extend(tuple(r) for r in batch_df.collect())
+
+    reader = spark.readStream.format("snapshot").option("path", path)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(collect_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    return rows
+
+
+def test_snapshot_stream_source_versions_as_offsets(spark, tmp_path):
+    """readStream.format('snapshot'): each append commit is a micro-batch,
+    checkpoint restart resumes at the committed version, startingVersion
+    skips history."""
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), spec)
+    ckpt = str(tmp_path / "ckpt")
+
+    got = _run_stream(spark, spec.path, "snap_s1", ckpt)
+    assert set(got) == {(1, "a"), (2, "b"), (3, "c")}
+
+    # two more commits land; the restarted stream emits ONLY them
+    snapshot_write(spark.createDataFrame([(4, "d")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(5, "e")], ["id", "v"]), spec)
+    got2 = _run_stream(spark, spec.path, "snap_s2", ckpt)
+    assert set(got2) == {(4, "d"), (5, "e")}
+
+    # restart with nothing new: empty batch, no re-emission
+    got3 = _run_stream(spark, spec.path, "snap_s3", ckpt)
+    assert got3 == []
+
+    # startingVersion=3 streams only versions >= 3 on a fresh checkpoint
+    got4 = _run_stream(
+        spark, spec.path, "snap_s4", str(tmp_path / "ckpt2"), startingVersion="3"
+    )
+    assert set(got4) == {(5, "e")}
+
+
+def test_snapshot_stream_rejects_rewrites_unless_ignore_changes(
+    spark, tmp_path
+):
+    """A non-append commit fails the stream by default (rewritten dirs
+    would re-emit streamed rows); ignoreChanges=true emits new files and
+    keeps going — Delta's documented contract."""
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(
+        spark.createDataFrame([(9, "z")], ["id", "v"]), spec, mode="overwrite"
+    )
+    try:
+        _run_stream(spark, spec.path, "snap_rw1", str(tmp_path / "c1"))
+        raise AssertionError("overwrite commit must fail the strict stream")
+    except (StreamingQueryException, Py4JJavaError, Exception) as e:  # noqa: BLE001
+        assert "ignoreChanges" in str(e)
+
+    got = _run_stream(
+        spark, spec.path, "snap_rw2", str(tmp_path / "c2"), ignoreChanges="true"
+    )
+    assert set(got) == {(1, "a"), (9, "z")}
+
+
+def test_snapshot_to_snapshot_incremental_pipeline(spark, tmp_path):
+    """The composed loop: readStream.format('snapshot') out of a source
+    table → transform → exactly-once append into a destination snapshot
+    table. Restarting after new source commits moves ONLY the delta, and
+    a full re-run of the stream never duplicates destination rows."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+    )
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        start_exactly_once_sink,
+    )
+
+    register_snapshot_source(spark)
+    src = TableSpec("t.src", str(tmp_path / "src"))
+    dst = TableSpec("t.dst", str(tmp_path / "dst"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = (
+            spark.readStream.format("snapshot")
+            .option("path", src.path)
+            .load()
+            .selectExpr("id", "upper(v) AS v_up")
+        )
+        q = start_exactly_once_sink(stream, dst, ckpt, app_id="pipe")
+        assert q.awaitTermination(120)
+
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), src)
+    run()
+    assert {tuple(r) for r in snapshot_read(spark, dst).collect()} == {
+        (1, "A"), (2, "B"),
+    }
+    v_after_first = current_version(dst)
+
+    # incremental: one more source commit -> exactly one more dst commit
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), src)
+    run()
+    assert {tuple(r) for r in snapshot_read(spark, dst).collect()} == {
+        (1, "A"), (2, "B"), (3, "C"),
+    }
+    assert current_version(dst) == v_after_first + 1
+
+    # idle re-run: no new source commits -> no new dst commits, no dupes
+    run()
+    assert current_version(dst) == v_after_first + 1
+    assert snapshot_read(spark, dst).count() == 3
