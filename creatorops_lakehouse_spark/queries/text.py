@@ -1497,3 +1497,83 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("score_ppm"),
         )
     )
+
+
+N_BPE_MERGES = 12
+
+
+@query(
+    "docs_bpe_train_verdict",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT {_SQL_BPE_SEED} AS text FROM documents
+    ),
+    pre AS (
+        SELECT u.w AS w
+        FROM seeded, unnest(regexp_extract_all(lower(text), '{_SQL_BPE_RE}'))
+             AS u(w)
+    ),
+    wf AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM pre WHERE len(w) > 0 GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(w, v.i, 2) AS pair, cnt
+        FROM wf, unnest(range(1, len(w))) AS v(i)
+        WHERE len(w) >= 2
+    ),
+    top AS (
+        SELECT pair FROM (
+            SELECT pair, SUM(cnt) AS n FROM pairs GROUP BY 1
+        ) ORDER BY n DESC, pair ASC LIMIT 1
+    )
+    SELECT CAST((SELECT COUNT(*) FROM wf) AS BIGINT) AS n_words,
+           CAST((SELECT SUM(cnt) FROM wf) AS BIGINT) AS total_occurrences,
+           CAST({N_BPE_MERGES} AS BIGINT) AS n_merges,
+           (SELECT substr(pair, 1, 1) FROM top) AS first_a,
+           (SELECT substr(pair, 2, 1) FROM top) AS first_b,
+           TRUE AS matches_sequential
+    """,
+)
+def docs_bpe_train_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL distributed BPE training loop under the driver's hash gate
+    (operators/bpe.py::train_bpe — the multi-merge trainer, vs
+    docs_bpe_top_merges' single iteration). The scale architecture is the
+    claim being verified: one corpus-sized aggregation to a word-frequency
+    table, then {N_BPE_MERGES} merge iterations that touch ONLY that
+    dimension-sized table (weighted pair count → one argmax row to the
+    driver → pure-expression greedy fuse, no UDF anywhere).
+
+    Hash-pinned facts: the pre-token vocabulary size and total occurrence
+    mass (oracle recomputes both from the seeded text), the trained merge
+    COUNT, the FIRST merge pair (SQL-recomputable — it is the argmax of
+    the single-character pair counts), and matches_sequential — the
+    in-engine assertion that all {N_BPE_MERGES} distributed merges equal
+    the classic single-node trainer run on the collected frequency table
+    (collection is vocab-sized, the sanctioned verdict-staging pattern)."""
+    from creatorops_lakehouse_spark.operators.bpe import (
+        train_bpe,
+        train_bpe_sequential,
+        word_frequencies,
+    )
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    docs = load(spark, sf_dir, "documents")
+    wf = scoped_persist(word_frequencies(docs, pretoken=_bpe_seed_col()))
+    merges, _vocab = train_bpe(wf, n_merges=N_BPE_MERGES, min_count=2)
+    ref = train_bpe_sequential(
+        {r.word: r.cnt for r in wf.collect()}, N_BPE_MERGES, min_count=2
+    )
+    stats = wf.filter(F.length("word") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("cnt").cast("long").alias("total_occurrences"),
+    )
+    first = merges[0] if merges else ("", "")
+    return stats.select(
+        "n_words",
+        "total_occurrences",
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        F.lit(first[0]).alias("first_a"),
+        F.lit(first[1]).alias("first_b"),
+        F.lit(merges == ref).alias("matches_sequential"),
+    )

@@ -1,0 +1,76 @@
+"""Distributed BPE trainer (operators/bpe.py): bit-parity with the
+sequential classic, greedy-fuse edge cases, early stop, and the
+corpus-independence of the training loop."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from creatorops_lakehouse_spark.operators.bpe import (
+    train_bpe,
+    train_bpe_sequential,
+    word_frequencies,
+)
+
+
+def _wc(wf):
+    return {r.word: r.cnt for r in wf.collect()}
+
+
+def test_train_bpe_matches_sequential(spark):
+    rows = [
+        ("the quick brown fox the quick the the fox!",),
+        ("lower lowest low lowly newer newest new news...",),
+        ("it's we're 100% done, isn't it? yes it's done!",),
+    ]
+    wf = word_frequencies(spark.createDataFrame(rows, ["text"]))
+    merges, vocab = train_bpe(wf, n_merges=8)
+    assert merges == train_bpe_sequential(_wc(wf), 8)
+    assert len(merges) == 8
+    # every trained symbol reassembles its word exactly
+    bad = vocab.filter(
+        F.concat_ws("", F.col("symbols")) != F.col("word")
+    ).count()
+    assert bad == 0
+
+
+def test_train_bpe_greedy_overlap_runs(spark):
+    """'aaaa'-style runs: greedy left-to-right fuse must produce [aa][aa],
+    never overlap — the classic off-by-one of naive pair replacement."""
+    wf = spark.createDataFrame(
+        [("aaaa", 10), ("aaa", 5), ("aa", 3)], ["word", "cnt"]
+    )
+    merges, vocab = train_bpe(wf, n_merges=2)
+    ref = train_bpe_sequential({"aaaa": 10, "aaa": 5, "aa": 3}, 2)
+    assert merges == ref == [("a", "a"), ("aa", "aa")]
+    got = {r.word: r.symbols for r in vocab.collect()}
+    assert got == {"aaaa": ["aaaa"], "aaa": ["aa", "a"], "aa": ["aa"]}
+
+
+def test_train_bpe_early_stop_and_min_count(spark):
+    # every pair unique -> nothing reaches min_count=2 -> zero merges
+    wf = spark.createDataFrame([("ab", 1), ("cd", 1)], ["word", "cnt"])
+    merges, _ = train_bpe(wf, n_merges=10, min_count=2)
+    assert merges == []
+    # single-char words only: no pairs at all
+    wf1 = spark.createDataFrame([("a", 9), ("b", 4)], ["word", "cnt"])
+    merges1, vocab1 = train_bpe(wf1, n_merges=3)
+    assert merges1 == []
+    assert {r.word: r.symbols for r in vocab1.collect()} == {
+        "a": ["a"], "b": ["b"],
+    }
+
+
+def test_word_frequencies_is_the_only_corpus_pass(spark):
+    """Training is a pure function of the frequency table: permuting the
+    corpus's document layout leaves the table — and therefore every
+    trained merge — identical. (Pre-tokens keep their leading space, so
+    'cat' at line start and ' cat' mid-line are DIFFERENT pre-tokens;
+    only layouts with equal pre-token multisets are equivalent.)"""
+    a = spark.createDataFrame([("cat hat",), ("cat hat bat",)], ["text"])
+    b = spark.createDataFrame([("cat hat bat",), ("cat hat",)], ["text"])
+    wfa, wfb = word_frequencies(a), word_frequencies(b)
+    assert _wc(wfa) == _wc(wfb)
+    ma, _ = train_bpe(wfa, n_merges=4)
+    mb, _ = train_bpe(wfb, n_merges=4)
+    assert ma == mb == train_bpe_sequential(_wc(wfa), 4)
