@@ -157,3 +157,37 @@ def train_bpe_sequential(
                     out.append(x)
             vocab[w] = out
     return merges
+
+
+def bpe_encode(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pretoken: Column | None = None,
+) -> DataFrame:
+    """Apply a trained segmentation to the corpus — the CORPUS-sized half
+    of BPE, shaped for it: instead of replaying K merges over every
+    occurrence (K folds over 100 TB), each pre-token occurrence broadcast-
+    joins the trained vocab's (word → symbols) segmentation — the vocab
+    is dimension-sized, the corpus never shuffles, and the result is
+    identical because BPE segmentation is a pure function of the word.
+
+    Unseen words (vocab trained elsewhere / new data) fall back to
+    character segmentation — the worst-case correct encoding, matching
+    what a real tokenizer's byte-fallback guarantees.
+
+    Returns per-document (id_col, n_pretokens, n_tokens, n_chars).
+    """
+    src = bpe_pretokens(pretoken if pretoken is not None else F.col(text_col))
+    pre = df.select(F.col(id_col), F.explode(src).alias("word")).filter(
+        F.length("word") > 0
+    )
+    seg = vocab.select("word", F.size("symbols").alias("_n_sym"))
+    joined = pre.join(F.broadcast(seg), "word", "left")
+    n_sym = F.coalesce(F.col("_n_sym"), F.length("word"))  # char fallback
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pretokens"),
+        F.sum(n_sym).cast("long").alias("n_tokens"),
+        F.sum(F.length("word")).cast("long").alias("n_chars"),
+    )

@@ -1551,16 +1551,9 @@ def docs_bpe_train_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     in-engine assertion that all {N_BPE_MERGES} distributed merges equal
     the classic single-node trainer run on the collected frequency table
     (collection is vocab-sized, the sanctioned verdict-staging pattern)."""
-    from creatorops_lakehouse_spark.operators.bpe import (
-        train_bpe,
-        train_bpe_sequential,
-        word_frequencies,
-    )
-    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.bpe import train_bpe_sequential
 
-    docs = load(spark, sf_dir, "documents")
-    wf = scoped_persist(word_frequencies(docs, pretoken=_bpe_seed_col()))
-    merges, _vocab = train_bpe(wf, n_merges=N_BPE_MERGES, min_count=2)
+    merges, wf, _vocab = _bpe_trained_for(spark, sf_dir)
     ref = train_bpe_sequential(
         {r.word: r.cnt for r in wf.collect()}, N_BPE_MERGES, min_count=2
     )
@@ -1576,4 +1569,93 @@ def docs_bpe_train_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(first[0]).alias("first_a"),
         F.lit(first[1]).alias("first_b"),
         F.lit(merges == ref).alias("matches_sequential"),
+    )
+
+
+#: sf_dir → (merges, persisted trained-vocab DataFrame) — BPE training is
+#: build-once/probe-many across the train and encode verdicts (same policy
+#: as the IVF/PQ index caches; fresh process per bench/driver run).
+_BPE_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_trained_for(spark: SparkSession, sf_dir: str):
+    from creatorops_lakehouse_spark.operators.bpe import (
+        train_bpe,
+        word_frequencies,
+    )
+
+    if sf_dir not in _BPE_CACHE:
+        docs = load(spark, sf_dir, "documents")
+        wf = word_frequencies(docs, pretoken=_bpe_seed_col()).persist()
+        wf.count()
+        merges, vocab = train_bpe(wf, n_merges=N_BPE_MERGES, min_count=2)
+        vocab = vocab.persist()
+        vocab.count()  # pin: the scoped caches inside train_bpe get
+        # released when the NEXT registry query runs; without this pin the
+        # cached frame would lazily replay all 12 fold iterations
+        _BPE_CACHE[sf_dir] = (merges, wf, vocab)
+    return _BPE_CACHE[sf_dir]
+
+
+@query(
+    "docs_bpe_encode_verdict",
+    oracle=f"""
+    WITH seeded AS (
+        SELECT doc_id, {_SQL_BPE_SEED} AS text FROM documents
+    ),
+    pre AS (
+        SELECT doc_id, u.w AS w
+        FROM seeded, unnest(regexp_extract_all(lower(text), '{_SQL_BPE_RE}'))
+             AS u(w)
+        WHERE len(u.w) > 0
+    )
+    SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS total_pretokens,
+           CAST(SUM(len(w)) AS BIGINT) AS total_chars,
+           TRUE AS mass_match,
+           TRUE AS tokens_bounded
+    FROM pre
+    """,
+)
+def docs_bpe_encode_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-sized APPLY half of BPE (operators/bpe.py::bpe_encode):
+    every pre-token occurrence broadcast-joins the trained vocab's
+    segmentation — the corpus never shuffles, because BPE segmentation is
+    a pure function of the word. Hash-pinned facts: document/pre-token/
+    char mass (oracle recomputes all three from the seeded text);
+    mass_match — the join-based corpus encode's total token count equals
+    sum(cnt × |symbols|) over the frequency table, i.e. the two
+    independent routes to "how many tokens does the corpus have" agree
+    exactly; tokens_bounded — per-doc token counts land in
+    [n_pretokens, n_chars] (a merge can only shrink, never grow)."""
+    from creatorops_lakehouse_spark.operators.bpe import bpe_encode
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    docs = load(spark, sf_dir, "documents")
+    _merges, wf, vocab = _bpe_trained_for(spark, sf_dir)
+    enc = scoped_persist(
+        bpe_encode(docs, vocab, id_col="doc_id", pretoken=_bpe_seed_col())
+    )
+    totals = enc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_pretokens").cast("long").alias("total_pretokens"),
+        F.sum("n_tokens").cast("long").alias("_total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(
+            F.when(
+                (F.col("n_tokens") >= F.col("n_pretokens"))
+                & (F.col("n_tokens") <= F.col("n_chars")),
+                0,
+            ).otherwise(1)
+        ).alias("_oob"),
+    )
+    vocab_mass = vocab.agg(
+        F.sum(F.col("cnt") * F.size("symbols")).cast("long").alias("_mass")
+    )
+    return totals.crossJoin(F.broadcast(vocab_mass)).select(
+        "n_docs",
+        "total_pretokens",
+        "total_chars",
+        (F.col("_total_tokens") == F.col("_mass")).alias("mass_match"),
+        (F.col("_oob") == 0).alias("tokens_bounded"),
     )

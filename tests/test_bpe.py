@@ -74,3 +74,29 @@ def test_word_frequencies_is_the_only_corpus_pass(spark):
     ma, _ = train_bpe(wfa, n_merges=4)
     mb, _ = train_bpe(wfb, n_merges=4)
     assert ma == mb == train_bpe_sequential(_wc(wfa), 4)
+
+
+def test_bpe_encode_join_apply(spark):
+    """Corpus encode by broadcast-joining the trained segmentation:
+    totals equal the frequency-table mass, and an unseen word falls back
+    to character segmentation."""
+    from creatorops_lakehouse_spark.operators.bpe import bpe_encode
+
+    corpus = spark.createDataFrame(
+        [(1, "low lower lowest"), (2, "low low news")], ["doc_id", "text"]
+    )
+    wf = word_frequencies(corpus)
+    merges, vocab = train_bpe(wf, n_merges=5)
+    enc = bpe_encode(corpus, vocab)
+    got = {r.doc_id: (r.n_pretokens, r.n_tokens, r.n_chars) for r in enc.collect()}
+    # two independent token-mass routes agree
+    mass = vocab.selectExpr("sum(cnt * size(symbols)) AS m").collect()[0].m
+    assert sum(v[1] for v in got.values()) == mass
+    # a merge only shrinks: n_pretokens <= n_tokens <= n_chars
+    assert all(p <= t <= c for p, t, c in got.values())
+
+    # unseen corpus: every word char-falls-back (tokens == chars; the
+    # pre-tokens are 'zzz' and ' qq' — the leading space is a character)
+    other = spark.createDataFrame([(9, "zzz qq")], ["doc_id", "text"])
+    fb = bpe_encode(other, vocab).collect()[0]
+    assert (fb.n_pretokens, fb.n_tokens, fb.n_chars) == (2, 6, 6)
