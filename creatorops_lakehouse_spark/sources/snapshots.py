@@ -718,8 +718,15 @@ def vacuum_snapshots(
             for name in os.listdir(data_root):
                 rel = f"data/{name}"
                 full = os.path.join(data_root, name)
-                if rel not in referenced and (
-                    now - os.path.getmtime(full) >= orphan_grace_s
+                # a zorder commit references SUBDIRS (data/bN-tok/_zbucket=i);
+                # the top-level dir is then a live container, not an orphan
+                contains_live = any(
+                    r.startswith(rel + "/") for r in referenced
+                )
+                if (
+                    rel not in referenced
+                    and not contains_live
+                    and now - os.path.getmtime(full) >= orphan_grace_s
                 ):
                     doomed.add(rel)
     if not doomed and not drop:
@@ -727,11 +734,20 @@ def vacuum_snapshots(
     import shutil
 
     deleted = []
+    data_root = os.path.join(spec.path, "data")
     for d in sorted(doomed):
         full = os.path.join(spec.path, d)
         if os.path.isdir(full):
             shutil.rmtree(full)
             deleted.append(d)
+            # zorder subdir removal can leave an empty commit-dir husk
+            parent = os.path.dirname(full)
+            if (
+                os.path.realpath(parent) != os.path.realpath(data_root)
+                and os.path.isdir(parent)
+                and not os.listdir(parent)
+            ):
+                os.rmdir(parent)
     md = _manifest_dir(spec)
     for v in drop:
         loose = os.path.join(md, f"v{v}.json")
@@ -929,6 +945,8 @@ def optimize_snapshots(
     spark: SparkSession,
     spec: TableSpec,
     max_dirs: int | None = None,
+    zorder_by: list[str] | None = None,
+    target_dirs: int = 8,
 ) -> int | None:
     """OPTIMIZE parity for the snapshot log: bin-pack the head version's
     commit dirs into ONE new commit (mode='optimize') so reads plan one
@@ -937,11 +955,21 @@ def optimize_snapshots(
     exactly Delta's OPTIMIZE + VACUUM pairing (the reference prescribes a
     weekly OPTIMIZE, sql/ddl/01_bronze.sql:25-26).
 
+    ``zorder_by`` turns this into ``OPTIMIZE ... ZORDER BY``: the head is
+    rewritten into ``target_dirs`` RANGE buckets of the bit-interleaved
+    Z-key (tables.zorder_key — the real curve), each bucket committed as
+    its OWN manifest dir with its own min/max stats and row count. That
+    is what makes the manifest-stats skipping layer bite after
+    clustering: a point/range predicate on ANY participating column now
+    prunes most dirs via ``pruned_dirs``/``snapshot_read_where``/the
+    pushFilters hook — Delta's clustered-OPTIMIZE payoff, expressed at
+    commit-dir granularity. One range shuffle; stats cost is one small
+    aggregate per bucket.
+
     ``max_dirs``: only run when the head references MORE than this many
     dirs (the maintenance-loop guard; None = always). Returns the new
     version, or None when skipped. Aborts on a concurrent-commit race.
-    Content is byte-preserved; per-commit stats are recollected for the
-    packed dir (the union of the old ranges)."""
+    Content is byte-preserved; per-commit stats are recollected."""
     cur = current_version(spec)
     if cur is None:
         raise ValueError(f"no snapshots at {spec.path}")
@@ -949,4 +977,63 @@ def optimize_snapshots(
     if max_dirs is not None and len(head["dirs"]) <= max_dirs:
         return None
     rows = snapshot_read(spark, spec, cur)
-    return _rewrite_commit(spark, spec, cur, [], rows, "optimize")
+    if zorder_by is None:
+        return _rewrite_commit(spark, spec, cur, [], rows, "optimize")
+
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.sources.tables import zorder_key
+
+    version = cur + 1
+    token = uuid.uuid4().hex[:8]
+    rel_dir = f"data/b{version}-{token}"
+    aggs = []
+    for j, c in enumerate(zorder_by):
+        aggs.append(F.min(F.col(c).cast("long")).alias(f"_zmin_{j}"))
+        aggs.append(F.max(F.col(c).cast("long")).alias(f"_zmax_{j}"))
+    scalars = [f"_zmin_{j}" for j in range(len(zorder_by))] + [
+        f"_zmax_{j}" for j in range(len(zorder_by))
+    ]
+    clustered = (
+        rows.crossJoin(F.broadcast(rows.agg(*aggs)))
+        .withColumn("_zk", zorder_key(zorder_by))
+        .drop(*scalars)
+        .repartitionByRange(target_dirs, "_zk")
+        .sortWithinPartitions("_zk")
+        .withColumn("_zbucket", F.spark_partition_id())
+        .drop("_zk")
+    )
+    (
+        clustered.write.format(spec.format)
+        .mode("errorifexists")
+        .partitionBy("_zbucket")
+        .save(os.path.join(spec.path, rel_dir))
+    )
+    # each _zbucket subdir becomes its OWN manifest dir: per-bucket stats
+    # are what turns clustering into skipping
+    base = os.path.join(spec.path, rel_dir)
+    sub_dirs = sorted(
+        f"{rel_dir}/{d}"
+        for d in os.listdir(base)
+        if d.startswith("_zbucket=")
+    )
+    schema = rows.schema
+    stats, rcounts = {}, {}
+    for d in sub_dirs:
+        st, n = _collect_stats(spark, spec, d, schema, None)
+        if st:
+            stats[d] = st
+        rcounts[d] = n
+    manifest = {
+        "version": version,
+        "mode": "optimize-zorder",
+        "dirs": sub_dirs,
+        "parent": cur,
+        "stats": stats,
+        "rows": rcounts,
+        "schema": schema.jsonValue(),
+    }
+    if head.get("txns"):
+        manifest["txns"] = head["txns"]
+    _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
+    return version

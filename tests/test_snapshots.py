@@ -671,3 +671,61 @@ def test_snapshot_count_metadata_only(spark, tmp_path):
     with open(p, "w") as f:
         _json.dump(m, f)
     assert snapshot_count(spec) is None
+
+
+def test_optimize_zorder_multi_dir_skipping(spark, tmp_path):
+    """OPTIMIZE ... ZORDER BY on the snapshot log: the head rewrites into
+    range-bucketed commit dirs whose per-dir stats make point predicates
+    prune most of the table; content, counts, time travel, and vacuum all
+    stay intact."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+        pruned_dirs,
+        snapshot_count,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    # two appends whose x-ranges fully overlap: pre-optimize, stats can
+    # prune NOTHING for any x predicate
+    snapshot_write(
+        spark.range(0, 4000).selectExpr(
+            "id AS x", "(id * 37) % 4000 AS y", "id AS payload"
+        ),
+        spec,
+    )
+    snapshot_write(
+        spark.range(0, 4000).selectExpr(
+            "id AS x", "(id * 91) % 4000 AS y", "id + 10000 AS payload"
+        ),
+        spec,
+    )
+    kept0, skipped0 = pruned_dirs(spec, {"x": (100, 120)})
+    assert skipped0 == []  # overlapping appends: no skipping possible
+
+    v = optimize_snapshots(spark, spec, zorder_by=["x", "y"], target_dirs=8)
+    assert v == 2
+    assert len(snapshot_dirs(spec, v)) == 8
+    head = snapshot_read(spark, spec)
+    assert head.count() == 8000
+    assert snapshot_count(spec) == 8000  # per-bucket row counts recorded
+    assert (
+        head.selectExpr("sum(payload)").collect()[0][0]
+        == 2 * sum(range(4000)) + 10000 * 4000
+    )
+    # clustered stats now prune for a point range on EITHER column
+    kept_x, skipped_x = pruned_dirs(spec, {"x": (100, 120)})
+    assert len(skipped_x) >= 4, (kept_x, skipped_x)
+    kept_y, skipped_y = pruned_dirs(spec, {"y": (100, 120)})
+    assert len(skipped_y) >= 4, (kept_y, skipped_y)
+    got = snapshot_read_where(spark, spec, {"x": (100, 120)}).filter(
+        "x BETWEEN 100 AND 120"
+    )
+    assert got.count() == 42  # 21 x-values, two rows each
+    # time travel to the pre-optimize head still works
+    assert snapshot_read(spark, spec, version=1).count() == 8000
+    # vacuum reclaims the two old append dirs; bucket dirs survive
+    deleted = vacuum_snapshots(spec, keep_last=1, orphan_grace_s=0)
+    assert len(deleted) == 2
+    assert snapshot_read(spark, spec).count() == 8000
+    assert len(snapshot_dirs(spec, v)) == 8
