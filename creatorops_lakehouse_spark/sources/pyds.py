@@ -64,6 +64,7 @@ def _manifest_for(options: dict) -> tuple[dict, str]:
     from creatorops_lakehouse_spark.sources.snapshots import (
         _read_manifest,
         current_version,
+        version_as_of,
     )
     from creatorops_lakehouse_spark.sources.tables import TableSpec
 
@@ -72,7 +73,13 @@ def _manifest_for(options: dict) -> tuple[dict, str]:
         raise ValueError("snapshot source requires .option('path', <table root>)")
     spec = TableSpec("pyds.snapshot", path)
     v = options.get("version")
-    version = current_version(spec) if v is None else int(v)
+    ts = options.get("timestampasof") or options.get("timestampAsOf")
+    if v is not None and ts is not None:
+        raise ValueError("pass version OR timestampAsOf, not both")
+    if ts is not None:
+        version = version_as_of(spec, ts)
+    else:
+        version = current_version(spec) if v is None else int(v)
     if version is None:
         raise ValueError(f"no snapshots at {path}")
     return _read_manifest(spec, version), path

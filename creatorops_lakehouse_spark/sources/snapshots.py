@@ -322,6 +322,14 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
     d = _manifest_dir(spec)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"v{version}.json")
+    if "committed_at" not in manifest:
+        import datetime as _dt
+
+        # wall-clock commit time (UTC ISO): powers timestampAsOf time
+        # travel and RETAIN-hours vacuum; never part of checked outputs
+        manifest["committed_at"] = _dt.datetime.now(
+            _dt.timezone.utc
+        ).isoformat(sep=" ", timespec="seconds")
     fd, tmp = tempfile.mkstemp(prefix=f".v{version}-", dir=d)
     try:
         with os.fdopen(fd, "w") as f:
@@ -541,14 +549,41 @@ def snapshot_write(
     )
 
 
+def version_as_of(spec: TableSpec, timestamp: str) -> int:
+    """Delta's ``timestampAsOf`` resolution: the LATEST version whose
+    ``committed_at`` is <= ``timestamp`` ('YYYY-MM-DD HH:MM:SS', UTC —
+    ISO-lexicographic compare, no parsing needed). Raises if every commit
+    is newer (nothing existed yet) or if no commit carries a timestamp
+    (pre-timestamp manifests)."""
+    best = None
+    for v in _versions(spec):
+        at = _read_manifest(spec, v).get("committed_at")
+        if at is not None and at <= timestamp:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no snapshot at {spec.path} committed at or before {timestamp!r}"
+        )
+    return best
+
+
 def snapshot_read(
-    spark: SparkSession, spec: TableSpec, version: int | None = None
+    spark: SparkSession,
+    spec: TableSpec,
+    version: int | None = None,
+    timestamp: str | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; any committed ``version`` for
-    time travel, including versions folded into a checkpoint)."""
+    time travel, including versions folded into a checkpoint; or
+    ``timestamp`` for Delta's timestampAsOf — the head as of that UTC
+    instant)."""
     cur = current_version(spec)
     if cur is None:
         raise ValueError(f"no snapshots at {spec.path}")
+    if version is not None and timestamp is not None:
+        raise ValueError("pass version OR timestamp, not both")
+    if timestamp is not None:
+        version = version_as_of(spec, timestamp)
     v = cur if version is None else version
     manifest = _read_manifest(spec, v)  # raises "unknown snapshot version"
     dirs = [os.path.join(spec.path, d) for d in manifest["dirs"]]
@@ -676,7 +711,11 @@ def checkpoint_manifest(spec: TableSpec, upto: int | None = None) -> int:
 
 
 def vacuum_snapshots(
-    spec: TableSpec, keep_last: int = 1, orphan_grace_s: float | None = None
+    spec: TableSpec,
+    keep_last: int = 1,
+    orphan_grace_s: float | None = None,
+    retain_hours: float | None = None,
+    _now: str | None = None,
 ) -> list[str]:
     """Drop all but the last ``keep_last`` versions and delete data dirs
     no surviving manifest references. Returns the deleted data dirs
@@ -692,6 +731,13 @@ def vacuum_snapshots(
     comfortably above the longest write-to-commit gap (Delta's default is
     7 days). None (default) leaves orphans alone.
 
+    ``retain_hours``: the literal ``VACUUM ... RETAIN N HOURS`` contract
+    (the reference's DDL prescribes 168): versions whose ``committed_at``
+    falls inside the window are RETAINED even beyond ``keep_last``, and
+    versions outside it drop (the head always survives). Versions without
+    a timestamp (pre-timestamp manifests) are retained conservatively.
+    ``_now`` pins the clock for tests ('YYYY-MM-DD HH:MM:SS', UTC).
+
     Checkpoint-aware: versions folded into a checkpoint are dropped by
     REWRITING the checkpoint without them (atomic replace); the
     checkpoint file disappears once it covers nothing retained.
@@ -700,6 +746,29 @@ def vacuum_snapshots(
         raise ValueError("keep_last must be >= 1")
     vs = _versions(spec)
     drop, keep = vs[:-keep_last], vs[-keep_last:]
+    if retain_hours is not None and vs:
+        import datetime as _dt
+
+        now = (
+            _dt.datetime.now(_dt.timezone.utc).isoformat(
+                sep=" ", timespec="seconds"
+            )
+            if _now is None
+            else _now
+        )
+        horizon = (
+            _dt.datetime.fromisoformat(now)
+            - _dt.timedelta(hours=retain_hours)
+        ).isoformat(sep=" ", timespec="seconds")
+
+        def _retained(v: int) -> bool:
+            at = _read_manifest(spec, v).get("committed_at")
+            # strip tz suffix if present; ISO compare
+            return at is None or str(at)[:19] >= horizon[:19]
+
+        keep_set = {v for v in vs if _retained(v)} | {vs[-1]} | set(keep)
+        keep = sorted(keep_set)
+        drop = [v for v in vs if v not in keep_set]
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(spec, v)["dirs"])
@@ -930,6 +999,8 @@ def snapshot_history(spec: TableSpec) -> list[dict]:
             "parent": m.get("parent"),
             "n_dirs": len(m["dirs"]),
         }
+        if "committed_at" in m:
+            row["committed_at"] = m["committed_at"]
         rows = m.get("rows", {})
         if all(d in rows for d in m["dirs"]):
             row["n_rows"] = sum(int(rows[d]) for d in m["dirs"])

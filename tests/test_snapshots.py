@@ -729,3 +729,81 @@ def test_optimize_zorder_multi_dir_skipping(spark, tmp_path):
     assert len(deleted) == 2
     assert snapshot_read(spark, spec).count() == 8000
     assert len(snapshot_dirs(spec, v)) == 8
+
+
+def _set_committed_at(spec, version, ts):
+    import json as _json
+
+    from creatorops_lakehouse_spark.sources.snapshots import _manifest_dir
+
+    p = os.path.join(_manifest_dir(spec), f"v{version}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    m["committed_at"] = ts
+    with open(p, "w") as f:
+        _json.dump(m, f)
+
+
+def test_timestamp_as_of_and_retain_hours(spark, tmp_path):
+    """Delta's time-based surface: timestampAsOf resolves the head as of
+    a UTC instant, and VACUUM RETAIN N HOURS keeps every version inside
+    the window (plus the head) while dropping older history."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_history,
+        version_as_of,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), spec)
+    for v, ts in ((0, "2026-08-10 00:00:00"), (1, "2026-08-12 00:00:00"),
+                  (2, "2026-08-14 00:00:00")):
+        _set_committed_at(spec, v, ts)
+
+    assert version_as_of(spec, "2026-08-12 00:00:00") == 1  # inclusive
+    assert version_as_of(spec, "2026-08-13 09:00:00") == 1
+    assert version_as_of(spec, "2026-08-20 00:00:00") == 2
+    assert _rows(snapshot_read(spark, spec, timestamp="2026-08-11 00:00:00")) == {
+        (1, "a")
+    }
+    with pytest.raises(ValueError, match="at or before"):
+        version_as_of(spec, "2026-08-01 00:00:00")
+    with pytest.raises(ValueError, match="not both"):
+        snapshot_read(spark, spec, version=1, timestamp="2026-08-12 00:00:00")
+    assert [h["committed_at"] for h in snapshot_history(spec)] == [
+        "2026-08-10 00:00:00", "2026-08-12 00:00:00", "2026-08-14 00:00:00",
+    ]
+
+    # RETAIN 72 HOURS as of Aug 15: v0 (5 days old) drops, v1/v2 retained.
+    # Appends share data dirs, so no dir frees — v0's MANIFEST is gone.
+    deleted = vacuum_snapshots(
+        spec, retain_hours=72, _now="2026-08-15 00:00:00"
+    )
+    assert deleted == []
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        snapshot_read(spark, spec, version=0)
+    assert _rows(snapshot_read(spark, spec, version=1)) == {(1, "a"), (2, "b")}
+    # the head survives ANY window, even one that excludes everything
+    vacuum_snapshots(spec, retain_hours=1, _now="2026-09-01 00:00:00")
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        snapshot_read(spark, spec, version=1)
+
+
+def test_pyds_timestamp_as_of(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.pyds import register_snapshot_source
+
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+    _set_committed_at(spec, 0, "2026-08-10 00:00:00")
+    _set_committed_at(spec, 1, "2026-08-14 00:00:00")
+    got = (
+        spark.read.format("snapshot")
+        .option("path", spec.path)
+        .option("timestampAsOf", "2026-08-11 00:00:00")
+        .load()
+    )
+    assert _rows(got) == {(1, "a")}
