@@ -1074,10 +1074,13 @@ def optimize_snapshots(
         .withColumn("_zbucket", F.spark_partition_id())
         .drop("_zk")
     )
+    # hive partition columns nest UNDER the bucket, so each bucket subdir
+    # is a self-contained partitioned layout (per-dir reads re-discover
+    # the partition columns rooted at the bucket)
     (
         clustered.write.format(spec.format)
         .mode("errorifexists")
-        .partitionBy("_zbucket")
+        .partitionBy("_zbucket", *(spec.partition_by or ()))
         .save(os.path.join(spec.path, rel_dir))
     )
     # each _zbucket subdir becomes its OWN manifest dir: per-bucket stats

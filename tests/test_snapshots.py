@@ -807,3 +807,27 @@ def test_pyds_timestamp_as_of(spark, tmp_path):
         .load()
     )
     assert _rows(got) == {(1, "a")}
+
+
+def test_optimize_zorder_partitioned_spec(spark, tmp_path):
+    """ZORDER optimize on a hive-partitioned spec: partition columns nest
+    under each bucket subdir, reads rediscover them, content and counts
+    survive."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+        snapshot_count,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"), partition_by=("p",))
+    snapshot_write(
+        spark.range(0, 400).selectExpr(
+            "id AS x", "id % 7 AS y", "CASE WHEN id % 2 = 0 THEN 'e' ELSE 'o' END AS p"
+        ),
+        spec,
+    )
+    v = optimize_snapshots(spark, spec, zorder_by=["x", "y"], target_dirs=4)
+    assert len(snapshot_dirs(spec, v)) == 4
+    head = snapshot_read(spark, spec)
+    assert head.count() == 400 and snapshot_count(spec) == 400
+    assert head.filter("p = 'e'").count() == 200
+    assert head.selectExpr("sum(x)").collect()[0][0] == sum(range(400))
