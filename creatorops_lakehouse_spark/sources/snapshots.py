@@ -1035,7 +1035,10 @@ def optimize_snapshots(
     prunes most dirs via ``pruned_dirs``/``snapshot_read_where``/the
     pushFilters hook — Delta's clustered-OPTIMIZE payoff, expressed at
     commit-dir granularity. One range shuffle; stats cost is one small
-    aggregate per bucket.
+    aggregate per bucket. The bucket count is best-effort <= target_dirs
+    (range sampling can leave a boundary empty — the same contract as
+    Delta's OPTIMIZE file counts); skipping quality depends on the Z-key
+    spread, not on hitting the exact count.
 
     ``max_dirs``: only run when the head references MORE than this many
     dirs (the maintenance-loop guard; None = always). Returns the new
