@@ -73,6 +73,11 @@ class SchemaMismatchError(ValueError):
     to evolve additively — Delta's mergeSchema)."""
 
 
+class ConstraintViolationError(ValueError):
+    """A write contains rows that violate a table CHECK constraint, or
+    ADD CONSTRAINT found existing rows violating the new constraint."""
+
+
 def _merge_schemas(old, new):
     """Delta-style additive evolution: old fields keep their order and
     types; new fields append. A same-name field with a DIFFERENT type is a
@@ -372,6 +377,106 @@ def last_txn_version(spec: TableSpec, app_id: str) -> int | None:
     return None if v is None else int(v)
 
 
+def table_constraints(spec: TableSpec) -> dict[str, str]:
+    """CHECK constraints recorded on the table head: {name: sql_expr}.
+    Empty table or never-constrained table → {}."""
+    cur = current_version(spec)
+    if cur is None:
+        return {}
+    return dict(_read_manifest(spec, cur).get("constraints", {}))
+
+
+def _enforce_constraints(df: DataFrame, constraints: dict[str, str]) -> None:
+    """Raise ConstraintViolationError if any row makes any constraint
+    expression FALSE (SQL-standard CHECK: NULL passes). All constraints
+    evaluate in ONE aggregate pass over ``df``."""
+    if not constraints:
+        return
+    import pyspark.sql.functions as F
+
+    aggs = [
+        F.sum(
+            F.when(~F.coalesce(F.expr(e), F.lit(True)), 1).otherwise(0)
+        ).alias(name)
+        for name, e in constraints.items()
+    ]
+    row = df.agg(*aggs).collect()[0]
+    bad = {
+        name: int(row[name] or 0)
+        for name in constraints
+        if (row[name] or 0) > 0
+    }
+    if bad:
+        detail = ", ".join(
+            f"{n} [{constraints[n]}]: {c} rows" for n, c in sorted(bad.items())
+        )
+        raise ConstraintViolationError(
+            f"write violates CHECK constraint(s): {detail}"
+        )
+
+
+def add_check_constraint(
+    spark: SparkSession, spec: TableSpec, name: str, expr: str
+) -> int:
+    """Delta's ``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``:
+    validates EXISTING table data against ``expr`` (one scan — rows where
+    the expression is FALSE violate; NULL passes, per the SQL standard),
+    then commits a metadata-only version carrying the constraint. Every
+    subsequent ``snapshot_write`` (append and overwrite alike — constraints
+    are table-level properties, not file-set state) pre-checks its rows and
+    refuses the commit on violation. Returns the new version."""
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(
+            f"cannot add constraint to empty table at {spec.path}"
+        )
+    cons = table_constraints(spec)
+    if name in cons:
+        raise ValueError(
+            f"constraint {name!r} already exists: {cons[name]!r}"
+        )
+    try:
+        _enforce_constraints(snapshot_read(spark, spec), {name: expr})
+    except ConstraintViolationError as e:
+        raise ConstraintViolationError(
+            f"ADD CONSTRAINT {name} rejected — existing data violates it: {e}"
+        ) from None
+    manifest = _metadata_commit_body(spec, cur, mode="set_constraint")
+    manifest["constraints"] = {**cons, name: expr}
+    _commit(spec, cur + 1, manifest)
+    return cur + 1
+
+
+def _metadata_commit_body(spec: TableSpec, cur: int, mode: str) -> dict:
+    """Manifest for a metadata-only commit: the head's file-set state
+    (dirs/schema/stats/rows) and table-level state (txns/constraints)
+    carried verbatim under a new version."""
+    head = _read_manifest(spec, cur)
+    manifest = {"version": cur + 1, "mode": mode, "parent": cur,
+                "dirs": head["dirs"]}
+    for k in ("schema", "stats", "rows", "txns", "constraints"):
+        if k in head:
+            manifest[k] = head[k]
+    return manifest
+
+
+def drop_check_constraint(spec: TableSpec, name: str) -> int:
+    """``ALTER TABLE ... DROP CONSTRAINT``: metadata-only commit without
+    the named constraint. Returns the new version."""
+    cur = current_version(spec)
+    cons = table_constraints(spec)
+    if name not in cons:
+        raise ValueError(f"no constraint {name!r} at {spec.path}")
+    del cons[name]
+    manifest = _metadata_commit_body(spec, cur, mode="drop_constraint")
+    if cons:
+        manifest["constraints"] = cons
+    else:
+        manifest.pop("constraints", None)
+    _commit(spec, cur + 1, manifest)
+    return cur + 1
+
+
 def snapshot_write_txn(
     df: DataFrame,
     spec: TableSpec,
@@ -468,6 +573,14 @@ def snapshot_write(
                         "evolve additively or mode='overwrite' to replace"
                     )
                 commit_schema = _merge_schemas(table_schema, df.schema)
+    # CHECK constraints are table-level properties enforced on EVERY write
+    # mode (one aggregate pass over df, before any data lands); the rebase
+    # loop re-validates constraints a concurrent commit added meanwhile
+    head_cons = {} if cur is None else _read_manifest(spec, cur).get(
+        "constraints", {}
+    )
+    _enforce_constraints(df, head_cons)
+    validated_cons = set(head_cons.items())
     version = 0 if cur is None else cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
@@ -487,6 +600,15 @@ def snapshot_write(
         # actions across appends and overwrites alike — app progress is
         # table-level state, not file-set state)
         txns = {} if head_m is None else dict(head_m.get("txns", {}))
+        # constraints survive every write mode too; a rebase may meet a
+        # constraint a concurrent commit just added — validate the fresh
+        # ones before adopting them
+        cons = {} if head_m is None else dict(head_m.get("constraints", {}))
+        fresh_cons = {
+            n: e for n, e in cons.items() if (n, e) not in validated_cons
+        }
+        _enforce_constraints(df, fresh_cons)
+        validated_cons |= set(fresh_cons.items())
         if head_m is None or mode == "overwrite":
             prev_dirs, prev_stats, prev_rows = [], {}, {}
         else:
@@ -519,6 +641,8 @@ def snapshot_write(
         }
         if txns:
             manifest["txns"] = txns
+        if cons:
+            manifest["constraints"] = cons
         try:
             _commit(spec, version, manifest)
             return version
@@ -624,9 +748,13 @@ def rollback(spec: TableSpec, version: int) -> int:
     # app txn watermarks are monotonic progress, not file-set state: a
     # RESTORE keeps the HEAD's records (matching Delta — rolling them back
     # would re-admit already-processed streaming batches)
-    head_txns = _read_manifest(spec, cur).get("txns", {})
-    if head_txns:
-        manifest["txns"] = head_txns
+    head_m = _read_manifest(spec, cur)
+    if head_m.get("txns"):
+        manifest["txns"] = head_m["txns"]
+    # constraints are table properties, not file-set state: RESTORE keeps
+    # the head's (Delta RESTORE does not roll back table properties)
+    if head_m.get("constraints"):
+        manifest["constraints"] = head_m["constraints"]
     if "schema" in old:  # restore reads with the restored version's schema
         manifest["schema"] = old["schema"]
     if "stats" in old:
@@ -635,6 +763,83 @@ def rollback(spec: TableSpec, version: int) -> int:
         manifest["rows"] = old["rows"]
     _commit(spec, new_v, manifest)
     return new_v
+
+
+def snapshot_clone(
+    src: TableSpec,
+    dst: TableSpec,
+    version: int | None = None,
+    shallow: bool = True,
+) -> int:
+    """Delta's ``CREATE TABLE ... CLONE``: make ``dst`` a new snapshot
+    table whose v0 content equals ``src`` at ``version`` (head by
+    default). Returns the clone's version (0).
+
+    - ``shallow=True``: zero data copied — the clone's manifest references
+      the source's data dirs by ABSOLUTE path. O(metadata) regardless of
+      table size; subsequent writes to the clone land under the clone's
+      own root, and the clone's vacuum never touches absolute (source-
+      owned) dirs. Caveat (same as Delta): vacuuming the SOURCE can
+      delete files a shallow clone still references — deep-clone anything
+      that must outlive the source's retention.
+    - ``shallow=False``: deep clone — data dirs are copied under the
+      clone's root; the clone is fully self-contained.
+
+    Schema, per-dir stats, and row counts carry over (remapped to the
+    clone's dir names). CHECK constraints carry (table properties clone);
+    app txn watermarks do NOT (Delta: streaming transaction ids are not
+    cloned — a clone is a new table with its own write history).
+    """
+    if current_version(dst) is not None:
+        raise ValueError(f"clone target {dst.path} already has snapshots")
+    if dst.format != src.format or dst.partition_by != src.partition_by:
+        raise ValueError(
+            "clone target spec must match source format and partitioning"
+        )
+    v = current_version(src) if version is None else version
+    if v is None:
+        raise ValueError(f"no snapshots to clone at {src.path}")
+    m = _read_manifest(src, v)
+    dir_map: dict[str, str] = {}
+    if shallow:
+        for d in m["dirs"]:
+            dir_map[d] = os.path.join(os.path.abspath(src.path), d)
+    else:
+        import shutil
+
+        for d in m["dirs"]:
+            # flatten possible subdir commits (zorder buckets) to a safe
+            # relative name under the clone's data root
+            rel = "data/" + d.split("/", 1)[1].replace("/", "__")
+            shutil.copytree(
+                os.path.join(src.path, d), os.path.join(dst.path, rel)
+            )
+            dir_map[d] = rel
+    manifest = {
+        "version": 0,
+        "mode": "clone",
+        "dirs": [dir_map[d] for d in m["dirs"]],
+        "parent": None,
+        "cloned_from": {
+            "path": os.path.abspath(src.path),
+            "version": v,
+            "shallow": shallow,
+        },
+    }
+    if "schema" in m:
+        manifest["schema"] = m["schema"]
+    if "stats" in m:
+        manifest["stats"] = {
+            dir_map[d]: s for d, s in m["stats"].items() if d in dir_map
+        }
+    if "rows" in m:
+        manifest["rows"] = {
+            dir_map[d]: r for d, r in m["rows"].items() if d in dir_map
+        }
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
+    _commit(dst, 0, manifest)
+    return 0
 
 
 def snapshot_diff(
@@ -805,6 +1010,12 @@ def vacuum_snapshots(
     deleted = []
     data_root = os.path.join(spec.path, "data")
     for d in sorted(doomed):
+        if os.path.isabs(d):
+            # a shallow clone references the SOURCE table's data dirs by
+            # absolute path — the clone never owns them, so its vacuum
+            # must never delete them (deleting would corrupt the source
+            # and every other clone)
+            continue
         full = os.path.join(spec.path, d)
         if os.path.isdir(full):
             shutil.rmtree(full)
@@ -846,6 +1057,9 @@ def _rewrite_commit(
     ops ABORT on a commit race (like overwrite — the rewrite was computed
     against a head a concurrent writer just replaced)."""
     head = _read_manifest(spec, cur)
+    # MERGE/DELETE output rows must honor table CHECK constraints, exactly
+    # like direct writes (Delta enforces constraints on merge output)
+    _enforce_constraints(new_rows, head.get("constraints", {}))
     version = cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
@@ -873,6 +1087,8 @@ def _rewrite_commit(
         manifest["schema"] = head["schema"]
     if head.get("txns"):  # app txn watermarks survive rewrites
         manifest["txns"] = head["txns"]
+    if head.get("constraints"):  # table properties survive rewrites
+        manifest["constraints"] = head["constraints"]
     _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
     return version
 
@@ -1034,11 +1250,12 @@ def optimize_snapshots(
     clustering: a point/range predicate on ANY participating column now
     prunes most dirs via ``pruned_dirs``/``snapshot_read_where``/the
     pushFilters hook — Delta's clustered-OPTIMIZE payoff, expressed at
-    commit-dir granularity. One range shuffle; stats cost is one small
-    aggregate per bucket. The bucket count is best-effort <= target_dirs
-    (range sampling can leave a boundary empty — the same contract as
-    Delta's OPTIMIZE file counts); skipping quality depends on the Z-key
-    spread, not on hitting the exact count.
+    commit-dir granularity. Buckets are EXACT equi-depth slices of the
+    sorted Z-key (distributed global rank + NTILE arithmetic — no sampled
+    range boundaries), so the layout and its skipping quality are
+    deterministic: exactly ``min(target_dirs, n_rows)`` buckets, each
+    within one row of n/k. Cost: the rank's range shuffle + one hash
+    shuffle on the bucket id; stats are one small aggregate per bucket.
 
     ``max_dirs``: only run when the head references MORE than this many
     dirs (the maintenance-loop guard; None = always). Returns the new
@@ -1068,14 +1285,31 @@ def optimize_snapshots(
     scalars = [f"_zmin_{j}" for j in range(len(zorder_by))] + [
         f"_zmax_{j}" for j in range(len(zorder_by))
     ]
-    clustered = (
+    from creatorops_lakehouse_spark.operators.sampling import (
+        distributed_global_rank,
+        ntile_from_rank,
+    )
+
+    with_zk = (
         rows.crossJoin(F.broadcast(rows.agg(*aggs)))
         .withColumn("_zk", zorder_key(zorder_by))
         .drop(*scalars)
-        .repartitionByRange(target_dirs, "_zk")
-        .sortWithinPartitions("_zk")
-        .withColumn("_zbucket", F.spark_partition_id())
-        .drop("_zk")
+    )
+    # exact equi-depth buckets via the distributed global rank + NTILE
+    # arithmetic (NOT repartitionByRange — its sampled boundaries are
+    # nondeterministic and can skew, which degrades per-bucket stats and
+    # therefore skipping). Rows tied on _zk carry identical clustered
+    # values, so tie placement across a bucket boundary never widens a
+    # bucket's min/max: skipping quality is deterministic.
+    ranked, n_rows = distributed_global_rank(
+        with_zk, [F.col("_zk")], "_zrank"
+    )
+    k = max(1, min(target_dirs, n_rows))
+    clustered = (
+        ranked.withColumn("_zbucket", ntile_from_rank("_zrank", n_rows, k) - 1)
+        .repartition(k, "_zbucket")
+        .sortWithinPartitions("_zbucket", "_zk")
+        .drop("_zk", "_zrank")
     )
     # hive partition columns nest UNDER the bucket, so each bucket subdir
     # is a self-contained partitioned layout (per-dir reads re-discover
@@ -1112,5 +1346,7 @@ def optimize_snapshots(
     }
     if head.get("txns"):
         manifest["txns"] = head["txns"]
+    if head.get("constraints"):
+        manifest["constraints"] = head["constraints"]
     _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
     return version

@@ -106,6 +106,66 @@ def streaming_stage_transitions(silver_stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_stage_transitions_gs(silver_stream: DataFrame) -> DataFrame:
+    """Stage-transition stream via ``applyInPandasWithState`` (GroupState).
+
+    Same keyed-state semantics as ``streaming_stage_transitions`` — remember
+    each story's last (stage, event-time) across micro-batches, emit a
+    transition row when the next event arrives — but realized on the
+    GroupState API, which uses the Arrow-only state channel and therefore
+    runs without the protobuf-based Python state server that
+    ``transformWithStateInPandas`` requires. This is the portable in-engine
+    form (reference capability: runbooks/silver-transform.md stage
+    durations; batch twin pipelines/gold/bottlenecks.py lead() window).
+
+    Scale notes: state is one tiny tuple per (tenant, story) key, held by
+    the streaming state store and shuffled only by the groupBy keys; rows
+    reach Python as Arrow batches per key group.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        tenant_id, story_id = key
+        events = pd.concat(list(pdfs), ignore_index=True).sort_values("ts_micros")
+        if state.exists:
+            prev_stage, prev_ts = state.get
+        else:
+            prev_stage, prev_ts = None, None
+        out: list[tuple] = []
+        for row in events.itertuples(index=False):
+            if prev_stage is not None and row.ts_micros >= prev_ts:
+                out.append(
+                    (
+                        tenant_id,
+                        story_id,
+                        prev_stage,
+                        row.stage,
+                        (row.ts_micros - prev_ts) / 1_000_000.0,
+                    )
+                )
+            prev_stage, prev_ts = row.stage, int(row.ts_micros)
+        state.update((prev_stage, prev_ts))
+        if out:
+            yield pd.DataFrame(
+                out, columns=[f.name for f in TRANSITION_SCHEMA.fields]
+            )
+
+    keyed = silver_stream.filter(F.col("stage").isNotNull()).select(
+        "tenant_id",
+        "story_id",
+        "stage",
+        F.unix_micros("occurred_at").alias("ts_micros"),
+    )
+    return keyed.groupBy("tenant_id", "story_id").applyInPandasWithState(
+        fn,
+        TRANSITION_SCHEMA,
+        _STATE_SCHEMA,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def stage_transitions_foreachbatch(
     state_path: str,
     out_path: str,

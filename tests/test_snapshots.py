@@ -836,3 +836,153 @@ def test_optimize_zorder_partitioned_spec(spark, tmp_path):
     assert head.count() == 400 and snapshot_count(spec) == 400
     assert head.filter("p = 'e'").count() == 200
     assert head.selectExpr("sum(x)").collect()[0][0] == sum(range(400))
+
+
+def test_check_constraints_enforced_on_write(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        ConstraintViolationError,
+        add_check_constraint,
+        drop_check_constraint,
+        table_constraints,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), spec)
+    v = add_check_constraint(spark, spec, "id_positive", "id > 0")
+    assert v == 1 and table_constraints(spec) == {"id_positive": "id > 0"}
+    # metadata-only commit: content unchanged, still time-travelable
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b")}
+
+    # violating append refuses BEFORE committing (no new version, no data)
+    with pytest.raises(ConstraintViolationError, match="id_positive"):
+        snapshot_write(spark.createDataFrame([(-5, "x")], ["id", "v"]), spec)
+    assert current_version(spec) == 1
+
+    # NULL passes (SQL-standard CHECK), and constraints survive overwrite
+    import pyspark.sql.functions as F
+
+    nullrow = spark.createDataFrame([("n",)], ["v"]).select(
+        F.lit(None).cast("long").alias("id"), "v"
+    )
+    v2 = snapshot_write(nullrow, spec, mode="overwrite")
+    assert v2 == 2 and table_constraints(spec) == {"id_positive": "id > 0"}
+    with pytest.raises(ConstraintViolationError):
+        snapshot_write(spark.createDataFrame([(0, "y")], ["id", "v"]), spec)
+
+    # drop lifts enforcement
+    v3 = drop_check_constraint(spec, "id_positive")
+    assert v3 == 3 and table_constraints(spec) == {}
+    snapshot_write(spark.createDataFrame([(0, "y")], ["id", "v"]), spec)
+
+
+def test_add_constraint_validates_existing_data(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        ConstraintViolationError,
+        add_check_constraint,
+        table_constraints,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (-2, "b")], ["id", "v"]), spec)
+    with pytest.raises(ConstraintViolationError, match="existing data"):
+        add_check_constraint(spark, spec, "id_positive", "id > 0")
+    assert table_constraints(spec) == {} and current_version(spec) == 0
+
+
+def test_constraints_survive_merge_and_rollback(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        ConstraintViolationError,
+        add_check_constraint,
+        snapshot_merge,
+        table_constraints,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), spec)
+    add_check_constraint(spark, spec, "v_nonempty", "length(v) > 0")
+    # merge whose source violates -> refused before any commit
+    with pytest.raises(ConstraintViolationError, match="v_nonempty"):
+        snapshot_merge(
+            spark, spec, spark.createDataFrame([(2, "")], ["id", "v"]), ["id"]
+        )
+    v = snapshot_merge(
+        spark, spec, spark.createDataFrame([(2, "B")], ["id", "v"]), ["id"]
+    )
+    assert table_constraints(spec) == {"v_nonempty": "length(v) > 0"}
+    rollback(spec, 0)
+    # RESTORE keeps table properties (constraints), like Delta
+    assert table_constraints(spec) == {"v_nonempty": "length(v) > 0"}
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b")}
+
+
+def test_shallow_clone_zero_copy_independent(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_clone
+
+    src = TableSpec("t.src", str(tmp_path / "src"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), src)
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), src)
+
+    dst = TableSpec("t.dst", str(tmp_path / "dst"))
+    assert snapshot_clone(src, dst, shallow=True) == 0
+    assert _rows(snapshot_read(spark, dst)) == {(1, "a"), (2, "b"), (3, "c")}
+    # zero data files under the clone's root (manifest-only)
+    assert not os.path.isdir(os.path.join(dst.path, "data"))
+
+    # divergence is independent in both directions
+    snapshot_write(spark.createDataFrame([(4, "d")], ["id", "v"]), dst)
+    snapshot_write(spark.createDataFrame([(9, "z")], ["id", "v"]), src)
+    assert _rows(snapshot_read(spark, dst)) == {(1, "a"), (2, "b"), (3, "c"), (4, "d")}
+    assert _rows(snapshot_read(spark, src)) == {(1, "a"), (2, "b"), (3, "c"), (9, "z")}
+
+    # clone vacuum never deletes source-owned (absolute) dirs
+    snapshot_write(
+        spark.createDataFrame([(7, "q")], ["id", "v"]), dst, mode="overwrite"
+    )
+    deleted = vacuum_snapshots(dst, keep_last=1)
+    assert all(not os.path.isabs(d) for d in deleted)
+    assert _rows(snapshot_read(spark, src)) == {(1, "a"), (2, "b"), (3, "c"), (9, "z")}
+
+    # clone target must be empty; spec shape must match
+    with pytest.raises(ValueError, match="already has snapshots"):
+        snapshot_clone(src, dst)
+
+
+def test_clone_at_version_and_deep_survives_source_vacuum(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_clone
+
+    src = TableSpec("t.src", str(tmp_path / "src"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), src)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), src)
+
+    deep = TableSpec("t.deep", str(tmp_path / "deep"))
+    snapshot_clone(src, deep, version=0, shallow=False)
+    assert _rows(snapshot_read(spark, deep)) == {(1, "a")}
+
+    # source history vanishes entirely: deep clone is self-contained
+    snapshot_write(
+        spark.createDataFrame([(9, "z")], ["id", "v"]), src, mode="overwrite"
+    )
+    vacuum_snapshots(src, keep_last=1)
+    assert _rows(snapshot_read(spark, deep)) == {(1, "a")}
+
+
+def test_clone_carries_constraints_and_stats(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        ConstraintViolationError,
+        add_check_constraint,
+        snapshot_clone,
+        snapshot_count,
+        table_constraints,
+    )
+
+    src = TableSpec("t.src", str(tmp_path / "src"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), src)
+    add_check_constraint(spark, src, "id_positive", "id > 0")
+
+    dst = TableSpec("t.dst", str(tmp_path / "dst"))
+    snapshot_clone(src, dst, shallow=True)
+    assert table_constraints(dst) == {"id_positive": "id > 0"}
+    with pytest.raises(ConstraintViolationError):
+        snapshot_write(spark.createDataFrame([(-1, "x")], ["id", "v"]), dst)
+    # row-count stats remapped: COUNT(*) stays metadata-only on the clone
+    assert snapshot_count(dst) == 2

@@ -16,6 +16,7 @@ from creatorops_lakehouse_spark.streaming.pipeline import (
 from creatorops_lakehouse_spark.streaming.stateful import (
     stage_transitions_foreachbatch,
     streaming_stage_transitions,
+    streaming_stage_transitions_gs,
 )
 
 AS_OF = "2026-04-02 00:00:00"
@@ -95,6 +96,52 @@ def test_stage_durations_across_batches(spark, tmp_path):
     got = [(r.stage, r.next_stage, r.duration_seconds) for r in rows]
     assert ("DRAFT", "WRITE", 7200.0) in got
     assert ("WRITE", "REVISION", 10800.0) in got  # crossed the batch boundary
+    assert all(r.tenant_id == "t1" and r.story_id == "s1" for r in rows)
+
+
+def _run_gs_batch(spark, inp, out, ckpt):
+    silver = streaming_silver(read_event_stream(spark, inp), as_of_ts=AS_OF, dedup=False)
+    transitions = streaming_stage_transitions_gs(silver)
+
+    def write(df, _bid):
+        df.write.mode("append").parquet(out)
+
+    q = (
+        transitions.writeStream.outputMode("append")
+        .foreachBatch(write)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+
+def test_groupstate_stage_durations_across_batches(spark, tmp_path):
+    # applyInPandasWithState uses the Arrow-only state channel — no protobuf
+    # needed — so unlike the transformWithStateInPandas twin above this runs
+    # for real in this environment. The WRITE→REVISION transition spans the
+    # micro-batch boundary and is only derivable from persisted keyed state.
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    (inp / "b1.ndjson").write_text(
+        _ev("e1", "draft_created", "2026-04-01T08:00:00Z")
+        + "\n"
+        + _ev("e2", "chapter_written", "2026-04-01T10:00:00Z")
+        + "\n"
+    )
+    _run_gs_batch(spark, str(inp), out, ckpt)
+    (inp / "b2.ndjson").write_text(
+        _ev("e3", "scene_revised", "2026-04-01T13:00:00Z") + "\n"
+    )
+    _run_gs_batch(spark, str(inp), out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    got = {(r.stage, r.next_stage, r.duration_seconds) for r in rows}
+    assert got == {
+        ("DRAFT", "WRITE", 7200.0),
+        ("WRITE", "REVISION", 10800.0),  # crossed the micro-batch boundary
+    }
     assert all(r.tenant_id == "t1" and r.story_id == "s1" for r in rows)
 
 
