@@ -765,3 +765,114 @@ def orders_snapshot_merge_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_commits long, n_rows long, sum_cents long, "
         "untouched_ok boolean, time_travel_ok boolean",
     )
+
+
+@query(
+    "orders_snapshot_update_verdict",
+    oracle="""
+    WITH k AS (SELECT MAX(o_orderkey) // 4 + 1 AS w FROM orders),
+    b AS (
+        SELECT LEAST(o_orderkey // (SELECT w FROM k), 3) AS band,
+               o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM b) AS n_commits,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN band = 2 THEN cents * 2 + 7
+                         ELSE cents END) AS BIGINT) AS sum_cents,
+           TRUE AS untouched_ok, TRUE AS time_travel_ok
+    FROM b
+    """,
+)
+def orders_snapshot_update_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET ... WHERE with stats-bounded rewrite under the
+    driver hash gate — the third DML leg next to the merge and bloom
+    verdicts: commit orders as one snapshot append per disjoint orderkey
+    band, run ``snapshot_update_where`` over band 2's key range with an
+    expression SET (``cents = cents * 2 + 7`` — evaluated per matched
+    row, not a constant fill), then pin:
+
+    - untouched_ok: every band-≠2 commit dir carried into the post-update
+      manifest byte-identical (manifest stats bounded the rewrite to the
+      one intersecting commit);
+    - time_travel_ok: the pre-update version still serves the original
+      cents checksum (UPDATE is a new version, not a mutation);
+    - n_rows / sum_cents: the updated head hash-checked against the
+      oracle's independent recomputation of the same UPDATE.
+
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    max_key = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    w = max_key // 4 + 1
+    banded = scoped_persist(
+        orders.withColumn(
+            "band", F.least(F.expr(f"o_orderkey div {w}"), F.lit(3))
+        )
+    )
+    bands = sorted(r[0] for r in banded.select("band").distinct().collect())
+    root = _tempfile.mkdtemp(prefix="snap_upd_")
+    try:
+        spec = TableSpec("t.upd", root + "/t")
+        for b in bands:
+            snapshot_write(banded.filter(F.col("band") == b).drop("band"), spec)
+        pre_v = len(bands) - 1
+        pre_dirs = {b: snapshot_dirs(spec, pre_v)[b] for b in range(len(bands))}
+        pre_sum = snapshot_read(spark, spec).agg(
+            F.sum("cents").cast("long").alias("c")
+        ).collect()[0]["c"]
+
+        # band 2's exact key range: [2w, 3w) clipped to the data
+        v = snapshot_update_where(
+            spark,
+            spec,
+            {"o_orderkey": (2 * w, 3 * w - 1)},
+            {"cents": "cents * 2 + 7"},
+        )
+        post_dirs = set(snapshot_dirs(spec, v))
+        untouched_ok = all(
+            pre_dirs[b] in post_dirs for b in range(len(bands)) if b != 2
+        ) and pre_dirs[2] not in post_dirs
+
+        head = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        tt_sum = snapshot_read(spark, spec, version=pre_v).agg(
+            F.sum("cents").cast("long").alias("c")
+        ).collect()[0]["c"]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(bands),
+                head["n"],
+                head["c"],
+                bool(untouched_ok),
+                tt_sum == pre_sum,
+            )
+        ],
+        "n_commits long, n_rows long, sum_cents long, "
+        "untouched_ok boolean, time_travel_ok boolean",
+    )

@@ -2486,6 +2486,143 @@ def events_snapshot_skipping_verdict(spark: SparkSession, sf_dir: str) -> DataFr
 
 
 @query(
+    "events_snapshot_bloom_verdict",
+    oracle="""
+    WITH p AS (SELECT event_id FROM events ORDER BY event_id LIMIT 8),
+         e AS (
+        SELECT event_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT user_id % 4) AS BIGINT) FROM events)
+               AS n_commits,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_probes,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS no_false_negatives,
+           TRUE AS fp_within_bound,
+           TRUE AS exact_ok
+    FROM e WHERE event_id IN (SELECT event_id FROM p)
+    """,
+)
+def events_snapshot_bloom_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data skipping under the driver hash gate — the
+    point-lookup case min/max stats CANNOT serve: commit events as one
+    snapshot append per ``user_id % 4`` band (event_ids interleave across
+    bands, so every band's event_id min/max envelope overlaps every
+    other's and range stats keep all dirs), each append indexed with
+    ``bloom_for=("event_id",)``. Probe the 8 smallest event_ids and pin:
+
+    - no_false_negatives: every probe's TRUE band dir was kept — the
+      bloom's hard guarantee; a miss here is a correctness bug, not
+      tuning;
+    - fp_within_bound: across 8 probes × 3 foreign bands, at most 4
+      false-positive keeps (fpp 0.001 sized on the commit row count
+      makes even 1 unlikely; 5+ is a broken filter, not bad luck);
+    - exact_ok: the pruned equality reads' row count and cents checksum
+      equal the direct in-engine filter (pruning changed I/O, never
+      semantics);
+    - n_rows / sum_cents hash-check the probed rows against the oracle's
+      independent recomputation over the raw file.
+
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_dirs,
+        snapshot_read_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.pmod(F.col("user_id"), F.lit(4)).alias("band"),
+        )
+    )
+    bands = sorted(r[0] for r in ev.select("band").distinct().collect())
+    probes = [
+        (r["event_id"], r["band"])
+        for r in ev.select("event_id", "band")
+        .orderBy("event_id")
+        .limit(8)
+        .collect()
+    ]
+    root = _tempfile.mkdtemp(prefix="snap_bloom_")
+    try:
+        spec = TableSpec("t.bloom", root + "/t")
+        band_dir: dict[int, str] = {}
+        seen: set[str] = set()
+        for b in bands:
+            v = snapshot_write(
+                ev.filter(F.col("band") == b).drop("band"),
+                spec,
+                bloom_for=("event_id",),
+            )
+            new = set(snapshot_dirs(spec, v)) - seen
+            seen |= new
+            band_dir[b] = new.pop()
+        no_fn, fp_keeps = True, 0
+        n_rows, sum_cents = 0, 0
+        for eid, band in probes:
+            kept, _ = pruned_dirs(spec, {"event_id": (eid, eid)})
+            kept_abs = {_os_join(spec.path, d) for d in kept}
+            if band_dir[band] not in kept_abs:
+                no_fn = False
+            fp_keeps += len(kept_abs - {band_dir[band]})
+            got = (
+                snapshot_read_where(spark, spec, {"event_id": (eid, eid)})
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n"),
+                    F.sum("cents").cast("long").alias("c"),
+                )
+                .collect()[0]
+            )
+            n_rows += got["n"]
+            sum_cents += got["c"] or 0
+        direct = ev.filter(
+            F.col("event_id").isin([e for e, _ in probes])
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    exact_ok = n_rows == direct["n"] and sum_cents == (direct["c"] or 0)
+    return spark.createDataFrame(
+        [
+            (
+                len(bands),
+                len(probes),
+                n_rows,
+                sum_cents,
+                no_fn,
+                fp_keeps <= 4,
+                exact_ok,
+            )
+        ],
+        "n_commits long, n_probes long, n_rows long, sum_cents long, "
+        "no_false_negatives boolean, fp_within_bound boolean, "
+        "exact_ok boolean",
+    )
+
+
+def _os_join(*parts: str) -> str:
+    import os as _os
+
+    return _os.path.join(*parts)
+
+
+@query(
     "events_streaming_session_verdict",
     oracle="""
     WITH marked AS (

@@ -188,6 +188,170 @@ _STATS_TYPES = (
     "float", "double", "string", "date", "timestamp", "timestamp_ntz",
 )
 
+#: types eligible for per-commit bloom filters: the probe value must have
+#: ONE canonical string form identical in Spark (CAST AS STRING) and
+#: Python (str()) — integers and strings qualify; floats/dates/timestamps
+#: have engine-specific formatting and are excluded
+_BLOOM_TYPES = ("byte", "short", "int", "integer", "long", "bigint", "string")
+
+#: bloom geometry bounds: m is rounded up to whole bytes and capped so a
+#: sidecar stays small metadata (2^17 bits = 16 KiB bitmap per column per
+#: commit); k capped at 8 hash probes
+_BLOOM_MAX_BITS_DEFAULT = 1 << 17
+
+
+def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
+    """Optimal (m bits, k hashes) for ``n`` expected values at ``fpp``
+    false-positive rate, clamped to [64, max_bits] bits (byte-aligned)
+    and [1, 8] hashes. ``n`` is the commit's ROW count — an upper bound
+    on distinct values, so the realized fpp is at or below the target."""
+    import math
+
+    n = max(1, n)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = max(64, min(max_bits, m))
+    m = (m + 7) // 8 * 8
+    k = max(1, min(8, round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_position(value_str: str, seed: int, m: int) -> int:
+    """Driver-side probe position: the same sha256-derived slot the write
+    path computes in-engine (``_bloom_positions_cols``). 15 hex chars =
+    60 bits, uniform mod m."""
+    import hashlib
+
+    h = hashlib.sha256(f"{value_str}|{seed}".encode()).hexdigest()
+    return int(h[:15], 16) % m
+
+
+def _bloom_positions_cols(col: str, k: int, m: int) -> list:
+    """In-engine bloom slot expressions for column ``col`` — one per hash
+    seed. MUST stay bit-identical to ``_bloom_position``: sha256 over
+    '<value-as-string>|<seed>', first 15 hex chars as an integer, mod m.
+    sha2/conv/substring are all JVM built-ins (no Python UDF on the write
+    path); CAST(int AS STRING) and Python str(int) agree by construction
+    (_BLOOM_TYPES excludes every type where they could diverge)."""
+    import pyspark.sql.functions as F
+
+    s = F.col(col).cast("string")
+    return [
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.sha2(F.concat_ws("|", s, F.lit(str(i))), 256), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(m),
+        )
+        for i in range(k)
+    ]
+
+
+def _bloom_sidecar_dir(spec: TableSpec) -> str:
+    return os.path.join(spec.path, "_bloom")
+
+
+def _collect_bloom(
+    spark: SparkSession,
+    spec: TableSpec,
+    rel_dir: str,
+    df_schema,
+    bloom_for,
+    fpp: float,
+    max_bits: int,
+    n_rows: int,
+) -> str | None:
+    """Build per-column bloom filters over the just-written commit dir and
+    persist them as ONE sidecar JSON under ``<root>/_bloom/`` (Delta keeps
+    bloom indexes in separate index files for the same reason — bitmaps
+    would bloat the log). Returns the sidecar's table-relative path, or
+    None when no requested column is bloom-eligible.
+
+    Cost: one distinct-aggregation per column over ONLY the new commit
+    (distinct slot positions are bounded by m, so the driver pull is
+    bounded metadata — at most 16 KiB of bits per column)."""
+    import base64
+
+    import pyspark.sql.functions as F
+
+    eligible = {
+        f.name
+        for f in df_schema.fields
+        if f.dataType.typeName() in _BLOOM_TYPES
+        and f.name not in (spec.partition_by or ())
+    }
+    cols = [c for c in bloom_for if c in eligible]
+    if not cols:
+        return None
+    part = spark.read.format(spec.format).load(os.path.join(spec.path, rel_dir))
+    body: dict[str, dict] = {}
+    for c in cols:
+        m, k = _bloom_params(n_rows, fpp, max_bits)
+        positions = [
+            r[0]
+            for r in (
+                part.select(c)
+                .where(F.col(c).isNotNull())
+                .select(
+                    F.explode(F.array(*_bloom_positions_cols(c, k, m))).alias("p")
+                )
+                .distinct()
+                .collect()
+            )
+        ]
+        bits = bytearray(m // 8)
+        for p in positions:
+            bits[p // 8] |= 1 << (p % 8)
+        body[c] = {
+            "m": m,
+            "k": k,
+            "bits": base64.b64encode(bytes(bits)).decode("ascii"),
+        }
+    os.makedirs(_bloom_sidecar_dir(spec), exist_ok=True)
+    name = rel_dir.split("/", 1)[1].replace("/", "__") + ".json"
+    rel_path = f"_bloom/{name}"
+    fd, tmp = tempfile.mkstemp(prefix=".bloom-", dir=_bloom_sidecar_dir(spec))
+    with os.fdopen(fd, "w") as f:
+        json.dump(body, f)
+    os.replace(tmp, os.path.join(spec.path, rel_path))
+    return rel_path
+
+
+def _bloom_might_contain(
+    spec: TableSpec, sidecar_rel: str, col: str, value, cache: dict
+) -> bool:
+    """Probe a commit's bloom sidecar for an equality value. True means
+    'maybe present' (keep the dir); False PROVES absence (bloom filters
+    have no false negatives). Missing sidecar/column → True (conservative,
+    same contract as missing min/max stats)."""
+    if not isinstance(value, (int, str)) or isinstance(value, bool):
+        return True
+    body = cache.get(sidecar_rel)
+    if body is None:
+        p = os.path.join(spec.path, sidecar_rel)
+        if not os.path.exists(p):
+            cache[sidecar_rel] = {}
+            return True
+        with open(p) as f:
+            body = json.load(f)
+        cache[sidecar_rel] = body
+    ent = body.get(col)
+    if not ent:
+        return True
+    import base64
+
+    bits = base64.b64decode(ent["bits"])
+    m, k = int(ent["m"]), int(ent["k"])
+    s = str(value)
+    for i in range(k):
+        p = _bloom_position(s, i, m)
+        if not (bits[p // 8] >> (p % 8)) & 1:
+            return False
+    return True
+
 
 def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
                    df_schema, stats_cols) -> tuple[dict | None, int]:
@@ -244,12 +408,27 @@ def pruned_dirs(
     dir is SKIPPED only when its manifest stats PROVE the range disjoint
     (dir.max < lo or dir.min > hi); dirs without stats for the column are
     kept conservatively, and a NULL min/max (all-null commit column) also
-    keeps the dir (nulls don't order)."""
+    keeps the dir (nulls don't order).
+
+    EQUALITY ranges (lo == hi, non-None) additionally consult the
+    commit's bloom sidecar when the table was written with ``bloom_for``
+    on that column: a negative probe PROVES the value absent and skips
+    the dir even where min/max overlap (Delta's bloom-filter index — the
+    point-lookup case range stats can't prune on a high-cardinality
+    unsorted key). Bloom filters have no false negatives, so pruning
+    stays exact; a false positive only keeps an extra dir."""
     v = current_version(spec) if version is None else version
     if v is None:
         raise ValueError(f"no snapshots at {spec.path}")
     manifest = _read_manifest(spec, v)
     per_dir = manifest.get("stats", {})
+    blooms = manifest.get("bloom", {})
+    eq_probes = {
+        col: lo
+        for col, (lo, hi) in ranges.items()
+        if lo is not None and hi is not None and lo == hi
+    }
+    bloom_cache: dict = {}
     kept, skipped = [], []
     for d in manifest["dirs"]:
         st = per_dir.get(d)
@@ -261,6 +440,13 @@ def pruned_dirs(
                     continue
                 if (lo is not None and cs["max"] < lo) or (
                     hi is not None and cs["min"] > hi
+                ):
+                    disjoint = True
+                    break
+        if not disjoint and eq_probes and d in blooms:
+            for col, val in eq_probes.items():
+                if not _bloom_might_contain(
+                    spec, blooms[d], col, val, bloom_cache
                 ):
                     disjoint = True
                     break
@@ -454,7 +640,7 @@ def _metadata_commit_body(spec: TableSpec, cur: int, mode: str) -> dict:
     head = _read_manifest(spec, cur)
     manifest = {"version": cur + 1, "mode": mode, "parent": cur,
                 "dirs": head["dirs"]}
-    for k in ("schema", "stats", "rows", "txns", "constraints"):
+    for k in ("schema", "stats", "rows", "txns", "constraints", "bloom"):
         if k in head:
             manifest[k] = head[k]
     return manifest
@@ -517,6 +703,9 @@ def snapshot_write(
     max_retries: int = 10,
     merge_schema: bool = False,
     stats_cols: tuple | None = None,
+    bloom_for: tuple | None = None,
+    bloom_fpp: float = 0.001,
+    bloom_max_bits: int = _BLOOM_MAX_BITS_DEFAULT,
     _pre_commit=None,
     _txn: tuple[str, int] | None = None,
 ) -> int:
@@ -544,6 +733,16 @@ def snapshot_write(
     default) auto-collects every atomic non-partition column, ``()``
     disables stats for this commit (the dir is then never pruned). Stats
     cost one aggregate over ONLY the new commit's files.
+
+    ``bloom_for`` names integer/string columns to index with a per-commit
+    BLOOM FILTER (Delta's bloom-filter index): equality probes in
+    ``pruned_dirs``/``snapshot_read_where`` (``{col: (v, v)}``) then skip
+    commits that provably lack the value — the point-lookup case min/max
+    can't prune on a high-cardinality unsorted key. Bitmaps live in
+    ``_bloom/`` sidecar files (the manifest holds pointers, staying
+    small); geometry auto-sizes from the commit's row count at
+    ``bloom_fpp``, capped at ``bloom_max_bits`` bits per column. Cost:
+    one distinct-aggregate per bloomed column over only the new commit.
 
     ``_pre_commit`` is a test seam invoked once between the data write
     and the first commit attempt (deterministic conflict injection).
@@ -592,6 +791,12 @@ def snapshot_write(
     # row count is always collected (Delta's numRecords — it is what makes
     # snapshot_count metadata-only); min/max stats honor stats_cols
     dir_stats, dir_rows = _collect_stats(spark, spec, rel_dir, df.schema, stats_cols)
+    bloom_file = None
+    if bloom_for:
+        bloom_file = _collect_bloom(
+            spark, spec, rel_dir, df.schema, bloom_for,
+            bloom_fpp, bloom_max_bits, dir_rows,
+        )
     if _pre_commit is not None:
         _pre_commit()
     for _ in range(max_retries + 1):
@@ -630,6 +835,12 @@ def snapshot_write(
             stats[rel_dir] = dir_stats
         rows = {d: r for d, r in prev_rows.items() if d in set(prev_dirs)}
         rows[rel_dir] = dir_rows
+        prev_bloom = {} if head_m is None or mode == "overwrite" else dict(
+            head_m.get("bloom", {})
+        )
+        bloom = {d: p for d, p in prev_bloom.items() if d in set(prev_dirs)}
+        if bloom_file:
+            bloom[rel_dir] = bloom_file
         manifest = {
             "version": version,
             "mode": mode,
@@ -643,6 +854,8 @@ def snapshot_write(
             manifest["txns"] = txns
         if cons:
             manifest["constraints"] = cons
+        if bloom:
+            manifest["bloom"] = bloom
         try:
             _commit(spec, version, manifest)
             return version
@@ -761,6 +974,8 @@ def rollback(spec: TableSpec, version: int) -> int:
         manifest["stats"] = old["stats"]
     if "rows" in old:  # row counts follow the restored file set
         manifest["rows"] = old["rows"]
+    if "bloom" in old:  # bloom sidecars follow the restored file set
+        manifest["bloom"] = old["bloom"]
     _commit(spec, new_v, manifest)
     return new_v
 
@@ -838,6 +1053,27 @@ def snapshot_clone(
         }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("bloom"):
+        src_bloom = {
+            d: p for d, p in m["bloom"].items() if d in dir_map
+        }
+        if shallow:
+            # sidecars stay source-owned: reference them absolutely (the
+            # clone's vacuum only lists its OWN _bloom dir, so it can
+            # never reap these)
+            manifest["bloom"] = {
+                dir_map[d]: os.path.join(os.path.abspath(src.path), p)
+                for d, p in src_bloom.items()
+            }
+        else:
+            import shutil as _sh
+
+            os.makedirs(_bloom_sidecar_dir(dst), exist_ok=True)
+            bloom = {}
+            for d, p in src_bloom.items():
+                _sh.copy(os.path.join(src.path, p), os.path.join(dst.path, p))
+                bloom[dir_map[d]] = p
+            manifest["bloom"] = bloom
     _commit(dst, 0, manifest)
     return 0
 
@@ -1041,6 +1277,19 @@ def vacuum_snapshots(
             os.remove(os.path.join(md, f"c{n}.json"))
         elif len(kept_in_cp) != len(manifests):
             _write_checkpoint(spec, n, kept_in_cp)
+    # bloom sidecars no retained manifest references are orphans (their
+    # commit dirs just vacuumed away, or their writer's commit lost a
+    # race) — reap them; they are derived metadata, rebuilt on re-index
+    bdir = _bloom_sidecar_dir(spec)
+    if os.path.isdir(bdir):
+        live_sidecars: set[str] = set()
+        for v in keep:
+            live_sidecars.update(
+                _read_manifest(spec, v).get("bloom", {}).values()
+            )
+        for name in os.listdir(bdir):
+            if f"_bloom/{name}" not in live_sidecars:
+                os.remove(os.path.join(bdir, name))
     return deleted
 
 
@@ -1083,6 +1332,13 @@ def _rewrite_commit(
         "stats": stats,
         "rows": rows,
     }
+    # bloom sidecars carry for untouched dirs; the rewritten dir has none
+    # (a follow-up bloomed append re-indexes — conservative keep meanwhile)
+    bloom = {
+        d: p for d, p in head.get("bloom", {}).items() if d in set(untouched)
+    }
+    if bloom:
+        manifest["bloom"] = bloom
     if "schema" in head:
         manifest["schema"] = head["schema"]
     if head.get("txns"):  # app txn watermarks survive rewrites
@@ -1197,6 +1453,81 @@ def snapshot_delete_where(
             doomed = doomed & (F.col(col) <= F.lit(hi))
     survivors = old.filter(~F.coalesce(doomed, F.lit(False)))
     return _rewrite_commit(spark, spec, cur, untouched, survivors, "delete")
+
+
+def snapshot_update_where(
+    spark: SparkSession,
+    spec: TableSpec,
+    ranges: dict[str, tuple],
+    set_exprs: dict[str, str],
+) -> int:
+    """Row-level ``UPDATE ... SET col = expr ... WHERE`` with
+    stats-bounded rewrite — the third leg of the DML triad next to
+    ``snapshot_merge`` and ``snapshot_delete_where``. Rows inside EVERY
+    range in ``ranges`` take the SET expressions (evaluated against the
+    matched row, so ``{"cents": "cents + 100"}`` is an increment);
+    non-matching rows and commits whose stats prove them disjoint carry
+    forward byte-untouched — at 100 TB an update touching one key band
+    rewrites that band's commits, not the table.
+
+    Each SET expression is cast back to the column's existing type
+    (UPDATE never changes the schema — Delta's contract; evolve with an
+    append first). Updated rows re-validate table CHECK constraints via
+    the shared rewrite commit. Returns the head version unchanged when
+    stats prove nothing can match (a pure no-op, like Delta's
+    numFilesUpdated = 0), and aborts with ``SnapshotConflictError`` on a
+    commit race.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    head = _read_manifest(spec, cur)
+    affected, untouched = pruned_dirs(spec, ranges, cur)
+    if not affected:  # nothing can match: no-op, no new version
+        return cur
+    reader = spark.read.format(spec.format)
+    schema_fields = None
+    if "schema" in head:
+        table_schema = StructType.fromJson(head["schema"])
+        reader = reader.schema(table_schema)
+        schema_fields = {f.name: f.dataType for f in table_schema.fields}
+    if spec.partition_by:
+        old = None
+        for d in affected:
+            part = reader.load(os.path.join(spec.path, d))
+            old = part if old is None else old.unionByName(part)
+    else:
+        old = reader.load([os.path.join(spec.path, d) for d in affected])
+    if schema_fields is None:
+        schema_fields = {f.name: f.dataType for f in old.schema.fields}
+    unknown = sorted(set(set_exprs) - set(schema_fields))
+    if unknown:
+        raise ValueError(
+            f"snapshot_update_where SET columns not in table: {unknown}"
+        )
+    matched = F.lit(True)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            matched = matched & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            matched = matched & (F.col(col) <= F.lit(hi))
+    matched = F.coalesce(matched, F.lit(False))
+    updated = old.select(
+        *[
+            (
+                F.when(matched, F.expr(set_exprs[f.name]))
+                .otherwise(F.col(f.name))
+                .cast(schema_fields[f.name])
+                if f.name in set_exprs
+                else F.col(f.name)
+            ).alias(f.name)
+            for f in old.schema.fields
+        ]
+    )
+    return _rewrite_commit(spark, spec, cur, untouched, updated, "update")
 
 
 def snapshot_history(spec: TableSpec) -> list[dict]:

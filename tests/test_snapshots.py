@@ -986,3 +986,159 @@ def test_clone_carries_constraints_and_stats(spark, tmp_path):
         snapshot_write(spark.createDataFrame([(-1, "x")], ["id", "v"]), dst)
     # row-count stats remapped: COUNT(*) stays metadata-only on the clone
     assert snapshot_count(dst) == 2
+
+
+def test_update_where_stats_bounded(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs as _dirs,
+        snapshot_update_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    # two disjoint key bands, one commit each
+    snapshot_write(
+        spark.createDataFrame([(i, 100) for i in range(10)], ["id", "cents"]),
+        spec,
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, 100) for i in range(50, 60)], ["id", "cents"]),
+        spec,
+    )
+    band0_dirs = set(_dirs(spec, 1)) - set(_dirs(spec, 0))  # v1's new dir
+    v = snapshot_update_where(
+        spark, spec, {"id": (52, 55)}, {"cents": "cents + 23"}
+    )
+    assert v == 2
+    # band-0 commit dir carried byte-untouched (stats bounded the rewrite)
+    assert set(_dirs(spec, 0)) <= set(_dirs(spec, 2))
+    assert not band0_dirs & set(_dirs(spec, 2))
+    got = {
+        (r.id, r.cents) for r in snapshot_read(spark, spec).collect()
+    }
+    want = {(i, 100) for i in range(10)}
+    want |= {(i, 123 if 52 <= i <= 55 else 100) for i in range(50, 60)}
+    assert got == want
+    # time travel: pre-update head unchanged
+    pre = {(r.id, r.cents) for r in snapshot_read(spark, spec, version=1).collect()}
+    assert pre == {(i, 100) for i in range(10)} | {
+        (i, 100) for i in range(50, 60)
+    }
+    # schema (types) preserved despite the arithmetic SET expression
+    assert dict(snapshot_read(spark, spec).dtypes)["cents"] == "bigint"
+
+    # stats prove nothing matches -> pure no-op, same head version
+    assert snapshot_update_where(
+        spark, spec, {"id": (1000, 2000)}, {"cents": "0"}
+    ) == 2
+    with pytest.raises(ValueError, match="SET columns not in table"):
+        snapshot_update_where(spark, spec, {"id": (0, 1)}, {"nope": "1"})
+
+
+def test_update_where_enforces_constraints(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        ConstraintViolationError,
+        add_check_constraint,
+        snapshot_update_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, 100), (2, 100)], ["id", "cents"]), spec)
+    add_check_constraint(spark, spec, "cents_nonneg", "cents >= 0")
+    with pytest.raises(ConstraintViolationError, match="cents_nonneg"):
+        snapshot_update_where(spark, spec, {"id": (1, 1)}, {"cents": "-5"})
+    # refused update committed nothing
+    assert {(r.id, r.cents) for r in snapshot_read(spark, spec).collect()} == {
+        (1, 100),
+        (2, 100),
+    }
+
+
+def test_bloom_point_lookup_pruning(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    # two commits whose id RANGES fully overlap (evens vs odds in [0,100)),
+    # so min/max stats can never prune a point lookup — only the bloom can
+    evens = spark.createDataFrame([(i, "e") for i in range(0, 100, 2)], ["id", "v"])
+    odds = spark.createDataFrame([(i, "o") for i in range(1, 100, 2)], ["id", "v"])
+    snapshot_write(evens, spec, bloom_for=("id",))
+    snapshot_write(odds, spec, bloom_for=("id",))
+    d0 = snapshot_dirs(spec, 0)[0]
+
+    # no false negatives: every present value keeps its true dir
+    for probe in (0, 42, 98, 1, 43, 99):
+        kept, _ = pruned_dirs(spec, {"id": (probe, probe)})
+        true_dir = d0 if probe % 2 == 0 else None
+        names = [os.path.join(spec.path, k) for k in kept]
+        if probe % 2 == 0:
+            assert d0 in names
+        else:
+            assert d0 not in names or len(names) == 2  # fp keeps, never drops
+    # bloom pruned at least one foreign dir across the probes (data and
+    # hashes are deterministic, so this pins actual skipping, not luck)
+    skips = 0
+    for probe in (0, 42, 98, 1, 43, 99):
+        _, skipped = pruned_dirs(spec, {"id": (probe, probe)})
+        skips += len(skipped)
+    assert skips >= 4
+
+    # equality read: pruned plan, exact semantics
+    got = {
+        tuple(r)
+        for r in snapshot_read_where(spark, spec, {"id": (42, 42)})
+        .select("id", "v")
+        .collect()
+    }
+    assert got == {(42, "e")}
+    # absent value: provably-empty read still returns the right schema
+    assert (
+        snapshot_read_where(spark, spec, {"id": (1000, 1000)}).count() == 0
+    )
+    # RANGE predicates ignore blooms (no false pruning on non-equality)
+    kept, _ = pruned_dirs(spec, {"id": (10, 20)})
+    assert len(kept) == 2
+
+
+def test_bloom_carry_vacuum_and_clone(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_clone,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "a") for i in range(0, 50)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "b") for i in range(1000, 1050)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    bdir = os.path.join(spec.path, "_bloom")
+    assert len(os.listdir(bdir)) == 2
+
+    # shallow clone probes the SOURCE's sidecars (absolute refs)
+    dst = TableSpec("t.dst", str(tmp_path / "dst"))
+    snapshot_clone(spec, dst, shallow=True)
+    kept, skipped = pruned_dirs(dst, {"id": (1005, 1005)})
+    assert len(kept) == 1 and len(skipped) == 1
+
+    # overwrite drops both commits; vacuum reaps their orphaned sidecars
+    snapshot_write(
+        spark.createDataFrame([(7, "z")], ["id", "v"]),
+        spec,
+        mode="overwrite",
+        bloom_for=("id",),
+    )
+    vacuum_snapshots(spec, keep_last=1)
+    assert len(os.listdir(bdir)) == 1  # only the live head's sidecar
+
+    # the clone's own vacuum never reaches into the source's _bloom dir
+    snapshot_write(spark.createDataFrame([(8, "y")], ["id", "v"]), dst, mode="overwrite")
+    vacuum_snapshots(dst, keep_last=1)
+    assert len(os.listdir(bdir)) == 1
