@@ -2563,10 +2563,14 @@ def events_snapshot_bloom_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
         band_dir: dict[int, str] = {}
         seen: set[str] = set()
         for b in bands:
+            # cap raised to 2^21 bits so the filter stays under target
+            # fpp through sf0.1 band sizes (~75k rows -> optimal m ≈ 1.1M
+            # bits); the default cap is sized for <=~9k-row commits
             v = snapshot_write(
                 ev.filter(F.col("band") == b).drop("band"),
                 spec,
                 bloom_for=("event_id",),
+                bloom_max_bits=1 << 21,
             )
             new = set(snapshot_dirs(spec, v)) - seen
             seen |= new
@@ -2620,6 +2624,117 @@ def _os_join(*parts: str) -> str:
     import os as _os
 
     return _os.path.join(*parts)
+
+
+@query(
+    "events_snapshot_dv_verdict",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(user_id // 5, 3) AS band,
+               user_id,
+               CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT band) AS BIGINT) FROM b) AS n_commits,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS no_rewrite_ok, TRUE AS count_ok, TRUE AS purge_ok
+    FROM b WHERE user_id NOT BETWEEN 5 AND 9
+    """,
+)
+def events_snapshot_dv_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (deletion vectors) under the driver hash gate:
+    commit events as one snapshot append per disjoint user_id band, then
+    ``snapshot_delete_where(..., rewrite=False)`` over the [5, 9] band and
+    pin:
+
+    - no_rewrite_ok: the post-delete manifest references the EXACT same
+      data dirs as the pre-delete head — the delete was metadata-only
+      (at 100 TB: one manifest write, not a band rewrite);
+    - count_ok: ``snapshot_count`` answers the post-delete COUNT(*) from
+      the manifest alone (the vector records its exact cardinality) and
+      equals the scan count;
+    - purge_ok: ``purge_deletes`` materializes the vector — the affected
+      band's dir rewrites, every other band's dir carries byte-identical,
+      the vector is gone, and the content checksum is unchanged;
+    - n_rows / sum_cents hash-check the DV-filtered read against the
+      oracle's independent recomputation over the raw file.
+
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        purge_deletes,
+        snapshot_count,
+        snapshot_delete_where,
+        snapshot_dirs,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    ev = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_id",
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.least(F.expr("user_id div 5"), F.lit(3)).alias("band"),
+        )
+    )
+    bands = sorted(r[0] for r in ev.select("band").distinct().collect())
+    root = _tempfile.mkdtemp(prefix="snap_dv_")
+    try:
+        spec = TableSpec("t.dv", root + "/t")
+        for b in bands:
+            snapshot_write(ev.filter(F.col("band") == b).drop("band"), spec)
+        pre_v = len(bands) - 1
+        pre_dirs = set(snapshot_dirs(spec, pre_v))
+
+        v = snapshot_delete_where(
+            spark, spec, {"user_id": (5, 9)}, rewrite=False
+        )
+        no_rewrite_ok = set(snapshot_dirs(spec, v)) == pre_dirs
+        head = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        count_ok = snapshot_count(spec) == head["n"]
+
+        pv = purge_deletes(spark, spec)
+        post_dirs = set(snapshot_dirs(spec, pv))
+        band1 = snapshot_dirs(spec, 1)[-1]  # band-1's own commit dir
+        purged = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        purge_ok = (
+            band1 not in post_dirs
+            and (pre_dirs - {band1}) <= post_dirs
+            and (purged["n"], purged["c"]) == (head["n"], head["c"])
+            and snapshot_count(spec) == head["n"]
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                len(bands),
+                head["n"],
+                head["c"],
+                bool(no_rewrite_ok),
+                bool(count_ok),
+                bool(purge_ok),
+            )
+        ],
+        "n_commits long, n_rows long, sum_cents long, "
+        "no_rewrite_ok boolean, count_ok boolean, purge_ok boolean",
+    )
 
 
 @query(

@@ -88,13 +88,20 @@ def _manifest_for(options: dict) -> tuple[dict, str]:
 @dataclass
 class _FilePartition(InputPartition):
     """One parquet file plus the hive partition-column values encoded in
-    its path (must stay picklable — plain strings only)."""
+    its path and the deletion-vector predicates applying to its commit
+    dir (must stay picklable — plain tuples/scalars only). Each dv entry
+    is a tuple of (column, lo, hi) bounds; matching rows filter out."""
 
     file_path: str
     hive: tuple[tuple[str, str | None], ...]
+    dv: tuple[tuple[tuple, ...], ...] = ()
 
 
-def _walk_parquet(root: str, rel_dir: str) -> list[_FilePartition]:
+def _walk_parquet(
+    root: str,
+    rel_dir: str,
+    dv: tuple[tuple[tuple, ...], ...] = (),
+) -> list[_FilePartition]:
     """File-level partitions for one commit dir, hive segments parsed."""
     parts: list[_FilePartition] = []
     base = os.path.join(root, rel_dir)
@@ -109,9 +116,45 @@ def _walk_parquet(root: str, rel_dir: str) -> list[_FilePartition]:
         for fn in files:
             if fn.endswith(".parquet"):
                 parts.append(
-                    _FilePartition(os.path.join(dirpath, fn), tuple(hive))
+                    _FilePartition(os.path.join(dirpath, fn), tuple(hive), dv)
                 )
     return parts
+
+
+def _dv_for_dir(manifest: dict, rel_dir: str) -> tuple[tuple[tuple, ...], ...]:
+    """Picklable deletion-vector entries scoped to one commit dir."""
+    return tuple(
+        tuple((c, b[0], b[1]) for c, b in sorted(e["ranges"].items()))
+        for e in manifest.get("dv", [])
+        if rel_dir in set(e["dirs"])
+    )
+
+
+def _apply_dv(batch, dv):
+    """Filter a RecordBatch through deletion-vector predicates: a row
+    matching ANY entry (AND of its bounds; NULL never matches) drops."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keep = None
+    for entry in dv:
+        matched = None
+        for col, lo, hi in entry:
+            arr = batch.column(batch.schema.get_field_index(col))
+            cond = None
+            if lo is not None:
+                cond = pc.greater_equal(arr, pa.scalar(lo).cast(arr.type))
+            if hi is not None:
+                le = pc.less_equal(arr, pa.scalar(hi).cast(arr.type))
+                cond = le if cond is None else pc.and_(cond, le)
+            if cond is not None:
+                matched = cond if matched is None else pc.and_(matched, cond)
+        if matched is None:  # unbounded predicate matches every row
+            matched = pa.array([True] * batch.num_rows)
+        matched = pc.fill_null(matched, False)  # NULL bound -> not matched
+        entry_keep = pc.invert(matched)
+        keep = entry_keep if keep is None else pc.and_(keep, entry_keep)
+    return batch if keep is None else batch.filter(keep)
 
 
 def _read_file_partition(schema: StructType, partition: _FilePartition) -> Iterator:
@@ -145,7 +188,10 @@ def _read_file_partition(schema: StructType, partition: _FilePartition) -> Itera
                 arrays.append(const)
             else:  # schema-evolution gap: file predates the column
                 arrays.append(pa.nulls(n, type=field.type))
-        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+        out = pa.RecordBatch.from_arrays(arrays, schema=target)
+        if partition.dv:
+            out = _apply_dv(out, partition.dv)
+        yield out
 
 
 class SnapshotReader(DataSourceReader):
@@ -210,7 +256,7 @@ class SnapshotReader(DataSourceReader):
             p
             for d in self._manifest["dirs"]
             if d not in skip
-            for p in _walk_parquet(self._root, d)
+            for p in _walk_parquet(self._root, d, _dv_for_dir(self._manifest, d))
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -270,17 +316,26 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 set() if parent is None
                 else set(_read_manifest(self._spec, parent)["dirs"])
             )
+            new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
             if m.get("mode") != "append" and not self._ignore_changes:
+                if not new_dirs and m.get("mode") != "delete_dv":
+                    # metadata-only commit (constraint change, checkpoint
+                    # bookkeeping): no file-set change, nothing to emit
+                    continue
+                hint = (
+                    "a deletion-vector commit — already-streamed rows are "
+                    "now deleted in the table"
+                    if m.get("mode") == "delete_dv"
+                    else "rewritten data would re-emit already-streamed rows"
+                )
                 raise ValueError(
                     f"snapshot stream at {self._root}: version {v} is a "
-                    f"'{m.get('mode')}' commit — rewritten data would "
-                    "re-emit already-streamed rows. Pass .option("
-                    "'ignoreChanges', 'true') to stream its new files "
-                    "anyway (downstream must dedup)."
+                    f"'{m.get('mode')}' commit — {hint}. Pass .option("
+                    "'ignoreChanges', 'true') to continue anyway "
+                    "(downstream owns reconciliation)."
                 )
-            for d in m["dirs"]:
-                if d not in prev_dirs:
-                    parts.extend(_walk_parquet(self._root, d))
+            for d in new_dirs:
+                parts.extend(_walk_parquet(self._root, d))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:

@@ -195,9 +195,11 @@ _STATS_TYPES = (
 _BLOOM_TYPES = ("byte", "short", "int", "integer", "long", "bigint", "string")
 
 #: bloom geometry bounds: m is rounded up to whole bytes and capped so a
-#: sidecar stays small metadata (2^17 bits = 16 KiB bitmap per column per
-#: commit); k capped at 8 hash probes
-_BLOOM_MAX_BITS_DEFAULT = 1 << 17
+#: sidecar stays small metadata (2^21 bits = 256 KiB bitmap per column per
+#: commit — supports ~145k-row commits at the 0.001 default fpp; larger
+#: commits trip the saturation guard unless the caller raises the cap);
+#: k capped at 8 hash probes
+_BLOOM_MAX_BITS_DEFAULT = 1 << 21
 
 
 def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
@@ -210,7 +212,7 @@ def _bloom_params(n: int, fpp: float, max_bits: int) -> tuple[int, int]:
     n = max(1, n)
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
     m = max(64, min(max_bits, m))
-    m = (m + 7) // 8 * 8
+    m = (m + 63) // 64 * 64  # whole 64-bit words (in-engine bit_or fold)
     k = max(1, min(8, round(m / n * math.log(2))))
     return m, k
 
@@ -270,12 +272,15 @@ def _collect_bloom(
     would bloat the log). Returns the sidecar's table-relative path, or
     None when no requested column is bloom-eligible.
 
-    Cost: one distinct-aggregation per column over ONLY the new commit
-    (distinct slot positions are bounded by m, so the driver pull is
-    bounded metadata — at most 16 KiB of bits per column)."""
+    Cost: one aggregation per column over ONLY the new commit. The bitmap
+    folds IN-ENGINE (positions group into 64-bit words combined with
+    bit_or), so the driver pulls at most m/64 words — bounded metadata
+    (32k longs at the default cap), never the commit's value set."""
     import base64
 
     import pyspark.sql.functions as F
+
+    import math
 
     eligible = {
         f.name
@@ -286,25 +291,38 @@ def _collect_bloom(
     cols = [c for c in bloom_for if c in eligible]
     if not cols:
         return None
+    # SATURATION GUARD: when the commit's row count forces the capped
+    # bitmap past ~50% expected fill, the filter approaches all-bits-set —
+    # every probe answers "maybe", zero skipping, but the build cost was
+    # still paid. Skip building instead (no sidecar = conservative keep,
+    # exactly like un-bloomed commits); raise bloom_max_bits for commits
+    # this large. Measured: a saturated filter on a 10M-row commit cost
+    # 3x the plain write and pruned nothing (tools/bloom_rehearsal.py).
+    m, k = _bloom_params(n_rows, fpp, max_bits)
+    if 1.0 - math.exp(-k * n_rows / m) > 0.5:
+        return None
     part = spark.read.format(spec.format).load(os.path.join(spec.path, rel_dir))
     body: dict[str, dict] = {}
     for c in cols:
-        m, k = _bloom_params(n_rows, fpp, max_bits)
-        positions = [
-            r[0]
-            for r in (
-                part.select(c)
-                .where(F.col(c).isNotNull())
-                .select(
-                    F.explode(F.array(*_bloom_positions_cols(c, k, m))).alias("p")
-                )
-                .distinct()
-                .collect()
+        words = (
+            part.select(c)
+            .where(F.col(c).isNotNull())
+            .select(
+                F.explode(F.array(*_bloom_positions_cols(c, k, m))).alias("p")
             )
-        ]
+            .select(
+                F.expr("p div 64").alias("w"),
+                F.expr("shiftleft(1L, cast(pmod(p, 64) as int))").alias("b"),
+            )
+            .groupBy("w")
+            .agg(F.bit_or("b").alias("bits"))
+            .collect()
+        )
         bits = bytearray(m // 8)
-        for p in positions:
-            bits[p // 8] |= 1 << (p % 8)
+        for r in words:
+            w = int(r["w"])
+            word = int(r["bits"]) & ((1 << 64) - 1)
+            bits[w * 8 : (w + 1) * 8] = word.to_bytes(8, "little")
         body[c] = {
             "m": m,
             "k": k,
@@ -471,26 +489,73 @@ def snapshot_read_where(
     v = current_version(spec) if version is None else version
     kept, _ = pruned_dirs(spec, ranges, v)
     manifest = _read_manifest(spec, v)
-    reader = spark.read.format(spec.format)
-    if "schema" in manifest:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
     if not kept:
         return _empty_like(spark, spec, manifest)
-    dirs = [os.path.join(spec.path, d) for d in kept]
-    if spec.partition_by:
-        out = None
-        for d in dirs:
-            part = reader.load(d)
-            out = part if out is None else out.unionByName(part)
-    else:
-        out = reader.load(dirs)
+    out = _load_dirs(spark, spec, manifest, kept)
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             out = out.filter(F.col(col) <= F.lit(hi))
+    return out
+
+
+def _dv_matched(ranges: dict):
+    """Row-matches-DV-predicate expression (AND of bounds; NULL never
+    matches, so a DV can never delete a row the predicate can't see)."""
+    import pyspark.sql.functions as F
+
+    m = F.lit(True)
+    for col, bounds in ranges.items():
+        lo, hi = bounds[0], bounds[1]
+        if lo is not None:
+            m = m & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            m = m & (F.col(col) <= F.lit(hi))
+    return F.coalesce(m, F.lit(False))
+
+
+def _load_dirs(
+    spark: SparkSession, spec: TableSpec, manifest: dict, rel_dirs: list[str]
+) -> DataFrame:
+    """Load a manifest's commit dirs with DELETION VECTORS applied — the
+    one read path every consumer (snapshot_read, read_where, DML rewrites,
+    purge) goes through, so merge-on-read deletes can never resurrect.
+
+    Each ``dv`` entry is scoped to the dirs that existed when the delete
+    committed: rows from those dirs matching the entry's predicate are
+    filtered out; dirs written later are untouched (a re-inserted key is
+    visible — Delta's DV scoping, expressed at predicate granularity).
+    Dirs are grouped by their applicable-entry signature so the table
+    loads in O(distinct signatures) scans, not O(dirs)."""
+    from pyspark.sql.types import StructType
+
+    reader = spark.read.format(spec.format)
+    if "schema" in manifest:
+        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+    if not rel_dirs:
+        return _empty_like(spark, spec, manifest)
+    dv = manifest.get("dv", [])
+    dv_dirsets = [set(e["dirs"]) for e in dv]
+    groups: dict[tuple, list[str]] = {}
+    for d in rel_dirs:
+        sig = tuple(i for i, ds in enumerate(dv_dirsets) if d in ds)
+        groups.setdefault(sig, []).append(d)
+    out = None
+    for sig, ds in groups.items():
+        paths = [os.path.join(spec.path, d) for d in ds]
+        if spec.partition_by:
+            # hive-partitioned commits: partition-column discovery roots
+            # at each commit dir — load per-dir and union (lazy)
+            part = None
+            for p in paths:
+                x = reader.load(p)
+                part = x if part is None else part.unionByName(x)
+        else:
+            part = reader.load(paths)
+        for i in sig:
+            part = part.filter(~_dv_matched(dv[i]["ranges"]))
+        out = part if out is None else out.unionByName(part)
     return out
 
 
@@ -548,7 +613,16 @@ def snapshot_count(spec: TableSpec, version: int | None = None) -> int | None:
     rows = m.get("rows", {})
     if any(d not in rows for d in m["dirs"]):
         return None
-    return sum(int(rows[d]) for d in m["dirs"])
+    total = sum(int(rows[d]) for d in m["dirs"])
+    # deletion vectors record their exact deleted-row count (computed at
+    # delete time against the then-live rows, so overlapping vectors
+    # never double-subtract); a partially-trimmed vector (n=None) forces
+    # the scan fallback until purge
+    for e in m.get("dv", []):
+        if e.get("n") is None:
+            return None
+        total -= int(e["n"])
+    return total
 
 
 def last_txn_version(spec: TableSpec, app_id: str) -> int | None:
@@ -640,7 +714,7 @@ def _metadata_commit_body(spec: TableSpec, cur: int, mode: str) -> dict:
     head = _read_manifest(spec, cur)
     manifest = {"version": cur + 1, "mode": mode, "parent": cur,
                 "dirs": head["dirs"]}
-    for k in ("schema", "stats", "rows", "txns", "constraints", "bloom"):
+    for k in ("schema", "stats", "rows", "txns", "constraints", "bloom", "dv"):
         if k in head:
             manifest[k] = head[k]
     return manifest
@@ -856,6 +930,11 @@ def snapshot_write(
             manifest["constraints"] = cons
         if bloom:
             manifest["bloom"] = bloom
+        # deletion vectors are file-set state scoped to existing dirs: an
+        # append carries them (its new dir is never covered), an
+        # overwrite replaces the file set and with it every vector
+        if head_m is not None and mode == "append" and head_m.get("dv"):
+            manifest["dv"] = head_m["dv"]
         try:
             _commit(spec, version, manifest)
             return version
@@ -923,25 +1002,11 @@ def snapshot_read(
         version = version_as_of(spec, timestamp)
     v = cur if version is None else version
     manifest = _read_manifest(spec, v)  # raises "unknown snapshot version"
-    dirs = [os.path.join(spec.path, d) for d in manifest["dirs"]]
     # each manifest pins the schema its version is read with: post-
     # evolution heads project old files to the evolved schema (missing
-    # columns read as null), pre-evolution versions keep the old schema
-    reader = spark.read.format(spec.format)
-    if "schema" in manifest:
-        from pyspark.sql.types import StructType
-
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
-    if not spec.partition_by:
-        return reader.load(dirs)
-    # hive-partitioned commits: partition-column discovery is rooted at
-    # each commit dir, so load per-dir and union (dir count == commit
-    # count, small; each load is lazy)
-    out = None
-    for d in dirs:
-        part = reader.load(d)
-        out = part if out is None else out.unionByName(part)
-    return out
+    # columns read as null), pre-evolution versions keep the old schema.
+    # _load_dirs also applies the manifest's deletion vectors.
+    return _load_dirs(spark, spec, manifest, manifest["dirs"])
 
 
 def rollback(spec: TableSpec, version: int) -> int:
@@ -976,6 +1041,8 @@ def rollback(spec: TableSpec, version: int) -> int:
         manifest["rows"] = old["rows"]
     if "bloom" in old:  # bloom sidecars follow the restored file set
         manifest["bloom"] = old["bloom"]
+    if "dv" in old:  # deletion vectors follow the restored file set
+        manifest["dv"] = old["dv"]
     _commit(spec, new_v, manifest)
     return new_v
 
@@ -1053,6 +1120,16 @@ def snapshot_clone(
         }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("dv"):  # vectors follow the cloned file set, dirs remapped
+        manifest["dv"] = [
+            {
+                "ranges": e["ranges"],
+                "dirs": [dir_map[d] for d in e["dirs"] if d in dir_map],
+                "n": e["n"],
+            }
+            for e in m["dv"]
+            if any(d in dir_map for d in e["dirs"])
+        ]
     if m.get("bloom"):
         src_bloom = {
             d: p for d, p in m["bloom"].items() if d in dir_map
@@ -1339,6 +1416,23 @@ def _rewrite_commit(
     }
     if bloom:
         manifest["bloom"] = bloom
+    # deletion vectors trim to the untouched dirs they still cover (the
+    # rewritten dir had its DVs applied on read). A partially-trimmed
+    # entry loses its exact count (n=None -> snapshot_count falls back
+    # to a scan until purge restores metadata-only counting).
+    new_dv = []
+    for e in head.get("dv", []):
+        ds = [d for d in e["dirs"] if d in set(untouched)]
+        if ds:
+            new_dv.append(
+                {
+                    "ranges": e["ranges"],
+                    "dirs": ds,
+                    "n": e["n"] if len(ds) == len(e["dirs"]) else None,
+                }
+            )
+    if new_dv:
+        manifest["dv"] = new_dv
     if "schema" in head:
         manifest["schema"] = head["schema"]
     if head.get("txns"):  # app txn watermarks survive rewrites
@@ -1397,17 +1491,8 @@ def snapshot_merge(
     env = source.agg(*aggs).collect()[0]
     ranges = {k: (env[f"_mn_{k}"], env[f"_mx_{k}"]) for k in keys}
     affected, untouched = pruned_dirs(spec, ranges, cur)
-    reader = spark.read.format(spec.format)
-    if "schema" in head:
-        reader = reader.schema(StructType.fromJson(head["schema"]))
     if affected:
-        if spec.partition_by:
-            old = None
-            for d in affected:
-                part = reader.load(os.path.join(spec.path, d))
-                old = part if old is None else old.unionByName(part)
-        else:
-            old = reader.load([os.path.join(spec.path, d) for d in affected])
+        old = _load_dirs(spark, spec, head, affected)  # DVs applied
         merged = old.join(source.select(*keys), keys, "left_anti").unionByName(
             source
         )
@@ -1417,16 +1502,34 @@ def snapshot_merge(
 
 
 def snapshot_delete_where(
-    spark: SparkSession, spec: TableSpec, ranges: dict[str, tuple]
+    spark: SparkSession,
+    spec: TableSpec,
+    ranges: dict[str, tuple],
+    rewrite: bool = True,
 ) -> int:
-    """Row-level DELETE with stats-bounded rewrite: rows inside EVERY
-    range in ``ranges`` are deleted; only commits whose stats intersect
-    the predicate rewrite (survivors move to one new commit dir), the
-    rest carry forward untouched — Delta's DELETE file-rewrite shape.
-    History stays readable until vacuum, so deletion-for-governance must
-    pair with ``vacuum_snapshots`` exactly as in the forget-user flow."""
+    """Row-level DELETE: rows inside EVERY range in ``ranges`` are
+    deleted; only commits whose stats intersect the predicate are touched,
+    the rest carry forward untouched.
+
+    ``rewrite=True`` (default): copy-on-write — survivors from the
+    affected commits move to one new commit dir (Delta's classic DELETE
+    file rewrite). History stays readable until vacuum, so
+    deletion-for-governance must pair with ``vacuum_snapshots`` exactly
+    as in the forget-user flow.
+
+    ``rewrite=False``: MERGE-ON-READ — Delta's deletion-vector shape. NO
+    data is rewritten: the commit is metadata-only, recording the
+    predicate scoped to the commits it could affect; every read path
+    (snapshot_read, read_where, the DataSource, DML rewrites) filters
+    those dirs' matching rows out. At 100 TB a delete costs one manifest
+    write plus one counting aggregate over the affected commits, not a
+    rewrite of them. Re-inserted keys in LATER commits are visible (the
+    vector is scoped to the dirs that existed at delete time).
+    ``purge_deletes`` materializes vectors back into clean files;
+    governance deletes still need the purge + vacuum pair, since DV'd
+    bytes remain on disk until then. The exact deleted-row count is
+    recorded, so ``snapshot_count`` stays metadata-only."""
     import pyspark.sql.functions as F
-    from pyspark.sql.types import StructType
 
     cur = current_version(spec)
     if cur is None:
@@ -1435,24 +1538,63 @@ def snapshot_delete_where(
     affected, untouched = pruned_dirs(spec, ranges, cur)
     if not affected:  # nothing can match: no-op, no new version
         return cur
-    reader = spark.read.format(spec.format)
-    if "schema" in head:
-        reader = reader.schema(StructType.fromJson(head["schema"]))
-    if spec.partition_by:
-        old = None
-        for d in affected:
-            part = reader.load(os.path.join(spec.path, d))
-            old = part if old is None else old.unionByName(part)
-    else:
-        old = reader.load([os.path.join(spec.path, d) for d in affected])
+    old = _load_dirs(spark, spec, head, affected)  # prior DVs applied
     doomed = F.lit(True)
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             doomed = doomed & (F.col(col) >= F.lit(lo))
         if hi is not None:
             doomed = doomed & (F.col(col) <= F.lit(hi))
-    survivors = old.filter(~F.coalesce(doomed, F.lit(False)))
+    doomed = F.coalesce(doomed, F.lit(False))
+    if not rewrite:
+        n_del = old.filter(doomed).count()
+        manifest = _metadata_commit_body(spec, cur, mode="delete_dv")
+        entry = {
+            "ranges": {c: [_dv_ser(lo), _dv_ser(hi)] for c, (lo, hi) in ranges.items()},
+            "dirs": affected,
+            "n": n_del,
+        }
+        manifest["dv"] = [*head.get("dv", []), entry]
+        _commit(spec, cur + 1, manifest)
+        return cur + 1
+    survivors = old.filter(~doomed)
     return _rewrite_commit(spark, spec, cur, untouched, survivors, "delete")
+
+
+def _dv_ser(v):
+    """JSON-safe DV bound (dates/timestamps as ISO strings — Spark casts
+    them back against the column at filter time)."""
+    import datetime as _dt
+
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    return str(v)
+
+
+def purge_deletes(spark: SparkSession, spec: TableSpec) -> int:
+    """Materialize every deletion vector: the DV-affected commits rewrite
+    to clean files (one new commit dir of survivors), untouched commits
+    carry forward, and the new head has no vectors — Delta's
+    REORG TABLE ... APPLY (PURGE). After the purge, ``vacuum_snapshots``
+    can reclaim the pre-purge dirs, completing a governance delete.
+    No-op (head version returned) when the head has no vectors."""
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    head = _read_manifest(spec, cur)
+    dv = head.get("dv", [])
+    if not dv:
+        return cur
+    head_dirs = set(head["dirs"])
+    affected_set = {d for e in dv for d in e["dirs"] if d in head_dirs}
+    untouched = [d for d in head["dirs"] if d not in affected_set]
+    affected = [d for d in head["dirs"] if d in affected_set]
+    survivors = _load_dirs(spark, spec, head, affected)  # DVs applied
+    return _rewrite_commit(spark, spec, cur, untouched, survivors, "purge")
 
 
 def snapshot_update_where(
@@ -1488,20 +1630,11 @@ def snapshot_update_where(
     affected, untouched = pruned_dirs(spec, ranges, cur)
     if not affected:  # nothing can match: no-op, no new version
         return cur
-    reader = spark.read.format(spec.format)
-    schema_fields = None
+    old = _load_dirs(spark, spec, head, affected)  # DVs applied
     if "schema" in head:
         table_schema = StructType.fromJson(head["schema"])
-        reader = reader.schema(table_schema)
         schema_fields = {f.name: f.dataType for f in table_schema.fields}
-    if spec.partition_by:
-        old = None
-        for d in affected:
-            part = reader.load(os.path.join(spec.path, d))
-            old = part if old is None else old.unionByName(part)
     else:
-        old = reader.load([os.path.join(spec.path, d) for d in affected])
-    if schema_fields is None:
         schema_fields = {f.name: f.dataType for f in old.schema.fields}
     unknown = sorted(set(set_exprs) - set(schema_fields))
     if unknown:

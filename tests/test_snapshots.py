@@ -1142,3 +1142,142 @@ def test_bloom_carry_vacuum_and_clone(spark, tmp_path):
     snapshot_write(spark.createDataFrame([(8, "y")], ["id", "v"]), dst, mode="overwrite")
     vacuum_snapshots(dst, keep_last=1)
     assert len(os.listdir(bdir)) == 1
+
+
+def test_deletion_vector_merge_on_read(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_delete_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "a") for i in range(10)], ["id", "v"]), spec
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "b") for i in range(50, 60)], ["id", "v"]),
+        spec,
+    )
+    pre_dirs = set(snapshot_dirs(spec, 1))
+
+    v = snapshot_delete_where(spark, spec, {"id": (52, 55)}, rewrite=False)
+    assert v == 2
+    # merge-on-read: ZERO data rewritten — the file set is byte-identical
+    assert set(snapshot_dirs(spec, 2)) == pre_dirs
+    got = _rows(snapshot_read(spark, spec))
+    assert got == {(i, "a") for i in range(10)} | {
+        (i, "b") for i in range(50, 60) if not 52 <= i <= 55
+    }
+    # time travel sees the pre-delete rows; COUNT stays metadata-only
+    assert len(_rows(snapshot_read(spark, spec, version=1))) == 20
+    assert snapshot_count(spec) == 16
+    # stats-pruned equality read honors the vector too
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_read_where
+
+    assert snapshot_read_where(spark, spec, {"id": (53, 53)}).count() == 0
+    assert snapshot_read_where(spark, spec, {"id": (51, 51)}).count() == 1
+
+    # a LATER append re-inserting a deleted key is visible (the vector is
+    # scoped to the dirs that existed at delete time)
+    snapshot_write(spark.createDataFrame([(53, "new")], ["id", "v"]), spec)
+    assert (53, "new") in _rows(snapshot_read(spark, spec))
+    assert snapshot_count(spec) == 17
+    # second, overlapping vector: counts stay exact (no double-subtract)
+    snapshot_delete_where(spark, spec, {"id": (50, 56)}, rewrite=False)
+    head = _rows(snapshot_read(spark, spec))
+    assert head == {(i, "a") for i in range(10)} | {
+        (i, "b") for i in range(57, 60)
+    }
+    # the re-inserted (53,'new') predates the SECOND vector's scope? No —
+    # its dir existed at second-delete time, so 53 deletes again
+    assert snapshot_count(spec) == len(head) == 13
+
+    # rollback restores the single-vector state, vectors included
+    rollback(spec, 2)
+    assert snapshot_count(spec) == 16
+
+
+def test_dv_dml_interplay_and_purge(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        purge_deletes,
+        snapshot_count,
+        snapshot_delete_where,
+        snapshot_merge,
+        snapshot_update_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, 100) for i in range(20)], ["id", "cents"]),
+        spec,
+    )
+    snapshot_delete_where(spark, spec, {"id": (5, 9)}, rewrite=False)
+
+    # UPDATE over the DV'd dir: deleted rows do NOT resurrect, and the
+    # partially-trimmed vector drops its exact count (scan fallback)
+    snapshot_update_where(spark, spec, {"id": (0, 3)}, {"cents": "cents + 1"})
+    got = {(r.id, r.cents) for r in snapshot_read(spark, spec).collect()}
+    assert got == {(i, 101 if i <= 3 else 100) for i in range(20) if not 5 <= i <= 9}
+    # the rewrite consumed the only DV'd dir, so no vector survives
+    from creatorops_lakehouse_spark.sources.snapshots import _read_manifest
+
+    assert "dv" not in _read_manifest(spec, current_version(spec))
+
+    # fresh vector; MERGE re-inserting a deleted key wins over the vector
+    snapshot_delete_where(spark, spec, {"id": (10, 12)}, rewrite=False)
+    snapshot_merge(
+        spark,
+        spec,
+        spark.createDataFrame([(11, 777)], ["id", "cents"]),
+        ["id"],
+    )
+    got = {(r.id, r.cents) for r in snapshot_read(spark, spec).collect()}
+    assert (11, 777) in got and all(i not in (10, 12) for i, _ in got)
+
+    # purge materializes: content identical, vectors gone, count exact
+    pre = {(r.id, r.cents) for r in snapshot_read(spark, spec).collect()}
+    v = purge_deletes(spark, spec)
+    assert "dv" not in _read_manifest(spec, v)
+    assert {(r.id, r.cents) for r in snapshot_read(spark, spec).collect()} == pre
+    assert snapshot_count(spec) == len(pre)
+    # idempotent: second purge is a no-op
+    assert purge_deletes(spark, spec) == v
+
+
+def test_dv_datasource_and_clone(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.pyds import register_snapshot_source
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_clone,
+        snapshot_delete_where,
+    )
+
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "x") for i in range(10)], ["id", "v"]), spec
+    )
+    snapshot_delete_where(spark, spec, {"id": (3, 6)}, rewrite=False)
+
+    via_ds = {
+        tuple(r)
+        for r in spark.read.format("snapshot")
+        .option("path", spec.path)
+        .load()
+        .select("id", "v")
+        .collect()
+    }
+    assert via_ds == _rows(snapshot_read(spark, spec))
+    # time travel through the DataSource sees pre-delete rows
+    pre = (
+        spark.read.format("snapshot")
+        .option("path", spec.path)
+        .option("version", "0")
+        .load()
+        .count()
+    )
+    assert pre == 10
+
+    # clones carry vectors (remapped dirs)
+    dst = TableSpec("t.dst", str(tmp_path / "dst"))
+    snapshot_clone(spec, dst, shallow=True)
+    assert _rows(snapshot_read(spark, dst)) == _rows(snapshot_read(spark, spec))
