@@ -2738,6 +2738,86 @@ def events_snapshot_dv_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_snapshot_transform_verdict",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+                AS BIGINT) AS sum_cents,
+           CAST(COUNT(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+           TRUE AS hive_pruned_ok, TRUE AS hidden_ok
+    FROM events
+    WHERE ts >= (SELECT MIN(ts) FROM events)
+      AND ts < (SELECT MIN(ts) FROM events) + INTERVAL 3 DAY
+    """,
+)
+def events_snapshot_transform_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hidden partitioning (Iceberg-style partition transforms) under the
+    driver hash gate: commit events into a snapshot table partitioned by
+    ``days(ts)`` — a transform column the schema never shows — then read
+    the first three days back through ``snapshot_read_where`` and pin:
+
+    - hive_pruned_ok: the scan carries a PARTITION filter on the hidden
+      day column (directory pruning, not a row filter — the predicate
+      was mapped from the ts range onto ``_p_days_ts``);
+    - hidden_ok: neither the head read nor the pruned read surfaces the
+      hidden column (readers see the logical schema only);
+    - n_rows / sum_cents / n_days hash-check the pruned read against the
+      oracle's recomputation over the raw file.
+
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_read_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "ts",
+        (F.col("value").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    t0 = ev.agg(F.min("ts")).collect()[0][0]
+    hi = t0 + __import__("datetime").timedelta(days=3)
+    root = _tempfile.mkdtemp(prefix="snap_tr_")
+    try:
+        spec = TableSpec(
+            "t.transform", root + "/t", partition_by=("days(ts)",)
+        )
+        snapshot_write(ev, spec)
+        head_cols = snapshot_read(spark, spec).columns
+        pruned = snapshot_read_where(spark, spec, {"ts": (t0, None)}).filter(
+            F.col("ts") < F.lit(hi)
+        )
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+        hive_pruned_ok = bool(pf) and "_p_days_ts" in pf[0]
+        hidden_ok = (
+            head_cols == ["event_id", "ts", "cents"]
+            and pruned.columns == ["event_id", "ts", "cents"]
+        )
+        got = pruned.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+            F.countDistinct(F.to_date("ts")).cast("long").alias("d"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(got["n"], got["c"], got["d"], bool(hive_pruned_ok), bool(hidden_ok))],
+        "n_rows long, sum_cents long, n_days long, "
+        "hive_pruned_ok boolean, hidden_ok boolean",
+    )
+
+
+@query(
     "events_streaming_session_verdict",
     oracle="""
     WITH marked AS (

@@ -295,6 +295,13 @@ class SnapshotStreamReader(DataSourceStreamReader):
         self._ignore_changes = (
             str(options.get("ignoreChanges", "false")).lower() == "true"
         )
+        # Delta's narrower escape hatch: tolerate DELETE commits (DV or
+        # rewrite) without accepting every rewrite the way ignoreChanges
+        # does — deleted rows were already streamed, surviving rows of a
+        # delete-rewrite are suppressed as already-emitted
+        self._ignore_deletes = (
+            str(options.get("ignoreDeletes", "false")).lower() == "true"
+        )
 
     def initialOffset(self) -> dict:  # noqa: N802
         return {"version": self._start_v - 1}
@@ -317,21 +324,32 @@ class SnapshotStreamReader(DataSourceStreamReader):
                 else set(_read_manifest(self._spec, parent)["dirs"])
             )
             new_dirs = [d for d in m["dirs"] if d not in prev_dirs]
-            if m.get("mode") != "append" and not self._ignore_changes:
-                if not new_dirs and m.get("mode") != "delete_dv":
+            mode = m.get("mode")
+            if mode != "append" and not self._ignore_changes:
+                if not new_dirs and mode != "delete_dv":
                     # metadata-only commit (constraint change, checkpoint
                     # bookkeeping): no file-set change, nothing to emit
+                    continue
+                if mode in ("delete", "delete_dv") and self._ignore_deletes:
+                    # Delta's ignoreDeletes: the delete's survivors (a
+                    # rewrite's new dir) were already streamed from their
+                    # original commits — emit nothing, keep going
                     continue
                 hint = (
                     "a deletion-vector commit — already-streamed rows are "
                     "now deleted in the table"
-                    if m.get("mode") == "delete_dv"
+                    if mode == "delete_dv"
                     else "rewritten data would re-emit already-streamed rows"
+                )
+                opt = (
+                    "'ignoreDeletes'"
+                    if mode in ("delete", "delete_dv")
+                    else "'ignoreChanges'"
                 )
                 raise ValueError(
                     f"snapshot stream at {self._root}: version {v} is a "
-                    f"'{m.get('mode')}' commit — {hint}. Pass .option("
-                    "'ignoreChanges', 'true') to continue anyway "
+                    f"'{mode}' commit — {hint}. Pass .option("
+                    f"{opt}, 'true') to continue anyway "
                     "(downstream owns reconciliation)."
                 )
             for d in new_dirs:

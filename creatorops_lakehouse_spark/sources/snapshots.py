@@ -256,6 +256,178 @@ def _bloom_sidecar_dir(spec: TableSpec) -> str:
     return os.path.join(spec.path, "_bloom")
 
 
+# ---------------------------------------------------------------------------
+# Partition TRANSFORMS (Iceberg-style hidden partitioning): a TableSpec's
+# partition_by may name transforms — "days(ts)", "hours(ts)", "months(ts)",
+# "years(ts)", "bucket(16, user_id)", "truncate(1000, id)" — next to plain
+# identity columns. Writers derive a HIDDEN hive column per transform (the
+# source column stays in the data files; the hidden column exists only in
+# directory names), readers never see it (each manifest pins the logical
+# schema), and snapshot_read_where maps source-column predicates onto the
+# hidden columns so hive pruning bites INSIDE each commit dir — partition
+# evolution without polluting the table schema, the Iceberg contract.
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_TRANSFORM_RE = _re.compile(
+    r"^(years|months|days|hours|bucket|truncate)\((.*)\)$"
+)
+
+#: time transforms emit sliceable-prefix strings so bound mapping is pure
+#: string arithmetic in BOTH engines (lexicographic == chronological)
+_TIME_FMT = {
+    "years": ("yyyy", 4),
+    "months": ("yyyy-MM", 7),
+    "days": ("yyyy-MM-dd", 10),
+    "hours": ("yyyy-MM-dd-HH", 13),
+}
+
+
+def _parse_partition_spec(partition_by) -> list[tuple]:
+    """[(hive_col, transform, source_col, arg)] — identity entries carry
+    transform None and hive_col == source_col."""
+    out = []
+    for p in partition_by or ():
+        m = _TRANSFORM_RE.match(str(p).strip())
+        if not m:
+            out.append((p, None, p, None))
+            continue
+        fn, inner = m.group(1), m.group(2)
+        if fn in ("bucket", "truncate"):
+            arg_s, col = inner.split(",", 1)
+            arg, col = int(arg_s.strip()), col.strip()
+            out.append((f"_p_{fn}{arg}_{col}", fn, col, arg))
+        else:
+            col = inner.strip()
+            out.append((f"_p_{fn}_{col}", fn, col, None))
+    return out
+
+
+def _hive_partition_cols(spec: TableSpec) -> tuple[str, ...]:
+    return tuple(h for h, _, _, _ in _parse_partition_spec(spec.partition_by))
+
+
+def _bucket_id(value, n: int) -> int:
+    """Driver-side bucket transform — MUST match the in-engine expression
+    in _materialize_partitions (same sha256 canonical-string hash the
+    bloom layer uses; Spark's xxhash64 is not reproducible driver-side)."""
+    return _bloom_position(f"{value}|bucket", 0, n)
+
+
+def _materialize_partitions(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Append the hidden hive columns a transform spec demands (no-op for
+    identity-only specs)."""
+    import pyspark.sql.functions as F
+
+    types = {f.name: f.dataType.typeName() for f in df.schema.fields}
+    for hive_col, fn, col, arg in _parse_partition_spec(spec.partition_by):
+        if fn is None:
+            continue
+        if fn in _TIME_FMT:
+            expr = F.date_format(F.col(col), _TIME_FMT[fn][0])
+        elif fn == "bucket":
+            expr = F.pmod(
+                F.conv(
+                    F.substring(
+                        F.sha2(
+                            F.concat_ws(
+                                "|", F.col(col).cast("string"),
+                                F.lit("bucket"), F.lit("0"),
+                            ),
+                            256,
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(arg),
+            ).cast("int")
+        elif fn == "truncate":
+            if types.get(col) == "string":
+                expr = F.substring(F.col(col), 1, arg)
+            else:
+                expr = (
+                    F.col(col).cast("long")
+                    - F.pmod(F.col(col).cast("long"), F.lit(arg))
+                )
+        else:  # pragma: no cover — regex admits only the above
+            raise ValueError(f"unknown partition transform {fn!r}")
+        df = df.withColumn(hive_col, expr)
+    return df
+
+
+def _hidden_partition_filters(
+    spec: TableSpec,
+    ranges: dict[str, tuple] | None,
+    eq_in: dict[str, list] | None,
+) -> list[tuple]:
+    """Map source-column predicates onto hidden hive columns:
+    [(hive_col, hive_type, lo, hi, values)] — lo/hi for monotonic
+    transforms (time formats, numeric truncate), values for bucket
+    equality/IN probes. Only exact mappings are emitted (a mapping that
+    could drop rows is never produced; unmappable predicates simply skip
+    hive pruning and stay exact via the residual filter)."""
+    out = []
+    for hive_col, fn, col, arg in _parse_partition_spec(spec.partition_by):
+        if fn is None:
+            continue
+        rng = (ranges or {}).get(col)
+        vals = (eq_in or {}).get(col)
+        if fn in _TIME_FMT:
+            width = _TIME_FMT[fn][1]
+
+            def _fmt(v, is_hi):
+                s = _dv_ser(v)
+                if not isinstance(s, str):
+                    return None
+                # a bound SHORTER than the transform width (a date on an
+                # hours transform) is only safe as a LOWER bound: the
+                # short prefix sorts before every extension, so it never
+                # over-prunes; as an upper bound it would drop the
+                # boundary partition ("2026-04-01-00" > "2026-04-01") —
+                # skip the hive bound and let the residual filter decide
+                if is_hi and len(s) < width:
+                    return None
+                return s[:width].replace(" ", "-")
+
+            if rng is not None:
+                lo = _fmt(rng[0], False) if rng[0] is not None else None
+                hi = _fmt(rng[1], True) if rng[1] is not None else None
+                if lo is not None or hi is not None:
+                    out.append((hive_col, "string", lo, hi, None))
+        elif fn == "truncate":
+            def _trunc(v):
+                if isinstance(v, int) and not isinstance(v, bool):
+                    return v - v % arg
+                return None  # string/float bound: residual filter decides
+
+            if rng is not None:
+                lo = _trunc(rng[0])
+                hi = _trunc(rng[1])
+                if lo is not None or hi is not None:
+                    out.append((hive_col, "long", lo, hi, None))
+        elif fn == "bucket":
+            probe_vals = None
+            if rng is not None and rng[0] is not None and rng[0] == rng[1]:
+                probe_vals = [rng[0]]
+            elif vals:
+                probe_vals = [v for v in vals if v is not None]
+            if probe_vals:
+                out.append(
+                    (
+                        hive_col,
+                        "int",
+                        None,
+                        None,
+                        sorted({_bucket_id(v, arg) for v in probe_vals}),
+                    )
+                )
+    return out
+
+
 def _collect_bloom(
     spark: SparkSession,
     spec: TableSpec,
@@ -418,7 +590,10 @@ def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
 
 
 def pruned_dirs(
-    spec: TableSpec, ranges: dict[str, tuple], version: int | None = None
+    spec: TableSpec,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+    eq_in: dict[str, list] | None = None,
 ) -> tuple[list[str], list[str]]:
     """(kept, skipped) table-relative data dirs for a stats-pruned read.
 
@@ -434,7 +609,13 @@ def pruned_dirs(
     the dir even where min/max overlap (Delta's bloom-filter index — the
     point-lookup case range stats can't prune on a high-cardinality
     unsorted key). Bloom filters have no false negatives, so pruning
-    stays exact; a false positive only keeps an extra dir."""
+    stays exact; a false positive only keeps an extra dir.
+
+    ``eq_in``: {col: [v, ...]} — IN-set point lookups. A dir is kept only
+    if AT LEAST ONE value survives its min/max envelope AND (when a bloom
+    sidecar exists) at least one surviving value maybe-matches the bloom.
+    One pruning pass serves the whole value list — the multi-key fetch a
+    feature-store or training-example join front-ends at 100 TB."""
     v = current_version(spec) if version is None else version
     if v is None:
         raise ValueError(f"no snapshots at {spec.path}")
@@ -456,16 +637,49 @@ def pruned_dirs(
                 cs = st.get(col)
                 if not cs or cs["min"] is None or cs["max"] is None:
                     continue
-                if (lo is not None and cs["max"] < lo) or (
-                    hi is not None and cs["min"] > hi
-                ):
-                    disjoint = True
-                    break
+                # stats serialize dates/timestamps as ISO strings —
+                # compare datetime bounds through the same serialization
+                # (lexicographic == chronological); anything still
+                # incomparable keeps the dir (pruning is advisory)
+                try:
+                    lo_c = _dv_ser(lo) if isinstance(cs["max"], str) else lo
+                    hi_c = _dv_ser(hi) if isinstance(cs["min"], str) else hi
+                    if (lo_c is not None and cs["max"] < lo_c) or (
+                        hi_c is not None and cs["min"] > hi_c
+                    ):
+                        disjoint = True
+                        break
+                except TypeError:
+                    continue
         if not disjoint and eq_probes and d in blooms:
             for col, val in eq_probes.items():
                 if not _bloom_might_contain(
                     spec, blooms[d], col, val, bloom_cache
                 ):
+                    disjoint = True
+                    break
+        if not disjoint and eq_in:
+            for col, vals in eq_in.items():
+                candidates = [v for v in vals if v is not None]
+                cs = (st or {}).get(col)
+                if cs and cs["min"] is not None and cs["max"] is not None:
+                    surviving = []
+                    for v in candidates:
+                        try:
+                            if cs["min"] <= v <= cs["max"]:
+                                surviving.append(v)
+                        except TypeError:  # incomparable: keep the value
+                            surviving.append(v)
+                    candidates = surviving
+                if candidates and d in blooms:
+                    candidates = [
+                        v
+                        for v in candidates
+                        if _bloom_might_contain(
+                            spec, blooms[d], col, v, bloom_cache
+                        )
+                    ]
+                if not candidates:
                     disjoint = True
                     break
         (skipped if disjoint else kept).append(d)
@@ -475,28 +689,54 @@ def pruned_dirs(
 def snapshot_read_where(
     spark: SparkSession,
     spec: TableSpec,
-    ranges: dict[str, tuple],
+    ranges: dict[str, tuple] | None = None,
     version: int | None = None,
+    eq_in: dict[str, list] | None = None,
 ) -> DataFrame:
     """Stats-pruned snapshot read: plan ONLY the commit dirs whose
-    manifest min/max intersect every range in ``ranges``, then apply the
-    residual row filter — exact semantics, I/O ∝ matching commits (the
-    manifest-level form of Delta data skipping; at 100 TB an append-
-    mostly table prunes to the commits that can contain the key range
-    without opening the others' footers at all)."""
+    manifest min/max intersect every range in ``ranges`` (and, for
+    ``eq_in`` IN-set lookups, whose stats/bloom admit at least one listed
+    value), then apply the residual row filter — exact semantics, I/O ∝
+    matching commits (the manifest-level form of Delta data skipping; at
+    100 TB an append-mostly table prunes to the commits that can contain
+    the key range without opening the others' footers at all)."""
     import pyspark.sql.functions as F
 
+    ranges = ranges or {}
     v = current_version(spec) if version is None else version
-    kept, _ = pruned_dirs(spec, ranges, v)
+    kept, _ = pruned_dirs(spec, ranges, v, eq_in=eq_in)
     manifest = _read_manifest(spec, v)
     if not kept:
         return _empty_like(spark, spec, manifest)
-    out = _load_dirs(spark, spec, manifest, kept)
+    # transform-partitioned specs: map source-column predicates onto the
+    # hidden hive columns so Spark's partition pruning drops whole hive
+    # dirs INSIDE each kept commit — the Iceberg hidden-partitioning
+    # payoff; the residual source-column filter keeps semantics exact
+    hive_filters = _hidden_partition_filters(spec, ranges, eq_in)
+    out = _load_dirs(
+        spark,
+        spec,
+        manifest,
+        kept,
+        hive_fields=[(h, t) for h, t, _, _, _ in hive_filters] or None,
+    )
+    for h, _t, lo, hi, vals in hive_filters:
+        if vals is not None:
+            out = out.filter(F.col(h).isin(vals))
+        else:
+            if lo is not None:
+                out = out.filter(F.col(h) >= F.lit(lo))
+            if hi is not None:
+                out = out.filter(F.col(h) <= F.lit(hi))
+    if hive_filters:
+        out = out.drop(*[h for h, _, _, _, _ in hive_filters])
     for col, (lo, hi) in ranges.items():
         if lo is not None:
             out = out.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             out = out.filter(F.col(col) <= F.lit(hi))
+    for col, vals in (eq_in or {}).items():
+        out = out.filter(F.col(col).isin(list(vals)))
     return out
 
 
@@ -516,7 +756,11 @@ def _dv_matched(ranges: dict):
 
 
 def _load_dirs(
-    spark: SparkSession, spec: TableSpec, manifest: dict, rel_dirs: list[str]
+    spark: SparkSession,
+    spec: TableSpec,
+    manifest: dict,
+    rel_dirs: list[str],
+    hive_fields: list[tuple] | None = None,
 ) -> DataFrame:
     """Load a manifest's commit dirs with DELETION VECTORS applied — the
     one read path every consumer (snapshot_read, read_where, DML rewrites,
@@ -527,16 +771,33 @@ def _load_dirs(
     filtered out; dirs written later are untouched (a re-inserted key is
     visible — Delta's DV scoping, expressed at predicate granularity).
     Dirs are grouped by their applicable-entry signature so the table
-    loads in O(distinct signatures) scans, not O(dirs)."""
-    from pyspark.sql.types import StructType
+    loads in O(distinct signatures) scans, not O(dirs).
+
+    ``hive_fields``: [(name, spark_type_str)] — HIDDEN transform-partition
+    columns to surface next to the pinned schema (directory-derived; used
+    by snapshot_read_where for intra-commit hive pruning, dropped before
+    the frame is returned to the caller)."""
+    from pyspark.sql.types import StructType, _parse_datatype_string
 
     reader = spark.read.format(spec.format)
     if "schema" in manifest:
-        reader = reader.schema(StructType.fromJson(manifest["schema"]))
+        schema = StructType.fromJson(manifest["schema"])
+        for name, t in hive_fields or []:
+            if name not in schema.fieldNames():
+                schema = schema.add(name, _parse_datatype_string(t))
+        reader = reader.schema(schema)
     if not rel_dirs:
         return _empty_like(spark, spec, manifest)
     dv = manifest.get("dv", [])
     dv_dirsets = [set(e["dirs"]) for e in dv]
+    # hidden transform-partition columns: Spark appends discovered hive
+    # columns even when the specified schema omits them — drop any the
+    # caller did not explicitly request
+    hidden = {
+        h
+        for h, fn, _, _ in _parse_partition_spec(spec.partition_by)
+        if fn is not None
+    } - {name for name, _ in hive_fields or []}
     groups: dict[tuple, list[str]] = {}
     for d in rel_dirs:
         sig = tuple(i for i, ds in enumerate(dv_dirsets) if d in ds)
@@ -553,6 +814,8 @@ def _load_dirs(
                 part = x if part is None else part.unionByName(x)
         else:
             part = reader.load(paths)
+        if hidden:
+            part = part.drop(*hidden)
         for i in sig:
             part = part.filter(~_dv_matched(dv[i]["ranges"]))
         out = part if out is None else out.unionByName(part)
@@ -623,6 +886,36 @@ def snapshot_count(spec: TableSpec, version: int | None = None) -> int | None:
             return None
         total -= int(e["n"])
     return total
+
+
+def snapshot_min_max(
+    spec: TableSpec, col: str, version: int | None = None
+) -> tuple | None:
+    """Metadata-only MIN/MAX over one column — the manifest-stats answer
+    to ``SELECT MIN(col), MAX(col)``, zero data files opened. Returns
+    None (caller falls back to a scan) when any referenced dir lacks
+    stats for the column, or when the version carries deletion vectors
+    (a deleted row might hold an extremum — the stats become an envelope,
+    not an answer). All-null columns return (None, None) only when every
+    dir recorded nulls; a mix keeps the non-null extrema (matching SQL
+    MIN/MAX null semantics)."""
+    v = current_version(spec) if version is None else version
+    if v is None:
+        return None
+    m = _read_manifest(spec, v)
+    if m.get("dv"):
+        return None
+    stats = m.get("stats", {})
+    lo = hi = None
+    for d in m["dirs"]:
+        cs = stats.get(d, {}).get(col)
+        if cs is None:
+            return None
+        if cs["min"] is None or cs["max"] is None:
+            continue  # all-null commit column: contributes nothing
+        lo = cs["min"] if lo is None else min(lo, cs["min"])
+        hi = cs["max"] if hi is None else max(hi, cs["max"])
+    return (lo, hi)
 
 
 def last_txn_version(spec: TableSpec, app_id: str) -> int | None:
@@ -857,9 +1150,13 @@ def snapshot_write(
     version = 0 if cur is None else cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
-    writer = df.write.format(spec.format).mode("errorifexists")
+    writer = (
+        _materialize_partitions(df, spec)
+        .write.format(spec.format)
+        .mode("errorifexists")
+    )
     if spec.partition_by:
-        writer = writer.partitionBy(*spec.partition_by)
+        writer = writer.partitionBy(*_hive_partition_cols(spec))
     writer.save(os.path.join(spec.path, rel_dir))
     spark = df.sparkSession
     # row count is always collected (Delta's numRecords — it is what makes
@@ -1377,6 +1674,7 @@ def _rewrite_commit(
     untouched: list[str],
     new_rows: DataFrame,
     mode: str,
+    bloom_for: tuple | None = None,
 ) -> int:
     """Shared tail of merge/delete: write ``new_rows`` as one commit dir,
     publish a manifest of untouched dirs + the new dir. Read-modify-write
@@ -1389,11 +1687,21 @@ def _rewrite_commit(
     version = cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
-    writer = new_rows.write.format(spec.format).mode("errorifexists")
+    writer = (
+        _materialize_partitions(new_rows, spec)
+        .write.format(spec.format)
+        .mode("errorifexists")
+    )
     if spec.partition_by:
-        writer = writer.partitionBy(*spec.partition_by)
+        writer = writer.partitionBy(*_hive_partition_cols(spec))
     writer.save(os.path.join(spec.path, rel_dir))
     dir_stats, dir_rows = _collect_stats(spark, spec, rel_dir, new_rows.schema, None)
+    bloom_file = None
+    if bloom_for:
+        bloom_file = _collect_bloom(
+            spark, spec, rel_dir, new_rows.schema, bloom_for,
+            0.001, _BLOOM_MAX_BITS_DEFAULT, dir_rows,
+        )
     stats = {
         d: s for d, s in head.get("stats", {}).items() if d in set(untouched)
     }
@@ -1409,11 +1717,14 @@ def _rewrite_commit(
         "stats": stats,
         "rows": rows,
     }
-    # bloom sidecars carry for untouched dirs; the rewritten dir has none
-    # (a follow-up bloomed append re-indexes — conservative keep meanwhile)
+    # bloom sidecars carry for untouched dirs; the rewritten dir is
+    # re-indexed only when the caller passed bloom_for (conservative keep
+    # otherwise — an unbloomed dir is never wrongly pruned)
     bloom = {
         d: p for d, p in head.get("bloom", {}).items() if d in set(untouched)
     }
+    if bloom_file:
+        bloom[rel_dir] = bloom_file
     if bloom:
         manifest["bloom"] = bloom
     # deletion vectors trim to the untouched dirs they still cover (the
@@ -1698,6 +2009,7 @@ def optimize_snapshots(
     max_dirs: int | None = None,
     zorder_by: list[str] | None = None,
     target_dirs: int = 8,
+    bloom_for: tuple | None = None,
 ) -> int | None:
     """OPTIMIZE parity for the snapshot log: bin-pack the head version's
     commit dirs into ONE new commit (mode='optimize') so reads plan one
@@ -1724,7 +2036,13 @@ def optimize_snapshots(
     ``max_dirs``: only run when the head references MORE than this many
     dirs (the maintenance-loop guard; None = always). Returns the new
     version, or None when skipped. Aborts on a concurrent-commit race.
-    Content is byte-preserved; per-commit stats are recollected."""
+    Content is byte-preserved; per-commit stats are recollected.
+
+    ``bloom_for``: rebuild bloom sidecars for the rewritten layout (an
+    OPTIMIZE otherwise drops the old commits' filters with the old
+    commits — pass the indexed columns to re-index each output dir; with
+    ``zorder_by`` each bucket gets its own filter, so equality probes
+    compose bloom + Z-clustered min/max)."""
     cur = current_version(spec)
     if cur is None:
         raise ValueError(f"no snapshots at {spec.path}")
@@ -1733,7 +2051,9 @@ def optimize_snapshots(
         return None
     rows = snapshot_read(spark, spec, cur)
     if zorder_by is None:
-        return _rewrite_commit(spark, spec, cur, [], rows, "optimize")
+        return _rewrite_commit(
+            spark, spec, cur, [], rows, "optimize", bloom_for=bloom_for
+        )
 
     import pyspark.sql.functions as F
 
@@ -1779,9 +2099,10 @@ def optimize_snapshots(
     # is a self-contained partitioned layout (per-dir reads re-discover
     # the partition columns rooted at the bucket)
     (
-        clustered.write.format(spec.format)
+        _materialize_partitions(clustered, spec)
+        .write.format(spec.format)
         .mode("errorifexists")
-        .partitionBy("_zbucket", *(spec.partition_by or ()))
+        .partitionBy("_zbucket", *_hive_partition_cols(spec))
         .save(os.path.join(spec.path, rel_dir))
     )
     # each _zbucket subdir becomes its OWN manifest dir: per-bucket stats
@@ -1793,12 +2114,19 @@ def optimize_snapshots(
         if d.startswith("_zbucket=")
     )
     schema = rows.schema
-    stats, rcounts = {}, {}
+    stats, rcounts, blooms = {}, {}, {}
     for d in sub_dirs:
         st, n = _collect_stats(spark, spec, d, schema, None)
         if st:
             stats[d] = st
         rcounts[d] = n
+        if bloom_for:
+            bf = _collect_bloom(
+                spark, spec, d, schema, bloom_for,
+                0.001, _BLOOM_MAX_BITS_DEFAULT, n,
+            )
+            if bf:
+                blooms[d] = bf
     manifest = {
         "version": version,
         "mode": "optimize-zorder",
@@ -1808,6 +2136,8 @@ def optimize_snapshots(
         "rows": rcounts,
         "schema": schema.jsonValue(),
     }
+    if blooms:
+        manifest["bloom"] = blooms
     if head.get("txns"):
         manifest["txns"] = head["txns"]
     if head.get("constraints"):

@@ -232,3 +232,40 @@ def test_snapshot_to_snapshot_incremental_pipeline(spark, tmp_path):
     run()
     assert current_version(dst) == v_after_first + 1
     assert snapshot_read(spark, dst).count() == 3
+
+
+def test_snapshot_stream_ignore_deletes(spark, tmp_path):
+    """A DELETE commit (deletion vector or rewrite) fails the strict
+    stream naming ignoreDeletes; with ignoreDeletes=true it emits nothing
+    (deleted rows were already streamed) and later appends keep flowing —
+    Delta's ignoreDeletes contract, narrower than ignoreChanges."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+    )
+
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), spec)
+
+    ckpt = str(tmp_path / "c1")
+    got = _run_stream(spark, spec.path, "s1", ckpt, ignoreDeletes="true")
+    assert set(got) == {(1, "a"), (2, "b")}
+
+    # merge-on-read delete: metadata-only commit, nothing re-emits
+    snapshot_delete_where(spark, spec, {"id": (2, 2)}, rewrite=False)
+    assert _run_stream(spark, spec.path, "s2", ckpt, ignoreDeletes="true") == []
+    # copy-on-write delete: rewrite commit, survivors suppressed too
+    snapshot_delete_where(spark, spec, {"id": (1, 1)}, rewrite=True)
+    assert _run_stream(spark, spec.path, "s3", ckpt, ignoreDeletes="true") == []
+    # appends after the deletes still stream
+    snapshot_write(spark.createDataFrame([(9, "z")], ["id", "v"]), spec)
+    assert _run_stream(spark, spec.path, "s4", ckpt, ignoreDeletes="true") == [
+        (9, "z")
+    ]
+
+    # strict stream over the same history names the right option
+    try:
+        _run_stream(spark, spec.path, "s5", str(tmp_path / "c2"))
+        raise AssertionError("delete commit must fail the strict stream")
+    except Exception as e:  # noqa: BLE001
+        assert "ignoreDeletes" in str(e)

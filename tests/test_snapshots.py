@@ -1281,3 +1281,192 @@ def test_dv_datasource_and_clone(spark, tmp_path):
     dst = TableSpec("t.dst", str(tmp_path / "dst"))
     snapshot_clone(spec, dst, shallow=True)
     assert _rows(snapshot_read(spark, dst)) == _rows(snapshot_read(spark, spec))
+
+
+def test_in_set_point_lookup_pruning(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        pruned_dirs,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    # three commits: disjoint ranges for the first two, overlapping evens/
+    # odds for the bloom case
+    snapshot_write(
+        spark.createDataFrame([(i, "a") for i in range(0, 100, 2)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "b") for i in range(1, 100, 2)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "c") for i in range(1000, 1050)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+
+    # one IN-set spanning an even id and a far-band id: the odd commit
+    # prunes (bloom rejects 42, stats reject 1007), both others keep
+    kept, skipped = pruned_dirs(spec, {}, eq_in={"id": [42, 1007]})
+    assert len(kept) == 2 and len(skipped) == 1
+    got = {
+        tuple(r)
+        for r in snapshot_read_where(spark, spec, eq_in={"id": [42, 1007]})
+        .select("id", "v")
+        .collect()
+    }
+    assert got == {(42, "a"), (1007, "c")}
+
+    # all values provably absent -> every dir prunes, empty exact read
+    kept, skipped = pruned_dirs(spec, {}, eq_in={"id": [2001, 3001]})
+    assert not kept and len(skipped) == 3
+    assert snapshot_read_where(spark, spec, eq_in={"id": [2001, 3001]}).count() == 0
+
+    # combined range + IN-set: range excludes the far band, IN-set the odds
+    got = {
+        tuple(r)
+        for r in snapshot_read_where(
+            spark, spec, {"id": (0, 100)}, eq_in={"id": [4, 5, 1004]}
+        )
+        .select("id", "v")
+        .collect()
+    }
+    assert got == {(4, "a"), (5, "b")}
+
+
+def test_optimize_rebuilds_blooms_and_min_max_metadata(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+        pruned_dirs,
+        snapshot_delete_where,
+        snapshot_min_max,
+        snapshot_write,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    # evens/odds: overlapping ranges so only blooms can prune point lookups
+    snapshot_write(
+        spark.createDataFrame([(i, "e") for i in range(0, 100, 2)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "o") for i in range(1, 100, 2)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    assert snapshot_min_max(spec, "id") == (0, 99)
+
+    # plain OPTIMIZE with bloom re-index: one dir, one fresh sidecar
+    v = optimize_snapshots(spark, spec, bloom_for=("id",))
+    from creatorops_lakehouse_spark.sources.snapshots import _read_manifest
+
+    m = _read_manifest(spec, v)
+    assert len(m["dirs"]) == 1 and set(m.get("bloom", {})) == set(m["dirs"])
+    kept, skipped = pruned_dirs(spec, {"id": (5000, 5000)})
+    assert not kept  # absent value: the re-indexed dir prunes
+
+    # ZORDER optimize with per-bucket blooms: absent value prunes ALL
+    # buckets; a present value keeps at most a couple (bloom ∧ z-range)
+    v = optimize_snapshots(
+        spark, spec, zorder_by=["id"], target_dirs=4, bloom_for=("id",)
+    )
+    m = _read_manifest(spec, v)
+    assert len(m["dirs"]) == 4 and set(m.get("bloom", {})) == set(m["dirs"])
+    kept, skipped = pruned_dirs(spec, {"id": (7777, 7777)})
+    assert not kept
+    kept, _ = pruned_dirs(spec, {"id": (42, 42)})
+    assert 1 <= len(kept) <= 2
+    assert snapshot_min_max(spec, "id") == (0, 99)
+
+    # deletion vectors disable the metadata answer (envelope, not answer)
+    snapshot_delete_where(spark, spec, {"id": (99, 99)}, rewrite=False)
+    assert snapshot_min_max(spec, "id") is None
+
+
+def test_partition_transforms_hidden_partitioning(spark, tmp_path):
+    import datetime as dt
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_count,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"), partition_by=("days(ts)",))
+    rows = [
+        (i, dt.datetime(2026, 4, 1 + i % 3, 8 + i % 10), f"v{i}")
+        for i in range(30)
+    ]
+    snapshot_write(
+        spark.createDataFrame(rows, ["id", "ts", "v"]), spec
+    )
+    # hidden column: data files land under _p_days_ts=... hive dirs...
+    data_root = os.path.join(spec.path, "data")
+    commit = os.listdir(data_root)[0]
+    hive_dirs = sorted(
+        d for d in os.listdir(os.path.join(data_root, commit))
+        if d.startswith("_p_days_ts=")
+    )
+    assert hive_dirs == [
+        "_p_days_ts=2026-04-01", "_p_days_ts=2026-04-02", "_p_days_ts=2026-04-03"
+    ]
+    # ...but readers never see it
+    head = snapshot_read(spark, spec)
+    assert head.columns == ["id", "ts", "v"] and head.count() == 30
+    assert snapshot_count(spec) == 30
+
+    # a source-column time range prunes hive dirs inside the commit AND
+    # stays exact
+    got = snapshot_read_where(
+        spark,
+        spec,
+        {"ts": (dt.datetime(2026, 4, 2, 0), dt.datetime(2026, 4, 2, 23))},
+    )
+    assert got.columns == ["id", "ts", "v"]
+    assert {r.id for r in got.collect()} == {i for i in range(30) if i % 3 == 1}
+    # the hive filter reached the scan as a PARTITION filter (hive-dir
+    # pruning, not a row filter): inputFiles() reflects the pre-pruning
+    # relation, so inspect the executed plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "_p_days_ts" in pf[0]
+
+
+def test_partition_transforms_bucket_and_truncate(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec(
+        "t.snap",
+        str(tmp_path / "t"),
+        partition_by=("bucket(8, user)", "truncate(100, id)"),
+    )
+    rows = [(i, f"u{i % 20}", i % 7) for i in range(0, 500, 3)]
+    snapshot_write(spark.createDataFrame(rows, ["id", "user", "x"]), spec)
+
+    # bucket equality probe: the probe maps to ONE bucket partition filter
+    got = snapshot_read_where(spark, spec, eq_in={"user": ["u7"]})
+    assert {r.user for r in got.collect()} == {"u7"}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "_p_bucket8_user" in pf[0]
+
+    # truncate range probe: id in [120, 180] needs only the 100-band
+    got = snapshot_read_where(spark, spec, {"id": (120, 180)})
+    assert {r.id for r in got.collect()} == {
+        i for i in range(0, 500, 3) if 120 <= i <= 180
+    }
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "_p_truncate100_id" in pf[0]
+
+    # DML over a transform-partitioned table keeps the layout consistent
+    snapshot_delete_where(spark, spec, {"id": (0, 99)})
+    got = snapshot_read(spark, spec)
+    assert got.columns == ["id", "user", "x"]
+    assert min(r.id for r in got.collect()) >= 100
