@@ -139,3 +139,67 @@ def khop_frontier_sizes(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out.orderBy("hop")
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection).
+
+    Seed: every node labels itself with its own id. Each superstep, a
+    node adopts the label carried by the MOST of its in-neighbors, ties
+    broken toward the SMALLEST label; isolated-this-step nodes keep their
+    label. Unlike min-label propagation (connected components —
+    operators/dedup.py::connected_components), frequency voting lets
+    dense groups keep their own label against a bridge edge, which is
+    what makes LPA a community detector rather than a component finder.
+
+    Determinism contract (what makes the unrolled-CTE oracle possible):
+    synchronous updates (all nodes step on the PREVIOUS labeling), exact
+    integer counts, and the (count DESC, label ASC) argmax — no random
+    visit order, unlike classic async LPA.
+
+    Scale shape: per superstep, one key-partitioned join (edges ⋈ labels
+    on dst) + one (node, label) count + one max_by argmax — all shuffles
+    on node ids, no global window, no driver data. ``iterations`` is
+    fixed and small (communities stabilize in a few sync rounds; more
+    rounds oscillate two-colorings on bipartite graphs — the classic
+    sync-LPA caveat, same reason Delta/GraphFrames cap LPA iterations).
+    Lineage truncates per superstep (localCheckpoint) like pagerank's
+    superstep loop. Returns (node, label).
+    """
+    import pyspark.sql.functions as F
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .unionByName(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iterations):
+        votes = (
+            edges.join(
+                labels.withColumnRenamed("node", dst), dst
+            )
+            .select(F.col(src).alias("node"), "label")
+            .groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        # argmax by (count DESC, label ASC): max of struct(c, -label)
+        winner = votes.groupBy("node").agg(
+            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+                "w"
+            )
+        ).select("node", (-F.col("w.nl")).alias("new_label"))
+        labels = (
+            labels.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", "label").alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels

@@ -458,3 +458,73 @@ def graph_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("d").cast("long").alias("total_degree"),
         )
     )
+
+
+_LPA_ITERS = 3
+
+
+def _lpa_oracle() -> str:
+    """Unrolled-CTE oracle for _LPA_ITERS synchronous label-propagation
+    supersteps over the symmetrized trade graph — the same exact integer
+    voting and (count DESC, label ASC) argmax the operator runs."""
+    parts = [
+        """
+    WITH de AS (
+        SELECT DISTINCT o.o_custkey * 2 AS src, l.l_suppkey * 2 + 1 AS dst
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    e AS (SELECT src, dst FROM de UNION ALL SELECT dst AS src, src AS dst FROM de),
+    n AS (SELECT DISTINCT src AS node FROM e),
+    l0 AS (SELECT node, node AS label FROM n)"""
+    ]
+    for i in range(1, _LPA_ITERS + 1):
+        parts.append(
+            f""",
+    v{i} AS (
+        SELECT e.src AS node, l.label, COUNT(*) AS c
+        FROM e JOIN l{i - 1} l ON e.dst = l.node
+        GROUP BY 1, 2
+    ),
+    w{i} AS (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY c DESC, label ASC) AS rn
+            FROM v{i}
+        ) WHERE rn = 1
+    ),
+    l{i} AS (
+        SELECT p.node, COALESCE(w{i}.label, p.label) AS label
+        FROM l{i - 1} p LEFT JOIN w{i} USING (node)
+    )"""
+        )
+    parts.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{_LPA_ITERS}"""
+    )
+    return "".join(parts)
+
+
+@query("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label propagation
+    over the symmetrized trade graph — frequency voting (not min-label),
+    so dense counterparty groups keep their own label against bridge
+    edges; the full iterative computation hash-matches a DuckDB oracle
+    that unrolls the identical supersteps (same discipline as the
+    PageRank family). Fixed ``_LPA_ITERS`` synchronous rounds with the
+    (count DESC, label ASC) argmax — see
+    operators/graph.py::label_propagation for the determinism contract
+    and the sync-LPA oscillation caveat that caps the round count."""
+    from creatorops_lakehouse_spark.operators.graph import label_propagation
+
+    directed = _trade_directed(spark, sf_dir)
+    edges = directed.unionByName(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    out = label_propagation(edges, iterations=_LPA_ITERS)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

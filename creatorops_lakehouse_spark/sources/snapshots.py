@@ -1458,11 +1458,20 @@ def snapshot_diff(
     v_from: int,
     v_to: int,
     keys: list[str],
+    detect_updates: bool = False,
 ) -> DataFrame:
     """Change-data feed between two versions: full rows with a
-    ``_change_type`` column ('insert' | 'delete'); an updated key appears
-    as a delete of the old row and an insert of the new one. Computed as
-    two key anti-joins over only the two manifests' file sets."""
+    ``_change_type`` column. Default (key-level CDF): 'insert' | 'delete'
+    — an updated key appears as a delete of the old row and an insert of
+    the new one. Computed as two key anti-joins over only the two
+    manifests' file sets.
+
+    ``detect_updates=True`` upgrades to Delta CDF's four-type feed: a key
+    present in BOTH versions whose non-key payload changed emits
+    'update_preimage' (the old row) and 'update_postimage' (the new row);
+    unchanged keys emit nothing. Cost: one extra join on the keys with a
+    payload-inequality filter (null-safe, so NULL↔value transitions
+    count as changes)."""
     a = snapshot_read(spark, spec, v_from)
     b = snapshot_read(spark, spec, v_to)
     import pyspark.sql.functions as F
@@ -1473,7 +1482,24 @@ def snapshot_diff(
     deleted = a.join(b.select(*keys), keys, "left_anti").withColumn(
         "_change_type", F.lit("delete")
     )
-    return inserted.unionByName(deleted)
+    out = inserted.unionByName(deleted)
+    if not detect_updates:
+        return out
+    payload = [c for c in b.columns if c not in keys]
+    aa = a.select(*keys, *[F.col(c).alias(f"_pre_{c}") for c in payload])
+    changed = F.lit(False)
+    for c in payload:
+        changed = changed | ~F.col(c).eqNullSafe(F.col(f"_pre_{c}"))
+    both = b.join(aa, keys, "inner").filter(changed)
+    pre = both.select(
+        *keys,
+        *[F.col(f"_pre_{c}").alias(c) for c in payload],
+        F.lit("update_preimage").alias("_change_type"),
+    )
+    post = both.select(
+        *keys, *payload, F.lit("update_postimage").alias("_change_type")
+    )
+    return out.unionByName(pre).unionByName(post)
 
 
 def _write_checkpoint(spec: TableSpec, n: int, manifests: dict[int, dict]) -> None:

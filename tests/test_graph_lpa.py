@@ -1,0 +1,54 @@
+"""Label propagation (operators/graph.py): deterministic synchronous
+community detection — frequency voting, (count DESC, label ASC) ties."""
+
+from __future__ import annotations
+
+from creatorops_lakehouse_spark.operators.graph import label_propagation
+
+
+def _sym(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def _labels(spark, pairs, iterations=3):
+    df = spark.createDataFrame(_sym(pairs), ["src", "dst"])
+    return {
+        r.node: r.label
+        for r in label_propagation(df, iterations=iterations).collect()
+    }
+
+
+def test_two_cliques_with_bridge_stay_two_communities(spark):
+    # two 4-cliques joined by ONE bridge edge: min-label propagation
+    # (connected components) would flood label 0 everywhere; frequency
+    # voting keeps each clique its own community — the LPA point.
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a, b) for a in range(10, 14) for b in range(10, 14) if a < b]
+    got = _labels(spark, c1 + c2 + [(3, 10)])
+    left = {got[n] for n in range(4)}
+    right = {got[n] for n in range(10, 14)}
+    assert len(left) == 1 and len(right) == 1
+    assert left != right  # the bridge did NOT merge the communities
+    assert left == {0} and right == {10}  # smallest-label tie-break
+
+
+def test_sync_determinism_and_tie_break(spark):
+    # a path 0-1-2: node 1 hears labels {0, 2} equally often -> smallest
+    # label wins the tie, every run identical
+    a = _labels(spark, [(0, 1), (1, 2)], iterations=1)
+    b = _labels(spark, [(0, 1), (1, 2)], iterations=1)
+    assert a == b
+    assert a[1] == 0  # tie between 0 and 2 breaks toward the smaller
+
+
+def test_isolated_node_and_bipartite_oscillation(spark):
+    # a self-loop-only node keeps its seed label across rounds; the 1-2
+    # pair exhibits the documented sync-LPA two-coloring oscillation
+    # (labels swap each round, returning to seeds on even rounds) — the
+    # caveat that caps iteration counts
+    df = spark.createDataFrame([(5, 5), (1, 2), (2, 1)], ["src", "dst"])
+    after1 = {r.node: r.label for r in label_propagation(df, 1).collect()}
+    after2 = {r.node: r.label for r in label_propagation(df, 2).collect()}
+    assert after1[5] == 5 and after2[5] == 5
+    assert (after1[1], after1[2]) == (2, 1)  # swapped
+    assert (after2[1], after2[2]) == (1, 2)  # swapped back

@@ -1470,3 +1470,41 @@ def test_partition_transforms_bucket_and_truncate(spark, tmp_path):
     got = snapshot_read(spark, spec)
     assert got.columns == ["id", "user", "x"]
     assert min(r.id for r in got.collect()) >= 100
+
+
+def test_cdf_detect_updates_four_types(spark, tmp_path):
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None), (4, "d")], ["id", "v"]
+        ),
+        spec,
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(2, "B"), (3, "c"), (4, "d"), (5, "e")], ["id", "v"]
+        ),
+        spec,
+        mode="overwrite",
+    )
+    got = {
+        (r.id, r.v, r._change_type)
+        for r in snapshot_diff(
+            spark, spec, 0, 1, keys=["id"], detect_updates=True
+        ).collect()
+    }
+    assert got == {
+        (1, "a", "delete"),
+        (5, "e", "insert"),
+        (2, "b", "update_preimage"),
+        (2, "B", "update_postimage"),
+        (3, None, "update_preimage"),  # NULL -> value counts as a change
+        (3, "c", "update_postimage"),
+        # key 4 unchanged: emits nothing
+    }
+    # default stays the two-type key-level feed
+    got2 = {
+        r._change_type
+        for r in snapshot_diff(spark, spec, 0, 1, keys=["id"]).collect()
+    }
+    assert got2 == {"insert", "delete"}
