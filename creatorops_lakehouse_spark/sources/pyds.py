@@ -202,8 +202,11 @@ class SnapshotReader(DataSourceReader):
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
         """Drop commit dirs whose manifest min/max stats prove them
-        disjoint from an eq/range filter. Everything is handed back to
-        Spark (yield all), so this only ever REMOVES provably-dead I/O."""
+        disjoint from an eq/range filter — and, for equality filters on a
+        bloom-indexed column, dirs whose bloom sidecar proves the value
+        absent. Everything is handed back to Spark (yield all), so this
+        only ever REMOVES provably-dead I/O."""
+        eq_probes: dict[str, object] = {}
         ranges: dict[str, list] = {}
         for f in filters:
             yield f  # Spark re-applies every filter: pruning is advisory
@@ -212,6 +215,7 @@ class SnapshotReader(DataSourceReader):
                 continue
             try:
                 if isinstance(f, EqualTo):
+                    eq_probes[col] = f.value
                     ranges.setdefault(col, [None, None])
                     lo, hi = ranges[col]
                     ranges[col] = [f.value if lo is None else max(lo, f.value),
@@ -226,15 +230,22 @@ class SnapshotReader(DataSourceReader):
                     ranges[col][1] = f.value if hi is None else min(hi, f.value)
             except TypeError:  # mixed-type bounds on one column: no prune
                 ranges.pop(col, None)
-        if not ranges:
+        if not ranges and not eq_probes:
             return
+        from creatorops_lakehouse_spark.sources.snapshots import (
+            _bloom_might_contain,
+        )
+        from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+        spec = TableSpec("pyds.snapshot", self._root)
+        blooms = self._manifest.get("bloom", {})
+        bloom_cache: dict = {}
         per_dir = self._manifest.get("stats", {})
         for d in self._manifest["dirs"]:
             st = per_dir.get(d)
-            if not st:
-                continue
+            disjoint = False
             for col, (lo, hi) in ranges.items():
-                cs = st.get(col)
+                cs = (st or {}).get(col)
                 if not cs or cs["min"] is None or cs["max"] is None:
                     continue
                 try:
@@ -247,8 +258,16 @@ class SnapshotReader(DataSourceReader):
                     # against them — keep the dir (pruning is advisory)
                     disjoint = False
                 if disjoint:
-                    self._pruned.append(d)
                     break
+            if not disjoint and eq_probes and d in blooms:
+                for col, val in eq_probes.items():
+                    if not _bloom_might_contain(
+                        spec, blooms[d], col, val, bloom_cache
+                    ):
+                        disjoint = True
+                        break
+            if disjoint:
+                self._pruned.append(d)
 
     def partitions(self):
         skip = set(self._pruned)
