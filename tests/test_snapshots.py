@@ -1508,3 +1508,61 @@ def test_cdf_detect_updates_four_types(spark, tmp_path):
         for r in snapshot_diff(spark, spec, 0, 1, keys=["id"]).collect()
     }
     assert got2 == {"insert", "delete"}
+
+
+def test_dv_and_bloom_survive_checkpoint_folding(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        pruned_dirs,
+        snapshot_count,
+        snapshot_delete_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "e") for i in range(0, 50, 2)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    snapshot_write(
+        spark.createDataFrame([(i, "o") for i in range(1, 50, 2)], ["id", "v"]),
+        spec,
+        bloom_for=("id",),
+    )
+    snapshot_delete_where(spark, spec, {"id": (10, 13)}, rewrite=False)
+
+    checkpoint_manifest(spec)  # folds every manifest into c<N>.json
+    # DV still applies through the checkpointed manifest
+    got = _rows(snapshot_read(spark, spec))
+    assert got == {(i, "e" if i % 2 == 0 else "o") for i in range(50) if not 10 <= i <= 13}
+    assert snapshot_count(spec) == 46
+    # bloom pointers still prune through the checkpointed manifest
+    kept, skipped = pruned_dirs(spec, {"id": (2, 2)})
+    assert len(kept) == 1 and len(skipped) == 1
+    # time travel into the folded pre-delete history still works
+    assert len(_rows(snapshot_read(spark, spec, version=1))) == 50
+
+
+def test_dv_commit_aborts_on_concurrent_write(spark, tmp_path, monkeypatch):
+    """A deletion-vector commit is read-modify-write (its dir scope and
+    cardinality were computed against the head it read) — a concurrent
+    commit racing it to the version wins and the DV delete aborts with
+    SnapshotConflictError instead of publishing stale scope."""
+    import creatorops_lakehouse_spark.sources.snapshots as S
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"]), spec)
+    # simulate the interleaving: the delete reads head v0, a competitor
+    # commits v1 before the delete publishes — pin the delete's view of
+    # the head at 0 while the competitor takes the v1 slot for real
+    head = S._read_manifest(spec, 0)
+    S._commit(spec, 1, {**head, "version": 1, "parent": 0, "mode": "append"})
+    real_cv = S.current_version
+    monkeypatch.setattr(
+        S, "current_version", lambda sp: 0 if sp.path == spec.path else real_cv(sp)
+    )
+    with pytest.raises(S.SnapshotConflictError):
+        S.snapshot_delete_where(spark, spec, {"id": (1, 1)}, rewrite=False)
+    monkeypatch.undo()
+    # nothing was lost: the winner's version is intact, no v2 appeared
+    assert current_version(spec) == 1
