@@ -95,12 +95,14 @@ class _FilePartition(InputPartition):
     file_path: str
     hive: tuple[tuple[str, str | None], ...]
     dv: tuple[tuple[tuple, ...], ...] = ()
+    cmap: tuple[tuple[str, str], ...] = ()  # (logical, physical) renames
 
 
 def _walk_parquet(
     root: str,
     rel_dir: str,
     dv: tuple[tuple[tuple, ...], ...] = (),
+    cmap: tuple[tuple[str, str], ...] = (),
 ) -> list[_FilePartition]:
     """File-level partitions for one commit dir, hive segments parsed."""
     parts: list[_FilePartition] = []
@@ -116,7 +118,9 @@ def _walk_parquet(
         for fn in files:
             if fn.endswith(".parquet"):
                 parts.append(
-                    _FilePartition(os.path.join(dirpath, fn), tuple(hive), dv)
+                    _FilePartition(
+                        os.path.join(dirpath, fn), tuple(hive), dv, cmap
+                    )
                 )
     return parts
 
@@ -168,15 +172,22 @@ def _read_file_partition(schema: StructType, partition: _FilePartition) -> Itera
 
     target = to_arrow_schema(schema)
     hive = dict(partition.hive)
+    cmap = dict(partition.cmap)  # logical -> physical file name
     pf = pq.ParquetFile(partition.file_path)
     file_cols = set(pf.schema_arrow.names)
-    want_from_file = [f.name for f in target if f.name in file_cols]
+
+    def _phys(name: str) -> str:
+        return cmap.get(name, name)
+
+    want_from_file = [
+        _phys(f.name) for f in target if _phys(f.name) in file_cols
+    ]
     for batch in pf.iter_batches(columns=want_from_file or None):
         n = batch.num_rows
         arrays = []
         for field in target:
-            if field.name in file_cols:
-                col = batch.column(want_from_file.index(field.name))
+            if _phys(field.name) in file_cols:
+                col = batch.column(want_from_file.index(_phys(field.name)))
                 if col.type != field.type:
                     col = pc.cast(col, field.type)
                 arrays.append(col)
@@ -208,11 +219,13 @@ class SnapshotReader(DataSourceReader):
         only ever REMOVES provably-dead I/O."""
         eq_probes: dict[str, object] = {}
         ranges: dict[str, list] = {}
+        cmap = self._manifest.get("column_map", {})
         for f in filters:
             yield f  # Spark re-applies every filter: pruning is advisory
             col = f.attribute[0] if len(getattr(f, "attribute", ())) == 1 else None
             if col is None:
                 continue
+            col = cmap.get(col, col)  # stats/blooms key PHYSICAL names
             try:
                 if isinstance(f, EqualTo):
                     eq_probes[col] = f.value
@@ -271,11 +284,16 @@ class SnapshotReader(DataSourceReader):
 
     def partitions(self):
         skip = set(self._pruned)
+        cmap = tuple(
+            sorted(self._manifest.get("column_map", {}).items())
+        )
         return [
             p
             for d in self._manifest["dirs"]
             if d not in skip
-            for p in _walk_parquet(self._root, d, _dv_for_dir(self._manifest, d))
+            for p in _walk_parquet(
+                self._root, d, _dv_for_dir(self._manifest, d), cmap
+            )
         ]
 
     def read(self, partition: _FilePartition) -> Iterator:
@@ -371,8 +389,9 @@ class SnapshotStreamReader(DataSourceStreamReader):
                     f"{opt}, 'true') to continue anyway "
                     "(downstream owns reconciliation)."
                 )
+            cm = tuple(sorted(m.get("column_map", {}).items()))
             for d in new_dirs:
-                parts.extend(_walk_parquet(self._root, d))
+                parts.extend(_walk_parquet(self._root, d, (), cm))
         return parts
 
     def read(self, partition: _FilePartition) -> Iterator:

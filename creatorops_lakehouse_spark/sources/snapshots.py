@@ -620,6 +620,11 @@ def pruned_dirs(
     if v is None:
         raise ValueError(f"no snapshots at {spec.path}")
     manifest = _read_manifest(spec, v)
+    cmap = _col_map(manifest)
+    if cmap:  # stats/blooms key PHYSICAL names: translate probe columns
+        ranges = {cmap.get(c, c): b for c, b in ranges.items()}
+        if eq_in:
+            eq_in = {cmap.get(c, c): vs for c, vs in eq_in.items()}
     per_dir = manifest.get("stats", {})
     blooms = manifest.get("bloom", {})
     eq_probes = {
@@ -740,6 +745,137 @@ def snapshot_read_where(
     return out
 
 
+# ---------------------------------------------------------------------------
+# COLUMN MAPPING (Delta's name-mapping mode): metadata-only RENAME/DROP
+# COLUMN. Parquet files always carry a column's PHYSICAL name — the name it
+# had at the table's first write; the manifest's "column_map"
+# {logical: physical} translates at the boundaries. A table that never
+# renames has no map and every path below is a no-op passthrough.
+# ---------------------------------------------------------------------------
+
+
+def _col_map(manifest: dict) -> dict[str, str]:
+    """{logical: physical} for renamed columns (identity entries omitted)."""
+    return dict(manifest.get("column_map", {}))
+
+
+def _to_physical(manifest: dict, logical: str) -> str:
+    return _col_map(manifest).get(logical, logical)
+
+
+def rename_column(spec: TableSpec, old: str, new: str) -> int:
+    """``ALTER TABLE ... RENAME COLUMN old TO new`` — metadata-only, zero
+    data rewritten (Delta's column-mapping rename): the manifest schema
+    renames the field and records the LOGICAL→PHYSICAL name mapping;
+    every read path translates at load, every write path translates
+    before the parquet writer, so files keep the physical name forever.
+
+    Refused (honest limits, each lifts after the named maintenance op)
+    when the column participates in a CHECK constraint (drop/re-add it
+    under the new name), a live deletion vector (``purge_deletes``
+    first), or the partition spec (partition layout is physical)."""
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    head = _read_manifest(spec, cur)
+    if "schema" not in head:
+        raise ValueError("rename_column needs a schema-pinned table")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(head["schema"])
+    names = schema.fieldNames()
+    if old not in names:
+        raise ValueError(f"no column {old!r} at {spec.path}")
+    if new in names:
+        raise ValueError(f"column {new!r} already exists at {spec.path}")
+    for cname, cexpr in head.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(old)}\b", cexpr):
+            raise ValueError(
+                f"column {old!r} is referenced by CHECK constraint "
+                f"{cname!r} — drop and re-add the constraint under the "
+                "new name first"
+            )
+    for e in head.get("dv", []):
+        if old in e["ranges"]:
+            raise ValueError(
+                f"column {old!r} is referenced by a live deletion vector "
+                "— run purge_deletes first"
+            )
+    for _h, _fn, src_col, _a in _parse_partition_spec(spec.partition_by):
+        if src_col == old:
+            raise ValueError(
+                f"column {old!r} drives the partition spec — partition "
+                "layout is physical and cannot be renamed in place"
+            )
+    cmap = _col_map(head)
+    physical = cmap.pop(old, old)  # a→b→c composes to {c: a}
+    cmap[new] = physical
+    fields = [
+        {**f.jsonValue(), "name": new} if f.name == old else f.jsonValue()
+        for f in schema.fields
+    ]
+    manifest = _metadata_commit_body(spec, cur, mode="rename_column")
+    manifest["schema"] = {"type": "struct", "fields": fields}
+    manifest["column_map"] = {
+        k: v for k, v in cmap.items() if k != v
+    } or None
+    if manifest["column_map"] is None:
+        manifest.pop("column_map")
+    _commit(spec, cur + 1, manifest)
+    return cur + 1
+
+
+def drop_column(spec: TableSpec, col: str) -> int:
+    """``ALTER TABLE ... DROP COLUMN`` — metadata-only, zero data
+    rewritten: the manifest schema drops the field, so reads simply never
+    project it (parquet is columnar — the bytes stay until OPTIMIZE
+    rewrites them, exactly Delta's contract). Same refusals as rename for
+    constraint / deletion-vector / partition-spec participants."""
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}")
+    head = _read_manifest(spec, cur)
+    if "schema" not in head:
+        raise ValueError("drop_column needs a schema-pinned table")
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(head["schema"])
+    if col not in schema.fieldNames():
+        raise ValueError(f"no column {col!r} at {spec.path}")
+    if len(schema.fields) == 1:
+        raise ValueError("cannot drop the only column")
+    for cname, cexpr in head.get("constraints", {}).items():
+        if _re.search(rf"\b{_re.escape(col)}\b", cexpr):
+            raise ValueError(
+                f"column {col!r} is referenced by CHECK constraint "
+                f"{cname!r} — drop the constraint first"
+            )
+    for e in head.get("dv", []):
+        if col in e["ranges"]:
+            raise ValueError(
+                f"column {col!r} is referenced by a live deletion vector "
+                "— run purge_deletes first"
+            )
+    for _h, _fn, src_col, _a in _parse_partition_spec(spec.partition_by):
+        if src_col == col:
+            raise ValueError(
+                f"column {col!r} drives the partition spec and cannot drop"
+            )
+    manifest = _metadata_commit_body(spec, cur, mode="drop_column")
+    manifest["schema"] = {
+        "type": "struct",
+        "fields": [f.jsonValue() for f in schema.fields if f.name != col],
+    }
+    cmap = _col_map(head)
+    cmap.pop(col, None)
+    if cmap:
+        manifest["column_map"] = cmap
+    else:
+        manifest.pop("column_map", None)
+    _commit(spec, cur + 1, manifest)
+    return cur + 1
+
+
 def _dv_matched(ranges: dict):
     """Row-matches-DV-predicate expression (AND of bounds; NULL never
     matches, so a DV can never delete a row the predicate can't see)."""
@@ -779,9 +915,20 @@ def _load_dirs(
     the frame is returned to the caller)."""
     from pyspark.sql.types import StructType, _parse_datatype_string
 
+    cmap = _col_map(manifest)  # {logical: physical} for renamed columns
     reader = spark.read.format(spec.format)
     if "schema" in manifest:
         schema = StructType.fromJson(manifest["schema"])
+        if cmap:
+            # parquet files carry PHYSICAL names: read physically,
+            # alias back to logical after load
+            phys_fields = [
+                {**f.jsonValue(), "name": cmap.get(f.name, f.name)}
+                for f in schema.fields
+            ]
+            schema = StructType.fromJson(
+                {"type": "struct", "fields": phys_fields}
+            )
         for name, t in hive_fields or []:
             if name not in schema.fieldNames():
                 schema = schema.add(name, _parse_datatype_string(t))
@@ -816,6 +963,16 @@ def _load_dirs(
             part = reader.load(paths)
         if hidden:
             part = part.drop(*hidden)
+        if cmap:
+            import pyspark.sql.functions as F
+
+            rev = {p: l for l, p in cmap.items()}
+            part = part.select(
+                *[
+                    F.col(c).alias(rev.get(c, c))
+                    for c in part.columns
+                ]
+            )
         for i in sig:
             part = part.filter(~_dv_matched(dv[i]["ranges"]))
         out = part if out is None else out.unionByName(part)
@@ -905,6 +1062,7 @@ def snapshot_min_max(
     m = _read_manifest(spec, v)
     if m.get("dv"):
         return None
+    col = _to_physical(m, col)  # stats key physical names
     stats = m.get("stats", {})
     lo = hi = None
     for d in m["dirs"]:
@@ -1007,7 +1165,10 @@ def _metadata_commit_body(spec: TableSpec, cur: int, mode: str) -> dict:
     head = _read_manifest(spec, cur)
     manifest = {"version": cur + 1, "mode": mode, "parent": cur,
                 "dirs": head["dirs"]}
-    for k in ("schema", "stats", "rows", "txns", "constraints", "bloom", "dv"):
+    for k in (
+        "schema", "stats", "rows", "txns", "constraints", "bloom", "dv",
+        "column_map",
+    ):
         if k in head:
             manifest[k] = head[k]
     return manifest
@@ -1150,8 +1311,19 @@ def snapshot_write(
     version = 0 if cur is None else cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
+    # parquet files always carry PHYSICAL column names (column mapping):
+    # translate renamed columns before the writer; stats and blooms key
+    # physically too (pruned_dirs translates probe names at lookup)
+    head_cmap = {} if cur is None else _col_map(_read_manifest(spec, cur))
+    write_df = df
+    if head_cmap and mode == "append":
+        import pyspark.sql.functions as F
+
+        write_df = df.select(
+            *[F.col(c).alias(head_cmap.get(c, c)) for c in df.columns]
+        )
     writer = (
-        _materialize_partitions(df, spec)
+        _materialize_partitions(write_df, spec)
         .write.format(spec.format)
         .mode("errorifexists")
     )
@@ -1161,11 +1333,19 @@ def snapshot_write(
     spark = df.sparkSession
     # row count is always collected (Delta's numRecords — it is what makes
     # snapshot_count metadata-only); min/max stats honor stats_cols
-    dir_stats, dir_rows = _collect_stats(spark, spec, rel_dir, df.schema, stats_cols)
+    phys_stats_cols = stats_cols
+    if head_cmap and mode == "append" and stats_cols is not None:
+        phys_stats_cols = tuple(head_cmap.get(c, c) for c in stats_cols)
+    dir_stats, dir_rows = _collect_stats(
+        spark, spec, rel_dir, write_df.schema, phys_stats_cols
+    )
     bloom_file = None
     if bloom_for:
+        phys_bloom = tuple(
+            head_cmap.get(c, c) if mode == "append" else c for c in bloom_for
+        )
         bloom_file = _collect_bloom(
-            spark, spec, rel_dir, df.schema, bloom_for,
+            spark, spec, rel_dir, write_df.schema, phys_bloom,
             bloom_fpp, bloom_max_bits, dir_rows,
         )
     if _pre_commit is not None:
@@ -1232,6 +1412,10 @@ def snapshot_write(
         # overwrite replaces the file set and with it every vector
         if head_m is not None and mode == "append" and head_m.get("dv"):
             manifest["dv"] = head_m["dv"]
+        # the column map follows the schema: appends carry it, an
+        # overwrite replaces schema and files so physical == logical again
+        if head_m is not None and mode == "append" and head_m.get("column_map"):
+            manifest["column_map"] = head_m["column_map"]
         try:
             _commit(spec, version, manifest)
             return version
@@ -1340,6 +1524,8 @@ def rollback(spec: TableSpec, version: int) -> int:
         manifest["bloom"] = old["bloom"]
     if "dv" in old:  # deletion vectors follow the restored file set
         manifest["dv"] = old["dv"]
+    if "column_map" in old:  # the column map follows the restored schema
+        manifest["column_map"] = old["column_map"]
     _commit(spec, new_v, manifest)
     return new_v
 
@@ -1417,6 +1603,8 @@ def snapshot_clone(
         }
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    if m.get("column_map"):  # the column map follows the cloned schema
+        manifest["column_map"] = m["column_map"]
     if m.get("dv"):  # vectors follow the cloned file set, dirs remapped
         manifest["dv"] = [
             {
@@ -1713,19 +1901,30 @@ def _rewrite_commit(
     version = cur + 1
     token = uuid.uuid4().hex[:8]
     rel_dir = f"data/b{version}-{token}"
+    cmap = _col_map(head)
+    write_rows = new_rows
+    if cmap:  # files keep PHYSICAL names through rewrites too
+        import pyspark.sql.functions as F
+
+        write_rows = new_rows.select(
+            *[F.col(c).alias(cmap.get(c, c)) for c in new_rows.columns]
+        )
     writer = (
-        _materialize_partitions(new_rows, spec)
+        _materialize_partitions(write_rows, spec)
         .write.format(spec.format)
         .mode("errorifexists")
     )
     if spec.partition_by:
         writer = writer.partitionBy(*_hive_partition_cols(spec))
     writer.save(os.path.join(spec.path, rel_dir))
-    dir_stats, dir_rows = _collect_stats(spark, spec, rel_dir, new_rows.schema, None)
+    dir_stats, dir_rows = _collect_stats(
+        spark, spec, rel_dir, write_rows.schema, None
+    )
     bloom_file = None
     if bloom_for:
         bloom_file = _collect_bloom(
-            spark, spec, rel_dir, new_rows.schema, bloom_for,
+            spark, spec, rel_dir, write_rows.schema,
+            tuple(cmap.get(c, c) for c in bloom_for),
             0.001, _BLOOM_MAX_BITS_DEFAULT, dir_rows,
         )
     stats = {
@@ -1776,6 +1975,8 @@ def _rewrite_commit(
         manifest["txns"] = head["txns"]
     if head.get("constraints"):  # table properties survive rewrites
         manifest["constraints"] = head["constraints"]
+    if head.get("column_map"):  # the column map follows the schema
+        manifest["column_map"] = head["column_map"]
     _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
     return version
 
@@ -2124,6 +2325,11 @@ def optimize_snapshots(
     # hive partition columns nest UNDER the bucket, so each bucket subdir
     # is a self-contained partitioned layout (per-dir reads re-discover
     # the partition columns rooted at the bucket)
+    zmap = _col_map(head)
+    if zmap:  # files keep PHYSICAL names through the Z-order rewrite too
+        clustered = clustered.select(
+            *[F.col(c).alias(zmap.get(c, c)) for c in clustered.columns]
+        )
     (
         _materialize_partitions(clustered, spec)
         .write.format(spec.format)
@@ -2140,15 +2346,29 @@ def optimize_snapshots(
         if d.startswith("_zbucket=")
     )
     schema = rows.schema
+    phys_schema = schema
+    if zmap:  # stats/blooms aggregate over the files' PHYSICAL names
+        from pyspark.sql.types import StructType as _ST
+
+        phys_schema = _ST.fromJson(
+            {
+                "type": "struct",
+                "fields": [
+                    {**f.jsonValue(), "name": zmap.get(f.name, f.name)}
+                    for f in schema.fields
+                ],
+            }
+        )
     stats, rcounts, blooms = {}, {}, {}
     for d in sub_dirs:
-        st, n = _collect_stats(spark, spec, d, schema, None)
+        st, n = _collect_stats(spark, spec, d, phys_schema, None)
         if st:
             stats[d] = st
         rcounts[d] = n
         if bloom_for:
             bf = _collect_bloom(
-                spark, spec, d, schema, bloom_for,
+                spark, spec, d, phys_schema,
+                tuple(zmap.get(c, c) for c in bloom_for),
                 0.001, _BLOOM_MAX_BITS_DEFAULT, n,
             )
             if bf:
@@ -2168,5 +2388,7 @@ def optimize_snapshots(
         manifest["txns"] = head["txns"]
     if head.get("constraints"):
         manifest["constraints"] = head["constraints"]
+    if head.get("column_map"):  # the column map follows the schema
+        manifest["column_map"] = head["column_map"]
     _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
     return version

@@ -1566,3 +1566,125 @@ def test_dv_commit_aborts_on_concurrent_write(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
     # nothing was lost: the winner's version is intact, no v2 appeared
     assert current_version(spec) == 1
+
+
+def test_rename_column_metadata_only(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        drop_column,
+        pruned_dirs,
+        rename_column,
+        snapshot_min_max,
+        snapshot_read_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, f"x{i}") for i in range(10)], ["id", "v"]),
+        spec,
+        bloom_for=("v",),
+    )
+    pre_dirs = set(snapshot_dirs(spec, 0))
+    v = rename_column(spec, "v", "label")
+    assert v == 1 and set(snapshot_dirs(spec, 1)) == pre_dirs  # zero rewrite
+
+    head = snapshot_read(spark, spec)
+    assert head.columns == ["id", "label"]
+    assert {(r.id, r.label) for r in head.collect()} == {
+        (i, f"x{i}") for i in range(10)
+    }
+    # time travel reads the PRE-rename schema
+    assert snapshot_read(spark, spec, version=0).columns == ["id", "v"]
+
+    # appends written AFTER the rename use the logical name; old and new
+    # files read back as one consistent table
+    snapshot_write(
+        spark.createDataFrame([(10, "x10")], ["id", "label"]), spec
+    )
+    assert {(r.id, r.label) for r in snapshot_read(spark, spec).collect()} == {
+        (i, f"x{i}") for i in range(11)
+    }
+    # stats + bloom pruning translate the renamed probe column
+    assert snapshot_min_max(spec, "label") == ("x0", "x9")
+    kept, skipped = pruned_dirs(spec, {"label": ("x3", "x3")})
+    assert len(kept) == 1 and len(skipped) == 1  # bloom pruned the append
+    got = snapshot_read_where(spark, spec, {"label": ("x3", "x3")})
+    assert [tuple(r) for r in got.collect()] == [(3, "x3")]
+
+    # second rename composes (label -> tag still maps to physical 'v')
+    rename_column(spec, "label", "tag")
+    assert snapshot_read(spark, spec).columns == ["id", "tag"]
+    assert snapshot_min_max(spec, "tag") == ("x0", "x9")
+
+    # DROP COLUMN: metadata-only projection
+    drop_column(spec, "tag")
+    assert snapshot_read(spark, spec).columns == ["id"]
+    with pytest.raises(ValueError, match="only column"):
+        drop_column(spec, "id")
+
+
+def test_rename_refusals_and_dml_after_rename(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        add_check_constraint,
+        drop_check_constraint,
+        purge_deletes,
+        rename_column,
+        snapshot_delete_where,
+        snapshot_merge,
+        snapshot_update_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(1, 100), (2, 200)], ["id", "cents"]), spec
+    )
+    add_check_constraint(spark, spec, "cents_pos", "cents > 0")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        rename_column(spec, "cents", "pennies")
+    drop_check_constraint(spec, "cents_pos")
+    snapshot_delete_where(spark, spec, {"id": (2, 2)}, rewrite=False)
+    with pytest.raises(ValueError, match="deletion vector"):
+        rename_column(spec, "id", "key")
+    purge_deletes(spark, spec)
+    rename_column(spec, "cents", "pennies")
+
+    # MERGE and UPDATE speak the logical name; files keep the physical one
+    snapshot_merge(
+        spark,
+        spec,
+        spark.createDataFrame([(1, 111), (3, 333)], ["id", "pennies"]),
+        ["id"],
+    )
+    snapshot_update_where(spark, spec, {"id": (3, 3)}, {"pennies": "pennies + 1"})
+    got = {(r.id, r.pennies) for r in snapshot_read(spark, spec).collect()}
+    assert got == {(1, 111), (3, 334)}
+
+    # partition-spec columns refuse renames
+    pspec = TableSpec("t.p", str(tmp_path / "p"), partition_by=("days(ts)",))
+    import datetime as dt
+
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, dt.datetime(2026, 4, 1))], ["id", "ts"]
+        ),
+        pspec,
+    )
+    with pytest.raises(ValueError, match="partition spec"):
+        rename_column(pspec, "ts", "event_time")
+
+
+def test_rename_through_datasource(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.pyds import register_snapshot_source
+    from creatorops_lakehouse_spark.sources.snapshots import rename_column
+
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    rename_column(spec, "v", "label")
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "label"]), spec)
+
+    df = spark.read.format("snapshot").option("path", spec.path).load()
+    assert df.columns == ["id", "label"]
+    assert {tuple(r) for r in df.collect()} == {(1, "a"), (2, "b")}
+    # equality pushdown on the renamed column still prunes via stats
+    got = df.filter("label = 'b'")
+    assert [tuple(r) for r in got.collect()] == [(2, "b")]
