@@ -1688,3 +1688,32 @@ def test_rename_through_datasource(spark, tmp_path):
     # equality pushdown on the renamed column still prunes via stats
     got = df.filter("label = 'b'")
     assert [tuple(r) for r in got.collect()] == [(2, "b")]
+
+
+def test_schema_evolution_after_rename(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import rename_column
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    rename_column(spec, "v", "label")
+    # additive evolution under a live column map: the new column appends
+    # with its own (identity) physical name; old files null-fill it
+    snapshot_write(
+        spark.createDataFrame([(2, "b", 7)], ["id", "label", "extra"]),
+        spec,
+        merge_schema=True,
+    )
+    got = {
+        tuple(r)
+        for r in snapshot_read(spark, spec)
+        .select("id", "label", "extra")
+        .collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 7)}
+    # renaming the evolved column composes with the existing map
+    rename_column(spec, "extra", "bonus")
+    got = {
+        tuple(r)
+        for r in snapshot_read(spark, spec).select("id", "label", "bonus").collect()
+    }
+    assert got == {(1, "a", None), (2, "b", 7)}
