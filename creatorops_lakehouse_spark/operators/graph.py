@@ -188,12 +188,16 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
-        # argmax by (count DESC, label ASC): max of struct(c, -label)
+        # argmax by (count DESC, label ASC) = MIN of struct(-c, label):
+        # struct comparison is lexicographic, -c is always numeric (a
+        # count), and the label field compares with its own type's order
+        # — so node/label ids may be longs OR strings (unary negation of
+        # the label, the previous form, only worked for numeric ids)
         winner = votes.groupBy("node").agg(
-            F.max(F.struct(F.col("c"), (-F.col("label")).alias("nl"))).alias(
+            F.min(F.struct((-F.col("c")).alias("negc"), F.col("label"))).alias(
                 "w"
             )
-        ).select("node", (-F.col("w.nl")).alias("new_label"))
+        ).select("node", F.col("w.label").alias("new_label"))
         labels = (
             labels.join(winner, "node", "left")
             .select(

@@ -111,10 +111,21 @@ def _walk_parquet(
         rel = os.path.relpath(dirpath, base)
         hive: list[tuple[str, str | None]] = []
         if rel != ".":
+            from urllib.parse import unquote
+
             for seg in rel.split(os.sep):
                 if "=" in seg:
                     k, v = seg.split("=", 1)
-                    hive.append((k, None if v == _HIVE_NULL else v))
+                    # Spark percent-escapes partition path segments
+                    # (ExternalCatalogUtils.escapePathName: ':'→'%3A',
+                    # ' '→'%20', …); unescape so string values round-trip
+                    # identically to the native reader. The null marker
+                    # contains no escapes, so checking it pre-unquote is
+                    # equivalent and keeps literal '__HIVE_DEFAULT_…'
+                    # strings (which Spark would have escaped) distinct.
+                    hive.append(
+                        (unquote(k), None if v == _HIVE_NULL else unquote(v))
+                    )
         for fn in files:
             if fn.endswith(".parquet"):
                 parts.append(

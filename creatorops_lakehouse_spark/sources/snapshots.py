@@ -994,10 +994,30 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
     """Publish v<version> atomically; raise SnapshotConflictError if a
     concurrent writer already owns that version (put-if-absent via
     ``os.link`` — the existence check and the publish are ONE syscall, no
-    check-then-rename race)."""
+    check-then-rename race).
+
+    Checkpoint-race guard: ``checkpoint_manifest`` folds loose manifests
+    into c<N>.json and DELETES them, so a lagging writer racing for a
+    folded version would find no v<N>.json and its os.link would succeed
+    — publishing a second, conflicting manifest for an already-committed
+    version. Two checks close this: (1) before writing, a version at or
+    below the latest checkpoint is rejected outright; (2) after a
+    successful link, the checkpoint is re-read — if a checkpoint now
+    covers this version with a DIFFERENT body (a fold completed inside
+    the check-to-link window and had already folded the original
+    writer's manifest), the just-published loose file is retracted and
+    the commit aborts. An equal body means the fold picked up THIS
+    manifest (it linked first and was folded) — that commit stands."""
     d = _manifest_dir(spec)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"v{version}.json")
+    cp = _latest_checkpoint(spec)
+    if cp is not None and version <= cp[0]:
+        raise SnapshotConflictError(
+            f"snapshot v{version} at {spec.path} is already covered by "
+            f"checkpoint c{cp[0]} — a concurrent writer committed it and "
+            "a checkpoint folded it"
+        )
     if "committed_at" not in manifest:
         import datetime as _dt
 
@@ -1019,6 +1039,22 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
             ) from None
     finally:
         os.unlink(tmp)
+    cp = _latest_checkpoint(spec)
+    if cp is not None and version <= cp[0]:
+        # canonical-JSON compare (json.dumps stringifies int keys the same
+        # way the reload path does, so a folded copy of THIS manifest
+        # compares equal)
+        ours = json.dumps(manifest, sort_keys=True)
+        folded = cp[1].get(version)
+        if folded is None or json.dumps(folded, sort_keys=True) != ours:
+            try:
+                os.unlink(final)
+            except FileNotFoundError:
+                pass  # a newer fold already consumed (and deleted) it
+            raise SnapshotConflictError(
+                f"snapshot v{version} at {spec.path} raced a checkpoint "
+                "fold of a concurrent writer's commit; retracted"
+            )
 
 
 def snapshot_count(spec: TableSpec, version: int | None = None) -> int | None:
@@ -1449,13 +1485,16 @@ def snapshot_write(
 def version_as_of(spec: TableSpec, timestamp: str) -> int:
     """Delta's ``timestampAsOf`` resolution: the LATEST version whose
     ``committed_at`` is <= ``timestamp`` ('YYYY-MM-DD HH:MM:SS', UTC —
-    ISO-lexicographic compare, no parsing needed). Raises if every commit
-    is newer (nothing existed yet) or if no commit carries a timestamp
-    (pre-timestamp manifests)."""
+    ISO-lexicographic compare, no parsing needed). Both sides truncate to
+    19 chars so the stored tz-aware form ('... +00:00' suffix) and a
+    tz-less probe compare as the same instant — a commit at the exact
+    probe second is INCLUSIVE, matching vacuum's ``_retained``. Raises if
+    every commit is newer (nothing existed yet) or if no commit carries a
+    timestamp (pre-timestamp manifests)."""
     best = None
     for v in _versions(spec):
         at = _read_manifest(spec, v).get("committed_at")
-        if at is not None and at <= timestamp:
+        if at is not None and str(at)[:19] <= str(timestamp)[:19]:
             best = v
     if best is None:
         raise ValueError(

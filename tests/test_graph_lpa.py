@@ -52,3 +52,17 @@ def test_isolated_node_and_bipartite_oscillation(spark):
     assert after1[5] == 5 and after2[5] == 5
     assert (after1[1], after1[2]) == (2, 1)  # swapped
     assert (after2[1], after2[2]) == (1, 2)  # swapped back
+
+
+def test_string_node_ids(spark):
+    """Labels may be any orderable type: the argmax is min(struct(-count,
+    label)) so string ids order lexicographically (ADVICE r7: the previous
+    -label negation only worked for numeric ids, failing under ANSI)."""
+    c1 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    c2 = [(a, b) for a in "wxyz" for b in "wxyz" if a < b]
+    got = _labels(spark, c1 + c2 + [("d", "w")])
+    assert {got[n] for n in "abcd"} == {"a"}  # smallest-string tie-break
+    assert {got[n] for n in "wxyz"} == {"w"}
+    # tie on a string path: 'b' hears {'a','c'} equally -> lexicographic min
+    tie = _labels(spark, [("a", "b"), ("b", "c")], iterations=1)
+    assert tie["b"] == "a"

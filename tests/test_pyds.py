@@ -314,3 +314,23 @@ def test_pushdown_bloom_pruning(spark, tmp_path):
         .filter("id = 42")
     )
     assert [tuple(r) for r in df.select("id", "v").collect()] == [(42, "e")]
+
+
+def test_snapshot_format_unescapes_partition_path_values(spark, tmp_path):
+    """Spark percent-escapes partition path segments (':'→'%3A', ' '→'%20');
+    the DataSource's hive reconstruction must unescape them so string
+    partition values round-trip identically to the native reader
+    (ADVICE r7)."""
+    register_snapshot_source(spark)
+    spec = TableSpec("t.snap", str(tmp_path / "t"), partition_by=("p",))
+    vals = ["2026-08-15 10:00:00", "a:b", "pct%lit", "plain"]
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, v) for i, v in enumerate(vals)], ["id", "p"]
+        ),
+        spec,
+    )
+    native = {tuple(r) for r in snapshot_read(spark, spec).collect()}
+    via_fmt = {tuple(r) for r in _fmt(spark, spec.path).collect()}
+    assert via_fmt == native == {(i, v) for i, v in enumerate(vals)}
+    assert _fmt(spark, spec.path).filter(F.col("p") == "a:b").count() == 1

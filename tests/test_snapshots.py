@@ -1717,3 +1717,126 @@ def test_schema_evolution_after_rename(spark, tmp_path):
         for r in snapshot_read(spark, spec).select("id", "label", "bonus").collect()
     }
     assert got == {(1, "a", None), (2, "b", 7)}
+
+
+# --- checkpoint/commit lost-update race (ADVICE r7 medium) ---------------
+
+
+def test_commit_rejects_version_at_or_below_checkpoint(spark, tmp_path):
+    """A lagging writer targeting a version the checkpoint already folded
+    must conflict, not silently republish it (the fold deleted the loose
+    file, so bare put-if-absent would succeed)."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _commit,
+        checkpoint_manifest,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+    checkpoint_manifest(spec)
+    rel = [os.path.relpath(d, spec.path) for d in snapshot_dirs(spec, 0)]
+    for stale in (0, 1):
+        with pytest.raises(SnapshotConflictError, match="covered by checkpoint"):
+            _commit(spec, stale, {"version": stale, "mode": "append", "dirs": rel})
+    # history is intact and a fresh append still lands as v2
+    assert _rows(snapshot_read(spark, spec, version=1)) == {(1, "a"), (2, "b")}
+    snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), spec)
+    assert current_version(spec) == 2
+
+
+def test_commit_retracts_when_fold_races_inside_link_window(
+    spark, tmp_path, monkeypatch
+):
+    """The exact ADVICE interleave: writer A commits v1; a checkpoint folds
+    it (deleting the loose v1.json) AFTER lagging writer B's pre-check but
+    BEFORE B's os.link — B's link succeeds, so the post-link verify must
+    retract B's conflicting manifest and abort, leaving A's v1 in history."""
+    import os as _os
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _commit,
+        _read_manifest,
+        checkpoint_manifest,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+    original = _read_manifest(spec, 1)
+
+    real_link = _os.link
+    fired = {}
+
+    def racing_link(src, dst, *a, **k):
+        if dst.endswith("v1.json") and "x" not in fired:
+            fired["x"] = True
+            checkpoint_manifest(spec)  # the fold completes inside the window
+        return real_link(src, dst, *a, **k)
+
+    monkeypatch.setattr(_os, "link", racing_link)
+    rel = [os.path.relpath(d, spec.path) for d in snapshot_dirs(spec, 0)]
+    with pytest.raises(SnapshotConflictError, match="raced a checkpoint"):
+        _commit(spec, 1, {"version": 1, "mode": "overwrite", "dirs": rel})
+    assert fired == {"x": True}
+    # the bogus loose manifest was retracted; A's commit is what history serves
+    assert not os.path.exists(os.path.join(spec.path, "_manifests", "v1.json"))
+    assert _read_manifest(spec, 1) == original
+    assert _rows(snapshot_read(spark, spec, version=1)) == {(1, "a"), (2, "b")}
+
+
+def test_commit_stands_when_fold_consumes_own_manifest(
+    spark, tmp_path, monkeypatch
+):
+    """The benign side of the window: the fold runs right AFTER the link and
+    folds THIS writer's manifest — the post-link verify sees an equal body
+    and the commit stands (no spurious conflict)."""
+    import os as _os
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _commit,
+        _read_manifest,
+        checkpoint_manifest,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+
+    real_link = _os.link
+    fired = {}
+
+    def folding_link(src, dst, *a, **k):
+        r = real_link(src, dst, *a, **k)
+        if dst.endswith("v1.json") and "x" not in fired:
+            fired["x"] = True
+            checkpoint_manifest(spec)  # folds the just-linked manifest
+        return r
+
+    monkeypatch.setattr(_os, "link", folding_link)
+    rel = [os.path.relpath(d, spec.path) for d in snapshot_dirs(spec, 0)]
+    _commit(spec, 1, {"version": 1, "mode": "append", "dirs": rel, "parent": 0})
+    assert fired == {"x": True}
+    assert current_version(spec) == 1
+    assert _read_manifest(spec, 1)["mode"] == "append"
+    assert _rows(snapshot_read(spark, spec, version=1)) == {(1, "a")}
+
+
+def test_version_as_of_inclusive_at_exact_commit_second_production_format(
+    spark, tmp_path
+):
+    """Production committed_at carries a '+00:00' tz suffix; a tz-less probe
+    at the exact commit second must still be INCLUSIVE (ADVICE r7: the
+    lexicographic compare rejected it; the test only passed by rewriting
+    timestamps to tz-less strings — this one does NOT rewrite)."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        version_as_of,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    at = _read_manifest(spec, 0)["committed_at"]
+    assert at.endswith("+00:00")  # the real stored format, untouched
+    assert version_as_of(spec, at[:19]) == 0
