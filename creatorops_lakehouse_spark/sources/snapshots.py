@@ -555,11 +555,15 @@ def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
     chronological)."""
     import pyspark.sql.functions as F
 
+    # partition columns are INCLUDED: the read-back reconstructs their
+    # values from the hive path, min/max are as valid as any data column,
+    # and they are what proves two DML writers touching disjoint
+    # PARTITIONS compatible (disjoint-DML rebase) — plus they let
+    # pruned_dirs skip commits by partition value
     eligible = [
         f.name
         for f in df_schema.fields
         if f.dataType.typeName() in _STATS_TYPES
-        and f.name not in (spec.partition_by or ())
     ]
     cols = eligible if stats_cols is None else [c for c in stats_cols if c in eligible]
     part = spark.read.format(spec.format).load(os.path.join(spec.path, rel_dir))
@@ -587,6 +591,32 @@ def _collect_stats(spark: SparkSession, spec: TableSpec, rel_dir: str,
         c: {"min": _ser(row[f"_mn_{c}"]), "max": _ser(row[f"_mx_{c}"])}
         for c in cols
     }, n_rows
+
+
+def _range_stats_disjoint(st: dict | None, ranges: dict[str, tuple]) -> bool:
+    """True when a commit dir's min/max stats PROVE it disjoint from every
+    row matching ``ranges`` (ALL ranges must hold for a row to match, so
+    ONE provably-empty column suffices). Missing stats, all-null columns,
+    and incomparable bounds all return False — pruning stays advisory."""
+    if not st:
+        return False
+    for col, (lo, hi) in ranges.items():
+        cs = st.get(col)
+        if not cs or cs["min"] is None or cs["max"] is None:
+            continue
+        # stats serialize dates/timestamps as ISO strings — compare
+        # datetime bounds through the same serialization (lexicographic
+        # == chronological); anything still incomparable keeps the dir
+        try:
+            lo_c = _dv_ser(lo) if isinstance(cs["max"], str) else lo
+            hi_c = _dv_ser(hi) if isinstance(cs["min"], str) else hi
+            if (lo_c is not None and cs["max"] < lo_c) or (
+                hi_c is not None and cs["min"] > hi_c
+            ):
+                return True
+        except TypeError:
+            continue
+    return False
 
 
 def pruned_dirs(
@@ -636,26 +666,7 @@ def pruned_dirs(
     kept, skipped = [], []
     for d in manifest["dirs"]:
         st = per_dir.get(d)
-        disjoint = False
-        if st:
-            for col, (lo, hi) in ranges.items():
-                cs = st.get(col)
-                if not cs or cs["min"] is None or cs["max"] is None:
-                    continue
-                # stats serialize dates/timestamps as ISO strings —
-                # compare datetime bounds through the same serialization
-                # (lexicographic == chronological); anything still
-                # incomparable keeps the dir (pruning is advisory)
-                try:
-                    lo_c = _dv_ser(lo) if isinstance(cs["max"], str) else lo
-                    hi_c = _dv_ser(hi) if isinstance(cs["min"], str) else hi
-                    if (lo_c is not None and cs["max"] < lo_c) or (
-                        hi_c is not None and cs["min"] > hi_c
-                    ):
-                        disjoint = True
-                        break
-                except TypeError:
-                    continue
+        disjoint = _range_stats_disjoint(st, ranges)
         if not disjoint and eq_probes and d in blooms:
             for col, val in eq_probes.items():
                 if not _bloom_might_contain(
@@ -1928,19 +1939,49 @@ def _rewrite_commit(
     new_rows: DataFrame,
     mode: str,
     bloom_for: tuple | None = None,
+    read_ranges: dict[str, tuple] | None = None,
+    max_retries: int = 10,
 ) -> int:
-    """Shared tail of merge/delete: write ``new_rows`` as one commit dir,
-    publish a manifest of untouched dirs + the new dir. Read-modify-write
-    ops ABORT on a commit race (like overwrite — the rewrite was computed
-    against a head a concurrent writer just replaced)."""
-    head = _read_manifest(spec, cur)
+    """Shared tail of merge/delete/update/purge: write ``new_rows`` as one
+    commit dir, publish a manifest of untouched dirs + the new dir.
+
+    DISJOINT-DML CONCURRENCY (Delta's logical conflict resolution): on a
+    commit race, the interleaved commits are checked against what THIS
+    rewrite read, and the rewrite REBASES onto the new head when they are
+    provably compatible — two writers deleting disjoint partitions/key
+    bands both commit, the second rebasing — aborting with
+    ``SnapshotConflictError`` only on real overlap. Compatible means ALL of:
+
+    - every dir this rewrite consumed (its read set: base dirs minus
+      ``untouched``) still exists at the new head — a concurrent commit
+      that rewrote/removed any of them wins, we abort
+      (ConcurrentDeleteReadException);
+    - every dir the interleaved commits ADDED is provably disjoint from
+      ``read_ranges`` (this op's read predicate) by manifest min/max
+      stats, including partition-column stats — an added dir that MIGHT
+      match the predicate aborts (ConcurrentAppendException; serializable
+      semantics — a blind append inside the predicate band conflicts).
+      ``read_ranges=None`` means the op reads only its consumed dirs, not
+      a predicate over the table (purge), so added dirs always carry;
+    - table metadata (schema, column map, constraints) and the deletion-
+      vector set are byte-identical between base and new head — any
+      concurrent metadata or DV change aborts (MetadataChangedException);
+    - CHECK constraints the new head added meanwhile re-validate against
+      the rewrite output (paranoia: the equality check above already
+      aborts on constraint changes).
+
+    The rebased manifest re-derives untouched dirs from the NEW head
+    (carrying commits the other writer added or rewrote), so neither
+    writer's effect is lost."""
+    base = _read_manifest(spec, cur)
     # MERGE/DELETE output rows must honor table CHECK constraints, exactly
     # like direct writes (Delta enforces constraints on merge output)
-    _enforce_constraints(new_rows, head.get("constraints", {}))
-    version = cur + 1
+    _enforce_constraints(new_rows, base.get("constraints", {}))
+    base_dirs = set(base["dirs"])
+    consumed = base_dirs - set(untouched)  # the dirs this rewrite read
     token = uuid.uuid4().hex[:8]
-    rel_dir = f"data/b{version}-{token}"
-    cmap = _col_map(head)
+    rel_dir = f"data/b{cur + 1}-{token}"
+    cmap = _col_map(base)
     write_rows = new_rows
     if cmap:  # files keep PHYSICAL names through rewrites too
         import pyspark.sql.functions as F
@@ -1966,58 +2007,133 @@ def _rewrite_commit(
             tuple(cmap.get(c, c) for c in bloom_for),
             0.001, _BLOOM_MAX_BITS_DEFAULT, dir_rows,
         )
-    stats = {
-        d: s for d, s in head.get("stats", {}).items() if d in set(untouched)
-    }
-    if dir_stats:
-        stats[rel_dir] = dir_stats
-    rows = {d: r for d, r in head.get("rows", {}).items() if d in set(untouched)}
-    rows[rel_dir] = dir_rows
-    manifest = {
-        "version": version,
-        "mode": mode,
-        "dirs": [*untouched, rel_dir],
-        "parent": cur,
-        "stats": stats,
-        "rows": rows,
-    }
-    # bloom sidecars carry for untouched dirs; the rewritten dir is
-    # re-indexed only when the caller passed bloom_for (conservative keep
-    # otherwise — an unbloomed dir is never wrongly pruned)
-    bloom = {
-        d: p for d, p in head.get("bloom", {}).items() if d in set(untouched)
-    }
-    if bloom_file:
-        bloom[rel_dir] = bloom_file
-    if bloom:
-        manifest["bloom"] = bloom
-    # deletion vectors trim to the untouched dirs they still cover (the
-    # rewritten dir had its DVs applied on read). A partially-trimmed
-    # entry loses its exact count (n=None -> snapshot_count falls back
-    # to a scan until purge restores metadata-only counting).
-    new_dv = []
-    for e in head.get("dv", []):
-        ds = [d for d in e["dirs"] if d in set(untouched)]
-        if ds:
-            new_dv.append(
-                {
-                    "ranges": e["ranges"],
-                    "dirs": ds,
-                    "n": e["n"] if len(ds) == len(e["dirs"]) else None,
-                }
-            )
-    if new_dv:
-        manifest["dv"] = new_dv
-    if "schema" in head:
-        manifest["schema"] = head["schema"]
-    if head.get("txns"):  # app txn watermarks survive rewrites
-        manifest["txns"] = head["txns"]
-    if head.get("constraints"):  # table properties survive rewrites
-        manifest["constraints"] = head["constraints"]
-    if head.get("column_map"):  # the column map follows the schema
-        manifest["column_map"] = head["column_map"]
-    _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
-    return version
+    # stats key PHYSICAL names; translate the read predicate once for the
+    # added-dir disjointness test (mirrors pruned_dirs)
+    phys_ranges = None
+    if read_ranges is not None:
+        phys_ranges = {cmap.get(c, c): b for c, b in read_ranges.items()}
+
+    def _meta_key(m: dict):
+        return json.dumps(
+            {
+                "schema": m.get("schema"),
+                "column_map": m.get("column_map"),
+                "constraints": m.get("constraints"),
+                "dv": m.get("dv", []),
+            },
+            sort_keys=True,
+        )
+
+    base_meta = _meta_key(base)
+    validated_cons = set(base.get("constraints", {}).items())
+    head, head_v = base, cur
+    for _ in range(max_retries + 1):
+        version = head_v + 1
+        kept = [d for d in head["dirs"] if d not in consumed]
+        stats = {
+            d: s for d, s in head.get("stats", {}).items() if d in set(kept)
+        }
+        if dir_stats:
+            stats[rel_dir] = dir_stats
+        rows = {d: r for d, r in head.get("rows", {}).items() if d in set(kept)}
+        rows[rel_dir] = dir_rows
+        manifest = {
+            "version": version,
+            "mode": mode,
+            "dirs": [*kept, rel_dir],
+            "parent": head_v,
+            "stats": stats,
+            "rows": rows,
+        }
+        # bloom sidecars carry for untouched dirs; the rewritten dir is
+        # re-indexed only when the caller passed bloom_for (conservative
+        # keep otherwise — an unbloomed dir is never wrongly pruned)
+        bloom = {
+            d: p for d, p in head.get("bloom", {}).items() if d in set(kept)
+        }
+        if bloom_file:
+            bloom[rel_dir] = bloom_file
+        if bloom:
+            manifest["bloom"] = bloom
+        # deletion vectors trim to the untouched dirs they still cover (the
+        # rewritten dir had its DVs applied on read). A partially-trimmed
+        # entry loses its exact count (n=None -> snapshot_count falls back
+        # to a scan until purge restores metadata-only counting).
+        new_dv = []
+        for e in head.get("dv", []):
+            ds = [d for d in e["dirs"] if d in set(kept)]
+            if ds:
+                new_dv.append(
+                    {
+                        "ranges": e["ranges"],
+                        "dirs": ds,
+                        "n": e["n"] if len(ds) == len(e["dirs"]) else None,
+                    }
+                )
+        if new_dv:
+            manifest["dv"] = new_dv
+        if "schema" in head:
+            manifest["schema"] = head["schema"]
+        if head.get("txns"):  # app txn watermarks survive rewrites
+            manifest["txns"] = head["txns"]
+        if head.get("constraints"):  # table properties survive rewrites
+            manifest["constraints"] = head["constraints"]
+        if head.get("column_map"):  # the column map follows the schema
+            manifest["column_map"] = head["column_map"]
+        try:
+            _commit(spec, version, manifest)
+            return version
+        except SnapshotConflictError:
+            new_cur = current_version(spec)
+            new_head = _read_manifest(spec, new_cur)
+            if _meta_key(new_head) != base_meta:
+                raise SnapshotConflictError(
+                    f"{mode} at {spec.path}: concurrent commit changed table "
+                    "metadata (schema/column map/constraints/deletion "
+                    "vectors); recompute against the new head"
+                ) from None
+            missing = consumed - set(new_head["dirs"])
+            if missing:
+                raise SnapshotConflictError(
+                    f"{mode} at {spec.path}: concurrent commit rewrote dirs "
+                    f"this operation also read ({sorted(missing)[:3]}…); "
+                    "recompute against the new head"
+                ) from None
+            added = [d for d in new_head["dirs"] if d not in base_dirs]
+            if phys_ranges is None:
+                overlapping = []
+            else:
+                new_stats = new_head.get("stats", {})
+                new_rows_ct = new_head.get("rows", {})
+                overlapping = [
+                    d
+                    for d in added
+                    # an empty added dir (0 recorded rows) is trivially
+                    # disjoint — a full-band concurrent delete leaves one
+                    if new_rows_ct.get(d) != 0
+                    and not _range_stats_disjoint(new_stats.get(d), phys_ranges)
+                ]
+            if overlapping:
+                raise SnapshotConflictError(
+                    f"{mode} at {spec.path}: concurrent commit added dirs "
+                    f"that may match this operation's predicate "
+                    f"({sorted(overlapping)[:3]}); recompute against the "
+                    "new head"
+                ) from None
+            # compatible: re-validate any constraints added meanwhile
+            # (none can exist given the metadata equality, but the shape
+            # matches the append rebase loop) and rebase onto the new head
+            cons = dict(new_head.get("constraints", {}))
+            fresh = {
+                n: e for n, e in cons.items() if (n, e) not in validated_cons
+            }
+            _enforce_constraints(new_rows, fresh)
+            validated_cons |= set(fresh.items())
+            head, head_v = new_head, new_cur
+    raise SnapshotConflictError(
+        f"{mode} at {spec.path} lost {max_retries + 1} consecutive commit "
+        "races; raise max_retries or reduce writer contention"
+    )
 
 
 def snapshot_merge(
@@ -2042,9 +2158,10 @@ def snapshot_merge(
     whole key space widens the envelope and rewrites conservatively;
     split wide batches by key locality to keep rewrites bounded (the same
     discipline Delta MERGE needs for file skipping to bite). Commits
-    without stats always rewrite. Aborts with ``SnapshotConflictError``
-    if a concurrent writer commits first (the rewrite was computed
-    against the old head).
+    without stats always rewrite. A commit race REBASES when the
+    interleaved commits are provably disjoint from this merge's key
+    envelope (see ``_rewrite_commit``) and aborts with
+    ``SnapshotConflictError`` on real overlap.
     """
     import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
@@ -2075,7 +2192,9 @@ def snapshot_merge(
         )
     else:
         merged = source
-    return _rewrite_commit(spark, spec, cur, untouched, merged, "merge")
+    return _rewrite_commit(
+        spark, spec, cur, untouched, merged, "merge", read_ranges=ranges
+    )
 
 
 def snapshot_delete_where(
@@ -2135,7 +2254,9 @@ def snapshot_delete_where(
         _commit(spec, cur + 1, manifest)
         return cur + 1
     survivors = old.filter(~doomed)
-    return _rewrite_commit(spark, spec, cur, untouched, survivors, "delete")
+    return _rewrite_commit(
+        spark, spec, cur, untouched, survivors, "delete", read_ranges=ranges
+    )
 
 
 def _dv_ser(v):
@@ -2194,8 +2315,9 @@ def snapshot_update_where(
     append first). Updated rows re-validate table CHECK constraints via
     the shared rewrite commit. Returns the head version unchanged when
     stats prove nothing can match (a pure no-op, like Delta's
-    numFilesUpdated = 0), and aborts with ``SnapshotConflictError`` on a
-    commit race.
+    numFilesUpdated = 0). A commit race rebases when the interleaved
+    commits are provably disjoint from the predicate (see
+    ``_rewrite_commit``), aborting only on real overlap.
     """
     import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
@@ -2237,7 +2359,9 @@ def snapshot_update_where(
             for f in old.schema.fields
         ]
     )
-    return _rewrite_commit(spark, spec, cur, untouched, updated, "update")
+    return _rewrite_commit(
+        spark, spec, cur, untouched, updated, "update", read_ranges=ranges
+    )
 
 
 def snapshot_history(spec: TableSpec) -> list[dict]:
