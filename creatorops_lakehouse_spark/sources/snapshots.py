@@ -68,6 +68,58 @@ class SnapshotConflictError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
 
+class SnapshotProtocolError(RuntimeError):
+    """The table requires a reader/writer feature this build does not
+    implement (Delta's protocol-version contract): refusing loudly beats
+    silently misreading — e.g. a reader without ``deletionVectors`` would
+    resurrect deleted rows, one without ``columnMapping`` would read
+    physical column names."""
+
+
+#: features THIS build implements end-to-end. Every commit stamps the
+#: features its manifest actually uses (``reader_features`` /
+#: ``writer_features``); any manifest requiring something outside these
+#: sets is refused at read/write time rather than misread.
+_READER_FEATURES = frozenset({"deletionVectors", "columnMapping"})
+_WRITER_FEATURES = _READER_FEATURES | frozenset({"checkConstraints"})
+
+
+def _required_features(manifest: dict) -> tuple[list[str], list[str]]:
+    """(reader, writer) features a manifest's content actually requires —
+    self-describing per version, so a purge that removes the last deletion
+    vector also drops the requirement (unlike Delta's monotonic protocol,
+    there is no downgrade ceremony)."""
+    r, w = set(), set()
+    if manifest.get("dv"):
+        r.add("deletionVectors")
+        w.add("deletionVectors")
+    if manifest.get("column_map"):
+        r.add("columnMapping")
+        w.add("columnMapping")
+    if manifest.get("constraints"):
+        w.add("checkConstraints")  # writers must enforce; readers unaffected
+    return sorted(r), sorted(w)
+
+
+def _check_features(manifest: dict, path: str, kind: str = "reader") -> None:
+    """Raise SnapshotProtocolError when the manifest requires a feature
+    outside this build's support set. ``kind='writer'`` additionally
+    requires every reader feature (a writer that can't READ the table
+    correctly must not rewrite it)."""
+    req = set(manifest.get("reader_features", []))
+    sup = _READER_FEATURES
+    if kind == "writer":
+        req |= set(manifest.get("writer_features", []))
+        sup = _WRITER_FEATURES
+    unknown = sorted(req - sup)
+    if unknown:
+        raise SnapshotProtocolError(
+            f"table at {path} requires {kind} feature(s) {unknown} this "
+            f"build does not implement (supported: {sorted(sup)}); "
+            "upgrade before touching this table"
+        )
+
+
 class SchemaMismatchError(ValueError):
     """Append schema drifts from the table schema (pass merge_schema=True
     to evolve additively — Delta's mergeSchema)."""
@@ -111,9 +163,11 @@ def _manifest_dir(spec: TableSpec) -> str:
     return os.path.join(spec.path, "_manifests")
 
 
-def _latest_checkpoint(spec: TableSpec) -> tuple[int, dict[int, dict]] | None:
-    """(checkpoint_version, {version: manifest}) of the newest checkpoint,
-    or None. Older checkpoint files are superseded and ignored."""
+def _latest_checkpoint_version(spec: TableSpec) -> int | None:
+    """Version of the newest checkpoint from the FILENAME alone (one
+    listdir, no JSON parse) — what _commit's race guards probe on every
+    commit; parsing the body there would make commit cost grow with
+    folded-history size."""
     d = _manifest_dir(spec)
     if not os.path.isdir(d):
         return None
@@ -124,10 +178,16 @@ def _latest_checkpoint(spec: TableSpec) -> tuple[int, dict[int, dict]] | None:
                 cps.append(int(f[1:-5]))
             except ValueError:
                 continue
-    if not cps:
+    return max(cps) if cps else None
+
+
+def _latest_checkpoint(spec: TableSpec) -> tuple[int, dict[int, dict]] | None:
+    """(checkpoint_version, {version: manifest}) of the newest checkpoint,
+    or None. Older checkpoint files are superseded and ignored."""
+    n = _latest_checkpoint_version(spec)
+    if n is None:
         return None
-    n = max(cps)
-    with open(os.path.join(d, f"c{n}.json")) as fh:
+    with open(os.path.join(_manifest_dir(spec), f"c{n}.json")) as fh:
         body = json.load(fh)
     return n, {int(k): v for k, v in body["manifests"].items()}
 
@@ -162,15 +222,24 @@ def current_version(spec: TableSpec) -> int | None:
 
 def _read_manifest(spec: TableSpec, version: int) -> dict:
     """Loose manifest first (the tail past the checkpoint), else the
-    checkpoint body (time travel into compacted history)."""
+    checkpoint body (time travel into compacted history). EVERY consumer
+    — snapshot_read, read_where, the pyds DataSource, the streaming
+    source, DML, maintenance — enters the log here, so the reader-feature
+    gate lives here: a manifest stamped with a feature this build doesn't
+    implement refuses loudly instead of being silently misread."""
     path = os.path.join(_manifest_dir(spec), f"v{version}.json")
+    m = None
     if os.path.exists(path):
         with open(path) as f:
-            return json.load(f)
-    cp = _latest_checkpoint(spec)
-    if cp is not None and version in cp[1]:
-        return cp[1][version]
-    raise ValueError(f"unknown snapshot version {version} at {spec.path}")
+            m = json.load(f)
+    else:
+        cp = _latest_checkpoint(spec)
+        if cp is not None and version in cp[1]:
+            m = cp[1][version]
+    if m is None:
+        raise ValueError(f"unknown snapshot version {version} at {spec.path}")
+    _check_features(m, spec.path, "reader")
+    return m
 
 
 def snapshot_dirs(spec: TableSpec, version: int) -> list[str]:
@@ -1022,11 +1091,11 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
     d = _manifest_dir(spec)
     os.makedirs(d, exist_ok=True)
     final = os.path.join(d, f"v{version}.json")
-    cp = _latest_checkpoint(spec)
-    if cp is not None and version <= cp[0]:
+    cpv = _latest_checkpoint_version(spec)
+    if cpv is not None and version <= cpv:
         raise SnapshotConflictError(
             f"snapshot v{version} at {spec.path} is already covered by "
-            f"checkpoint c{cp[0]} — a concurrent writer committed it and "
+            f"checkpoint c{cpv} — a concurrent writer committed it and "
             "a checkpoint folded it"
         )
     if "committed_at" not in manifest:
@@ -1037,6 +1106,17 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
         manifest["committed_at"] = _dt.datetime.now(
             _dt.timezone.utc
         ).isoformat(sep=" ", timespec="seconds")
+    # protocol stamp: the features this manifest's content requires, plus
+    # any already present (a rollback republishing an old manifest keeps
+    # its stamps) — what lets a FUTURE build's tables refuse downlevel
+    # readers/writers instead of being misread
+    need_r, need_w = _required_features(manifest)
+    need_r = sorted(set(manifest.get("reader_features", [])) | set(need_r))
+    need_w = sorted(set(manifest.get("writer_features", [])) | set(need_w))
+    if need_r:
+        manifest["reader_features"] = need_r
+    if need_w:
+        manifest["writer_features"] = need_w
     fd, tmp = tempfile.mkstemp(prefix=f".v{version}-", dir=d)
     try:
         with os.fdopen(fd, "w") as f:
@@ -1050,8 +1130,9 @@ def _commit(spec: TableSpec, version: int, manifest: dict) -> None:
             ) from None
     finally:
         os.unlink(tmp)
-    cp = _latest_checkpoint(spec)
-    if cp is not None and version <= cp[0]:
+    cpv = _latest_checkpoint_version(spec)
+    if cpv is not None and version <= cpv:
+        cp = _latest_checkpoint(spec)  # body parsed only on the rare trigger
         # canonical-JSON compare (json.dumps stringifies int keys the same
         # way the reload path does, so a folded copy of THIS manifest
         # compares equal)
@@ -1210,6 +1291,7 @@ def _metadata_commit_body(spec: TableSpec, cur: int, mode: str) -> dict:
     (dirs/schema/stats/rows) and table-level state (txns/constraints)
     carried verbatim under a new version."""
     head = _read_manifest(spec, cur)
+    _check_features(head, spec.path, "writer")
     manifest = {"version": cur + 1, "mode": mode, "parent": cur,
                 "dirs": head["dirs"]}
     for k in (
@@ -1327,6 +1409,10 @@ def snapshot_write(
     from pyspark.sql.types import StructType
 
     cur = current_version(spec)
+    if cur is not None:  # protocol gate: a writer missing a feature the
+        # table head requires must not commit (even an overwrite — it
+        # must first prove it can read what it replaces)
+        _check_features(_read_manifest(spec, cur), spec.path, "writer")
     commit_schema = df.schema
     if cur is not None and mode == "append":
         head = _read_manifest(spec, cur)
@@ -1974,6 +2060,7 @@ def _rewrite_commit(
     (carrying commits the other writer added or rewrote), so neither
     writer's effect is lost."""
     base = _read_manifest(spec, cur)
+    _check_features(base, spec.path, "writer")
     # MERGE/DELETE output rows must honor table CHECK constraints, exactly
     # like direct writes (Delta enforces constraints on merge output)
     _enforce_constraints(new_rows, base.get("constraints", {}))

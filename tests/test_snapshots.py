@@ -2050,3 +2050,105 @@ def test_concurrent_metadata_change_aborts_dml(spark, tmp_path, monkeypatch):
     _race(monkeypatch, 2, meta_writer)
     with pytest.raises(SnapshotConflictError, match="metadata"):
         snapshot_delete_where(spark, spec, {"id": (150, 159)})
+
+
+# --- protocol / feature gating (VERDICT r7 item 3) -------------------------
+
+
+def _edit_manifest(spec, version, mutate):
+    import json as _json
+
+    p = os.path.join(spec.path, "_manifests", f"v{version}.json")
+    with open(p) as f:
+        m = _json.load(f)
+    mutate(m)
+    with open(p, "w") as f:
+        _json.dump(m, f)
+
+
+def test_protocol_feature_stamps_follow_content(spark, tmp_path):
+    """Commits stamp the features their manifest actually uses: a DV
+    delete requires deletionVectors (reader+writer), a rename requires
+    columnMapping, a CHECK constraint is writer-only; a purge that removes
+    the last vector drops the requirement (self-describing per version)."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        add_check_constraint,
+        purge_deletes,
+        rename_column,
+        snapshot_delete_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "a") for i in range(10)], ["id", "v"]), spec
+    )
+    assert "reader_features" not in _read_manifest(spec, 0)
+
+    v = snapshot_delete_where(spark, spec, {"id": (0, 2)}, rewrite=False)
+    m = _read_manifest(spec, v)
+    assert m["reader_features"] == ["deletionVectors"]
+    assert m["writer_features"] == ["deletionVectors"]
+
+    v = purge_deletes(spark, spec)
+    m = _read_manifest(spec, v)
+    assert "reader_features" not in m  # requirement dropped with the DVs
+
+    v = rename_column(spec, "v", "val")
+    m = _read_manifest(spec, v)
+    assert m["reader_features"] == ["columnMapping"]
+
+    v = add_check_constraint(spark, spec, "id_nonneg", "id >= 0")
+    m = _read_manifest(spec, v)
+    assert "checkConstraints" in m["writer_features"]
+    assert "checkConstraints" not in m.get("reader_features", [])
+
+
+def test_unknown_reader_feature_refused_everywhere(spark, tmp_path):
+    """A manifest requiring a reader feature this build lacks refuses in
+    BOTH read paths (native snapshot_read and the pyds DataSource) and in
+    every writer (writers must be able to read what they rewrite)."""
+    from creatorops_lakehouse_spark.sources.pyds import register_snapshot_source
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotProtocolError,
+        snapshot_delete_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "a") for i in range(10)], ["id", "v"]), spec
+    )
+    _edit_manifest(
+        spec, 0, lambda m: m.update(reader_features=["timeCrystals"])
+    )
+    with pytest.raises(SnapshotProtocolError, match="timeCrystals"):
+        snapshot_read(spark, spec)
+    register_snapshot_source(spark)
+    with pytest.raises(Exception, match="timeCrystals"):
+        spark.read.format("snapshot").option("path", spec.path).load()
+    with pytest.raises(SnapshotProtocolError, match="timeCrystals"):
+        snapshot_write(spark.createDataFrame([(99, "z")], ["id", "v"]), spec)
+    with pytest.raises(SnapshotProtocolError, match="timeCrystals"):
+        snapshot_delete_where(spark, spec, {"id": (0, 1)})
+
+
+def test_unknown_writer_feature_blocks_writes_not_reads(spark, tmp_path):
+    """Writer-only features gate commits but never reads — Delta's
+    split-protocol contract (e.g. appendOnly-style table properties)."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotProtocolError,
+        snapshot_update_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "a") for i in range(10)], ["id", "v"]), spec
+    )
+    _edit_manifest(
+        spec, 0, lambda m: m.update(writer_features=["quantumLocks"])
+    )
+    assert snapshot_read(spark, spec).count() == 10  # reads unaffected
+    with pytest.raises(SnapshotProtocolError, match="quantumLocks"):
+        snapshot_write(spark.createDataFrame([(99, "z")], ["id", "v"]), spec)
+    with pytest.raises(SnapshotProtocolError, match="quantumLocks"):
+        snapshot_update_where(spark, spec, {"id": (0, 1)}, {"v": "'x'"})
