@@ -3178,3 +3178,206 @@ def events_streaming_exactly_once_verdict(
         "n_events long, sum_cents long, n_commits long, exact_ok boolean, "
         "restart_noop_ok boolean, redelivery_noop_ok boolean",
     )
+
+
+@query(
+    "events_stateful_transitions_verdict",
+    oracle="""
+    WITH e AS (
+        SELECT CAST(user_id % 10 AS VARCHAR) AS tenant_id,
+               CAST(user_id AS VARCHAR) AS story_id,
+               event_type AS stage,
+               epoch_us(ts) AS ts_micros,
+               event_id
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    ),
+    d AS (
+        SELECT tenant_id, story_id, stage, ts_micros FROM (
+            SELECT e.*, ROW_NUMBER() OVER (
+                PARTITION BY tenant_id, story_id, ts_micros
+                ORDER BY event_id) AS rn
+            FROM e
+        ) WHERE rn = 1
+    ),
+    t AS (
+        SELECT stage,
+               LEAD(stage) OVER w AS next_stage,
+               LEAD(ts_micros) OVER w - ts_micros AS dur
+        FROM d
+        WINDOW w AS (PARTITION BY tenant_id, story_id ORDER BY ts_micros)
+    )
+    SELECT stage, next_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(dur) AS BIGINT) AS sum_duration_micros,
+           TRUE AS stream_matches_batch_lead
+    FROM t WHERE next_stage IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def events_stateful_transitions_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Oracle-checkable contract for the CUSTOM STATEFUL streaming operator
+    (streaming/stateful.py::streaming_stage_transitions_gs — keyed
+    applyInPandasWithState stage transitions; VERDICT r7 item 4: the one
+    streaming form that was pytest-only). Same harness pattern as
+    events_streaming_window_verdict: events become per-story stage
+    sequences (key = user, stage = event_type, deduped to one event per
+    key+instant so ordering is unambiguous), staged as THREE mtime-ordered
+    JSON files split by global time terciles — so each key's events arrive
+    in event-time order but split ACROSS micro-batches, which is exactly
+    what forces the operator to carry (last stage, last ts) in GroupState
+    between batches — and replayed through real Structured Streaming
+    (readStream json → maxFilesPerTrigger=1 → availableNow → memory sink).
+
+    Hash-checked facts: the (stage → next_stage) transition matrix with
+    exact microsecond duration sums, built FROM THE STREAM'S OUTPUT and
+    recomputed independently by the DuckDB oracle as a lead() window over
+    the same deduped input; plus stream_matches_batch_lead — an in-engine
+    full-outer compare of the stream's full (key, stage, next_stage,
+    duration) multiset against the batch lead() recompute (the
+    sequential-batch equivalence the driver hash pins).
+    """
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.streaming.stateful import (
+        streaming_stage_transitions_gs,
+    )
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+            F.col("user_id").cast("string").alias("story_id"),
+            F.col("event_type").alias("stage"),
+            "ts",
+            "event_id",
+        )
+    )
+    w_dedup = Window.partitionBy("tenant_id", "story_id", "ts").orderBy(
+        "event_id"
+    )
+    deduped = (
+        ev.withColumn("_rn", F.row_number().over(w_dedup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "event_id")
+    )
+    # bounded staging to CREATE a stream source (the sanctioned verdict
+    # pattern — production ingests a live stream, the verdict must
+    # manufacture one deterministically)
+    rows = scoped_persist(deduped).collect()
+    lo = min(r.ts for r in rows)
+    hi = max(r.ts for r in rows)
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    root = _tempfile.mkdtemp(prefix="stream_stateful_")
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    batches = (
+        ("b0", lambda r: r.ts <= t1),
+        ("b1", lambda r: t1 < r.ts <= t2),
+        ("b2", lambda r: r.ts > t2),
+    )
+    for i, (name, pred) in enumerate(batches):
+        path = _os.path.join(src, f"{name}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                if pred(r):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "tenant_id": r.tenant_id,
+                                "story_id": r.story_id,
+                                "stage": r.stage,
+                                "occurred_at": r.ts.strftime(
+                                    "%Y-%m-%d %H:%M:%S.%f"
+                                ),
+                            }
+                        )
+                        + "\n"
+                    )
+        _os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    schema = (
+        "tenant_id string, story_id string, stage string, "
+        "occurred_at timestamp"
+    )
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    name = f"stateful_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_stage_transitions_gs(reader)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):  # hang backstop only
+        q.stop()
+        raise TimeoutError("stateful transition stream did not finish")
+    stream = scoped_persist(
+        spark.table(name).select(
+            "tenant_id",
+            "story_id",
+            "stage",
+            "next_stage",
+            F.round(F.col("duration_seconds") * 1e6).cast("long").alias("dur"),
+        )
+    )
+
+    keyed = deduped.select(
+        "tenant_id", "story_id", "stage", F.unix_micros("ts").alias("m")
+    )
+    wk = Window.partitionBy("tenant_id", "story_id").orderBy("m")
+    batch = (
+        keyed.withColumn("next_stage", F.lead("stage").over(wk))
+        .withColumn("dur", (F.lead("m").over(wk) - F.col("m")).cast("long"))
+        .filter(F.col("next_stage").isNotNull())
+        .select("tenant_id", "story_id", "stage", "next_stage", "dur")
+    )
+    keys = ["tenant_id", "story_id", "stage", "next_stage", "dur"]
+    mism = (
+        stream.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .join(
+            batch.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_b")),
+            keys,
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("n_s").eqNullSafe(F.col("n_b")), 0).otherwise(1)
+            ).alias("m")
+        )
+    )
+    return (
+        stream.groupBy("stage", "next_stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_transitions"),
+            F.sum("dur").cast("long").alias("sum_duration_micros"),
+        )
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "stage",
+            "next_stage",
+            "n_transitions",
+            "sum_duration_micros",
+            (F.coalesce(F.col("m"), F.lit(0)) == 0).alias(
+                "stream_matches_batch_lead"
+            ),
+        )
+    )
