@@ -181,15 +181,40 @@ def _latest_checkpoint_version(spec: TableSpec) -> int | None:
     return max(cps) if cps else None
 
 
+#: parsed checkpoint bodies keyed by file path, validated by (mtime, size)
+#: — a history walk (version_as_of, snapshot_history, checkpoint folding)
+#: touches the checkpoint once per FOLDED version, and re-parsing a
+#: multi-MB body each time would make those walks quadratic in commit
+#: count. Vacuum rewrites the same path atomically (os.replace), which
+#: changes mtime/size and invalidates the entry. Bounded LRU-ish: oldest
+#: inserted drops past _CP_CACHE_MAX (a process rarely walks many tables'
+#: checkpoints at once).
+_CP_CACHE: dict[str, tuple[tuple[float, int], tuple[int, dict[int, dict]]]] = {}
+_CP_CACHE_MAX = 8
+
+
 def _latest_checkpoint(spec: TableSpec) -> tuple[int, dict[int, dict]] | None:
     """(checkpoint_version, {version: manifest}) of the newest checkpoint,
     or None. Older checkpoint files are superseded and ignored."""
     n = _latest_checkpoint_version(spec)
     if n is None:
         return None
-    with open(os.path.join(_manifest_dir(spec), f"c{n}.json")) as fh:
+    path = os.path.join(_manifest_dir(spec), f"c{n}.json")
+    try:
+        st = os.stat(path)
+    except FileNotFoundError:  # raced a superseding fold; re-resolve
+        return _latest_checkpoint(spec)
+    key = (st.st_mtime_ns, st.st_size)
+    hit = _CP_CACHE.get(path)
+    if hit is not None and hit[0] == key:
+        return hit[1]
+    with open(path) as fh:
         body = json.load(fh)
-    return n, {int(k): v for k, v in body["manifests"].items()}
+    out = (n, {int(k): v for k, v in body["manifests"].items()})
+    _CP_CACHE[path] = (key, out)
+    while len(_CP_CACHE) > _CP_CACHE_MAX:
+        _CP_CACHE.pop(next(iter(_CP_CACHE)))
+    return out
 
 
 def _loose_versions(spec: TableSpec) -> list[int]:
