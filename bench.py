@@ -9,13 +9,22 @@ Each query is executed to completion (count() action — full plan runs,
 result rows are materialized on executors but not shipped to the driver, so
 timings measure the engine, not Py4J serialization).
 
-Each query runs ``$SPARK_GRAFT_BENCH_REPS`` times (default 3) within the
-session and reports the per-query MEDIAN (VERDICT r5 item 7: round 5
-measured a uniform ~1.4x host-window drift across code-identical queries —
-single samples conflate host noise with regressions). The headline value is
-the sum of medians; per-rep samples and mins land in BENCH_DETAIL.json,
-along with the peak cached-storage footprint sampled after every query
-(sticky-cache memory discipline, item 5).
+Per-query isolation (VERDICT r7 item 1 — regression attributability):
+queries execute in FIXED name-sorted order, and before each query every
+shared cache layer is cleared (scoped persists, the sticky corpus-artifact
+LRU, the Spark cache registry). One UNTIMED warm-up rep then runs: it pays
+the sticky/index builds, JIT, and page-cache faults deterministically, so
+the ``$SPARK_GRAFT_BENCH_REPS`` (default 3) timed reps that follow measure
+the query's warm steady-state — a number that depends only on the query's
+own plan, not on which OTHER queries ran first or where the registry
+happened to order it. Previously stickies were shared across queries, so
+whichever query FIRST touched a corpus paid its build: registry growth
+reshuffled that assignment between rounds and code-untouched queries
+swung up to 3.7x. The headline per-query number is the MIN of the timed
+reps (least-noise estimator of the warm cost); medians and raw samples
+land in BENCH_DETAIL.json along with the peak cached-storage footprint
+sampled after every query (sticky-cache memory discipline). Cross-round
+comparisons should still divide by the calib_sec ratio (host drift).
 
 The harness that records this output keeps only the LAST 2000 characters of
 stdout and JSON-parses within that window — rounds 2 and 3 each produced a
@@ -38,6 +47,12 @@ LINE_BUDGET = 1900  # hard cap 2000 (recorder tail); leave slack
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    # pin numpy/BLAS threading in the Python workers (local mode inherits
+    # this env): unpinned BLAS picks thread counts by machine load, which
+    # measured as a persistent ~1.3x level shift on the Arrow-matmul
+    # queries between otherwise identical runs
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "4")
 
     from creatorops_lakehouse_spark.queries import all_queries
     from creatorops_lakehouse_spark.session import build_spark
@@ -66,19 +81,65 @@ def main() -> None:
     calib_sec = round(sorted(calib)[1], 3)
 
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    # adaptive repetition: superstep/JIT-heavy queries keep speeding up
+    # past 3 reps (a decaying series whose min measures "how far it
+    # converged", not the query) — sample until the best two agree within
+    # 8%, capped. The headline stays min; `converged` marks queries whose
+    # spread never settled, so cross-round comparisons know which numbers
+    # are low-confidence before calling one a regression.
+    reps_max = max(
+        reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_MAX", "6"))
+    )
+    converged: dict[str, bool] = {}
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
     failures: dict[str, str] = {}
     peak_storage = 0
+    # interleaved calibration TIMELINE: the start-of-run calib_sec cannot
+    # represent a 10-minute run on a shared host (measured: an external
+    # load spike decayed mid-run and start-calibs disagreed with the very
+    # queries they were supposed to normalize). A mini fixed-job probe
+    # every CALIB_EVERY queries records the host speed local to each
+    # query's window; bench_compare --normalize=window divides per-query
+    # times by the window ratio before calling drift a regression.
+    calib_timeline: list[float] = []
+    query_window: dict[str, int] = {}
+
+    def _mini_calib() -> float:
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            spark.range(50_000_000).selectExpr("sum(id * 3 + 7)").collect()
+            spark.range(5_000_000).selectExpr("id % 1024 AS k").groupBy(
+                "k"
+            ).count().count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    CALIB_EVERY = 15
     # *_verdict queries are oracle-checkable correctness AUDITS: each runs a
     # deliberately-exhaustive exact baseline (all-pairs hamming, full-corpus
     # exact Jaccard) next to the fast operator to pin its recall contract.
     # They belong in the driver's correctness gate, not the throughput
     # headline — timing them would measure the audit baseline, not the engine.
     queries = {n: f for n, f in all_queries().items() if not n.endswith("_verdict")}
-    for name, fn in queries.items():
+    for i, name in enumerate(sorted(queries)):  # fixed order: registry
+        fn = queries[name]  # growth can't reshuffle
+        if i % CALIB_EVERY == 0:
+            calib_timeline.append(_mini_calib())
+        query_window[name] = len(calib_timeline) - 1
+        _isolate(spark)  # drop every cross-query cache layer
+        try:
+            t0 = time.time()
+            fn(spark, sf_dir).count()  # untimed warm-up: sticky/index builds,
+            warm = round(time.time() - t0, 3)  # JIT, page cache (recorded)
+        except Exception as e:  # noqa: BLE001
+            failures[name] = str(e)[:200]
+            timings[name] = -1.0
+            continue
         runs: list[float] = []
-        for _ in range(reps):
+        while len(runs) < reps_max:
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
@@ -86,12 +147,21 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 failures[name] = str(e)[:200]
                 break
+            if len(runs) >= reps:
+                b1, b2 = sorted(runs)[:2]
+                # 8% relative OR 50 ms absolute: sub-second queries carry
+                # scheduler jitter that relative bounds alone never settle
+                if b2 <= b1 * 1.08 + 0.05:
+                    break
         if runs and name not in failures:
-            samples[name] = runs
-            timings[name] = sorted(runs)[len(runs) // 2]  # median (upper)
+            samples[name] = [warm] + runs  # samples[0] is the cold warm-up
+            timings[name] = min(runs)  # headline: min of the warm reps
+            b1, b2 = sorted(runs)[:2]
+            converged[name] = len(runs) >= 2 and b2 <= b1 * 1.08 + 0.05
         else:
             timings[name] = -1.0
         peak_storage = max(peak_storage, _cached_bytes(spark))
+    _isolate(spark)
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -109,8 +179,15 @@ def main() -> None:
         result["failures"] = failures
 
     detail = dict(result)
-    detail["samples"] = samples
-    detail["queries_min"] = {n: min(r) for n, r in samples.items()}
+    detail["samples"] = samples  # [cold warm-up, rep1, rep2, ...] per query
+    detail["queries_min"] = dict(timings)  # headline IS min-of-warm-reps
+    detail["queries_median"] = {
+        n: sorted(r[1:])[len(r[1:]) // 2] for n, r in samples.items()
+    }
+    detail["queries_cold"] = {n: r[0] for n, r in samples.items()}
+    detail["queries_converged"] = converged
+    detail["calib_timeline"] = calib_timeline
+    detail["queries_window"] = query_window
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
@@ -118,6 +195,25 @@ def main() -> None:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     print(json.dumps(_fit_line(result), separators=(",", ":")))
+
+
+def _isolate(spark) -> None:
+    """Reset every cache layer that could leak one query's work into
+    another's timing: scoped persists (normally released by the NEXT query's
+    wrapper), the sticky corpus-artifact LRU (deliberately session-lived in
+    production — here each query's warm-up rebuilds its own), and Spark's
+    cache registry (cached tables/views)."""
+    from creatorops_lakehouse_spark.operators.cache import (
+        release_scoped_caches,
+        release_sticky,
+    )
+
+    release_scoped_caches()
+    release_sticky()
+    try:
+        spark.catalog.clearCache()
+    except Exception:  # accounting must never fail the bench
+        pass
 
 
 def _cached_bytes(spark) -> int:
