@@ -876,3 +876,274 @@ def orders_snapshot_update_verdict(spark: SparkSession, sf_dir: str) -> DataFram
         "n_commits long, n_rows long, sum_cents long, "
         "untouched_ok boolean, time_travel_ok boolean",
     )
+
+
+@query(
+    "orders_merge_clauses_verdict",
+    oracle="""
+    WITH k AS (SELECT MAX(o_orderkey) // 4 + 1 AS w FROM orders),
+    o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               LEAST(o_orderkey // (SELECT w FROM k), 3) AS band
+        FROM orders
+    ),
+    ins AS (
+        -- generate_series can't take subquery bounds in DuckDB: use a
+        -- constant 0..200 range offset by w
+        SELECT x AS key, CAST(x % 97 AS BIGINT) AS cents FROM (
+            SELECT r + (SELECT w FROM k) AS x FROM range(0, 201) t(r)
+        ) WHERE x NOT IN (SELECT key FROM o)
+        ORDER BY x LIMIT 5
+    ),
+    kept AS (
+        SELECT key,
+               CASE WHEN band = 1 AND key % 3 = 1 THEN cents + 1000
+                    ELSE cents END AS cents
+        FROM o
+        WHERE NOT (band = 1 AND key % 3 = 0)
+    ),
+    final AS (
+        SELECT * FROM kept UNION ALL SELECT key, cents FROM ins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT COUNT(*) FROM o WHERE band = 1 AND key % 3 = 0)
+                AS BIGINT) AS n_deleted,
+           CAST((SELECT COUNT(*) FROM ins) AS BIGINT) AS n_inserted,
+           TRUE AS untouched_ok, TRUE AS time_travel_ok
+    FROM final
+    """,
+)
+def orders_merge_clauses_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-clause MERGE INTO under the driver hash — Delta's
+    matched-delete / matched-update / conditional-insert algebra
+    (sources/snapshots.py::snapshot_merge_clauses), the CDC-apply shape:
+    orders commit as four disjoint orderkey-band snapshots, then ONE
+    merge applies a change batch scoped to band 1's key range —
+    ``src_op='D'`` rows delete (keys ≡0 mod 3), ``src_op='U'`` rows take
+    the source's cents (orig+1000, keys ≡1 mod 3), and five brand-new
+    in-band keys insert under the ``op='I'`` condition (chosen by
+    anti-join inside the band so the key ENVELOPE stays inside band 1 and
+    manifest stats keep bands 0/2/3 byte-untouched — pinned by
+    untouched_ok). time_travel_ok pins the pre-merge version intact; the
+    oracle recomputes the post-merge table independently.
+
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning a literal frame.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs,
+        snapshot_merge_clauses,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    max_key = orders.agg(F.max("key")).collect()[0][0]
+    w = max_key // 4 + 1
+    banded = scoped_persist(
+        orders.withColumn("band", F.least(F.expr(f"key div {w}"), F.lit(3)))
+    )
+    bands = sorted(r[0] for r in banded.select("band").distinct().collect())
+    # change batch: D/U over existing band-1 keys + 5 new in-band keys
+    b1 = banded.filter(F.col("band") == 1)
+    deletes = b1.filter(F.col("key") % 3 == 0).select(
+        "key", F.lit(None).cast("long").alias("cents"), F.lit("D").alias("op")
+    )
+    updates = b1.filter(F.col("key") % 3 == 1).select(
+        "key", (F.col("cents") + 1000).alias("cents"), F.lit("U").alias("op")
+    )
+    inserts = (
+        spark.range(w, w + 201)
+        .select(F.col("id").alias("key"))
+        .join(orders.select("key"), "key", "left_anti")
+        .orderBy("key")
+        .limit(5)
+        .select("key", (F.col("key") % 97).cast("long").alias("cents"),
+                F.lit("I").alias("op"))
+    )
+    source = deletes.unionByName(updates).unionByName(inserts)
+
+    root = _tempfile.mkdtemp(prefix="snap_mrg_")
+    try:
+        spec = TableSpec("t.mrg", root + "/t")
+        for b in bands:
+            snapshot_write(banded.filter(F.col("band") == b).drop("band"), spec)
+        pre_v = len(bands) - 1
+        pre_dirs = {b: snapshot_dirs(spec, pre_v)[b] for b in range(len(bands))}
+        pre_sum = snapshot_read(spark, spec).agg(
+            F.sum("cents").cast("long").alias("c")
+        ).collect()[0]["c"]
+        pre_n = snapshot_read(spark, spec).count()
+
+        v = snapshot_merge_clauses(
+            spark,
+            spec,
+            source,
+            keys=["key"],
+            matched_delete="src_op = 'D'",
+            matched_update={"cents": "src_cents"},
+            insert="op = 'I'",
+        )
+        post_dirs = set(snapshot_dirs(spec, v))
+        untouched_ok = all(
+            pre_dirs[b] in post_dirs for b in range(len(bands)) if b != 1
+        ) and pre_dirs[1] not in post_dirs
+
+        head = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        n_deleted = deletes.count()
+        n_inserted = inserts.count()
+        tt = snapshot_read(spark, spec, version=pre_v).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                head["n"],
+                head["c"],
+                n_deleted,
+                n_inserted,
+                bool(untouched_ok),
+                tt["n"] == pre_n and tt["c"] == pre_sum,
+            )
+        ],
+        "n_rows long, sum_cents long, n_deleted long, n_inserted long, "
+        "untouched_ok boolean, time_travel_ok boolean",
+    )
+
+
+@query(
+    "orders_replace_where_verdict",
+    oracle="""
+    WITH k AS (SELECT MAX(o_orderkey) // 4 + 1 AS w FROM orders),
+    o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               LEAST(o_orderkey // (SELECT w FROM k), 3) AS band
+        FROM orders
+    ),
+    repl AS (
+        SELECT key, CAST(key % 1000 AS BIGINT) AS cents
+        FROM o WHERE band = 2 AND key % 2 = 0
+    ),
+    final AS (
+        SELECT key, cents FROM o WHERE band <> 2
+        UNION ALL SELECT key, cents FROM repl
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST((SELECT COUNT(*) FROM repl) AS BIGINT) AS n_replacement,
+           TRUE AS untouched_ok, TRUE AS atomic_one_version,
+           TRUE AS time_travel_ok
+    FROM final
+    """,
+)
+def orders_replace_where_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``INSERT OVERWRITE ... replaceWhere`` under the driver hash
+    (sources/snapshots.py::snapshot_replace_where) — the backfill shape:
+    orders commit as four disjoint orderkey-band snapshots, band 2 is
+    atomically replaced by a recomputed, SMALLER row set (even keys only,
+    cents = key mod 1000), and the verdict pins:
+
+    - untouched_ok: bands 0/1/3 dirs carried byte-identical (stats
+      bounded the rewrite to band 2's commits);
+    - atomic_one_version: the delete+insert is ONE commit (exactly one
+      version bump — no observable window where band 2 is missing);
+    - time_travel_ok: the pre-replace version still serves the original
+      contents;
+    - n_rows / sum_cents / n_replacement hash-checked against the
+      oracle's independent recompute.
+    """
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs,
+        snapshot_read,
+        snapshot_replace_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+    )
+    max_key = orders.agg(F.max("key")).collect()[0][0]
+    w = max_key // 4 + 1
+    banded = scoped_persist(
+        orders.withColumn("band", F.least(F.expr(f"key div {w}"), F.lit(3)))
+    )
+    bands = sorted(r[0] for r in banded.select("band").distinct().collect())
+    repl = banded.filter((F.col("band") == 2) & (F.col("key") % 2 == 0)).select(
+        "key", (F.col("key") % 1000).cast("long").alias("cents")
+    )
+
+    root = _tempfile.mkdtemp(prefix="snap_rw_")
+    try:
+        spec = TableSpec("t.rw", root + "/t")
+        for b in bands:
+            snapshot_write(banded.filter(F.col("band") == b).drop("band"), spec)
+        pre_v = len(bands) - 1
+        pre_dirs = {b: snapshot_dirs(spec, pre_v)[b] for b in range(len(bands))}
+        pre = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+
+        v = snapshot_replace_where(
+            spark, spec, repl, {"key": (2 * w, 3 * w - 1)}
+        )
+        post_dirs = set(snapshot_dirs(spec, v))
+        untouched_ok = all(
+            pre_dirs[b] in post_dirs for b in range(len(bands)) if b != 2
+        ) and pre_dirs[2] not in post_dirs
+
+        head = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        n_repl = repl.count()
+        tt = snapshot_read(spark, spec, version=pre_v).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                head["n"],
+                head["c"],
+                n_repl,
+                bool(untouched_ok),
+                v == pre_v + 1,
+                tt["n"] == pre["n"] and tt["c"] == pre["c"],
+            )
+        ],
+        "n_rows long, sum_cents long, n_replacement long, "
+        "untouched_ok boolean, atomic_one_version boolean, "
+        "time_travel_ok boolean",
+    )

@@ -2309,6 +2309,193 @@ def snapshot_merge(
     )
 
 
+def snapshot_merge_clauses(
+    spark: SparkSession,
+    spec: TableSpec,
+    source: DataFrame,
+    keys: list[str],
+    matched_update: dict[str, str] | None = None,
+    matched_delete: str | None = None,
+    insert: bool | str = True,
+    not_matched_by_source_delete: str | None = None,
+) -> int:
+    """Full-clause MERGE INTO — Delta's complete matched/not-matched form
+    on the snapshot log (``snapshot_merge`` is the whole-row-upsert
+    special case):
+
+    - ``matched_delete``: SQL condition; a matched target row satisfying
+      it is DELETED. Source columns are visible as ``src_<col>`` (keys
+      keep their names), target columns by name — e.g. CDC applies
+      ``"src_op = 'D'"``. Evaluated BEFORE matched_update (Delta's
+      clause-order semantics with delete-first ordering).
+    - ``matched_update``: {target_col: SQL expr} over the same namespace;
+      a matched, not-deleted row takes the expressions, cast back to the
+      table's column types (a merge never changes the schema). Key
+      columns cannot be updated (row identity). Omitted → matched rows
+      carry unchanged.
+    - ``insert``: True inserts every unmatched source row (whole row);
+      a string is a condition over SOURCE columns (plain names) gating
+      the insert; False inserts nothing (update/delete-only merge).
+    - ``not_matched_by_source_delete``: SQL condition over TARGET columns;
+      a target row with NO source match satisfying it is deleted —
+      Delta's WHEN NOT MATCHED BY SOURCE. This clause reads the WHOLE
+      table (any row could lack a match), so stats pruning is disabled
+      for it; without it only commits intersecting the source key
+      envelope rewrite, exactly like ``snapshot_merge``.
+
+    NULL join keys never match (SQL equality), so null-keyed source rows
+    insert and null-keyed target rows fall under not-matched-by-source.
+    Conflict behavior is ``_rewrite_commit``'s: disjoint concurrent
+    commits rebase, real overlap aborts. Cites the reference's upsert
+    surface (pipelines/silver/transform_local.py dedup-then-replace) —
+    generalized to the clause algebra Delta exposes.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StructType
+
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}; use snapshot_write")
+    head = _read_manifest(spec, cur)
+    if "schema" in head:
+        table_schema = StructType.fromJson(head["schema"])
+    else:
+        table_schema = None
+    bad_keys = sorted(set(matched_update or {}) & set(keys))
+    if bad_keys:
+        raise ValueError(
+            f"matched_update cannot change merge keys {bad_keys} (row identity)"
+        )
+    aggs = []
+    for k in keys:
+        aggs.append(F.min(k).alias(f"_mn_{k}"))
+        aggs.append(F.max(k).alias(f"_mx_{k}"))
+    env = source.agg(*aggs).collect()[0]
+    ranges = {k: (env[f"_mn_{k}"], env[f"_mx_{k}"]) for k in keys}
+    if not_matched_by_source_delete is None:
+        affected, untouched = pruned_dirs(spec, ranges, cur)
+        read_ranges = ranges
+    else:  # the by-source clause reads every row: no pruning is sound
+        affected, untouched = list(head["dirs"]), []
+        read_ranges = None
+    old = (
+        _load_dirs(spark, spec, head, affected)
+        if affected
+        else _empty_like(spark, spec, head)
+    )
+    t_fields = (
+        {f.name: f.dataType for f in table_schema.fields}
+        if table_schema is not None
+        else {f.name: f.dataType for f in old.schema.fields}
+    )
+    unknown = sorted(set(matched_update or {}) - set(t_fields))
+    if unknown:
+        raise ValueError(f"matched_update columns not in table: {unknown}")
+
+    src_pref = source.select(
+        *[
+            F.col(c).alias(c if c in keys else f"src_{c}")
+            for c in source.columns
+        ],
+        F.lit(True).alias("_m"),
+    )
+    j = old.join(src_pref, keys, "left")
+    matched = F.col("_m").isNotNull()
+    drop = F.lit(False)
+    if matched_delete is not None:
+        drop = drop | (matched & F.coalesce(F.expr(matched_delete), F.lit(False)))
+    if not_matched_by_source_delete is not None:
+        drop = drop | (
+            ~matched
+            & F.coalesce(F.expr(not_matched_by_source_delete), F.lit(False))
+        )
+    upd = matched_update or {}
+    kept = j.filter(~drop).select(
+        *[
+            (
+                F.when(
+                    matched & ~drop, F.expr(upd[c]).cast(t_fields[c])
+                ).otherwise(F.col(c))
+                if c in upd
+                else F.col(c)
+            ).alias(c)
+            for c in t_fields
+        ]
+    )
+    if insert:
+        unmatched_src = source.join(
+            old.select(*keys).distinct(), keys, "left_anti"
+        )
+        if isinstance(insert, str):
+            unmatched_src = unmatched_src.filter(F.expr(insert))
+        # inserts take the TABLE's columns and types (the source may carry
+        # extra CDC columns like op flags — they stay on the source side)
+        merged = kept.unionByName(
+            unmatched_src.select(
+                *[F.col(c).cast(t_fields[c]).alias(c) for c in t_fields]
+            )
+        )
+    else:
+        merged = kept
+    return _rewrite_commit(
+        spark, spec, cur, untouched, merged, "merge", read_ranges=read_ranges
+    )
+
+
+def snapshot_replace_where(
+    spark: SparkSession,
+    spec: TableSpec,
+    df: DataFrame,
+    ranges: dict[str, tuple],
+    validate: bool = True,
+) -> int:
+    """``INSERT OVERWRITE ... replaceWhere`` — Delta's predicate-scoped
+    overwrite: rows matching EVERY range in ``ranges`` are replaced by
+    ``df`` in ONE atomic commit (the delete and the insert cannot be
+    observed separately); everything outside the predicate carries
+    forward, and commits whose stats prove them disjoint carry
+    byte-untouched. The canonical backfill shape at 100 TB: recompute one
+    day/partition and swap it in without rewriting the table or leaving a
+    window where the day is missing.
+
+    ``validate=True`` enforces Delta's contract that every replacement
+    row satisfies the predicate (one aggregate over ``df``); pass False
+    for Delta's ``replaceWhere`` with constraint checking disabled.
+    Conflicts follow ``_rewrite_commit``: concurrent commits provably
+    disjoint from the predicate rebase; overlap aborts."""
+    import pyspark.sql.functions as F
+
+    cur = current_version(spec)
+    if cur is None:
+        raise ValueError(f"no snapshots at {spec.path}; use snapshot_write")
+    head = _read_manifest(spec, cur)
+    inside = F.lit(True)
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            inside = inside & (F.col(col) >= F.lit(lo))
+        if hi is not None:
+            inside = inside & (F.col(col) <= F.lit(hi))
+    inside = F.coalesce(inside, F.lit(False))
+    if validate:
+        n_out = df.filter(~inside).count()
+        if n_out:
+            raise ValueError(
+                f"replaceWhere: {n_out} replacement row(s) violate the "
+                f"predicate {ranges} (pass validate=False to skip the check)"
+            )
+    affected, untouched = pruned_dirs(spec, ranges, cur)
+    if affected:
+        old = _load_dirs(spark, spec, head, affected)  # DVs applied
+        survivors = old.filter(~inside)
+        merged = survivors.unionByName(df.select(*old.columns))
+    else:
+        merged = df
+    return _rewrite_commit(
+        spark, spec, cur, untouched, merged, "replace_where",
+        read_ranges=ranges,
+    )
+
+
 def snapshot_delete_where(
     spark: SparkSession,
     spec: TableSpec,

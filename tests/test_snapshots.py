@@ -2207,3 +2207,135 @@ def test_chaos_exactly_once_sink_vs_batch_writer(spark, tmp_path):
     assert sorted(i for i, s in got if s == "batch") == [
         1000 + i for i in range(0, 50, 3)
     ]
+
+
+# --- full-clause MERGE + replaceWhere (round 8) ----------------------------
+
+
+def test_merge_clauses_cdc_apply(spark, tmp_path):
+    """matched_delete / matched_update / conditional insert in ONE merge —
+    the CDC-apply shape; source carries an op column the table lacks."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_clauses,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], ["id", "v"]
+        ),
+        spec,
+    )
+    source = spark.createDataFrame(
+        [
+            (2, None, "D"),   # delete
+            (3, 333, "U"),    # update v from source
+            (9, 90, "I"),     # insert (condition op='I')
+            (8, 80, "X"),     # unmatched but condition FALSE -> not inserted
+        ],
+        "id long, v long, op string",
+    )
+    v = snapshot_merge_clauses(
+        spark,
+        spec,
+        source,
+        keys=["id"],
+        matched_delete="src_op = 'D'",
+        matched_update={"v": "src_v"},
+        insert="op = 'I'",
+    )
+    assert v == 1
+    got = {(r.id, r.v) for r in snapshot_read(spark, spec).collect()}
+    assert got == {(1, 10), (3, 333), (4, 40), (9, 90)}
+
+
+def test_merge_clauses_not_matched_by_source(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE DELETE sweeps target rows with no source
+    match (condition over target columns); update-only merge, no insert."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_clauses,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30), (4, 40)], ["id", "v"]
+        ),
+        spec,
+    )
+    source = spark.createDataFrame([(1, 111)], "id long, v long")
+    snapshot_merge_clauses(
+        spark,
+        spec,
+        source,
+        keys=["id"],
+        matched_update={"v": "src_v"},
+        insert=False,
+        not_matched_by_source_delete="v >= 30",  # sweeps 3 and 4, keeps 2
+    )
+    got = {(r.id, r.v) for r in snapshot_read(spark, spec).collect()}
+    assert got == {(1, 111), (2, 20)}
+
+
+def test_merge_clauses_refusals_and_expressions(spark, tmp_path):
+    """Key updates are refused (row identity); update expressions may mix
+    target and source columns and cast back to the table type."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_clauses,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, 10)], ["id", "v"]), spec)
+    src = spark.createDataFrame([(1, 5)], "id long, v long")
+    with pytest.raises(ValueError, match="row identity"):
+        snapshot_merge_clauses(
+            spark, spec, src, keys=["id"], matched_update={"id": "src_v"}
+        )
+    snapshot_merge_clauses(
+        spark, spec, src, keys=["id"],
+        matched_update={"v": "v + src_v * 2 + 0.9"},  # double expr -> long cast
+    )
+    assert {(r.id, r.v) for r in snapshot_read(spark, spec).collect()} == {
+        (1, 20)
+    }
+
+
+def test_replace_where_atomic_backfill(spark, tmp_path):
+    """Predicate-scoped overwrite: one commit swaps the band, untouched
+    commits carry byte-identical, validation rejects out-of-band rows."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_dirs,
+        snapshot_replace_where,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, "old") for i in range(10)], ["id", "v"]),
+        spec,
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, "old") for i in range(10, 20)], ["id", "v"]
+        ),
+        spec,
+    )
+    dir0 = snapshot_dirs(spec, 1)[0]
+    with pytest.raises(ValueError, match="violate the predicate"):
+        snapshot_replace_where(
+            spark,
+            spec,
+            spark.createDataFrame([(5, "oops")], ["id", "v"]),
+            {"id": (10, 19)},
+        )
+    v = snapshot_replace_where(
+        spark,
+        spec,
+        spark.createDataFrame([(12, "new"), (15, "new")], ["id", "v"]),
+        {"id": (10, 19)},
+    )
+    assert v == 2  # ONE commit: delete+insert atomically
+    got = {(r.id, r.v) for r in snapshot_read(spark, spec).collect()}
+    assert got == {(i, "old") for i in range(10)} | {(12, "new"), (15, "new")}
+    assert dir0 in snapshot_dirs(spec, v)  # untouched band carried
+    # pre-replace version intact
+    assert snapshot_read(spark, spec, version=1).count() == 20
