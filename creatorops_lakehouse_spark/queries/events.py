@@ -3381,3 +3381,155 @@ def events_stateful_transitions_verdict(
             ),
         )
     )
+
+
+@query(
+    "events_snapshot_pipeline_verdict",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           TRUE AS conservation_ok,
+           TRUE AS exactly_once_ok
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_snapshot_pipeline_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The snapshot→snapshot INCREMENTAL PIPELINE under the driver hash —
+    the composition that was pytest-only
+    (tests/test_pyds.py::test_snapshot_to_snapshot_incremental_pipeline):
+    events land in a source snapshot table as three time-tercile commits;
+    after EACH commit, ``spark.readStream.format("snapshot")`` (commit
+    version = offset) streams the new rows through a stateless
+    transformation into a second snapshot table via the exactly-once sink
+    (foreachBatch + snapshot_write_txn). Hash-checked facts:
+
+    - the daily (n_rows, sum_cents) matrix built FROM THE DESTINATION
+      table, recomputed independently by the DuckDB oracle over events;
+    - conservation_ok: the destination's full (event_id, day, cents)
+      multiset equals the source's transformed multiset (in-engine
+      full-outer compare — nothing lost or duplicated across the three
+      incremental passes);
+    - exactly_once_ok: a fourth pass with no new source commits delivers
+      nothing, AND a manually re-delivered batch id (the at-least-once
+      hole) no-ops against the destination's txn watermark.
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.pyds import register_snapshot_source
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        current_version,
+        snapshot_read,
+        snapshot_write,
+        snapshot_write_txn,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        start_exactly_once_sink,
+    )
+
+    register_snapshot_source(spark)
+    ev = (
+        load(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "ts", "value")
+    )
+    bounds = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+    lo, hi = bounds["lo"], bounds["hi"]
+    t1 = lo + (hi - lo) / 3
+    t2 = lo + 2 * (hi - lo) / 3
+    terciles = (
+        ev.filter(F.col("ts") <= F.lit(t1)),
+        ev.filter((F.col("ts") > F.lit(t1)) & (F.col("ts") <= F.lit(t2))),
+        ev.filter(F.col("ts") > F.lit(t2)),
+    )
+
+    root = _tempfile.mkdtemp(prefix="snap_pipe_")
+    try:
+        src = TableSpec("t.src", _os.path.join(root, "src"))
+        dst = TableSpec("t.dst", _os.path.join(root, "dst"))
+        ckpt = _os.path.join(root, "ckpt")
+        app = "pipe"
+
+        def run_pass():
+            reader = (
+                spark.readStream.format("snapshot")
+                .option("path", src.path)
+                .load()
+            )
+            out = reader.select(
+                "event_id",
+                F.to_date("ts").alias("day"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            q = start_exactly_once_sink(out, dst, ckpt, app_id=app)
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("snapshot pipeline pass did not finish")
+
+        for part in terciles:
+            snapshot_write(part, src)
+            run_pass()
+
+        n_after_three = snapshot_read(spark, dst).count()
+        v_after_three = current_version(dst)
+        # exactly-once probe 1: a pass with no new source commits
+        run_pass()
+        no_new = (
+            snapshot_read(spark, dst).count() == n_after_three
+            and current_version(dst) == v_after_three
+        )
+        # exactly-once probe 2: manual redelivery of an already-recorded
+        # batch id (foreachBatch's at-least-once hole) must no-op
+        dup = snapshot_read(spark, dst).limit(5)
+        snapshot_write_txn(dup, dst, app_id=app, txn_version=0)
+        no_dup = snapshot_read(spark, dst).count() == n_after_three
+        exactly_once_ok = bool(no_new and no_dup)
+
+        got = scoped_persist(snapshot_read(spark, dst))
+        want = ev.select(
+            "event_id",
+            F.to_date("ts").alias("day"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        keys = ["event_id", "day", "cents"]
+        mism = (
+            got.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n_g"))
+            .join(
+                want.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_w")),
+                keys,
+                "full_outer",
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("n_g").eqNullSafe(F.col("n_w")), 0).otherwise(1)
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        conservation_ok = (mism or 0) == 0
+
+        daily = got.groupBy("day").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (r["day"], r["n_rows"], r["sum_cents"], conservation_ok,
+             exactly_once_ok)
+            for r in daily
+        ],
+        "day date, n_rows long, sum_cents long, conservation_ok boolean, "
+        "exactly_once_ok boolean",
+    )
