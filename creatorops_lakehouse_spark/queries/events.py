@@ -3533,3 +3533,146 @@ def events_snapshot_pipeline_verdict(
         "day date, n_rows long, sum_cents long, conservation_ok boolean, "
         "exactly_once_ok boolean",
     )
+
+
+@query(
+    "events_cdc_replication_verdict",
+    oracle="""
+    WITH base AS (
+        SELECT event_id AS key, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    k AS (SELECT MIN(key) AS mn, (MAX(key) - MIN(key)) // 4 AS q FROM base),
+    bounds AS (
+        SELECT mn + q AS u_lo, mn + 2 * q - 1 AS u_hi,
+               mn + 2 * q AS d_lo, mn + 3 * q - 1 AS d_hi
+        FROM k
+    ),
+    final AS (
+        SELECT key,
+               CASE WHEN key % 4 <> 3 AND key BETWEEN u_lo AND u_hi
+                    THEN cents + 5 ELSE cents END AS cents
+        FROM base, bounds
+        WHERE key % 4 = 3 OR NOT (key BETWEEN d_lo AND d_hi)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base, bounds
+            WHERE key % 4 <> 3 AND key BETWEEN d_lo AND d_hi) AS n_deleted,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM base
+            WHERE key % 4 = 3) AS n_inserted,
+           TRUE AS replica_matches_source
+    FROM final
+    """,
+)
+def events_cdc_replication_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CDC REPLICATION loop under the driver hash — the composition Delta
+    users build from CDF + MERGE: a source snapshot table mutates through
+    the full DML triad (expression UPDATE on one key band, copy-on-write
+    DELETE on a disjoint band, then an append of held-out rows), a
+    replica seeded at v0 consumes ``snapshot_diff(detect_updates=True)``
+    between each consecutive version pair, and each change batch applies
+    through ONE ``snapshot_merge_clauses`` call (delete ops →
+    WHEN MATCHED DELETE, update postimages → WHEN MATCHED UPDATE, inserts
+    → conditional WHEN NOT MATCHED INSERT). Hash-checked facts: the
+    replica's final (n_rows, sum_cents) and the per-op cardinalities,
+    recomputed independently by the oracle from events; plus
+    replica_matches_source — the in-engine full multiset compare of
+    replica head vs source head (the replication loop's whole point).
+    """
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_diff,
+        snapshot_merge_clauses,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    base = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            F.col("event_id").alias("key"),
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    mnmx = base.agg(F.min("key").alias("mn"), F.max("key").alias("mx")).collect()[0]
+    mn, q = mnmx["mn"], (mnmx["mx"] - mnmx["mn"]) // 4
+    u_lo, u_hi = mn + q, mn + 2 * q - 1
+    d_lo, d_hi = mn + 2 * q, mn + 3 * q - 1
+    initial = base.filter(F.col("key") % 4 != 3)
+    held_out = base.filter(F.col("key") % 4 == 3)
+
+    root = _tempfile.mkdtemp(prefix="snap_cdc_")
+    try:
+        src = TableSpec("t.cdc_src", _os.path.join(root, "src"))
+        rep = TableSpec("t.cdc_rep", _os.path.join(root, "rep"))
+        snapshot_write(initial, src)  # v0
+        snapshot_write(initial, rep)  # replica seeded at v0
+        snapshot_update_where(
+            spark, src, {"key": (u_lo, u_hi)}, {"cents": "cents + 5"}
+        )  # v1
+        snapshot_delete_where(spark, src, {"key": (d_lo, d_hi)})  # v2
+        snapshot_write(held_out, src)  # v3
+
+        for a in range(3):
+            changes = snapshot_diff(
+                spark, src, a, a + 1, keys=["key"], detect_updates=True
+            )
+            batch = changes.filter(
+                F.col("_change_type") != "update_preimage"
+            ).select(
+                "key",
+                "cents",
+                F.when(F.col("_change_type") == "delete", "D")
+                .otherwise("U")
+                .alias("op"),
+            )
+            snapshot_merge_clauses(
+                spark,
+                rep,
+                batch,
+                keys=["key"],
+                matched_delete="src_op = 'D'",
+                matched_update={"cents": "src_cents"},
+                insert="op <> 'D'",
+            )
+
+        got = scoped_persist(snapshot_read(spark, rep).select("key", "cents"))
+        want = snapshot_read(spark, src).select("key", "cents")
+        mism = (
+            got.groupBy("key", "cents")
+            .agg(F.count(F.lit(1)).alias("n_g"))
+            .join(
+                want.groupBy("key", "cents").agg(F.count(F.lit(1)).alias("n_w")),
+                ["key", "cents"],
+                "full_outer",
+            )
+            .agg(
+                F.sum(
+                    F.when(F.col("n_g").eqNullSafe(F.col("n_w")), 0).otherwise(1)
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        replica_matches = (mism or 0) == 0
+        head = got.agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        n_deleted = initial.filter(F.col("key").between(d_lo, d_hi)).count()
+        n_inserted = held_out.count()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [(head["n"], head["c"], n_deleted, n_inserted, bool(replica_matches))],
+        "n_rows long, sum_cents long, n_deleted long, n_inserted long, "
+        "replica_matches_source boolean",
+    )

@@ -2339,3 +2339,27 @@ def test_replace_where_atomic_backfill(spark, tmp_path):
     assert dir0 in snapshot_dirs(spec, v)  # untouched band carried
     # pre-replace version intact
     assert snapshot_read(spark, spec, version=1).count() == 20
+
+
+def test_optimize_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """Delta's matrix: OPTIMIZE never conflicts with a blind append — the
+    compaction consumed only the dirs it read; the appended dir carries
+    into the rebased manifest unharmed."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+        snapshot_history,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, "a")], ["id", "v"]), spec)
+    snapshot_write(spark.createDataFrame([(2, "b")], ["id", "v"]), spec)
+
+    def appender():
+        snapshot_write(spark.createDataFrame([(3, "c")], ["id", "v"]), spec)
+
+    _race(monkeypatch, 2, appender)
+    v = optimize_snapshots(spark, spec)
+    assert v == 3  # rebased past the append's v2
+    hist = {h["version"]: h["mode"] for h in snapshot_history(spec)}
+    assert hist[2] == "append" and hist[3] == "optimize"
+    assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
