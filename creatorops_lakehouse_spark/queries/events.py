@@ -3676,3 +3676,96 @@ def events_cdc_replication_verdict(
         "n_rows long, sum_cents long, n_deleted long, n_inserted long, "
         "replica_matches_source boolean",
     )
+
+
+@query(
+    "events_quantile_sketch_verdict",
+    oracle="""
+    WITH c AS (
+        SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(ROUND(quantile_cont(cents, 0.5) * 2) AS BIGINT)
+               AS p50_half_cents,
+           CAST(ROUND(quantile_cont(cents, 0.9) * 10) AS BIGINT)
+               AS p90_tenth_cents,
+           CAST(ROUND(quantile_cont(cents, 0.99) * 100) AS BIGINT)
+               AS p99_hundredth_cents,
+           TRUE AS sketch_rank_ok
+    FROM c GROUP BY 1
+    """,
+)
+def events_quantile_sketch_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mergeable QUANTILE SKETCH with a rank-error audit — the third
+    distributed-sketch family next to count-min (operators/cms.py) and
+    theta (events_audience_overlap_theta): Spark's built-in
+    ``percentile_approx`` is the Greenwald-Khanna sketch (JVM-side,
+    map-side partial merge — the 100 TB path where exact percentile's
+    global sort is the bottleneck). Hash-checked facts per event type:
+
+    - exact p50/p90/p99, integer-exact on both engines via the scaled
+      trick (q*(n-1) has a fractional part that is a multiple of 1/2,
+      1/10, 1/100 respectively, so 2x/10x/100x-scaled values interpolate
+      to exact BIGINTs — the events_value_mad_by_type pattern);
+    - sketch_rank_ok: the GK estimate's RANK error audited in-engine —
+      for each quantile, count(cents <= approx) must lie within
+      q*n ± (eps*n + 1) for eps = 1/accuracy (the sketch's documented
+      contract; the +1 absorbs rank-vs-index off-by-one at ties).
+    """
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    accuracy = 10_000
+    c = scoped_persist(
+        load(spark, sf_dir, "events").select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+    )
+    qs = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.round(F.percentile("cents", F.lit(0.5)) * 2)
+        .cast("long")
+        .alias("p50_half_cents"),
+        F.round(F.percentile("cents", F.lit(0.9)) * 10)
+        .cast("long")
+        .alias("p90_tenth_cents"),
+        F.round(F.percentile("cents", F.lit(0.99)) * 100)
+        .cast("long")
+        .alias("p99_hundredth_cents"),
+        F.percentile_approx("cents", F.lit(0.5), F.lit(accuracy)).alias("a50"),
+        F.percentile_approx("cents", F.lit(0.9), F.lit(accuracy)).alias("a90"),
+        F.percentile_approx("cents", F.lit(0.99), F.lit(accuracy)).alias("a99"),
+    )
+    ranks = (
+        c.join(F.broadcast(qs.select("event_type", "a50", "a90", "a99")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("cents") <= F.col("a50"), 1).otherwise(0)).alias("r50"),
+            F.sum(F.when(F.col("cents") <= F.col("a90"), 1).otherwise(0)).alias("r90"),
+            F.sum(F.when(F.col("cents") <= F.col("a99"), 1).otherwise(0)).alias("r99"),
+        )
+    )
+    eps = 1.0 / accuracy
+
+    def rank_ok(r, q):
+        lo = F.col("n_events") * q - (F.col("n_events") * eps + 1)
+        hi = F.col("n_events") * q + (F.col("n_events") * eps + 1)
+        return (F.col(r) >= lo) & (F.col(r) <= hi)
+
+    return (
+        qs.join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "p50_half_cents",
+            "p90_tenth_cents",
+            "p99_hundredth_cents",
+            (rank_ok("r50", 0.5) & rank_ok("r90", 0.9) & rank_ok("r99", 0.99)).alias(
+                "sketch_rank_ok"
+            ),
+        )
+    )
