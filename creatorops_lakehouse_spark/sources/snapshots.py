@@ -2835,22 +2835,89 @@ def optimize_snapshots(
             )
             if bf:
                 blooms[d] = bf
-    manifest = {
-        "version": version,
-        "mode": "optimize-zorder",
-        "dirs": sub_dirs,
-        "parent": cur,
-        "stats": stats,
-        "rows": rcounts,
-        "schema": schema.jsonValue(),
-    }
-    if blooms:
-        manifest["bloom"] = blooms
-    if head.get("txns"):
-        manifest["txns"] = head["txns"]
-    if head.get("constraints"):
-        manifest["constraints"] = head["constraints"]
-    if head.get("column_map"):  # the column map follows the schema
-        manifest["column_map"] = head["column_map"]
-    _commit(spec, version, manifest)  # conflict -> SnapshotConflictError
-    return version
+    # commit with the same disjoint-race rebase contract as
+    # _rewrite_commit: a ZORDER rewrite consumed exactly the base head's
+    # dirs, so commits that only ADDED dirs (blind appends — Delta's
+    # OPTIMIZE-vs-INSERT no-conflict cell) rebase, carrying the appended
+    # dirs next to the Z-bucketed output; any metadata/DV change or a
+    # rewrite of a consumed dir aborts.
+    def _zmeta(m: dict) -> str:
+        return json.dumps(
+            {
+                "schema": m.get("schema"),
+                "column_map": m.get("column_map"),
+                "constraints": m.get("constraints"),
+                "dv": m.get("dv", []),
+            },
+            sort_keys=True,
+        )
+
+    base_dirs = set(head["dirs"])
+    base_meta = _zmeta(head)
+    head_m, head_v = head, cur
+    for _ in range(11):
+        version = head_v + 1
+        kept = [d for d in head_m["dirs"] if d not in base_dirs]
+        m_stats = {
+            d: s for d, s in head_m.get("stats", {}).items() if d in set(kept)
+        }
+        m_stats.update(stats)
+        m_rows = {
+            d: r for d, r in head_m.get("rows", {}).items() if d in set(kept)
+        }
+        m_rows.update(rcounts)
+        manifest = {
+            "version": version,
+            "mode": "optimize-zorder",
+            "dirs": [*kept, *sub_dirs],
+            "parent": head_v,
+            "stats": m_stats,
+            "rows": m_rows,
+            "schema": schema.jsonValue(),
+        }
+        m_bloom = {
+            d: p for d, p in head_m.get("bloom", {}).items() if d in set(kept)
+        }
+        m_bloom.update(blooms)
+        if m_bloom:
+            manifest["bloom"] = m_bloom
+        new_dv = []
+        for e in head_m.get("dv", []):  # vectors scoped to consumed dirs die
+            ds = [d for d in e["dirs"] if d in set(kept)]
+            if ds:
+                new_dv.append(
+                    {
+                        "ranges": e["ranges"],
+                        "dirs": ds,
+                        "n": e["n"] if len(ds) == len(e["dirs"]) else None,
+                    }
+                )
+        if new_dv:
+            manifest["dv"] = new_dv
+        if head_m.get("txns"):
+            manifest["txns"] = head_m["txns"]
+        if head_m.get("constraints"):
+            manifest["constraints"] = head_m["constraints"]
+        if head_m.get("column_map"):  # the column map follows the schema
+            manifest["column_map"] = head_m["column_map"]
+        try:
+            _commit(spec, version, manifest)
+            return version
+        except SnapshotConflictError:
+            new_cur = current_version(spec)
+            new_head = _read_manifest(spec, new_cur)
+            if _zmeta(new_head) != base_meta:
+                raise SnapshotConflictError(
+                    f"optimize-zorder at {spec.path}: concurrent commit "
+                    "changed table metadata; recompute against the new head"
+                ) from None
+            if base_dirs - set(new_head["dirs"]):
+                raise SnapshotConflictError(
+                    f"optimize-zorder at {spec.path}: concurrent commit "
+                    "rewrote dirs this rewrite also read; recompute against "
+                    "the new head"
+                ) from None
+            head_m, head_v = new_head, new_cur
+    raise SnapshotConflictError(
+        f"optimize-zorder at {spec.path} lost 11 consecutive commit races"
+    )

@@ -2363,3 +2363,41 @@ def test_optimize_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
     hist = {h["version"]: h["mode"] for h in snapshot_history(spec)}
     assert hist[2] == "append" and hist[3] == "optimize"
     assert _rows(snapshot_read(spark, spec)) == {(1, "a"), (2, "b"), (3, "c")}
+
+
+def test_zorder_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """OPTIMIZE ZORDER BY rebases over a blind append exactly like plain
+    OPTIMIZE: the appended dir carries next to the Z-bucketed output."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        optimize_snapshots,
+        pruned_dirs,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(
+        spark.createDataFrame([(i, str(i % 7)) for i in range(100)], ["id", "v"]),
+        spec,
+    )
+    snapshot_write(
+        spark.createDataFrame(
+            [(i, str(i % 7)) for i in range(100, 200)], ["id", "v"]
+        ),
+        spec,
+    )
+
+    def appender():
+        snapshot_write(spark.createDataFrame([(999, "z")], ["id", "v"]), spec)
+
+    _race(monkeypatch, 2, appender)
+    v = optimize_snapshots(spark, spec, zorder_by=("id",), target_dirs=4)
+    assert v == 3  # rebased past the append's v2
+    m = _read_manifest(spec, 3)
+    assert m["mode"] == "optimize-zorder"
+    zdirs = [d for d in m["dirs"] if "_zbucket=" in d]
+    assert len(zdirs) == 4 and len(m["dirs"]) == 5  # 4 buckets + carried append
+    got = {r.id for r in snapshot_read(spark, spec).select("id").collect()}
+    assert got == set(range(200)) | {999}
+    # per-bucket stats still prune point probes after the rebase
+    keptd, skipped = pruned_dirs(spec, {"id": (5, 5)}, 3)
+    assert len(skipped) >= 3
