@@ -3769,3 +3769,218 @@ def events_quantile_sketch_verdict(
             ),
         )
     )
+
+
+@query(
+    "events_stateful_timeout_verdict",
+    oracle="""
+    WITH e0 AS (
+        SELECT CAST(user_id % 10 AS VARCHAR) AS tenant_id,
+               CAST(user_id AS VARCHAR) AS story_id,
+               event_type AS stage, epoch_us(ts) AS us
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+          AND ts IS NOT NULL
+    ),
+    e1 AS (
+        SELECT tenant_id, story_id, MAX(stage) AS stage, us
+        FROM e0 GROUP BY tenant_id, story_id, us
+    ),
+    k AS (SELECT MIN(us) AS mn, MAX(us) AS mx FROM e1),
+    b AS (
+        SELECT e1.*, CASE WHEN us <= mn + (mx - mn) // 3 THEN 0
+                          WHEN us <= mn + 2 * ((mx - mn) // 3) THEN 1
+                          ELSE 2 END AS batch
+        FROM e1, k
+    ),
+    w AS (
+        SELECT (MAX(us) FILTER (batch = 0)) // 1000 AS w0,
+               MAX(us) // 1000 AS w2
+        FROM b
+    ),
+    p AS (
+        SELECT b.*, LEAD(batch) OVER win AS nb
+        FROM b WINDOW win AS (PARTITION BY tenant_id, story_id ORDER BY us)
+    ),
+    rec AS (
+        SELECT stage, us FROM p, w
+        WHERE (nb IS NULL AND w2 > us // 1000 + 21600000)
+           OR (batch = 0 AND nb = 2 AND w0 > us // 1000 + 21600000)
+    )
+    SELECT stage AS last_stage,
+           CAST(COUNT(*) AS BIGINT) AS n_abandoned,
+           CAST(SUM(us) AS BIGINT) AS sum_last_ts_micros,
+           TRUE AS stream_matches_batch
+    FROM rec GROUP BY 1
+    """,
+)
+def events_stateful_timeout_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """GroupState EVENT-TIME TIMEOUTS under the driver hash — the last
+    stateful-streaming mechanism without an oracle verdict (transitions
+    pin cross-batch VALUE state; this pins TIMERS): per-story abandonment
+    via streaming/stateful.py::streaming_abandoned_flows, replayed as
+    three time-tercile micro-batches. The batch twin encodes the exact
+    timeout contract the operator test pins — a timer fires at a batch
+    boundary against the watermark computed from data through the
+    PREVIOUS batch (millisecond-floored), data beats an expired timer,
+    and a cleared story can abandon again — so for three ascending
+    terciles the abandonment set is exactly: every story-final event with
+    final_watermark > ms(e)+gap (fires in whichever later batch the
+    watermark crosses — same record), plus every batch-0 event whose
+    story is silent through batch 1 with batch-0-watermark > ms(e)+gap
+    (the one silent-batch window). Hash-checked: the per-stage
+    abandonment census with exact microsecond sums, recomputed by the
+    oracle; plus stream_matches_batch — the in-engine full multiset
+    compare of the stream's (tenant, story, stage, ts) emissions against
+    the twin.
+    """
+    import json as _json
+    import os as _os
+    import tempfile as _tempfile
+    import uuid as _uuid
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.streaming.stateful import (
+        streaming_abandoned_flows,
+    )
+
+    gap_minutes = 360
+    gap_ms = gap_minutes * 60 * 1000
+    base = (
+        load(spark, sf_dir, "events")
+        .filter(
+            F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+            & F.col("ts").isNotNull()
+        )
+        .select(
+            (F.col("user_id") % 10).cast("string").alias("tenant_id"),
+            F.col("user_id").cast("string").alias("story_id"),
+            F.col("event_type").alias("stage"),
+            F.unix_micros("ts").alias("us"),
+            "ts",
+        )
+    )
+    deduped = scoped_persist(
+        base.groupBy("tenant_id", "story_id", "us").agg(
+            F.max("stage").alias("stage"), F.max("ts").alias("ts")
+        )
+    )
+    mnmx = deduped.agg(F.min("us").alias("mn"), F.max("us").alias("mx")).collect()[0]
+    mn, mx = mnmx["mn"], mnmx["mx"]
+    t1_us = mn + (mx - mn) // 3
+    t2_us = mn + 2 * ((mx - mn) // 3)
+    rows = deduped.collect()  # bounded staging to CREATE a stream source
+    root = _tempfile.mkdtemp(prefix="stream_timeout_")
+    src = _os.path.join(root, "src")
+    _os.makedirs(src)
+    batches = (
+        ("b0", lambda r: r.us <= t1_us),
+        ("b1", lambda r: t1_us < r.us <= t2_us),
+        ("b2", lambda r: r.us > t2_us),
+    )
+    for i, (name, pred) in enumerate(batches):
+        path = _os.path.join(src, f"{name}.json")
+        with open(path, "w") as f:
+            for r in rows:
+                if pred(r):
+                    f.write(
+                        _json.dumps(
+                            {
+                                "tenant_id": r.tenant_id,
+                                "story_id": r.story_id,
+                                "stage": r.stage,
+                                "occurred_at": r.ts.strftime(
+                                    "%Y-%m-%d %H:%M:%S.%f"
+                                ),
+                            }
+                        )
+                        + "\n"
+                    )
+        _os.utime(path, (1700000000 + i, 1700000000 + i))
+
+    schema = (
+        "tenant_id string, story_id string, stage string, "
+        "occurred_at timestamp"
+    )
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).json(src)
+    )
+    name = f"timeout_{_uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_abandoned_flows(reader, gap_minutes=gap_minutes)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .option("checkpointLocation", f"{root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError("abandonment stream did not finish")
+    stream = scoped_persist(spark.table(name))
+
+    # batch twin: the timeout contract over the same terciles
+    banded = deduped.withColumn(
+        "batch",
+        F.when(F.col("us") <= t1_us, 0)
+        .when(F.col("us") <= t2_us, 1)
+        .otherwise(2),
+    )
+    w0 = (
+        banded.filter(F.col("batch") == 0).agg(F.max("us")).collect()[0][0]
+        // 1000
+    )
+    w2 = mx // 1000
+    wk = Window.partitionBy("tenant_id", "story_id").orderBy("us")
+    twin = (
+        banded.withColumn("nb", F.lead("batch").over(wk))
+        .filter(
+            (F.col("nb").isNull() & (F.lit(w2) > F.col("us") / 1000 + gap_ms))
+            | (
+                (F.col("batch") == 0)
+                & (F.col("nb") == 2)
+                & (F.lit(w0) > F.col("us") / 1000 + gap_ms)
+            )
+        )
+        .select(
+            "tenant_id",
+            "story_id",
+            F.col("stage").alias("last_stage"),
+            F.col("us").alias("last_ts_micros"),
+        )
+    )
+    keys = ["tenant_id", "story_id", "last_stage", "last_ts_micros"]
+    mism = (
+        stream.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .join(
+            twin.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_b")),
+            keys,
+            "full_outer",
+        )
+        .agg(
+            F.sum(
+                F.when(F.col("n_s").eqNullSafe(F.col("n_b")), 0).otherwise(1)
+            ).alias("m")
+        )
+    )
+    return (
+        stream.groupBy("last_stage")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_abandoned"),
+            F.sum("last_ts_micros").cast("long").alias("sum_last_ts_micros"),
+        )
+        .crossJoin(F.broadcast(mism))
+        .select(
+            "last_stage",
+            "n_abandoned",
+            "sum_last_ts_micros",
+            (F.coalesce(F.col("m"), F.lit(0)) == 0).alias(
+                "stream_matches_batch"
+            ),
+        )
+    )

@@ -276,3 +276,81 @@ def read_latest_state(spark, state_path: str) -> DataFrame:
     versions = spark.read.parquet(state_path)
     max_v = versions.agg(F.max("version")).collect()[0][0]
     return versions.filter(F.col("version") == max_v).drop("version")
+
+
+ABANDONED_SCHEMA = StructType(
+    [
+        StructField("tenant_id", StringType()),
+        StructField("story_id", StringType()),
+        StructField("last_stage", StringType()),
+        StructField("last_ts_micros", LongType()),
+    ]
+)
+
+
+def streaming_abandoned_flows(
+    silver_stream: DataFrame, gap_minutes: int = 30
+) -> DataFrame:
+    """ABANDONED-flow detector — the GroupState EVENT-TIME TIMEOUT form
+    (the one stateful mechanism the transition operators don't touch):
+    remember each story's last (stage, event time); when the WATERMARK
+    passes last_event + gap with no new event for the key, Spark invokes
+    the function with ``state.hasTimedOut`` and the story emits ONE
+    abandonment record (its final stage and timestamp), clearing state.
+    A later event for the same story starts a fresh flow — a story can
+    abandon more than once.
+
+    Timeout mechanics this encodes (and the verdict pins): timeouts are
+    BATCH-BOUNDARY events evaluated against the watermark computed from
+    data through the PREVIOUS batch; a key with data in the firing batch
+    takes the data path instead (data beats timeout); timestamps are
+    millisecond-floored (Spark tracks watermarks in ms). State is one
+    tiny tuple per story in the state store; rows reach Python as Arrow
+    batches per key group.
+    """
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = gap_minutes * 60 * 1000
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        tenant_id, story_id = key
+        if state.hasTimedOut:
+            stage, ts_us = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(tenant_id, story_id, stage, int(ts_us))],
+                columns=[f.name for f in ABANDONED_SCHEMA.fields],
+            )
+            return
+        events = pd.concat(list(pdfs), ignore_index=True)
+        last = events.loc[events["ts_micros"].idxmax()]
+        if state.exists:
+            pstage, pts = state.get
+            if int(last.ts_micros) >= pts:
+                state.update((last.stage, int(last.ts_micros)))
+        else:
+            state.update((last.stage, int(last.ts_micros)))
+        _, ts_us = state.get
+        state.setTimeoutTimestamp(ts_us // 1000 + gap_ms)
+        return
+        yield  # keeps fn a generator on the data path (no emission)
+
+    keyed = silver_stream.filter(F.col("stage").isNotNull()).select(
+        "tenant_id",
+        "story_id",
+        "stage",
+        F.unix_micros("occurred_at").alias("ts_micros"),
+        "occurred_at",
+    )
+    return (
+        keyed.withWatermark("occurred_at", "0 seconds")
+        .groupBy("tenant_id", "story_id")
+        .applyInPandasWithState(
+            fn,
+            ABANDONED_SCHEMA,
+            _STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

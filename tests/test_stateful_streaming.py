@@ -226,3 +226,67 @@ def test_foreachbatch_retry_is_idempotent(spark, tmp_path):
     ]  # each transition exactly once despite double delivery
     state_rows = read_latest_state(spark, state).collect()
     assert len(state_rows) == 1 and state_rows[0].stage == "REVISION"
+
+
+def test_groupstate_event_time_timeout_abandonment(spark, tmp_path):
+    """EventTimeTimeout mechanics: a silent story emits ONE abandonment
+    record when the watermark (previous batch's max event time) passes
+    last_event + gap; a story with data in the firing batch takes the
+    data path instead (data beats timeout); open stories never emit."""
+    import json
+    import os
+
+    from creatorops_lakehouse_spark.streaming.stateful import (
+        streaming_abandoned_flows,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # (file, rows): story A goes silent after 10:00; B stays active;
+        # C is silent through b1 but has data in the firing batch b2
+        ("b0", [("t", "A", "s1", "2024-01-01 10:00:00"),
+                ("t", "B", "s1", "2024-01-01 10:00:00"),
+                ("t", "C", "s1", "2024-01-01 10:00:00")]),
+        ("b1", [("t", "B", "s2", "2024-01-01 12:00:00")]),
+        ("b2", [("t", "B", "s3", "2024-01-01 14:00:00"),
+                ("t", "C", "s9", "2024-01-01 14:00:00")]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        p = src / f"{name}.json"
+        with open(p, "w") as f:
+            for t, s, st, ts in rows:
+                f.write(json.dumps({
+                    "tenant_id": t, "story_id": s, "stage": st,
+                    "occurred_at": ts,
+                }) + "\n")
+        os.utime(p, (1700000000 + i, 1700000000 + i))
+
+    schema = ("tenant_id string, story_id string, stage string, "
+              "occurred_at timestamp")
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_abandoned_flows(reader, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("abandon_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.story_id, r.last_stage, r.last_ts_micros)
+        for r in spark.table("abandon_t").collect()
+    }
+    # only A abandons (at its last stage); B is still live at stream end
+    # (watermark 14:00 never passes 14:00+gap); C had data in the batch
+    # whose watermark crossed its timer - data beat the timeout
+    import datetime as dt
+
+    a_us = int(dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
+               .timestamp() * 1_000_000)
+    assert got == {("A", "s1", a_us)}
