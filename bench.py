@@ -124,6 +124,14 @@ def main() -> None:
     # They belong in the driver's correctness gate, not the throughput
     # headline — timing them would measure the audit baseline, not the engine.
     queries = {n: f for n, f in all_queries().items() if not n.endswith("_verdict")}
+    # iteration aid: SPARK_GRAFT_BENCH_ONLY="q1,q2" times just those
+    # queries (comma-separated exact names). The filtered run is marked in
+    # the output line so a partial total is never mistaken for a headline.
+    only = {
+        s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
+    }
+    if only:
+        queries = {n: f for n, f in queries.items() if n in only}
     for i, name in enumerate(sorted(queries)):  # fixed order: registry
         fn = queries[name]  # growth can't reshuffle
         if i % CALIB_EVERY == 0:
@@ -147,7 +155,7 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001
                 failures[name] = str(e)[:200]
                 break
-            if len(runs) >= reps:
+            if len(runs) >= max(2, reps):  # convergence needs two samples
                 b1, b2 = sorted(runs)[:2]
                 # 8% relative OR 50 ms absolute: sub-second queries carry
                 # scheduler jitter that relative bounds alone never settle
@@ -156,8 +164,11 @@ def main() -> None:
         if runs and name not in failures:
             samples[name] = [warm] + runs  # samples[0] is the cold warm-up
             timings[name] = min(runs)  # headline: min of the warm reps
-            b1, b2 = sorted(runs)[:2]
-            converged[name] = len(runs) >= 2 and b2 <= b1 * 1.08 + 0.05
+            if len(runs) >= 2:
+                b1, b2 = sorted(runs)[:2]
+                converged[name] = b2 <= b1 * 1.08 + 0.05
+            else:  # REPS=1: a single sample can't demonstrate convergence
+                converged[name] = False
         else:
             timings[name] = -1.0
         peak_storage = max(peak_storage, _cached_bytes(spark))
@@ -177,6 +188,8 @@ def main() -> None:
     }
     if failures:
         result["failures"] = failures
+    if only:
+        result["partial"] = sorted(only)  # never mistake a filtered total
 
     detail = dict(result)
     detail["samples"] = samples  # [cold warm-up, rep1, rep2, ...] per query
@@ -189,7 +202,9 @@ def main() -> None:
     detail["calib_timeline"] = calib_timeline
     detail["queries_window"] = query_window
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)),
+        # a filtered run must not clobber the full-run detail file
+        "BENCH_DETAIL_partial.json" if only else "BENCH_DETAIL.json",
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -233,7 +248,9 @@ def _fit_line(result: dict) -> dict:
     LINE_BUDGET. The full dict is already on disk in BENCH_DETAIL.json."""
     line = dict(result)
     line["n_queries"] = len(result["queries"])
-    line["detail"] = "BENCH_DETAIL.json"
+    line["detail"] = (
+        "BENCH_DETAIL_partial.json" if result.get("partial") else "BENCH_DETAIL.json"
+    )
     by_cost = sorted(result["queries"].items(), key=lambda kv: -kv[1])
     keep = len(by_cost)
     while keep > 0:

@@ -23,6 +23,11 @@ from creatorops_lakehouse_spark.queries import load, query
 
 _SQL_TOKENS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
 
+#: docs_streaming_admission_verdict stages micro-batch files via a driver
+#: collect (the operator under test is distributed; the collect is test
+#: staging). Refuse a corpus above this rather than OOM the driver.
+MAX_STAGE_DOCS = 200_000
+
 
 def corpus_sets(spark: SparkSession, sf_dir: str, ngram: int) -> DataFrame:
     """Session-lifetime shingle-set table for the driver ``documents``
@@ -514,6 +519,19 @@ def docs_streaming_admission_verdict(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # verdict-staging collect: the operator under test (streaming
+    # admission) is distributed; this collect only stages micro-batch
+    # FILES for it. Corpus-bounded at test SFs but refuse a big corpus
+    # outright (the cosine_topk guard pattern, similarity.py) rather
+    # than OOM the driver if someone points the verdict at real data.
+    n_docs = docs.count()
+    if n_docs > MAX_STAGE_DOCS:
+        raise ValueError(
+            f"docs_streaming_admission_verdict stages micro-batches via a "
+            f"driver collect and refuses corpora above {MAX_STAGE_DOCS:,} "
+            f"docs (got {n_docs:,}); it is a correctness AUDIT for small "
+            "SFs — run streaming/dedup.py operators directly at scale"
+        )
     rows = docs.collect()
     batches: list[list] = [[], []]
     for r in rows:

@@ -1500,6 +1500,10 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 N_BPE_MERGES = 12
+#: docs_bpe_train_verdict collects the (vocab-sized) word-frequency table
+#: to run the single-node reference trainer; refuse above this rather
+#: than OOM the driver on an unexpectedly huge vocabulary.
+MAX_REF_VOCAB = 1_000_000
 
 
 @query(
@@ -1554,6 +1558,19 @@ def docs_bpe_train_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     from creatorops_lakehouse_spark.operators.bpe import train_bpe_sequential
 
     merges, wf, _vocab = _bpe_trained_for(spark, sf_dir)
+    # verdict-staging collect: the single-node reference trainer needs the
+    # word-frequency table on the driver. It is vocab-sized (not
+    # corpus-sized), but refuse an unexpectedly huge vocabulary rather
+    # than OOM the driver (cosine_topk guard pattern, similarity.py).
+    n_words = wf.count()
+    if n_words > MAX_REF_VOCAB:
+        raise ValueError(
+            f"docs_bpe_train_verdict collects the word-frequency table to "
+            f"run the single-node reference trainer and refuses tables "
+            f"above {MAX_REF_VOCAB:,} distinct words (got {n_words:,}); "
+            "it is a correctness AUDIT — train with operators/bpe.py "
+            "train_bpe (distributed) at scale"
+        )
     ref = train_bpe_sequential(
         {r.word: r.cnt for r in wf.collect()}, N_BPE_MERGES, min_count=2
     )

@@ -2074,6 +2074,9 @@ def _rewrite_commit(
       semantics — a blind append inside the predicate band conflicts).
       ``read_ranges=None`` means the op reads only its consumed dirs, not
       a predicate over the table (purge), so added dirs always carry;
+      ``read_ranges={}`` means the op read the WHOLE table (e.g. a merge
+      with a NOT MATCHED BY SOURCE clause), so NO added non-empty dir can
+      ever be proven disjoint and any concurrent append aborts;
     - table metadata (schema, column map, constraints) and the deletion-
       vector set are byte-identical between base and new head — any
       concurrent metadata or DV change aborts (MetadataChangedException);
@@ -2375,9 +2378,16 @@ def snapshot_merge_clauses(
     if not_matched_by_source_delete is None:
         affected, untouched = pruned_dirs(spec, ranges, cur)
         read_ranges = ranges
-    else:  # the by-source clause reads every row: no pruning is sound
+    else:  # the by-source clause reads every row: no pruning is sound,
+        # and the read set is the WHOLE table — read_ranges={} (full-table
+        # read marker) so _rewrite_commit can never prove a concurrently
+        # appended dir disjoint; a blind append racing this merge aborts
+        # (Delta's ConcurrentAppendException when the merge predicate
+        # spans the table) instead of its rows silently escaping the
+        # by-source delete. None stays reserved for consumed-dirs-only
+        # ops (purge/compaction).
         affected, untouched = list(head["dirs"]), []
-        read_ranges = None
+        read_ranges = {}
     old = (
         _load_dirs(spark, spec, head, affected)
         if affected
@@ -2391,6 +2401,31 @@ def snapshot_merge_clauses(
     unknown = sorted(set(matched_update or {}) - set(t_fields))
     if unknown:
         raise ValueError(f"matched_update columns not in table: {unknown}")
+
+    # MERGE cardinality guard (Delta's MERGE_CARDINALITY_VIOLATION): when
+    # a matched clause exists, a target row matched by MULTIPLE source
+    # rows would be updated/deleted once per duplicate — silently
+    # multiplying rows on a non-deduped CDC batch. Refuse, naming the
+    # keys. Only source keys that actually hit the target matter
+    # (duplicate UNMATCHED keys legitimately insert multiple rows), and
+    # the semi join runs over the already-pruned affected dirs only.
+    if matched_update or matched_delete is not None:
+        dup_keys = (
+            source.join(old.select(*keys).distinct(), keys, "left_semi")
+            .groupBy(*keys)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(5)
+            .collect()
+        )
+        if dup_keys:
+            shown = [tuple(r[k] for k in keys) for r in dup_keys]
+            raise ValueError(
+                f"merge into {spec.path}: multiple source rows match the "
+                f"same target row for keys {keys} (e.g. {shown}); dedup "
+                "the source by a deterministic tiebreaker before merging "
+                "(MERGE_CARDINALITY_VIOLATION)"
+            )
 
     src_pref = source.select(
         *[

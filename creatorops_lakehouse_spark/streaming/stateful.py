@@ -92,7 +92,11 @@ def streaming_stage_transitions(silver_stream: DataFrame) -> DataFrame:
     transformWithStateInPandas with the duration processor."""
     import pyspark.sql.functions as F
 
-    keyed = silver_stream.filter(F.col("stage").isNotNull()).select(
+    # null occurred_at reaches pandas as NaN ts_micros (idxmax/int() would
+    # raise at runtime) — an event without a time can't order a transition
+    keyed = silver_stream.filter(
+        F.col("stage").isNotNull() & F.col("occurred_at").isNotNull()
+    ).select(
         "tenant_id",
         "story_id",
         "stage",
@@ -151,7 +155,11 @@ def streaming_stage_transitions_gs(silver_stream: DataFrame) -> DataFrame:
                 out, columns=[f.name for f in TRANSITION_SCHEMA.fields]
             )
 
-    keyed = silver_stream.filter(F.col("stage").isNotNull()).select(
+    # null occurred_at reaches pandas as NaN ts_micros (idxmax/int() would
+    # raise at runtime) — an event without a time can't order a transition
+    keyed = silver_stream.filter(
+        F.col("stage").isNotNull() & F.col("occurred_at").isNotNull()
+    ).select(
         "tenant_id",
         "story_id",
         "stage",
@@ -230,7 +238,9 @@ def stage_transitions_foreachbatch(
 
     def body(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        events = batch_df.filter(F.col("stage").isNotNull()).select(
+        events = batch_df.filter(
+            F.col("stage").isNotNull() & F.col("occurred_at").isNotNull()
+        ).select(
             "tenant_id",
             "story_id",
             "stage",
@@ -336,7 +346,11 @@ def streaming_abandoned_flows(
         return
         yield  # keeps fn a generator on the data path (no emission)
 
-    keyed = silver_stream.filter(F.col("stage").isNotNull()).select(
+    # null occurred_at reaches pandas as NaN ts_micros (idxmax/int() would
+    # raise at runtime) — an event without a time can't order a transition
+    keyed = silver_stream.filter(
+        F.col("stage").isNotNull() & F.col("occurred_at").isNotNull()
+    ).select(
         "tenant_id",
         "story_id",
         "stage",

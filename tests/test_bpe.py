@@ -100,3 +100,15 @@ def test_bpe_encode_join_apply(spark):
     other = spark.createDataFrame([(9, "zzz qq")], ["doc_id", "text"])
     fb = bpe_encode(other, vocab).collect()[0]
     assert (fb.n_pretokens, fb.n_tokens, fb.n_chars) == (2, 6, 6)
+
+
+def test_bpe_verdict_refuses_big_vocab(spark, monkeypatch):
+    """The single-node reference trainer's vocab collect must REFUSE an
+    unexpectedly huge word-frequency table instead of OOMing the driver."""
+    import pytest
+
+    import creatorops_lakehouse_spark.queries.text as qt
+
+    monkeypatch.setattr(qt, "MAX_REF_VOCAB", 3)
+    with pytest.raises(ValueError, match="distinct words"):
+        qt.docs_bpe_train_verdict(spark, "/root/testdata/sf0.001")

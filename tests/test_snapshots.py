@@ -2300,6 +2300,90 @@ def test_merge_clauses_refusals_and_expressions(spark, tmp_path):
     }
 
 
+def test_merge_by_source_aborts_on_concurrent_append(
+    spark, tmp_path, monkeypatch
+):
+    """A merge with NOT MATCHED BY SOURCE reads the WHOLE table, so a
+    concurrent blind append — even one provably outside the source key
+    envelope — must ABORT (Delta's ConcurrentAppendException when the
+    merge predicate spans the table): a rebase would let the appended
+    rows silently escape the by-source delete."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        snapshot_merge_clauses,
+    )
+
+    spec = _two_band_table(spark, tmp_path)
+    src = spark.createDataFrame([(0, "keep")], "id long, v string")
+
+    def blind_append():  # far outside src's key envelope (id=0)
+        snapshot_write(spark.createDataFrame([(999, "new")], ["id", "v"]), spec)
+
+    _race(monkeypatch, 2, blind_append)
+    with pytest.raises(SnapshotConflictError, match="may match"):
+        snapshot_merge_clauses(
+            spark, spec, src, keys=["id"],
+            matched_update={"v": "src_v"},
+            insert=False,
+            not_matched_by_source_delete="id >= 100",
+        )
+    # the append survives; the aborted merge changed nothing
+    assert 999 in _ids(spark, spec) and len(_ids(spark, spec)) == 201
+
+    # the SAME merge without the by-source clause reads only the source
+    # key envelope -> the disjoint append rebases and both effects land
+    def blind_append2():
+        snapshot_write(spark.createDataFrame([(998, "new")], ["id", "v"]), spec)
+
+    _race(monkeypatch, 3, blind_append2)
+    snapshot_merge_clauses(
+        spark, spec, src, keys=["id"], matched_update={"v": "src_v"}
+    )
+    got = {(r.id, r.v) for r in snapshot_read(spark, spec)
+           .filter("id in (0, 998)").collect()}
+    assert got == {(0, "keep"), (998, "new")}
+
+
+def test_merge_cardinality_violation(spark, tmp_path):
+    """Duplicate source keys that MATCH a target row + a matched clause
+    raise (Delta's MERGE_CARDINALITY_VIOLATION) instead of silently
+    multiplying rows; duplicate UNMATCHED keys legitimately insert twice,
+    and a matched-clause-free merge is never guarded."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_merge_clauses,
+    )
+
+    spec = TableSpec("t.snap", str(tmp_path / "t"))
+    snapshot_write(spark.createDataFrame([(1, 10), (2, 20)], ["id", "v"]), spec)
+
+    dup_matched = spark.createDataFrame(
+        [(1, 100), (1, 101)], "id long, v long"
+    )
+    with pytest.raises(ValueError, match="CARDINALITY"):
+        snapshot_merge_clauses(
+            spark, spec, dup_matched, keys=["id"], matched_update={"v": "src_v"}
+        )
+    with pytest.raises(ValueError, match="CARDINALITY"):
+        snapshot_merge_clauses(
+            spark, spec, dup_matched, keys=["id"], matched_delete="src_v > 0"
+        )
+    assert {(r.id, r.v) for r in snapshot_read(spark, spec).collect()} == {
+        (1, 10), (2, 20)
+    }  # the refused merges changed nothing
+
+    # duplicate keys that match NO target row insert once per source row
+    dup_unmatched = spark.createDataFrame(
+        [(9, 90), (9, 91)], "id long, v long"
+    )
+    snapshot_merge_clauses(
+        spark, spec, dup_unmatched, keys=["id"], matched_update={"v": "src_v"}
+    )
+    got = sorted(
+        (r.id, r.v) for r in snapshot_read(spark, spec).collect()
+    )
+    assert got == [(1, 10), (2, 20), (9, 90), (9, 91)]
+
+
 def test_replace_where_atomic_backfill(spark, tmp_path):
     """Predicate-scoped overwrite: one commit swaps the band, untouched
     commits carry byte-identical, validation rejects out-of-band rows."""

@@ -290,3 +290,83 @@ def test_groupstate_event_time_timeout_abandonment(spark, tmp_path):
     a_us = int(dt.datetime(2024, 1, 1, 10, 0, tzinfo=dt.timezone.utc)
                .timestamp() * 1_000_000)
     assert got == {("A", "s1", a_us)}
+
+
+def test_null_event_time_rows_are_filtered_not_fatal(spark, tmp_path):
+    """A null occurred_at reaches pandas as NaN ts_micros — before the
+    round-9 filter, idxmax() on an all-NaN key group (abandoned flows) and
+    int(NaN) (GS transitions) failed the query at RUNTIME. Null-timed rows
+    must be dropped like null-stage rows, with identical results."""
+    import json
+    import os
+
+    from creatorops_lakehouse_spark.streaming.stateful import (
+        streaming_abandoned_flows,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        # story A abandons; story N is ALL null-timed (the idxmax crash
+        # shape); A also carries one null-timed row mixed in
+        ("b0", [("t", "A", "s1", "2024-01-01 10:00:00"),
+                ("t", "A", "s9", None),
+                ("t", "N", "s1", None)]),
+        ("b1", [("t", "B", "s2", "2024-01-01 12:00:00"),
+                ("t", "N", "s2", None)]),
+        ("b2", [("t", "B", "s3", "2024-01-01 14:00:00")]),
+    ]
+    for i, (name, rows) in enumerate(batches):
+        p = src / f"{name}.json"
+        with open(p, "w") as f:
+            for t, s, st, ts in rows:
+                f.write(json.dumps({
+                    "tenant_id": t, "story_id": s, "stage": st,
+                    "occurred_at": ts,
+                }) + "\n")
+        os.utime(p, (1700000100 + i, 1700000100 + i))
+
+    schema = ("tenant_id string, story_id string, stage string, "
+              "occurred_at timestamp")
+    reader = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        streaming_abandoned_flows(reader, gap_minutes=30)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("abandon_null_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.story_id, r.last_stage) for r in spark.table("abandon_null_t").collect()
+    }
+    assert got == {("A", "s1")}  # null-timed rows never drive state
+
+
+def test_gs_transitions_null_event_time_filtered(spark, tmp_path):
+    """Same hazard on the GroupState transitions path: int(NaN) raised in
+    the per-key loop. Null-timed rows are dropped; transitions unchanged."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    null_ts = json.dumps({
+        "eventId": "e9", "eventType": "chapter_written", "eventVersion": 1,
+        "occurredAt": None,
+        "tenant": {"tenantId": "t1", "authorId": "a1"},
+        "entity": {"storyId": "s1"},
+    })
+    (inp / "b1.ndjson").write_text(
+        _ev("e1", "draft_created", "2026-04-01T08:00:00Z")
+        + "\n" + null_ts + "\n"
+        + _ev("e2", "chapter_written", "2026-04-01T10:00:00Z")
+        + "\n"
+    )
+    _run_gs_batch(spark, str(inp), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    got = {(r.stage, r.next_stage, r.duration_seconds) for r in rows}
+    assert got == {("DRAFT", "WRITE", 7200.0)}

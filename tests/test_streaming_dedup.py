@@ -158,3 +158,16 @@ def test_native_drop_duplicates_within_watermark(spark, tmp_path):
         (5, "2024-01-02 01:00:00"),
         (2, "2024-01-05 00:00:00"),  # expired state -> legitimate re-emit
     }
+
+
+def test_admission_verdict_refuses_big_corpus(spark, monkeypatch):
+    """The verdict's micro-batch staging collect is corpus-bounded at test
+    SFs but must REFUSE (not OOM the driver) if pointed at a big corpus —
+    the cosine_topk guard pattern."""
+    import pytest
+
+    import creatorops_lakehouse_spark.queries.dedup as qd
+
+    monkeypatch.setattr(qd, "MAX_STAGE_DOCS", 3)
+    with pytest.raises(ValueError, match="refuses corpora above"):
+        qd.docs_streaming_admission_verdict(spark, "/root/testdata/sf0.001")
