@@ -153,6 +153,7 @@ def _ensure_imported() -> None:
     from creatorops_lakehouse_spark.queries import medallion  # noqa: F401
     from creatorops_lakehouse_spark.queries import (  # noqa: F401
         advanced,
+        curation,
         dedup,
         events,
         functions,
