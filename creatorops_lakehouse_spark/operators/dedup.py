@@ -622,6 +622,57 @@ def _band_buckets(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.bucket")
 
 
+def minhash_star_edges(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 2,
+    num_perm: int = 64,
+    bands: int = 16,
+    sets: DataFrame | None = None,
+) -> DataFrame:
+    """Hot-cluster-safe near-dup edges for CONNECTIVITY dedup: per
+    (band, bucket) emit only (bucket_min, member) star edges instead of
+    the all-pairs bucket self-join, then exact-Jaccard-verify each edge.
+
+    Why this exists: :func:`minhash_lsh_pairs`'s bucket self-join is the
+    correct PAIR-LISTING operator, but its cost is Σ occupancy² per
+    bucket — a single 100k-member near-dup cluster (one viral document
+    re-posted everywhere; the adversarial shape every web corpus
+    contains) emits ~10^10 candidate pairs per band and kills the stage.
+    Keep-one-per-cluster dedup doesn't need the pair list, only the
+    components: a star per bucket carries the same connectivity at
+    O(occupancy · bands) edges, so the giant cluster costs ~1.6M edges at
+    16 bands, not 10^11. Measured on the skew rehearsal corpus (10% of
+    docs in ONE near-dup cluster): identical CC clusters at a fraction of
+    the candidate volume (tools/skew_adversarial.py; BENCH_NOTES round-9
+    skew table).
+
+    Recall semantics vs all-pairs: inside a true near-dup cluster that
+    collides into a bucket, min→member edges all verify (every member is
+    similar to every other, including the min), so connectivity is
+    preserved. In a MIXED bucket (hash-collision noise), a min→member
+    edge can fail verification where some member↔member pair would have
+    passed; that pair usually re-collides in another band (same geometry
+    as plain LSH recall), but the contract is strictly
+    connectivity-recall ≤ pair-listing recall — use this for clustering,
+    never for pair listing. Bucket mins aggregate with map-side combine
+    (groupBy, not a window), so the hot bucket never single-partitions.
+    """
+    if sets is None:
+        sets = scoped_persist(_token_sets(df, text_col, id_col, ngram))
+    banded = _band_buckets(sets, num_perm, bands)
+    mins = banded.groupBy("band", "bucket").agg(F.min("doc_id").alias("a_id"))
+    stars = (
+        banded.join(mins, on=["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("a_id"))
+        .select("a_id", F.col("doc_id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    return _verify_jaccard(stars, sets, threshold)
+
+
 def _verify_jaccard(cands: DataFrame, sets: DataFrame, threshold: float) -> DataFrame:
     """Exact-Jaccard verification of (a_id, b_id) candidates against the
     shingle-set table — eliminates every LSH false positive."""

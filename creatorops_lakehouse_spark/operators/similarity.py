@@ -430,7 +430,10 @@ def _nearest_cells_udf(centroids: list[list[float]], nprobe: int = 1):
         X = np.asarray(col.tolist(), dtype=np.float64)  # n × d
         # ‖x-c‖² = ‖x‖² − 2x·c + ‖c‖²; ‖x‖² is row-constant → drop for argmin
         d2 = -2.0 * (X @ C.T) + c_sq
-        order = np.argsort(d2, axis=1)[:, :nprobe]
+        # stable sort: exact distance ties (possible when two clusters
+        # quantize to the same centroid) break to the LOWEST cell id — the
+        # tie contract the SQL oracle replays with (d2 ASC, cell ASC)
+        order = np.argsort(d2, axis=1, kind="stable")[:, :nprobe]
         return pd.Series([row.astype("int32").tolist() for row in order])
 
     # no type hints: `from __future__ import annotations` stringifies them
@@ -452,6 +455,7 @@ def train_ivf_centroids(
     dim: int = 64,
     sample_mod: int | None = None,
     local_threshold: int = 100_000,
+    quantize_scale: int | None = None,
 ) -> list[list[float]]:
     """Lloyd k-means over a deterministic sample (the IVF coarse quantizer).
 
@@ -477,8 +481,25 @@ def train_ivf_centroids(
     sum-then-divide association) — admissible because the quantizer only
     CO-LOCATES candidates; every emitted pair is exact-cosine verified
     downstream, and recall contracts carry measured margins.
+
+    ``quantize_scale=S`` floors every centroid coordinate to exact
+    1/S units (floor(x·S)/S — floor, not round: round-half modes differ
+    between engines) after initialization and after each Lloyd update.
+    Quantized centroids are REPLAYABLE: an external engine re-running the
+    same iterations reconstructs bit-identical centroids from the same
+    integers, because ulp-level summation differences are absorbed unless
+    a mean lands within ~1e-16·S of a quantization boundary. This is what
+    lets the DuckDB oracle hash-check the full IVF top-k
+    (queries/similarity.py::emb_ann_ivf_topk) and is the right portability
+    contract for a persisted index at 100 TB (rebuild anywhere, same
+    cells). At S=1e6 the quantizer's co-location quality is untouched.
     """
     import numpy as np
+
+    def _q(arr):
+        if quantize_scale is None:
+            return arr
+        return np.floor(arr * quantize_scale) / quantize_scale
 
     vecs = df.select(
         F.col(id_col).alias("_id"), F.col(vec_col).cast("array<double>").alias("v")
@@ -492,7 +513,7 @@ def train_ivf_centroids(
         X = np.asarray([r.v for r in head], dtype=np.float64)  # sorted by id
         if len(X) == 0:
             return []
-        C = X[:k].copy()
+        C = _q(X[:k].copy())
         for _ in range(iters):
             d2 = (
                 -2.0 * (X @ C.T)
@@ -503,10 +524,11 @@ def train_ivf_centroids(
                 members = X[assign == c_id]
                 if len(members):
                     C[c_id] = members.sum(axis=0) / len(members)
+            C = _q(C)
         return [row.tolist() for row in C]
 
     vecs = scoped_persist(vecs)
-    centroids = [r.v for r in head[:k]]
+    centroids = [list(_q(np.asarray(r.v))) for r in head[:k]]
     for _ in range(iters):
         assigned = vecs.withColumn("c", _nearest_centroid(F.col("v"), centroids))
         sums = (
@@ -523,7 +545,7 @@ def train_ivf_centroids(
             cnt[r.c] = r.n
         for c_id, vals in acc.items():
             new[c_id] = [x / cnt[c_id] for x in vals]
-        centroids = new
+        centroids = [list(_q(np.asarray(c))) for c in new]
     return centroids
 
 

@@ -243,6 +243,32 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass; packing row count == mixture row count) computed through
     DIFFERENT operator paths on the Spark side and recomputed once by the
     oracle."""
+    return curation_e2e_row(spark, sf_dir)
+
+
+def curation_e2e_row(
+    spark: SparkSession,
+    sf_dir: str,
+    stage_walls: dict | None = None,
+    neardup: str = "exact",
+) -> DataFrame:
+    """The e2e pipeline body; ``stage_walls`` (optional dict) collects
+    {stage_name: wall_sec} for each materialization barrier — the scale
+    rehearsal's per-stage instrument (tools/curation_e2e_rehearsal.py).
+
+    ``neardup`` picks the stage-3 pair source:
+    - "exact" (default, what the oracle replays): trigram-Jaccard
+      inverted-index pairs. Exact, but its cost is Σ df² over posting
+      lists — the 100× rehearsal measured it 157.8× at 100× data
+      (shared shingles across near-dup copies inflate df quadratically).
+      This is the AUDIT path.
+    - "lsh": MinHash star edges (operators/dedup.py::minhash_star_edges,
+      threshold 0.6, trigram shingles) + the same CC keep-one. Banded
+      candidates, O(n·bands) edges even through a giant cluster — the
+      100 TB path; the rehearsal pins its growth and its retention
+      deviation vs exact (LSH recall < 1 ⇒ slightly more survivors)."""
+    import time as _time
+
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
     from creatorops_lakehouse_spark.operators.decontam import ngram_contamination
     from creatorops_lakehouse_spark.operators.dedup import connected_components
@@ -258,6 +284,20 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_count,
     )
 
+    # stage walls are BOUNDARY-to-boundary: everything since the previous
+    # stage's count lands in this stage's wall, so eager operator-internal
+    # jobs (CC supersteps, mixture/packing driver collects) are attributed
+    # to the stage that ran them, not a catch-all tail
+    mark = [_time.time()]
+
+    def _t(name, thunk):
+        v = thunk()
+        now = _time.time()
+        if stage_walls is not None:
+            stage_walls[name] = round(now - mark[0], 2)
+        mark[0] = now
+        return v
+
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     rep = repetition_features(F.col("text"))
     feat = scoped_persist(
@@ -270,7 +310,7 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             rep["symbol_bp"].alias("sym_bp"),
         )
     )
-    n_all = feat.count()
+    n_all = _t('ingest_features', feat.count)
 
     # stage 1: quality gate (same thresholds as docs_quality_gate)
     q = scoped_persist(
@@ -280,7 +320,7 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("sym_bp") <= MAX_SYMBOL_BP)
         ).select("doc_id", "text", "lang", "k")
     )
-    n_quality = q.count()
+    n_quality = _t('quality_gate', q.count)
 
     # stage 2: exact dedup keep-one (min doc_id per text, one shuffle)
     e = scoped_persist(
@@ -290,32 +330,41 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "left_semi",
         )
     )
-    n_exact = e.count()
+    n_exact = _t('exact_dedup', e.count)
 
     # stage 3: near-dup CC keep-one. Shingle sets are per-doc invariant,
     # so the survivor pair graph == the corpus pair graph restricted to
     # surviving endpoints (double semi-join against the session's sticky
     # verified-pair cache — same reuse as docs_curation_funnel).
     surv = e.select("doc_id")
-    pairs = (
-        corpus_trigram_pairs(spark, sf_dir)
-        .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id", "left_semi")
-        .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
-        .select("a_id", "b_id")
-    )
+    if neardup == "exact":
+        pairs = (
+            corpus_trigram_pairs(spark, sf_dir)
+            .join(surv.withColumnRenamed("doc_id", "a_id"), "a_id", "left_semi")
+            .join(surv.withColumnRenamed("doc_id", "b_id"), "b_id", "left_semi")
+            .select("a_id", "b_id")
+        )
+    else:  # "lsh": the banded scale path (see docstring)
+        from creatorops_lakehouse_spark.operators.dedup import (
+            minhash_star_edges,
+        )
+
+        pairs = minhash_star_edges(
+            e.select("doc_id", "text"), threshold=0.6, ngram=3
+        ).select("a_id", "b_id")
     losers = (
         connected_components(pairs)
         .filter(F.col("node") != F.col("cluster_id"))
         .select(F.col("node").alias("doc_id"))
     )
     d = scoped_persist(e.join(losers, "doc_id", "left_anti"))
-    n_neardup = d.count()
+    n_neardup = _t('neardup_cc', d.count)
 
     # stage 4: stratified split + 5-gram eval decontamination. The eval
     # gram set is broadcast; the train corpus text never shuffles.
     split = stratified_split(d, "doc_id", {"train": 0.90, "eval": 0.05, "test": 0.05})
     train = scoped_persist(split.filter(F.col("split") == "train"))
-    n_train = train.count()
+    n_train = _t('split', train.count)
     contaminated = (
         ngram_contamination(
             train, split.filter(F.col("split") == "eval"), n=5
@@ -324,7 +373,7 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id")
     )
     c = scoped_persist(train.join(contaminated, "doc_id", "left_anti"))
-    n_clean = c.count()
+    n_clean = _t('decontam', c.count)
     n_contaminated = n_train - n_clean
 
     # stage 5: language-mixture resampling (hash-rank membership)
@@ -333,7 +382,7 @@ def docs_curation_e2e_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "text", F.col("k").cast("long").alias("w")
         )
     )
-    n_mixture = m.count()
+    n_mixture = _t('mixture', m.count)
 
     # stage 6: packing audit of the final training set (two-phase
     # distributed prefix sum inside pack_sequences)

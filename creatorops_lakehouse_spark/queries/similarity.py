@@ -238,7 +238,12 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _IVF_INDEX_CACHE:
         emb = load(spark, sf_dir, "embeddings")
-        centroids = train_ivf_centroids(emb, k=8, iters=2, dim=64, sample_mod=5)
+        # quantize_scale: centroids floored to exact 1e-6 units after every
+        # Lloyd update — replayable by the DuckDB oracle (emb_ann_ivf_topk
+        # is hash-checked end-to-end, training included)
+        centroids = train_ivf_centroids(
+            emb, k=8, iters=2, dim=64, sample_mod=5, quantize_scale=1_000_000
+        )
         # session-scratch under the repo (gitignored), not the system /tmp
         # — everything this engine writes stays inside its own tree
         scratch = os.path.join(
@@ -254,7 +259,90 @@ def _ivf_index_for(spark: SparkSession, sf_dir: str):
     return _IVF_INDEX_CACHE[sf_dir]
 
 
-@query("emb_ann_ivf_topk")  # centroids from iterative training → rows-only
+def _sql_lloyd_iter(i: int) -> str:
+    """One unrolled Lloyd iteration (c{i} -> c{i+1}) for the IVF oracle:
+    assign every sample vector to its nearest centroid (-2·x·c + ‖c‖²,
+    ties to the lowest cell — the stable-argsort contract of
+    _nearest_cells_udf), then per-cluster element-wise means floored to
+    exact 1e-6 units (the quantize_scale contract of train_ivf_centroids);
+    an empty cluster keeps its previous centroid."""
+    return f"""
+    a{i} AS (
+        SELECT id, cell FROM (
+            SELECT e.id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.v, c.cv)
+                           + list_inner_product(c.cv, c.cv) ASC,
+                       c.cell ASC) AS rn
+            FROM emb5 e CROSS JOIN c{i} c
+        ) WHERE rn = 1
+    ),
+    mean{i} AS (
+        SELECT a.cell, d.dim,
+               FLOOR(AVG(e.v[d.dim + 1]) * 1000000) / 1000000 AS cv
+        FROM a{i} a JOIN emb5 e USING (id) CROSS JOIN d64 d
+        GROUP BY 1, 2
+    ),
+    c{i + 1} AS (
+        SELECT p.cell, COALESCE(m.l, p.cv) AS cv
+        FROM c{i} p LEFT JOIN (
+            SELECT cell, list(cv ORDER BY dim) AS l FROM mean{i} GROUP BY cell
+        ) m USING (cell)
+    )"""
+
+
+_SQL_IVF_TOPK = f"""
+    emb5 AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 5 = 0
+    ),
+    d64 AS (SELECT unnest(range(0, 64)) AS dim),
+    c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell,
+               list_transform(v, x -> FLOOR(x * 1000000) / 1000000) AS cv
+        FROM (SELECT id, v FROM emb5 ORDER BY id LIMIT 8)
+    ),
+    {_sql_lloyd_iter(0)},
+    {_sql_lloyd_iter(1)},
+    corpus AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cass AS (
+        SELECT id, v, cell FROM (
+            SELECT e.id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.v, c.cv)
+                           + list_inner_product(c.cv, c.cv) ASC,
+                       c.cell ASC) AS rn
+            FROM corpus e CROSS JOIN c2 c
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT id AS query_id, v AS q_vec, cell FROM (
+            SELECT e.id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.v, c.cv)
+                           + list_inner_product(c.cv, c.cv) ASC,
+                       c.cell ASC) AS rn
+            FROM corpus e CROSS JOIN c2 c WHERE e.id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    sims AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               list_cosine_similarity(p.q_vec, a.v) AS cos_sim
+        FROM probes p JOIN cass a USING (cell)
+        WHERE a.id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
+        FROM sims
+    ) WHERE rank <= {TOP_K}
+"""
+
+
+@query("emb_ann_ivf_topk", oracle=f"WITH {_SQL_IVF_TOPK}")
 def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN against the PERSISTED cell-partitioned index: the coarse
     quantizer is Lloyd-trained on a 1/5 sample, the corpus assignment is
@@ -263,7 +351,16 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition pruning skips unprobed cells' files (the build-once/
     probe-many 100 TB shape; pruning asserted in
     tests/test_similarity.py::test_ivf_index_partition_pruning).
-    Recall vs brute force is hash-checked by emb_ann_ivf_recall_verdict."""
+
+    Hash-checked END-TO-END (training included) since round 9: the oracle
+    unrolls both Lloyd iterations in SQL over the same 1/5 sample with the
+    same lowest-id init, the quantize_scale=1e6 floor making centroid
+    arithmetic engine-portable (ulp-level summation differences are
+    absorbed by the floor), then replays the corpus assignment, the
+    nprobe=4 probe set, and the exact-cosine rerank (pair_cosine is
+    bit-identical to DuckDB's list_cosine_similarity) under the
+    (cos DESC, neighbor_id ASC) tie-break. Recall vs brute force is
+    additionally hash-checked by emb_ann_ivf_recall_verdict."""
     from creatorops_lakehouse_spark.operators.similarity import ann_ivf_topk_indexed
 
     centroids, spec = _ivf_index_for(spark, sf_dir)
@@ -459,8 +556,10 @@ def _semdedup_centroids_for(spark: SparkSession, sf_dir: str):
         # on this corpus (recall 7/7, 14/14, 101/144 vs 6/7, 14/14, 99/144
         # at iters=2) — dedup cells only need co-location, not a converged
         # quantizer, and one pass halves the training actions.
+        # quantize_scale: same oracle-replayable centroid contract as the
+        # IVF index (emb_semantic_dedup is hash-checked end-to-end)
         _SEMDEDUP_CENTROIDS[sf_dir] = train_ivf_centroids(
-            emb, k=k, iters=1, dim=64, sample_mod=5
+            emb, k=k, iters=1, dim=64, sample_mod=5, quantize_scale=1_000_000
         )
     return _SEMDEDUP_CENTROIDS[sf_dir]
 
@@ -486,7 +585,77 @@ def _semdedup_pairs_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_semantic_dedup")  # quantizer cells are engine-specific → rows-only
+_SQL_SEMDEDUP = f"""
+    embq AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    emb5 AS (SELECT id, v FROM embq WHERE id % 5 = 0),
+    d64 AS (SELECT unnest(range(0, 64)) AS dim),
+    kk AS (SELECT GREATEST(8, COUNT(*) // 50) AS k FROM embq),
+    c0 AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell,
+               list_transform(v, x -> FLOOR(x * 1000000) / 1000000) AS cv
+        FROM (SELECT id, v FROM emb5 ORDER BY id LIMIT (SELECT k FROM kk))
+    ),
+    csq0 AS (SELECT cell, list_inner_product(cv, cv) AS c2 FROM c0),
+    a0 AS (
+        SELECT id, cell FROM (
+            SELECT e.id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.v, c.cv) + s.c2 ASC,
+                       c.cell ASC) AS rn
+            FROM emb5 e CROSS JOIN c0 c JOIN csq0 s USING (cell)
+        ) WHERE rn = 1
+    ),
+    mean0 AS (
+        SELECT a.cell, d.dim,
+               FLOOR(AVG(e.v[d.dim + 1]) * 1000000) / 1000000 AS cv
+        FROM a0 a JOIN emb5 e USING (id) CROSS JOIN d64 d
+        GROUP BY 1, 2
+    ),
+    c1 AS (
+        SELECT p.cell, COALESCE(m.l, p.cv) AS cv
+        FROM c0 p LEFT JOIN (
+            SELECT cell, list(cv ORDER BY dim) AS l FROM mean0 GROUP BY cell
+        ) m USING (cell)
+    ),
+    csq1 AS (SELECT cell, list_inner_product(cv, cv) AS c2 FROM c1),
+    assign3 AS (
+        SELECT id, cell FROM (
+            SELECT e.id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.v, c.cv) + s.c2 ASC,
+                       c.cell ASC) AS rn
+            FROM embq e CROSS JOIN c1 c JOIN csq1 s USING (cell)
+        ) WHERE rn <= {SEMDEDUP_NPROBE}
+    ),
+    cand AS (
+        SELECT DISTINCT x.id AS a_id, y.id AS b_id
+        FROM assign3 x JOIN assign3 y ON x.cell = y.cell AND x.id < y.id
+    ),
+    pr AS (
+        SELECT c.a_id, c.b_id
+        FROM cand c JOIN embq a ON a.id = c.a_id JOIN embq b ON b.id = c.b_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 4) >= {SEMDEDUP_TAU}
+    ),
+    sd_edges AS (
+        SELECT a_id AS src, b_id AS dst FROM pr
+        UNION SELECT b_id, a_id FROM pr
+    ),
+    sd_reach(src, dst) AS (
+        SELECT src, dst FROM sd_edges
+        UNION
+        SELECT r.src, x.dst FROM sd_reach r JOIN sd_edges x ON r.dst = x.src
+    ),
+    sd_clusters AS (
+        SELECT src AS node, LEAST(src, MIN(dst)) AS cluster_id
+        FROM sd_reach GROUP BY src
+    )
+    SELECT node AS vec_id, cluster_id FROM sd_clusters WHERE node <> cluster_id
+"""
+
+
+@query("emb_semantic_dedup", oracle=f"WITH RECURSIVE {_SQL_SEMDEDUP}")
 def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic deduplication: coarse-quantizer cells
     (dedicated k=n/50 centroids — constant cell occupancy, the dedup
@@ -494,8 +663,15 @@ def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-assignment recovers cell-straddling pairs, exact Arrow-verified
     cosine ≥ {SEMDEDUP_TAU} defines the duplicate graph, and connected
     components keep the min-id representative per semantic cluster.
-    Returns the DROPPED docs with their cluster id. Pair recall vs the
-    global exact baseline is hash-checked by emb_semantic_dedup_verdict."""
+    Returns the DROPPED docs with their cluster id.
+
+    Hash-checked END-TO-END since round 9 (was rows-only): the
+    quantize_scale=1e6 centroid floor makes the single Lloyd pass
+    engine-portable, so the oracle replays training, the nprobe=3
+    multi-assignment, the exact-cosine ROUND(,4) ≥ τ pair verify
+    (pair_cosine is bit-identical to list_cosine_similarity), and the CC
+    closure (recursive CTE). Pair recall vs the global exact baseline is
+    additionally hash-checked by emb_semantic_dedup_verdict."""
     from creatorops_lakehouse_spark.operators.dedup import connected_components
 
     pairs = _semdedup_pairs_for(spark, sf_dir)

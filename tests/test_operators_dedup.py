@@ -520,3 +520,39 @@ def test_containment_lsh_guard_refuses_dense_collisions(spark):
         containment_pairs_lsh(df, ngram=1, max_candidates=100)
     out = containment_pairs_lsh(df, ngram=1, max_candidates=None).collect()
     assert len(out) == 12 * 11 // 2  # all pairs, containment 1.0
+
+
+def test_minhash_star_edges_connectivity_parity(spark):
+    """Star edges (per-bucket min→member) must recover the SAME connected
+    components as the all-pairs listing on a near-dup cluster — at
+    O(n·bands) candidate edges instead of the quadratic bucket self-join
+    (the giant-cluster adversarial case; tools/skew_adversarial.py runs
+    this at 5k cluster members)."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        connected_components,
+        minhash_star_edges,
+    )
+
+    base = " ".join(f"tok{i % 7}w{i}" for i in range(60))
+    rows = [(i, f"{base} u{i}a u{i}b") for i in range(12)] + [
+        (100 + i, " ".join(f"t{j}x{(100 + i) * 31 + j}" for j in range(40)))
+        for i in range(6)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def clusters(pairs_df):
+        cc = connected_components(pairs_df.select("a_id", "b_id")).collect()
+        out = {}
+        for r in cc:
+            out.setdefault(r.cluster_id, set()).add(r.node)
+        for cid, members in out.items():
+            members.add(cid)
+        return {frozenset(m) for m in out.values()}
+
+    all_pairs = minhash_lsh_pairs(docs, threshold=0.5)
+    stars = minhash_star_edges(docs, threshold=0.5)
+    assert clusters(all_pairs) == clusters(stars) == {frozenset(range(12))}
+    # star candidate volume is linear in the cluster (bands may disagree
+    # on the bucket min, so ≤ ~2(n-1), never the quadratic pair list)
+    assert stars.count() <= 2 * 11
+    assert all_pairs.count() == 12 * 11 // 2
