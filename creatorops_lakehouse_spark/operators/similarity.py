@@ -828,6 +828,7 @@ def train_pq_codebooks(
     iters: int = 4,
     sample_mod: int | None = None,
     sample_cap: int = 100_000,
+    quantize_scale: int | None = None,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks: split the vector into ``m``
     contiguous subspaces of dim/m and Lloyd-train ``k`` centroids per
@@ -845,8 +846,19 @@ def train_pq_codebooks(
     first-k init, np.argmin lowest-index ties.
 
     ``k`` auto-caps at the sample size (tiny corpora).
+
+    ``quantize_scale``: same replayable-centroid contract as
+    :func:`train_ivf_centroids` — every codebook coordinate floored to
+    exact 1/scale units after init and after each Lloyd update, so an
+    external engine (the DuckDB oracle for emb_ann_pq_topk) reconstructs
+    bit-identical codebooks.
     """
     import numpy as np
+
+    def _q(arr):
+        if quantize_scale is None:
+            return arr
+        return np.floor(arr * quantize_scale) / quantize_scale
 
     if dim % m != 0:
         raise ValueError(f"PQ: dim {dim} not divisible by m {m}")
@@ -865,7 +877,7 @@ def train_pq_codebooks(
     books = []
     for j in range(m):
         S = X[:, j * dsub : (j + 1) * dsub]
-        C = S[:k].copy()
+        C = _q(S[:k].copy())
         for _ in range(iters):
             d2 = -2.0 * (S @ C.T) + (C * C).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
@@ -873,6 +885,7 @@ def train_pq_codebooks(
                 members = S[assign == c_id]
                 if len(members):
                     C[c_id] = members.sum(axis=0) / len(members)
+            C = _q(C)
         books.append([row.tolist() for row in C])
     return books
 
@@ -973,14 +986,20 @@ def pq_topk(
             for j in range(m):
                 scores += dtabs[:, j, codes[:, j]]
             out_q, out_n, out_s = [], [], []
-            take = min(R, len(codes))
             for qi in range(len(qids)):
                 s = scores[qi]
+                # exclude the query's own row BEFORE the local top-R cut:
+                # cutting first would let the self row displace the R-th
+                # non-self candidate in its batch, breaking the "union of
+                # per-batch top-R ⊇ global top-R" exactness contract
+                mask = ids != qids[qi]
+                mids, ms = ids[mask], s[mask]
+                take = min(R, len(mids))
                 # deterministic local top-R: score desc, id asc
-                order = np.lexsort((ids, -s))[:take]
+                order = np.lexsort((mids, -ms))[:take]
                 out_q.extend([qids[qi]] * take)
-                out_n.extend(ids[order].tolist())
-                out_s.extend(s[order].tolist())
+                out_n.extend(mids[order].tolist())
+                out_s.extend(ms[order].tolist())
             yield pd.DataFrame(
                 {"query_id": out_q, "neighbor_id": out_n, "score_pq": out_s}
             )

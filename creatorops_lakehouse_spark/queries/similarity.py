@@ -889,14 +889,130 @@ def _pq_index_for(spark: SparkSession, sf_dir: str):
 
     if sf_dir not in _PQ_INDEX_CACHE:
         emb = load(spark, sf_dir, "embeddings")
-        books = train_pq_codebooks(emb, m=8, k=32, dim=64, iters=4)
+        # quantize_scale: replayable codebooks (emb_ann_pq_topk is
+        # hash-checked end-to-end — see _sql_pq_topk)
+        books = train_pq_codebooks(
+            emb, m=8, k=32, dim=64, iters=4, quantize_scale=1_000_000
+        )
         codes = build_pq_codes(emb, books).persist()
         codes.count()  # materialize once; probes reuse the cached codes
         _PQ_INDEX_CACHE[sf_dir] = (books, codes)
     return _PQ_INDEX_CACHE[sf_dir]
 
 
-@query("emb_ann_pq_topk")  # Lloyd-trained codebooks → rows-only
+def _sql_pq_topk(m: int = 8, kc: int = 32, iters: int = 4, dim: int = 64) -> str:
+    """DuckDB replay of the full PQ route (training → encode → ADC
+    shortlist → exact rerank). Structure per subspace j (contiguous
+    dim/m slice of the L2-NORMALIZED vector): lowest-id init, ``iters``
+    Lloyd updates with the quantize_scale=1e6 floor (train_pq_codebooks'
+    replayable-centroid contract), argmin ties to the lowest cell
+    (np.argmin first-occurrence ↔ ORDER BY d2, cell). The ADC score is
+    Σ_j LUT[j][code_j]; candidates tied at the shortlist boundary share
+    all m codes, hence identical scores in BOTH engines, and the
+    (score DESC, id ASC) tie-break picks the same rows."""
+    dsub = dim // m
+    parts = [
+        """
+    raw AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    nrm AS MATERIALIZED (
+        -- norm hoisted into its own projection: a lambda that references
+        -- list_inner_product(v, v) re-evaluates it PER ELEMENT (64x)
+        SELECT id, list_transform(v, x -> x / nn) AS v FROM (
+            SELECT id, v,
+                   GREATEST(sqrt(list_inner_product(v, v)), 1e-12) AS nn
+            FROM raw
+        )
+    ),
+    d8 AS (SELECT unnest(range(0, %d)) AS dim)""" % dsub
+    ]
+    score_terms, enc_joins, lut_joins = [], [], []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(f"""
+    nsub{j} AS MATERIALIZED (SELECT id, v[{lo}:{hi}] AS sv FROM nrm),
+    s{j}c0 AS MATERIALIZED (
+        SELECT ROW_NUMBER() OVER (ORDER BY id) - 1 AS cell,
+               list_transform(sv, x -> FLOOR(x * 1000000) / 1000000) AS cv
+        FROM (SELECT id, sv FROM nsub{j} ORDER BY id LIMIT {kc})
+    )""")
+        for i in range(iters):
+            parts.append(f"""
+    s{j}a{i} AS MATERIALIZED (
+        SELECT id, cell FROM (
+            SELECT e.id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.sv, c.cv)
+                           + list_inner_product(c.cv, c.cv) ASC,
+                       c.cell ASC) AS rn
+            FROM nsub{j} e CROSS JOIN s{j}c{i} c
+        ) WHERE rn = 1
+    ),
+    s{j}m{i} AS MATERIALIZED (
+        SELECT a.cell, d.dim, FLOOR(AVG(e.sv[d.dim + 1]) * 1000000) / 1000000 AS cv
+        FROM s{j}a{i} a JOIN nsub{j} e USING (id) CROSS JOIN d8 d
+        GROUP BY 1, 2
+    ),
+    s{j}c{i + 1} AS MATERIALIZED (
+        SELECT p.cell, COALESCE(mm.l, p.cv) AS cv
+        FROM s{j}c{i} p LEFT JOIN (
+            SELECT cell, list(cv ORDER BY dim) AS l FROM s{j}m{i} GROUP BY cell
+        ) mm USING (cell)
+    )""")
+        parts.append(f"""
+    enc{j} AS MATERIALIZED (
+        SELECT id, cell FROM (
+            SELECT e.id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.sv, c.cv)
+                           + list_inner_product(c.cv, c.cv) ASC,
+                       c.cell ASC) AS rn
+            FROM nsub{j} e CROSS JOIN s{j}c{iters} c
+        ) WHERE rn = 1
+    ),
+    lut{j} AS MATERIALIZED (
+        SELECT q.id AS query_id, c.cell, list_inner_product(q.sv, c.cv) AS ip
+        FROM nsub{j} q CROSS JOIN s{j}c{iters} c WHERE q.id < {N_QUERIES}
+    )""")
+        score_terms.append(f"l{j}.ip")
+        enc_joins.append(
+            f"JOIN enc{j} e{j} ON e{j}.id = e0.id" if j else "enc0 e0"
+        )
+        lut_joins.append(
+            f"JOIN lut{j} l{j} ON l{j}.query_id = l0.query_id "
+            f"AND l{j}.cell = e{j}.cell"
+            if j
+            else "JOIN lut0 l0 ON l0.cell = e0.cell"
+        )
+    parts.append(f"""
+    sc AS MATERIALIZED (
+        SELECT l0.query_id, e0.id AS neighbor_id,
+               {' + '.join(score_terms)} AS score_pq
+        FROM {' '.join(enc_joins)} {' '.join(lut_joins)}
+        WHERE e0.id <> l0.query_id
+    ),
+    shortlist AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY score_pq DESC, neighbor_id ASC) AS rn
+            FROM sc
+        ) WHERE rn <= {TOP_K * 16}
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT s.query_id, s.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY s.query_id ORDER BY
+                   ROUND(list_cosine_similarity(q.v, c.v), 4) DESC,
+                   s.neighbor_id ASC) AS rank
+        FROM shortlist s
+        JOIN raw q ON q.id = s.query_id
+        JOIN raw c ON c.id = s.neighbor_id
+    ) WHERE rank <= {TOP_K}""")
+    return "WITH " + ",".join(parts)
+
+
+@query("emb_ann_pq_topk", oracle=_sql_pq_topk())
 def emb_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (the third family next to hyperplane LSH
     and IVF): 64-dim vectors compress to 8 subspace codes (16 centroids
