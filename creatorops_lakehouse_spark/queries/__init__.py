@@ -125,8 +125,18 @@ def exact_avg_sql(numer: str, denom: str, d: int) -> str:
     )
 
 
+#: composed-PIPELINE verdicts pinned to the front of queries(): the
+#: driver's correctness gate hash-checks the FIRST 50 entries, and these
+#: two rows each put an entire multi-operator pipeline under one hash —
+#: the highest-leverage slots in the window. (Import order alone can't
+#: guarantee this: their modules transitively import other query modules,
+#: whose decorators register first.)
+_PIN_FIRST = ("events_medallion_e2e_verdict", "docs_curation_e2e_verdict")
+
+
 def _ordered() -> list[RegisteredQuery]:
-    """Registry in driver-facing order: oracle-backed queries first.
+    """Registry in driver-facing order: pinned pipeline verdicts, then
+    every other oracle-backed query, then rows-only queries.
 
     The correctness harness checks the first 50 ``queries()`` entries; a
     rows-only pair-list query occupying one of those slots displaces an
@@ -134,7 +144,15 @@ def _ordered() -> list[RegisteredQuery]:
     registration order, so the ordering is deterministic across runs.
     """
     _ensure_imported()
-    return sorted(REGISTRY.values(), key=lambda rq: rq.oracle is None)
+    return sorted(
+        REGISTRY.values(),
+        key=lambda rq: (
+            rq.oracle is None,
+            _PIN_FIRST.index(rq.name) - len(_PIN_FIRST)
+            if rq.name in _PIN_FIRST
+            else 0,
+        ),
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:
@@ -151,9 +169,13 @@ def _ensure_imported() -> None:
     # 50 queries() entries, and the composed-pipeline verdict is the one
     # capability that must be in that window (VERDICT r6 item 1).
     from creatorops_lakehouse_spark.queries import medallion  # noqa: F401
+
+    # curation second, same reason as medallion: the driver hash-checks
+    # the FIRST 50 queries() entries, and the composed curation pipeline
+    # verdict is round 9's must-be-in-window capability
+    from creatorops_lakehouse_spark.queries import curation  # noqa: F401
     from creatorops_lakehouse_spark.queries import (  # noqa: F401
         advanced,
-        curation,
         dedup,
         events,
         functions,
