@@ -131,7 +131,11 @@ def exact_avg_sql(numer: str, denom: str, d: int) -> str:
 #: the highest-leverage slots in the window. (Import order alone can't
 #: guarantee this: their modules transitively import other query modules,
 #: whose decorators register first.)
-_PIN_FIRST = ("events_medallion_e2e_verdict", "docs_curation_e2e_verdict")
+_PIN_FIRST = (
+    "events_medallion_e2e_verdict",
+    "docs_curation_e2e_verdict",
+    "orders_snapshot_lifecycle_verdict",
+)
 
 
 def _ordered() -> list[RegisteredQuery]:

@@ -1147,3 +1147,187 @@ def orders_replace_where_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "untouched_ok boolean, atomic_one_version boolean, "
         "time_travel_ok boolean",
     )
+
+
+@query(
+    "orders_snapshot_lifecycle_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey % 4 AS band
+        FROM orders
+    ),
+    v2 AS (SELECT key, cents FROM o WHERE band <= 2),
+    merged AS (
+        SELECT key,
+               CASE WHEN band = 0 AND key % 3 = 1 THEN cents + 777
+                    ELSE cents END AS cents
+        FROM o WHERE band <= 2 AND NOT (band = 0 AND key % 3 = 0)
+        UNION ALL
+        SELECT key, cents FROM o WHERE band = 3
+    ),
+    v4 AS (SELECT key, cents FROM merged WHERE key > 500),
+    cdf_ins AS (SELECT key FROM v4 WHERE key NOT IN (SELECT key FROM v2)),
+    cdf_del AS (SELECT key FROM v2 WHERE key NOT IN (SELECT key FROM v4)),
+    cdf_upd AS (
+        SELECT a.key FROM v2 a JOIN v4 b USING (key) WHERE a.cents <> b.cents
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v2) AS BIGINT) AS n_v2,
+           CAST((SELECT SUM(cents) FROM v2) AS BIGINT) AS sum_cents_v2,
+           CAST((SELECT COUNT(*) FROM v4) AS BIGINT) AS n_final,
+           CAST((SELECT SUM(cents) FROM v4) AS BIGINT) AS sum_cents_final,
+           CAST((SELECT COUNT(*) FROM cdf_ins) AS BIGINT) AS n_cdf_insert,
+           CAST((SELECT COUNT(*) FROM cdf_del) AS BIGINT) AS n_cdf_delete,
+           CAST((SELECT COUNT(*) FROM cdf_upd) AS BIGINT) AS n_cdf_update,
+           TRUE AS travel_ok, TRUE AS optimize_ok, TRUE AS checkpoint_ok,
+           TRUE AS vacuum_head_ok, TRUE AS vacuum_trimmed_ok
+    """,
+)
+def orders_snapshot_lifecycle_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE table lifecycle composed under one oracle hash — the
+    lakehouse twin of docs_curation_e2e_verdict (per-op verdicts exist for
+    every step; THIS row pins their composition):
+
+    write band0 → append band1 → append band2 (v0..v2) → full-clause
+    MERGE (band-0 deletes at key≡0 mod 3, updates +777 at key≡1 mod 3,
+    band-3 inserts under the op='I' condition) → DELETE WHERE key ≤ 500
+    (copy-on-write, stats-pruned) → time-travel read of v2 THROUGH the
+    rewrites → OPTIMIZE compaction (content-preserving) → checkpoint →
+    key-level CDF v2→v4 with update detection → VACUUM keep_last=1
+    (head still reads; travel past the horizon now REFUSES — retention
+    trimming is part of the contract, not an afterthought).
+
+    The oracle recomputes v2, the post-merge/post-delete final state, and
+    all three CDF counts from raw ``orders`` in pure SQL; the five
+    booleans are computed in-engine (travel equality, optimize
+    count+sum preservation, checkpointed head planning, post-vacuum head
+    equality, post-vacuum travel refusal) and pinned TRUE by the oracle —
+    any lifecycle regression flips the hash. Eager verdict harness
+    (excluded from bench); scratch tree deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        current_version,
+        optimize_snapshots,
+        snapshot_delete_where,
+        snapshot_diff,
+        snapshot_merge_clauses,
+        snapshot_read,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    exp_v2 = banded.filter(F.col("band") <= 2).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("c"),
+    ).collect()[0]
+
+    root = _tempfile.mkdtemp(prefix="snap_lifecycle_")
+    try:
+        spec = TableSpec("t.lc", root + "/t")
+        for b in (0, 1, 2):
+            snapshot_write(banded.filter(F.col("band") == b).drop("band"), spec)
+        assert current_version(spec) == 2
+
+        b0 = banded.filter(F.col("band") == 0)
+        source = (
+            b0.filter(F.col("key") % 3 == 0)
+            .select("key", F.lit(None).cast("long").alias("cents"),
+                    F.lit("D").alias("op"))
+            .unionByName(
+                b0.filter(F.col("key") % 3 == 1).select(
+                    "key", (F.col("cents") + 777).alias("cents"),
+                    F.lit("U").alias("op"))
+            )
+            .unionByName(
+                banded.filter(F.col("band") == 3).select(
+                    "key", "cents", F.lit("I").alias("op"))
+            )
+        )
+        snapshot_merge_clauses(
+            spark, spec, source, keys=["key"],
+            matched_delete="src_op = 'D'",
+            matched_update={"cents": "src_cents"},
+            insert="op = 'I'",
+        )
+        v4 = snapshot_delete_where(spark, spec, {"key": (None, 500)})
+
+        # time travel THROUGH the merge+delete rewrites
+        t2 = snapshot_read(spark, spec, version=2).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        travel_ok = (t2["n"], t2["c"]) == (exp_v2["n"], exp_v2["c"])
+
+        final_pre = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+
+        optimize_snapshots(spark, spec)
+        after_opt = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        optimize_ok = (after_opt["n"], after_opt["c"]) == (
+            final_pre["n"], final_pre["c"]
+        )
+
+        checkpoint_manifest(spec)
+        checkpoint_ok = snapshot_read(spark, spec).count() == final_pre["n"]
+
+        cdf = snapshot_diff(spark, spec, 2, v4, keys=["key"],
+                            detect_updates=True)
+        cdf_counts = {
+            r["_change_type"]: r["n"]
+            for r in cdf.groupBy("_change_type")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+            .collect()
+        }
+
+        vacuum_snapshots(spec, keep_last=1)
+        after_vac = snapshot_read(spark, spec).agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("c"),
+        ).collect()[0]
+        vacuum_head_ok = (after_vac["n"], after_vac["c"]) == (
+            final_pre["n"], final_pre["c"]
+        )
+        try:  # travel past the retention horizon must now refuse
+            snapshot_read(spark, spec, version=2).count()
+            vacuum_trimmed_ok = False
+        except Exception:
+            vacuum_trimmed_ok = True
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(
+            int(exp_v2["n"]), int(exp_v2["c"]),
+            int(final_pre["n"]), int(final_pre["c"]),
+            int(cdf_counts.get("insert", 0)),
+            int(cdf_counts.get("delete", 0)),
+            int(cdf_counts.get("update_postimage", 0)),
+            bool(travel_ok), bool(optimize_ok), bool(checkpoint_ok),
+            bool(vacuum_head_ok), bool(vacuum_trimmed_ok),
+        )],
+        "n_v2 long, sum_cents_v2 long, n_final long, sum_cents_final long, "
+        "n_cdf_insert long, n_cdf_delete long, n_cdf_update long, "
+        "travel_ok boolean, optimize_ok boolean, checkpoint_ok boolean, "
+        "vacuum_head_ok boolean, vacuum_trimmed_ok boolean",
+    )
