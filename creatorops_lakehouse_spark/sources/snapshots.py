@@ -2277,6 +2277,13 @@ def snapshot_merge(
     interleaved commits are provably disjoint from this merge's key
     envelope (see ``_rewrite_commit``) and aborts with
     ``SnapshotConflictError`` on real overlap.
+
+    Duplicate-key sources: this whole-row upsert REPLACES every matched
+    key with ALL source rows carrying it (anti-join + union) — documented
+    multiset semantics, deterministic either way. Clause merges differ:
+    ``snapshot_merge_clauses`` applies per-row UPDATE/DELETE expressions,
+    where a duplicated matched key would silently multiply rows, so THAT
+    path raises MERGE_CARDINALITY_VIOLATION instead.
     """
     import pyspark.sql.functions as F
     from pyspark.sql.types import StructType
