@@ -3984,3 +3984,52 @@ def events_stateful_timeout_verdict(
             ),
         )
     )
+
+
+@query(
+    "events_sessionize_bucketed",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+    ),
+    flagged AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN LAG(us) OVER w IS NULL
+                         OR us - LAG(us) OVER w > 1800 * 1000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess AS (
+        SELECT user_id, us,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) - 1 AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MIN(us) AS BIGINT) AS start_us,
+           CAST(MAX(us) AS BIGINT) AS end_us
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (30 min) through the HOT-KEY-SAFE two-phase
+    bucketed sessionizer (operators/sessionize.py): local windows over
+    (user, day-bucket) + a per-present-bucket summary prefix — no window
+    partition ever holds more than one user-day of events, so one 60M-row
+    bot account cannot single-thread the stage (the adversarial-skew
+    rehearsal's one open ceiling, now closed). The oracle recomputes
+    sessions with the PLAIN global window — pinning that the bucketed
+    decomposition (boundary merges included) is semantics-identical."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    s = sessionize_bucketed(ev, gap_s=1800, bucket_s=86400)
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.unix_micros("ts")).cast("long").alias("start_us"),
+        F.max(F.unix_micros("ts")).cast("long").alias("end_us"),
+    )

@@ -160,6 +160,36 @@ def main() -> int:
     )
     print(f"  session breaks: {n_sess}")
 
+    print("2b) bucketed sessionizer (operators/sessionize.py) vs plain window")
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        sessionize_bucketed,
+    )
+
+    us = F.unix_micros("ts")
+    flagged = ev.withColumn(
+        "_new",
+        F.when(
+            F.lag(us).over(w).isNull() | (us - F.lag(us).over(w) > 1800_000_000),
+            1,
+        ).otherwise(0),
+    )
+    naive = flagged.withColumn(
+        "session_id",
+        (F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        .cast("long"),
+    )
+    n_naive = timed(
+        "sessionize_plain_window",
+        lambda: naive.groupBy("user_id", "session_id").count().count(),
+    )
+    n_bucketed = timed(
+        "sessionize_bucketed",
+        lambda: sessionize_bucketed(ev, gap_s=1800)
+        .groupBy("user_id", "session_id").count().count(),
+    )
+    assert n_naive == n_bucketed, (n_naive, n_bucketed)
+    print(f"  sessions: {n_bucketed} (parity plain vs bucketed)")
+
     print("3) giant near-dup cluster: all-pairs listing vs star-edge clustering")
     pairs = timed(
         "minhash_allpairs_listing",
