@@ -101,3 +101,61 @@ def sessionize_bucketed(
         "session_id", (F.col("_off") + F.col("_lidx")).cast("long")
     )
     return out.drop("_us", "_bkt", "_new", "_lidx", "_off")
+
+
+def keyed_running_sum_bucketed(
+    df: DataFrame,
+    value_col: str,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    out_col: str = "running_sum",
+    bucket_s: int = 86400,
+) -> DataFrame:
+    """``df`` + ``out_col`` = cumulative sum of ``value_col`` per key in
+    (ts, id) order — the per-KEY twin of the global two-phase prefix sum
+    in operators/packing.py, and the cumulative-window analogue of
+    :func:`sessionize_bucketed`: no window partition ever holds more than
+    one key-bucket of rows, so a hot key's LIFETIME volume never
+    single-threads the stage (the classic
+    ``SUM OVER (PARTITION BY key ORDER BY ...)`` puts every row the key
+    ever produced in one partition).
+
+    Phase 1: local running sum within (key, time-bucket). Phase 2: one
+    tiny row per (key, present-bucket) carrying the bucket total; an
+    exclusive prefix over buckets per key (window over #buckets rows)
+    yields each bucket's offset. Phase 3: join back on (key, bucket) —
+    co-partitioned with phase 1's shuffle — and add.
+
+    ``value_col`` should be integral (exact addition is what makes the
+    decomposition bit-equal to the global window — sum cents, not
+    dollars)."""
+    bucketed = df.withColumn(
+        "_bkt", F.expr(f"unix_micros({ts_col}) div {bucket_s * 1_000_000}")
+    )
+    w_local = Window.partitionBy(key_col, "_bkt").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    local = bucketed.withColumn(
+        "_lrun",
+        F.sum(value_col).over(
+            w_local.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    totals = bucketed.groupBy(key_col, "_bkt").agg(
+        F.sum(value_col).alias("_btot")  # bucket total (sign-safe — never
+        # max(running): negative values make the running series
+        # non-monotone)
+    )
+    w_key = Window.partitionBy(key_col).orderBy(F.col("_bkt").asc())
+    offsets = totals.withColumn(
+        "_boff",
+        F.coalesce(
+            F.sum("_btot").over(w_key.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(key_col, "_bkt", "_boff")
+    out = local.join(offsets, on=[key_col, "_bkt"]).withColumn(
+        out_col, F.col("_boff") + F.col("_lrun")
+    )
+    return out.drop("_bkt", "_lrun", "_boff")

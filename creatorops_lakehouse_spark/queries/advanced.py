@@ -1331,3 +1331,58 @@ def orders_snapshot_lifecycle_verdict(spark: SparkSession, sf_dir: str) -> DataF
         "travel_ok boolean, optimize_ok boolean, checkpoint_ok boolean, "
         "vacuum_head_ok boolean, vacuum_trimmed_ok boolean",
     )
+
+
+@query(
+    "events_running_totals_bucketed",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id, event_id, rn AS event_seq,
+           CAST(SUM(cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS running_value
+    FROM seq
+    WHERE rn <= 20
+    """,
+)
+def events_running_totals_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same running cumulative totals as events_running_user_totals,
+    computed through the HOT-KEY-SAFE two-phase prefix sum
+    (operators/sessionize.py::keyed_running_sum_bucketed): local running
+    sums per (user, day-bucket) + per-present-bucket offsets — no window
+    partition ever holds a user's lifetime rows, so one 60M-row bot
+    account cannot single-thread the cumulative stage. The oracle is the
+    PLAIN global window — same hash means the decomposition is exactly
+    the classic semantics. Exact integer cents keep every prefix
+    bit-identical across engines."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_running_sum_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    run = keyed_running_sum_bucketed(
+        ev, "cents", key_col="user_id", out_col="_run"
+    )
+    # event_seq needs the same two-phase trick: count rows per bucket and
+    # offset — reuse the operator with value 1
+    seq = keyed_running_sum_bucketed(
+        ev.withColumn("_one", F.lit(1)), "_one",
+        key_col="user_id", out_col="event_seq",
+    ).select("user_id", "event_id", "event_seq")
+    return (
+        run.join(seq, on=["user_id", "event_id"])
+        .filter(F.col("event_seq") <= 20)
+        .select(
+            "user_id", "event_id",
+            F.col("event_seq").cast("long").alias("event_seq"),
+            (F.col("_run").cast("double") / 100).alias("running_value"),
+        )
+    )

@@ -93,3 +93,36 @@ def test_bucketed_sessionize_hot_user_partition_bound(spark):
     )
     out = sessionize_bucketed(df, gap_s=1800).select("session_id").distinct()
     assert [r.session_id for r in out.collect()] == [0]
+
+
+def test_keyed_running_sum_bucketed_with_negatives(spark):
+    """Bucket totals must be SUM, never max(running): negative values make
+    the running series non-monotone. Parity vs the plain global window on
+    a mixed-sign series spanning several buckets."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_running_sum_bucketed,
+    )
+
+    df = spark.range(200).select(
+        (F.col("id") % 3).cast("string").alias("user_id"),
+        F.col("id").alias("event_id"),
+        F.expr(
+            "timestampadd(HOUR, CAST(id * 7 AS INT), "
+            "TIMESTAMP'2024-01-01 00:00:00')"
+        ).alias("ts"),
+        (F.when(F.col("id") % 2 == 0, F.col("id")).otherwise(-2 * F.col("id")))
+        .cast("long")
+        .alias("v"),
+    )
+    got = {
+        (r.user_id, r.event_id, r.run)
+        for r in keyed_running_sum_bucketed(df, "v", out_col="run").collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        (r.user_id, r.event_id, r.run)
+        for r in df.withColumn("run", F.sum("v").over(w)).collect()
+    }
+    assert got == want
