@@ -131,6 +131,10 @@ def main() -> None:
         s for s in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if s
     }
     if only:
+        unknown = only - set(all_queries())
+        if unknown:  # a typo must not masquerade as an instant run
+            sys.exit(f"SPARK_GRAFT_BENCH_ONLY names not in the registry: "
+                     f"{sorted(unknown)}")
         queries = {n: f for n, f in queries.items() if n in only}
     for i, name in enumerate(sorted(queries)):  # fixed order: registry
         fn = queries[name]  # growth can't reshuffle

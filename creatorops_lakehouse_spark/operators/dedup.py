@@ -649,15 +649,20 @@ def minhash_star_edges(
     the candidate volume (tools/skew_adversarial.py; BENCH_NOTES round-9
     skew table).
 
-    Recall semantics vs all-pairs: inside a true near-dup cluster that
-    collides into a bucket, min→member edges all verify (every member is
-    similar to every other, including the min), so connectivity is
-    preserved. In a MIXED bucket (hash-collision noise), a min→member
-    edge can fail verification where some member↔member pair would have
-    passed; that pair usually re-collides in another band (same geometry
-    as plain LSH recall), but the contract is strictly
+    Recall semantics vs all-pairs: inside a CLIQUE-shaped near-dup
+    cluster that collides into a bucket (every member pairwise-similar —
+    the re-posted-document shape), min→member edges all verify, so
+    connectivity is preserved. In a CHAIN-shaped cluster (A~B~C but A≁C;
+    Jaccard is not transitive) the min→far-member edge can fail exact
+    verification, and unless some band makes the intermediate a bucket
+    min, the component may SPLIT where pair-listing would have kept it
+    whole. Likewise in a MIXED bucket (hash-collision noise) a
+    min→member edge can fail where some member↔member pair would have
+    passed. Both usually recover via another band (same geometry as
+    plain LSH recall), but the operative contract is strictly
     connectivity-recall ≤ pair-listing recall — use this for clustering,
-    never for pair listing. Bucket mins aggregate with map-side combine
+    never for pair listing, and treat the skew-rehearsal-measured
+    deviation as the working bound. Bucket mins aggregate with map-side combine
     (groupBy, not a window), so the hot bucket never single-partitions.
     """
     if sets is None:

@@ -51,8 +51,12 @@ def sessionize_bucketed(
     assignment is a pure function of the data.
     """
     us = F.unix_micros(F.col(ts_col))
+    # floor (not `div`): `div` truncates toward zero, which would make
+    # bucket 0 double-width for pre-1970 timestamps; floor keeps every
+    # bucket the same width. Resolved-column arithmetic also keeps names
+    # needing backticks (dots, hyphens) working.
     bucketed = df.withColumn("_us", us).withColumn(
-        "_bkt", F.expr(f"unix_micros({ts_col}) div {bucket_s * 1_000_000}")
+        "_bkt", F.floor(us / F.lit(bucket_s * 1_000_000)).cast("long")
     )
     w_local = Window.partitionBy(user_col, "_bkt").orderBy(
         F.col("_us").asc(), F.col(id_col).asc()
@@ -131,7 +135,10 @@ def keyed_running_sum_bucketed(
     decomposition bit-equal to the global window — sum cents, not
     dollars)."""
     bucketed = df.withColumn(
-        "_bkt", F.expr(f"unix_micros({ts_col}) div {bucket_s * 1_000_000}")
+        "_bkt",
+        F.floor(
+            F.unix_micros(F.col(ts_col)) / F.lit(bucket_s * 1_000_000)
+        ).cast("long"),
     )
     w_local = Window.partitionBy(key_col, "_bkt").orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()

@@ -32,6 +32,23 @@ from creatorops_lakehouse_spark.queries import exact_avg_expr, exact_avg_sql, lo
 #: value is 2-decimal money-like → exact integer cents for oracle parity.
 _CENTS = "CAST(SUM(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT)"
 
+#: streaming-verdict staging ceiling: those verdicts collect the events
+#: table once to CREATE micro-batch source files; refuse a big corpus
+#: outright (the staging-guard pattern, queries/dedup.py) rather than
+#: OOM the driver if someone points a verdict at real data.
+MAX_STAGE_EVENTS = 2_000_000
+
+
+def _guard_stage_events(df: DataFrame, verdict: str) -> None:
+    n = df.count()
+    if n > MAX_STAGE_EVENTS:
+        raise ValueError(
+            f"{verdict} stages micro-batch files via a driver collect and "
+            f"refuses corpora above {MAX_STAGE_EVENTS:,} events (got "
+            f"{n:,}); it is a correctness AUDIT for small SFs — run the "
+            "streaming operators directly at scale"
+        )
+
 
 def _cents(col: str = "value") -> F.Column:
     return (F.sum(F.col(col).cast("decimal(18,2)")) * 100).cast("long")
@@ -1260,6 +1277,7 @@ def events_streaming_window_verdict(spark: SparkSession, sf_dir: str) -> DataFra
     ev = load(spark, sf_dir, "events").select(
         "event_id", "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
+    _guard_stage_events(ev, "events_streaming_window_verdict")
     rows = ev.collect()  # bounded staging to CREATE a stream source
     split_day = min(r.ts.date() for r in rows) + _dt.timedelta(days=9)
     root = _tempfile.mkdtemp(prefix="stream_window_")
@@ -1791,6 +1809,7 @@ def events_streaming_join_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(F.col("event_type").isin("purchase", "click"))
         .select("event_id", "user_id", "ts", "event_type")
     )
+    _guard_stage_events(ev, "events_streaming_join_verdict")
     rows = ev.collect()  # bounded staging to CREATE the stream sources
     root = _tempfile.mkdtemp(prefix="stream_join_")
     dirs = {}
@@ -2907,6 +2926,7 @@ def events_streaming_session_verdict(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.col("value") * 100).cast("long").alias("cents"),
         )
     )
+    _guard_stage_events(ev, "events_streaming_session_verdict")
     rows = ev.collect()  # bounded staging to CREATE a stream source
     d0 = min(r.ts.date() for r in rows)
 
@@ -3095,6 +3115,7 @@ def events_streaming_exactly_once_verdict(
             "event_id", F.round(F.col("value") * 100).cast("long").alias("cents")
         )
     )
+    _guard_stage_events(ev, "events_streaming_exactly_once_verdict")
     rows = ev.collect()  # bounded staging to CREATE a stream source
     root = _tempfile.mkdtemp(prefix="stream_e1x_")
     src = _os.path.join(root, "src")

@@ -360,7 +360,15 @@ def emb_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe=4 probe set, and the exact-cosine rerank (pair_cosine is
     bit-identical to DuckDB's list_cosine_similarity) under the
     (cos DESC, neighbor_id ASC) tie-break. Recall vs brute force is
-    additionally hash-checked by emb_ann_ivf_recall_verdict."""
+    additionally hash-checked by emb_ann_ivf_recall_verdict.
+
+    Oracle-fidelity bound: train_ivf_centroids runs driver-local Lloyd
+    only while the training sample fits local_threshold=100,000 rows and
+    switches to the distributed-summation path above it; the SQL replay
+    mirrors the LOCAL path's summation order, so the hash gate is
+    faithful only below that bound (at 1/5 sampling: corpora ≤ 500k
+    vectors). Beyond it the gate would false-alarm on correct output —
+    the same class of bound emb_ann_pq_topk guards explicitly."""
     from creatorops_lakehouse_spark.operators.similarity import ann_ivf_topk_indexed
 
     centroids, spec = _ivf_index_for(spark, sf_dir)
@@ -1025,6 +1033,20 @@ def emb_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from creatorops_lakehouse_spark.operators.similarity import pq_topk
 
     emb = load(spark, sf_dir, "embeddings")
+    # oracle-fidelity guard: the DuckDB replay (_sql_pq_topk) trains its
+    # codebooks over ALL embeddings, but train_pq_codebooks caps the
+    # training sample at sample_cap=100_000 (ORDER BY id LIMIT) — above
+    # that the two engines train on different data and the hash gate
+    # would report a spurious mismatch on CORRECT output. Refuse rather
+    # than false-alarm (the staging-guard pattern, queries/dedup.py).
+    n_vec = emb.count()
+    if n_vec > 100_000:
+        raise ValueError(
+            f"emb_ann_pq_topk's hash oracle replays training over the full "
+            f"corpus and is only faithful up to train_pq_codebooks' "
+            f"sample_cap=100,000 (got {n_vec:,} vectors); call "
+            "operators/similarity.py pq_topk directly at scale"
+        )
     books, codes = _pq_index_for(spark, sf_dir)
     queries = [
         (r["vec_id"], r["embedding"])

@@ -2376,6 +2376,13 @@ def snapshot_merge_clauses(
         raise ValueError(
             f"matched_update cannot change merge keys {bad_keys} (row identity)"
         )
+    # Pin the source plan ONCE: the envelope agg, the cardinality guard,
+    # and the merge apply would otherwise each re-evaluate it, and a
+    # non-deterministic source (rand(), uncheckpointed shuffle sampling)
+    # could pass the guard yet hold duplicate matched keys at apply time
+    # — the exact hazard the guard exists to prevent. localCheckpoint
+    # materializes one immutable evaluation all three read.
+    source = source.localCheckpoint(eager=True)
     aggs = []
     for k in keys:
         aggs.append(F.min(k).alias(f"_mn_{k}"))

@@ -164,3 +164,24 @@ def test_stream_static_enrichment_join(spark, stream_dirs):
         ("c3", "authoring"),
         ("g1", "audience"),
     }
+
+
+def test_streaming_verdict_staging_guards_refuse_big_corpus(spark, monkeypatch):
+    """All four streaming verdicts stage micro-batch files via a driver
+    collect of the events table; each must REFUSE (not OOM the driver)
+    above MAX_STAGE_EVENTS — the staging-guard pattern from
+    queries/dedup.py, applied here after the round-9 verdict flagged the
+    pre-pattern collects."""
+    import pytest
+
+    import creatorops_lakehouse_spark.queries.events as qe
+
+    monkeypatch.setattr(qe, "MAX_STAGE_EVENTS", 3)
+    for verdict in (
+        qe.events_streaming_window_verdict,
+        qe.events_streaming_join_verdict,
+        qe.events_streaming_session_verdict,
+        qe.events_streaming_exactly_once_verdict,
+    ):
+        with pytest.raises(ValueError, match="refuses corpora above"):
+            verdict(spark, "/root/testdata/sf0.001")
