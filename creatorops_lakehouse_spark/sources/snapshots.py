@@ -54,6 +54,7 @@ time, exactly like Delta's OPTIMIZE.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import tempfile
@@ -254,10 +255,14 @@ def _read_manifest(spec: TableSpec, version: int) -> dict:
     implement refuses loudly instead of being silently misread."""
     path = os.path.join(_manifest_dir(spec), f"v{version}.json")
     m = None
-    if os.path.exists(path):
+    # open-first, no existence probe: a checkpoint fold deletes loose
+    # files AFTER publishing the checkpoint, so a reader racing the fold
+    # (check-then-open TOCTOU, caught by the cross-process chaos design
+    # review) must fall through to the checkpoint body, never crash
+    try:
         with open(path) as f:
             m = json.load(f)
-    else:
+    except FileNotFoundError:
         cp = _latest_checkpoint(spec)
         if cp is not None and version in cp[1]:
             m = cp[1][version]
@@ -1886,17 +1891,41 @@ def checkpoint_manifest(spec: TableSpec, upto: int | None = None) -> int:
     covered = [v for v in _versions(spec) if v <= n]
     if not covered:
         raise ValueError(f"no versions <= {n} to checkpoint at {spec.path}")
-    n = max(covered)
-    manifests = {v: _read_manifest(spec, v) for v in covered}
-    old_cp = _latest_checkpoint(spec)
+    manifests = {}
+    for v in covered:
+        try:
+            manifests[v] = _read_manifest(spec, v)
+        except ValueError:
+            # vanished between the listing and the read: a concurrent
+            # VACUUM dropped it (skipping matches its intent) — a
+            # concurrent FOLD would have left it readable through the
+            # newer checkpoint, so only a vacuum reaches here
+            continue
+    if not manifests:
+        raise ValueError(f"no versions <= {n} to checkpoint at {spec.path}")
+    n = max(manifests)
     _write_checkpoint(spec, n, manifests)
     d = _manifest_dir(spec)
-    for v in covered:
-        loose = os.path.join(d, f"v{v}.json")
-        if os.path.exists(loose):
-            os.remove(loose)
-    if old_cp is not None and old_cp[0] != n:
-        os.remove(os.path.join(d, f"c{old_cp[0]}.json"))
+    # delete only the loose files actually folded (a skipped-as-vacuumed
+    # version's loose file, were it to reappear, is not ours to remove),
+    # tolerating a racing fold/vacuum having removed them first
+    for v in manifests:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(d, f"v{v}.json"))
+    # sweep EVERY older checkpoint, not just the one we read at start:
+    # a lost fold race leaves a stale smaller c<k>.json behind (its
+    # writer read a superset-ordering invariant: any c<k> with k < n is
+    # covered by c<n>, since versions are gap-free and a fold reads the
+    # complete listing at its start). Tolerate racing removers.
+    for f in os.listdir(d):
+        if f.startswith("c") and f.endswith(".json"):
+            try:
+                k = int(f[1:-5])
+            except ValueError:
+                continue
+            if k < n:
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(d, f))
     return n
 
 
@@ -1906,6 +1935,7 @@ def vacuum_snapshots(
     orphan_grace_s: float | None = None,
     retain_hours: float | None = None,
     _now: str | None = None,
+    _post_plan=None,
 ) -> list[str]:
     """Drop all but the last ``keep_last`` versions and delete data dirs
     no surviving manifest references. Returns the deleted data dirs
@@ -1959,6 +1989,8 @@ def vacuum_snapshots(
         keep_set = {v for v in vs if _retained(v)} | {vs[-1]} | set(keep)
         keep = sorted(keep_set)
         drop = [v for v in vs if v not in keep_set]
+    if _post_plan is not None:  # test seam: a concurrent fold/commit
+        _post_plan()  # landing between the plan and the reclaim
     live: set[str] = set()
     for v in keep:
         live.update(_read_manifest(spec, v)["dirs"])
@@ -2003,42 +2035,60 @@ def vacuum_snapshots(
             continue
         full = os.path.join(spec.path, d)
         if os.path.isdir(full):
-            shutil.rmtree(full)
+            # a concurrent vacuum may win the same doomed dir mid-walk;
+            # rmtree's internal listdir/unlink then races the loss —
+            # tolerate and move on (the dir is gone either way)
+            shutil.rmtree(full, ignore_errors=True)
             deleted.append(d)
             # zorder subdir removal can leave an empty commit-dir husk
             parent = os.path.dirname(full)
-            if (
-                os.path.realpath(parent) != os.path.realpath(data_root)
-                and os.path.isdir(parent)
-                and not os.listdir(parent)
-            ):
-                os.rmdir(parent)
+            with contextlib.suppress(OSError):
+                if (
+                    os.path.realpath(parent) != os.path.realpath(data_root)
+                    and os.path.isdir(parent)
+                    and not os.listdir(parent)
+                ):
+                    os.rmdir(parent)
     md = _manifest_dir(spec)
     for v in drop:
-        loose = os.path.join(md, f"v{v}.json")
-        if os.path.exists(loose):
-            os.remove(loose)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(md, f"v{v}.json"))
     cp = _latest_checkpoint(spec)
     if cp is not None:
         n, manifests = cp
-        kept_in_cp = {v: m for v, m in manifests.items() if v in set(keep)}
+        # filter by NOT-IN-DROP, never by in-keep: the checkpoint is
+        # re-read HERE, after the reclaim, and may contain versions that
+        # committed (and were folded, deleting their loose files) after
+        # this vacuum's plan was computed — a keep-set filter would
+        # rewrite the checkpoint WITHOUT them, destroying the only copy
+        # of those commits and rolling the table head back (the
+        # lost-commit race pinned by tests/test_snapshot_races.py)
+        drop_set = set(drop)
+        kept_in_cp = {v: m for v, m in manifests.items() if v not in drop_set}
         if not kept_in_cp:
-            os.remove(os.path.join(md, f"c{n}.json"))
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(os.path.join(md, f"c{n}.json"))
         elif len(kept_in_cp) != len(manifests):
             _write_checkpoint(spec, n, kept_in_cp)
     # bloom sidecars no retained manifest references are orphans (their
     # commit dirs just vacuumed away, or their writer's commit lost a
-    # race) — reap them; they are derived metadata, rebuilt on re-index
+    # race) — reap them; they are derived metadata, rebuilt on re-index.
+    # Sidecars of versions committed after the plan stay safe the same
+    # way: reap only what the DROPPED manifests referenced exclusively.
     bdir = _bloom_sidecar_dir(spec)
     if os.path.isdir(bdir):
         live_sidecars: set[str] = set()
-        for v in keep:
-            live_sidecars.update(
-                _read_manifest(spec, v).get("bloom", {}).values()
-            )
+        for v in _versions(spec):
+            try:
+                live_sidecars.update(
+                    _read_manifest(spec, v).get("bloom", {}).values()
+                )
+            except ValueError:  # raced another vacuum's drop
+                continue
         for name in os.listdir(bdir):
             if f"_bloom/{name}" not in live_sidecars:
-                os.remove(os.path.join(bdir, name))
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(os.path.join(bdir, name))
     return deleted
 
 
