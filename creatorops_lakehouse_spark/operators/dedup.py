@@ -375,7 +375,7 @@ def _perm_params(num_perm: int, seed: int = 1) -> list[tuple[int, int]]:
     ]
 
 
-def minhash_base(shingles: F.Column) -> F.Column:
+def minhash_base(shingles: F.Column, hash_mode: str = "xxhash64") -> F.Column:
     """Per-shingle 31-bit base hashes (xxhash64 folded into [0, 2^31-1)).
 
     Materialize this as its OWN column before feeding it to
@@ -383,7 +383,21 @@ def minhash_base(shingles: F.Column) -> F.Column:
     the num_perm permutation scans re-evaluates it and re-hashes every
     shingle STRING num_perm times (higher-order functions get no common-
     subexpression elimination). As an attribute reference it is hashed once.
+
+    ``hash_mode="md5"``: ENGINE-SHARED lanes — the first 15 hex chars of
+    md5 (60 bits, inside a signed long) folded mod 2^31−1. Spark, DuckDB,
+    and Python hashlib compute identical md5, so a DuckDB oracle can
+    replay the whole MinHash pipeline hash-for-hash (xxhash64 exists only
+    in Spark). xxhash64 stays the prod default (JVM-native, no hex
+    detour); md5 mode is what makes the registered query row
+    oracle-checkable end-to-end.
     """
+    if hash_mode == "md5":
+        return F.transform(
+            shingles,
+            lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+            % F.lit(_MERSENNE_31),
+        )
     return F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
 
 
@@ -416,6 +430,7 @@ def minhash_lsh_pairs(
     num_perm: int = 64,
     bands: int = 16,
     sets: DataFrame | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs, verified with exact Jaccard.
 
@@ -427,19 +442,25 @@ def minhash_lsh_pairs(
 
     ``sets``: optional prebuilt (doc_id, toks, set_size) table (see
     :func:`jaccard_pairs`); caller owns its lifetime.
+
+    ``hash_mode="md5"``: engine-shared lanes/buckets so a DuckDB oracle
+    replays the identical pair set (see :func:`minhash_base`); the band
+    geometry and recall contract are hash-function-independent.
     """
     if sets is None:
         sets = scoped_persist(  # reread for exact verify after the band join
             _token_sets(df, text_col, id_col, ngram)
         )
-    cands = _lsh_candidates(sets, num_perm, bands)
+    cands = _lsh_candidates(sets, num_perm, bands, hash_mode)
     return _verify_jaccard(cands, sets, threshold)
 
 
-def _lsh_candidates(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
+def _lsh_candidates(
+    sets: DataFrame, num_perm: int, bands: int, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """Deduplicated (a_id, b_id) candidate pairs from the banded MinHash
     bucket self-join — ids only; callers attach their own exact verify."""
-    banded = _band_buckets(sets, num_perm, bands)
+    banded = _band_buckets(sets, num_perm, bands, hash_mode)
     banded = scoped_persist(banded)  # self-join reads it twice; avoids 2× signature compute
     left = banded.select("band", "bucket", F.col("doc_id").alias("a_id"))
     right = banded.select("band", "bucket", F.col("doc_id").alias("b_id"))
@@ -581,7 +602,9 @@ def containment_pairs_lsh(
     )
 
 
-def _band_buckets(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
+def _band_buckets(
+    sets: DataFrame, num_perm: int, bands: int, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, band, bucket) — the ids-only LSH banding projection.
 
     Scale-critical: only (doc_id, band, bucket) enters the band explode and
@@ -598,22 +621,27 @@ def _band_buckets(sets: DataFrame, num_perm: int, bands: int) -> DataFrame:
     """
     assert num_perm % bands == 0
     rows = num_perm // bands
-    sig = sets.withColumn("_mh_base", minhash_base(F.col("toks"))).withColumn(
-        "sig", minhash_signature(F.col("_mh_base"), num_perm)
-    )
+
+    def bucket_of(b: int) -> F.Column:
+        slice_str = F.concat_ws(
+            ",", *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)]
+        )
+        # md5 mode: the bucket is the md5 HEX STRING of the band slice —
+        # engine-shared so a DuckDB oracle derives identical buckets
+        # (strings shuffle 32 B vs 8 B longs; the replayable registry row
+        # pays that, the xxhash64 prod default does not)
+        return F.md5(slice_str) if hash_mode == "md5" else F.xxhash64(slice_str)
+
+    sig = sets.withColumn(
+        "_mh_base", minhash_base(F.col("toks"), hash_mode)
+    ).withColumn("sig", minhash_signature(F.col("_mh_base"), num_perm))
     return sig.select(
         "doc_id",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[F.col("sig")[b * rows + r].cast("string") for r in range(rows)],
-                            )
-                        ).alias("bucket"),
+                        F.lit(b).alias("band"), bucket_of(b).alias("bucket")
                     )
                     for b in range(bands)
                 ]
@@ -795,7 +823,9 @@ def probe_minhash_index(
     return _verify_jaccard(cands, all_sets, threshold)
 
 
-def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
+def simhash_table(
+    sets: DataFrame, n_bits: int = 64, hash_mode: str = "xxhash64"
+) -> DataFrame:
     """(doc_id, simhash) via explode + sign-vote hash aggregation.
 
     Spark-first formulation: explode shingles, hash each once, then one
@@ -804,9 +834,22 @@ def simhash_table(sets: DataFrame, n_bits: int = 64) -> DataFrame:
     + 64-wide zip_with per shingle) built an expression tree deep enough to
     kill executor tasks on long documents — per-bit aggregate columns keep
     the generated code flat and the shuffle tiny (one row per doc).
+
+    ``hash_mode="md5"``: engine-shared 64-bit shingle hash assembled from
+    the first 16 md5 hex chars as two 32-bit halves (hi<<32 | lo; a direct
+    64-bit hex parse could overflow a signed long when the top bit is
+    set). DuckDB derives the identical bit pattern from the same halves,
+    making the registered simhash row oracle-checkable; xxhash64 stays
+    the prod default.
     """
+    if hash_mode == "md5":
+        hi = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
+        lo = F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long")
+        h_col = F.shiftleft(hi, 32).bitwiseOR(lo)
+    else:
+        h_col = F.xxhash64("s")
     hashed = sets.select("doc_id", F.explode("toks").alias("s")).select(
-        "doc_id", F.xxhash64("s").alias("h")
+        "doc_id", h_col.alias("h")
     )
     # pack 2 per-bit one-counts into 32-bit lanes of one long → 32 SUM
     # columns instead of 64 (the 64-column variant spends ~10s in codegen
@@ -940,6 +983,7 @@ def simhash_pairs(
     n_chunks: int = 8,
     probe: int = 0,
     sets: DataFrame | None = None,
+    hash_mode: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming.
 
@@ -957,7 +1001,9 @@ def simhash_pairs(
     """
     if sets is None:
         sets = _token_sets(df, text_col, id_col, ngram)
-    return simhash_banded_pairs(simhash_table(sets), max_hamming, n_chunks, probe)
+    return simhash_banded_pairs(
+        simhash_table(sets, hash_mode=hash_mode), max_hamming, n_chunks, probe
+    )
 
 
 def _local_components(spark, edge_rows, id_type: str = "long") -> DataFrame:

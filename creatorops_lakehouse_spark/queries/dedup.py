@@ -260,11 +260,105 @@ def docs_dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "cluster_id")
 
 
-@query("docs_minhash_lsh_pairs")  # engine-specific hashing → rows-only check
+#: the bigram shingle CTE chain shared by the replayable MinHash/SimHash
+#: oracles (mirrors operators/text.py tokens + word_ngrams(2) exactly —
+#: the same chain docs_minhash_recall_verdict has been hash-green on)
+_SQL_BIGRAM_SETS = f"""
+    toks AS (
+        SELECT doc_id, {_SQL_TOKENS} AS l FROM documents
+    ),
+    sets AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(l) - 2, 0) + 1),
+                   i -> array_to_string(l[i + 1 : i + 2], ' '))) AS shingles
+        FROM toks
+    ),
+    sized AS (SELECT doc_id, shingles, len(shingles) AS set_size FROM sets)
+"""
+
+
+def _sql_minhash_lsh_pairs(
+    threshold: float = 0.5, num_perm: int = 64, bands: int = 16
+) -> str:
+    """DuckDB replay of the FULL md5-mode MinHash+LSH pipeline: md5 lanes
+    (first 15 hex chars → 60-bit int, mod 2^31−1 — verified identical to
+    Spark's conv(substr(md5,1,15),16,10)), the same 64 affine permutation
+    constants (random.Random(1), embedded as literals in both engines),
+    md5-hex band buckets, candidate self-join, exact-Jaccard verify."""
+    from creatorops_lakehouse_spark.operators.dedup import (
+        _MERSENNE_31,
+        _perm_params,
+    )
+
+    rows = num_perm // bands
+    params = _perm_params(num_perm)
+    lane = (
+        "CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) % " + str(_MERSENNE_31)
+    )
+    sig_cols = ",\n               ".join(
+        f"list_min(list_transform(base, h -> ({a} * h + {b}) % {_MERSENNE_31}))"
+        f" AS s{i}"
+        for i, (a, b) in enumerate(params)
+    )
+    band_selects = "\n        UNION ALL\n        ".join(
+        "SELECT doc_id, {b} AS band, md5({cat}) AS bucket FROM sigs".format(
+            b=b,
+            cat=" || ',' || ".join(
+                f"CAST(s{b * rows + r} AS VARCHAR)" for r in range(rows)
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH {_SQL_BIGRAM_SETS},
+    lanes AS (
+        SELECT doc_id, list_transform(shingles, s -> {lane}) AS base
+        FROM sized WHERE set_size > 0
+    ),
+    sigs AS (
+        SELECT doc_id,
+               {sig_cols}
+        FROM lanes
+    ),
+    bands AS (
+        {band_selects}
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+        SELECT a_id, b_id,
+               CAST(n_common AS DOUBLE) / (a_size + b_size - n_common)
+                   AS jaccard
+        FROM (
+            SELECT c.a_id, c.b_id,
+                   len(list_intersect(sa.shingles, sb.shingles)) AS n_common,
+                   sa.set_size AS a_size, sb.set_size AS b_size
+            FROM cands c
+            JOIN sized sa ON sa.doc_id = c.a_id
+            JOIN sized sb ON sb.doc_id = c.b_id
+        )
+    )
+    SELECT a_id, b_id, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+@query("docs_minhash_lsh_pairs", oracle=_sql_minhash_lsh_pairs())
 def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64 perms) + 16-band LSH candidates, exact-Jaccard-verified
     at ≥0.5 over word bigrams. The scale path for near-dedup: signature is
-    one projection; candidate generation is an equi-join on band buckets."""
+    one projection; candidate generation is an equi-join on band buckets.
+
+    hash_mode="md5" (VERDICT r9 item 2): the registered row derives lanes
+    and buckets from md5 — the one 64-bit-quality hash Spark, DuckDB, and
+    Python share — so the ENTIRE pipeline (lanes → permutations → bands →
+    candidate join → exact verify) is hash-checked against the DuckDB
+    oracle, not just row counts. xxhash64 stays the operator's prod
+    default (JVM-native; same band geometry) and keeps its own recall
+    gate via docs_minhash_recall_verdict."""
     return minhash_lsh_pairs(
         load(spark, sf_dir, "documents"),
         threshold=0.5,
@@ -272,6 +366,7 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_perm=64,
         bands=16,
         sets=corpus_sets(spark, sf_dir, 2),
+        hash_mode="md5",
     )
 
 
@@ -285,16 +380,68 @@ def docs_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_GEOMETRY = {"max_hamming": 7, "n_chunks": 4, "probe": 1}
 
 
-@query("docs_simhash_pairs")  # engine-specific hashing → rows-only check
+def _sql_simhash_pairs(max_hamming: int = 7) -> str:
+    """DuckDB replay of md5-mode SimHash: per-shingle 64-bit hash from two
+    md5 hex halves (hi = chars 1-8, lo = chars 9-16 — Spark assembles
+    hi<<32|lo), per-bit sign votes, then EXHAUSTIVE hamming ≤ 7. The
+    exhaustive form is exactly the banded operator's output because the
+    registered geometry (4×16-bit chunks, 1-bit multiprobe) has
+    pigeonhole-GUARANTEED recall at hamming ≤ 2·4−1 = 7 and the operator
+    exact-verifies every candidate — the same equivalence
+    docs_simhash_recall_verdict hash-checks for the xxhash64 table."""
+    vote_cols = []
+    for b in range(64):
+        half, off = ("lo", b) if b < 32 else ("hi", b - 32)
+        vote_cols.append(f"SUM(({half} >> {off}) & 1) AS v{b}")
+    lo_bits = " + ".join(f"(CASE WHEN 2 * v{b} > n THEN {1 << b} ELSE 0 END)"
+                         for b in range(32))
+    hi_bits = " + ".join(f"(CASE WHEN 2 * v{b + 32} > n THEN {1 << b} ELSE 0 END)"
+                         for b in range(32))
+    return f"""
+    WITH {_SQL_BIGRAM_SETS},
+    hl AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS lo
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sized)
+    ),
+    votes AS (
+        SELECT doc_id, COUNT(*) AS n, {', '.join(vote_cols)}
+        FROM hl GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({lo_bits} AS BIGINT) AS slo,
+               CAST({hi_bits} AS BIGINT) AS shi
+        FROM votes
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.slo, b.slo))
+                + bit_count(xor(a.shi, b.shi)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi))
+          <= {max_hamming}
+    """
+
+
+@query("docs_simhash_pairs", oracle=_sql_simhash_pairs())
 def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs at hamming ≤ 7 over word bigrams,
     candidates from 16-bit-chunk 1-bit-multiprobe collisions — recall
     GUARANTEED at the registered threshold (hamming ≤ 2·n_chunks − 1 = 7),
     verified pair-for-pair against the exhaustive hamming join by
-    docs_simhash_recall_verdict at this same geometry."""
+    docs_simhash_recall_verdict at this same geometry.
+
+    hash_mode="md5" (VERDICT r9 item 2): shingle hashes come from md5's
+    first 16 hex chars, identical in Spark and DuckDB, so the row is
+    hash-checked end-to-end (votes → signature → pairs); the pigeonhole
+    recall guarantee lets the oracle use the exhaustive hamming join as
+    the exact expected output. xxhash64 stays the operator prod default
+    with its own hash-green recall verdict."""
     return simhash_pairs(
         load(spark, sf_dir, "documents"), ngram=2,
-        sets=corpus_sets(spark, sf_dir, 2), **SIMHASH_GEOMETRY,
+        sets=corpus_sets(spark, sf_dir, 2), hash_mode="md5",
+        **SIMHASH_GEOMETRY,
     )
 
 
