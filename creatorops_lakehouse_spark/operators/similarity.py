@@ -285,6 +285,196 @@ def _bucket_projection(
     )
 
 
+def md5_integer_planes(
+    dim: int, n_planes: int, n_tables: int, tag: str
+) -> list[list[list[int]]]:
+    """ENGINE-SHARED integer hyperplanes: coefficient (t, p, d) is the
+    first 4 md5 hex chars of ``"{tag}:{t}:{p}:{d}"`` as an int, centered
+    (−32768..32767 — a symmetric per-coordinate distribution, a valid
+    sign-LSH family). Python hashlib, Spark ``md5``, and DuckDB ``md5``
+    agree byte-for-byte, so a SQL oracle derives the IDENTICAL planes
+    from the same strings — no float literals to ship, no gauss() order
+    to replicate. Used by the replayable registry twins; the Gaussian
+    float planes (:func:`random_hyperplanes`) stay the prod default."""
+    import hashlib
+
+    return [
+        [
+            [
+                int(
+                    hashlib.md5(f"{tag}:{t}:{p}:{d}".encode()).hexdigest()[:4],
+                    16,
+                )
+                - 32768
+                for d in range(dim)
+            ]
+            for p in range(n_planes)
+        ]
+        for t in range(n_tables)
+    ]
+
+
+def _int_buckets_udf(tables: list[list[list[int]]], scale: int = 1_000_000):
+    """Arrow-batched bucket ids over EXACT INTEGER arithmetic: vectors
+    quantized to ``floor(v * scale)`` int64, planes already integer
+    (:func:`md5_integer_planes`), sign bits from an int64 matmul.
+
+    Why integers: the float Gaussian path's sign boundary (dot ≈ 0) is
+    where cross-engine ulp differences could flip a bucket bit — numpy's
+    blocked matmul and DuckDB's fold sum in different orders. An integer
+    dot is ONE exact value in both engines, so the bucket ids (and hence
+    the candidate set and the driver hash) are deterministic across
+    engines by construction. |v| < ~9e9/scale stays inside int64 at
+    dim 64 with 16-bit plane coefficients."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    L, b = len(tables), len(tables[0])
+    P = np.asarray(
+        [p for tbl in tables for p in tbl], dtype=np.int64
+    )  # L·b × d
+    weights = 1 << np.arange(b, dtype=np.int64)
+
+    def _sig(col):
+        X = np.asarray(col.tolist(), dtype=np.float64)
+        # float64 product then floor — bit-identical to DuckDB's
+        # CAST(floor(x * scale) AS BIGINT) on the same double input
+        Q = np.floor(X * float(scale)).astype(np.int64)
+        S = (Q @ P.T) > 0  # exact int64 dots
+        buckets = (S.reshape(len(X), L, b) * weights).sum(axis=2)
+        return pd.Series([row.tolist() for row in buckets])
+
+    return pandas_udf(_sig, "array<long>")
+
+
+def _int_bucket_projection(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    tables: list[list[list[int]]],
+    out_id: str,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Ids-only (out_id, table, bucket) over the integer-exact signature
+    (same shuffle discipline as :func:`_bucket_projection`)."""
+    sig = _int_buckets_udf(tables, scale)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.posexplode(sig(F.col(vec_col).cast("array<double>"))).alias(
+            "table", "bucket"
+        ),
+    )
+
+
+def ann_lsh_topk_replayable(
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    tag: str = "lshq",
+    query_pred=None,
+) -> DataFrame:
+    """Engine-replayable sign-LSH top-k: md5-derived integer planes +
+    integer-quantized vectors (:func:`_int_buckets_udf`) for the bucket
+    stage, exact-cosine rerank ROUNDED to 4 decimals with id tie-break —
+    the established cross-engine ranking discipline. Every stage is a
+    deterministic function both engines compute identically, so the
+    registered row is hash-checked end-to-end.
+
+    Geometry is PINNED (not auto-sized): a static SQL oracle cannot
+    re-derive corpus-dependent plane counts; the auto-sized Gaussian path
+    (:func:`ann_lsh_topk`) remains the prod default and keeps its recall
+    verdict. Same ids-only bucket shuffle + broadcast probe shape."""
+    tables = md5_integer_planes(64, n_planes, n_tables, tag)
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    cb = scoped_persist(
+        _int_bucket_projection(corpus, id_col, vec_col, tables, "neighbor_id")
+    )
+    qb = cb.filter(query_pred(F.col("neighbor_id"))).select(
+        F.col("neighbor_id").alias("query_id"), "table", "bucket"
+    )
+    cands = (
+        cb.join(F.broadcast(qb), on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    qv = corpus.filter(query_pred(F.col(id_col))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    sims = (
+        cands.join(cv, on="neighbor_id")
+        .join(F.broadcast(qv), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(pair_cosine(F.col("q_vec"), F.col("c_vec")), 4).alias(
+                "cos_sim_r"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim_r").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim_r", "rank")
+    )
+
+
+def embedding_neardup_pairs_replayable(
+    df: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    tag: str = "ndq",
+) -> DataFrame:
+    """Engine-replayable embedding near-dup pairs: integer-exact bucket
+    collisions (see :func:`ann_lsh_topk_replayable`), verified with exact
+    cosine rounded to 4 decimals (both engines filter the same rounded
+    value, so the pair set is identical). Pinned geometry; the auto-sized
+    Gaussian prod path (:func:`embedding_neardup_pairs`) keeps its
+    recall/precision verdict."""
+    tables = md5_integer_planes(64, n_planes, n_tables, tag)
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    b = scoped_persist(
+        _int_bucket_projection(df, id_col, vec_col, tables, "vid")
+    )
+    cands = (
+        b.select("table", "bucket", F.col("vid").alias("a_id"))
+        .join(
+            b.select("table", "bucket", F.col("vid").alias("b_id")),
+            on=["table", "bucket"],
+        )
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    av = df.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_vec"))
+    bv = df.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_vec"))
+    return (
+        cands.join(av, on="a_id")
+        .join(bv, on="b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(pair_cosine(F.col("a_vec"), F.col("b_vec")), 4).alias(
+                "cos_sim_r"
+            ),
+        )
+        .filter(F.col("cos_sim_r") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame | None = None,

@@ -88,42 +88,144 @@ def emb_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("emb_ann_lsh_topk")  # plane signatures are engine-specific → rows-only
-def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table LSH approximate top-k (auto-sized hyperplanes + band-OR
-    tables, exact rerank over deduped candidates) — the 100 TB path where
-    |q|×|corpus| brute force is unaffordable. No pinned plane count: the
-    scale rehearsal measured fixed planes as a quadratic (BENCH_NOTES.md
-    finding 2), and a single auto-sized table loses recall as the corpus
-    grows — auto_planes × auto_tables holds both contracts. Recall vs the
-    exact baseline is hash-checked by emb_ann_lsh_recall_verdict.
+def _sql_int_buckets(n_planes: int, n_tables: int, tag: str) -> str:
+    """Shared CTE chain: md5-derived integer planes + integer-quantized
+    vectors → per-table bucket ids, the DuckDB mirror of
+    operators/similarity.py::_int_buckets_udf (exact int64 arithmetic in
+    both engines, so buckets match bit-for-bit)."""
+    return f"""
+    qn AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(0, 64)) AS d),
+    planes AS (
+        SELECT t.t, p.p, d.d,
+               CAST(('0x' || substr(md5('{tag}:' || CAST(t.t AS VARCHAR)
+                    || ':' || CAST(p.p AS VARCHAR)
+                    || ':' || CAST(d.d AS VARCHAR)), 1, 4)) AS BIGINT)
+                   - 32768 AS w
+        FROM (SELECT unnest(range(0, {n_tables})) AS t) t,
+             (SELECT unnest(range(0, {n_planes})) AS p) p,
+             dims d
+    ),
+    posts AS (SELECT vec_id, d.d AS d, q[d.d + 1] AS qd FROM qn, dims d),
+    dots AS (
+        SELECT po.vec_id, pl.t, pl.p, SUM(pl.w * po.qd) AS dot
+        FROM posts po JOIN planes pl ON po.d = pl.d
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot > 0
+                        THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2
+    )"""
 
-    cos_floor=0.3: table sizing must target the similarity regime you need
-    to RETRIEVE, and this corpus's true top-5 neighbors sit at cos
-    0.26–0.49 (weakly clustered synthetic data) — sizing for cos≥0.8 would
-    owe them nothing and recall would hover near 50%. On a production
-    embedding corpus with tight near-neighbors, raise the floor and the
-    table count drops accordingly."""
+
+_SQL_LSH_TOPK_REPLAY = f"""
+    WITH {_sql_int_buckets(4, 16, "lshq")},
+    cands AS (
+        SELECT DISTINCT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buckets cb JOIN buckets qb
+          ON cb.t = qb.t AND cb.bucket = qb.bucket
+        WHERE qb.vec_id < {{nq}} AND cb.vec_id <> qb.vec_id
+    ),
+    sims AS (
+        SELECT c.query_id, c.neighbor_id,
+               ROUND(list_cosine_similarity(CAST(eq.embedding AS DOUBLE[]),
+                                            CAST(en.embedding AS DOUBLE[])),
+                     4) AS cos_sim_r
+        FROM cands c
+        JOIN embeddings eq ON eq.vec_id = c.query_id
+        JOIN embeddings en ON en.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cos_sim_r, rank FROM (
+        SELECT query_id, neighbor_id, cos_sim_r,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim_r DESC, neighbor_id)
+                   AS rank
+        FROM sims
+    ) WHERE rank <= {{k}}
+"""
+
+
+@query(
+    "emb_ann_lsh_topk",
+    oracle=_SQL_LSH_TOPK_REPLAY.format(nq=N_QUERIES, k=TOP_K),
+)
+def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH approximate top-k: bucket candidates + exact
+    rerank over the deduped set — the 100 TB path where |q|×|corpus|
+    brute force is unaffordable.
+
+    Replayable registry configuration (VERDICT r9 item 2): planes are
+    md5-derived INTEGERS and vectors quantize to int64, so the bucket
+    stage is exact integer arithmetic both engines compute identically —
+    the row is hash-checked end-to-end (buckets → candidates → rounded
+    rerank → rank). Geometry pinned at 4 planes × 16 tables (a static
+    SQL oracle cannot re-derive corpus-sized plane counts); the
+    auto-sized Gaussian path (operators/similarity.py::ann_lsh_topk)
+    stays the prod default — auto_planes × auto_tables holds the bucket-
+    occupancy and recall contracts as the corpus grows (BENCH_NOTES
+    finding 2) — and keeps its own hash-green recall verdict
+    (emb_ann_lsh_recall_verdict)."""
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_lsh_topk_replayable,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(
-        emb, k=TOP_K, cos_floor=0.3, query_pred=lambda c: c < N_QUERIES
+    return ann_lsh_topk_replayable(
+        emb, k=TOP_K, query_pred=lambda c: c < N_QUERIES
     )
 
 
-@query("emb_neardup_pairs")  # rows-only (hyperplane buckets)
-def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, band-OR LSH candidates
-    verified exactly. Plane/table counts auto-sized
-    (operators/similarity.py::auto_planes/auto_tables) — the registered
-    query rides the same scale-safe defaults the operator ships with.
+_SQL_NEARDUP_REPLAY = f"""
+    WITH {_sql_int_buckets(4, 16, "ndq")},
+    cands AS (
+        SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM buckets a JOIN buckets b
+          ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cos_sim_r FROM (
+        SELECT c.a_id, c.b_id,
+               ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                            CAST(eb.embedding AS DOUBLE[])),
+                     4) AS cos_sim_r
+        FROM cands c
+        JOIN embeddings ea ON ea.vec_id = c.a_id
+        JOIN embeddings eb ON eb.vec_id = c.b_id
+    ) WHERE cos_sim_r >= {{tau}}
+"""
 
-    τ matches the hash-green recall/precision verdict's threshold
-    (emb_neardup_recall_verdict): the driver corpus is weakly clustered
-    (true neighbors at cos 0.26–0.49), so a production-style τ=0.9 finds
-    nothing at any tested scale and the registered row proved nothing
-    (VERDICT r6 item 4). At τ=0.45 every scale emits pairs
-    (sf0.001/0.01/0.1 → 7/14/144 true pairs)."""
-    return embedding_neardup_pairs(
+
+@query(
+    "emb_neardup_pairs",
+    oracle=_SQL_NEARDUP_REPLAY.format(tau="0.45"),
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH bucket candidates
+    verified with exact cosine (rounded to 4 decimals in BOTH engines so
+    the threshold filter keeps the identical pair set).
+
+    Replayable registry configuration (VERDICT r9 item 2): md5-integer
+    planes + int64-quantized vectors make the candidate set a
+    deterministic cross-engine function — hash-checked end-to-end.
+    Pinned 4×16 geometry; the auto-sized Gaussian prod path
+    (operators/similarity.py::embedding_neardup_pairs) keeps its
+    hash-green recall/precision verdict (emb_neardup_recall_verdict).
+
+    τ matches that verdict's threshold: the driver corpus is weakly
+    clustered (true neighbors at cos 0.26–0.49), so a production-style
+    τ=0.9 finds nothing at any tested scale and the row would prove
+    nothing (VERDICT r6 item 4)."""
+    from creatorops_lakehouse_spark.operators.similarity import (
+        embedding_neardup_pairs_replayable,
+    )
+
+    return embedding_neardup_pairs_replayable(
         load(spark, sf_dir, "embeddings"), threshold=NEARDUP_VERDICT_TAU
     )
 
