@@ -166,3 +166,76 @@ def keyed_running_sum_bucketed(
         out_col, F.col("_boff") + F.col("_lrun")
     )
     return out.drop("_bkt", "_lrun", "_boff")
+
+
+def keyed_lead_bucketed(
+    df: DataFrame,
+    cols: list[str],
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    bucket_s: int = 86400,
+    suffix: str = "_next",
+) -> DataFrame:
+    """``df`` + ``<col><suffix>`` = LEAD(col) per key in (ts, id) order —
+    the lead/lag member of the hot-key-safe family (with
+    :func:`sessionize_bucketed` and :func:`keyed_running_sum_bucketed`).
+    The classic ``LEAD OVER (PARTITION BY key ORDER BY ts)`` holds every
+    row the key ever produced in ONE window partition; here no partition
+    exceeds one key-bucket of rows, so a 60M-row bot account cannot
+    single-thread the stage.
+
+    Decomposition: lead is LOCAL everywhere except the last row of each
+    (key, bucket), whose successor is the first row of the key's next
+    PRESENT bucket — a 1-row boundary exchange per present bucket:
+
+    1. LOCAL window over (key, time-bucket): lead within the bucket.
+    2. SUMMARY: one row per (key, present-bucket) carrying the bucket's
+       FIRST row's values (min of a (ts, id, cols...) struct — (ts, id)
+       is a unique prefix, so struct-min IS the first row); a lead over
+       the per-key bucket sequence (partitions hold #present-buckets
+       rows, never events) yields each bucket's successor-first values.
+    3. JOIN BACK on (key, bucket) — co-partitioned with phase 1's
+       shuffle; bucket-last rows take the boundary values, the key's
+       overall last row stays NULL.
+
+    Ties across a bucket boundary cannot occur (equal timestamps share a
+    bucket), so the decomposition is exactly the single-window LEAD for
+    any data. ``id_col`` must be unique per row (total order)."""
+    key_cols = list(key_cols or ["user_id"])
+    us = F.unix_micros(F.col(ts_col))
+    bucketed = df.withColumn("_us", us).withColumn(
+        "_bkt", F.floor(us / F.lit(bucket_s * 1_000_000)).cast("long")
+    )
+    w_local = Window.partitionBy(*key_cols, "_bkt").orderBy(
+        F.col("_us").asc(), F.col(id_col).asc()
+    )
+    local = bucketed
+    for c in cols:
+        local = local.withColumn(f"_loc_{c}", F.lead(c).over(w_local))
+    # bucket-last flag: lead of the id within the bucket is null
+    local = local.withColumn("_last", F.lead(id_col).over(w_local).isNull())
+
+    first_struct = F.min(
+        F.struct(F.col("_us"), F.col(id_col), *[F.col(c) for c in cols])
+    ).alias("_first")
+    summary = bucketed.groupBy(*key_cols, "_bkt").agg(first_struct)
+    w_key = Window.partitionBy(*key_cols).orderBy(F.col("_bkt").asc())
+    boundary = summary.withColumn("_nb", F.lead("_first").over(w_key)).select(
+        *key_cols,
+        "_bkt",
+        *[F.col("_nb").getField(c).alias(f"_nb_{c}") for c in cols],
+    )
+
+    out = local.join(boundary, on=[*key_cols, "_bkt"])
+    for c in cols:
+        out = out.withColumn(
+            f"{c}{suffix}",
+            F.when(F.col("_last"), F.col(f"_nb_{c}")).otherwise(
+                F.col(f"_loc_{c}")
+            ),
+        )
+    drop = ["_us", "_bkt", "_last"] + [f"_loc_{c}" for c in cols] + [
+        f"_nb_{c}" for c in cols
+    ]
+    return out.drop(*drop)

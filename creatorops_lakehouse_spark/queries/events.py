@@ -4054,3 +4054,217 @@ def events_sessionize_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).cast("long").alias("start_us"),
         F.max(F.unix_micros("ts")).cast("long").alias("end_us"),
     )
+
+
+@query(
+    "events_stage_durations_bucketed",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type, ts,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_ts
+        FROM events
+    ),
+    durations AS (
+        SELECT event_type,
+               epoch_us(next_ts) - epoch_us(ts) AS micros_to_next
+        FROM seq
+        WHERE next_ts IS NOT NULL AND epoch_us(next_ts) >= epoch_us(ts)
+    )
+    SELECT event_type,
+           COUNT(*) AS hops,
+           ROUND(CAST(SUM(micros_to_next) AS DOUBLE) / COUNT(*) / 3600000000.0, 4)
+               AS avg_hours,
+           ROUND(quantile_cont(micros_to_next, 0.5) / 3600000000.0, 4) AS p50_hours,
+           ROUND(quantile_cont(micros_to_next, 0.9) / 3600000000.0, 4) AS p90_hours,
+           ROUND(CAST(MAX(micros_to_next) AS DOUBLE) / 3600000000.0, 4) AS max_hours
+    FROM durations
+    GROUP BY 1
+    """,
+)
+def events_stage_durations_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPI-5 stage durations (the reference's lead-window shape,
+    bottlenecks_local.py:38-61) through the HOT-KEY-SAFE two-phase lead
+    (operators/sessionize.py::keyed_lead_bucketed): lead is local within
+    (user, day-bucket) windows plus a 1-row boundary exchange per present
+    bucket — no window partition ever holds a user's lifetime events, so
+    one 60M-row bot account cannot single-thread the stage. The oracle is
+    the PLAIN per-user-lifetime LEAD window (identical to
+    events_sessionize_lead_stats' oracle), pinning that the bucketed
+    decomposition is semantics-identical row-for-row."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_lead_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    seq = keyed_lead_bucketed(ev, ["ts"], key_cols=["user_id"])
+    micros = (F.unix_micros("ts_next") - F.unix_micros("ts")).alias(
+        "micros_to_next"
+    )
+    durations = (
+        seq.filter(F.col("ts_next").isNotNull())
+        .select("event_type", micros)
+        .filter(F.col("micros_to_next") >= 0)
+    )
+    hours = F.lit(3600000000.0)
+    return durations.groupBy("event_type").agg(
+        F.count("*").alias("hops"),
+        F.round(
+            F.sum("micros_to_next").cast("double") / F.count("*") / hours, 4
+        ).alias("avg_hours"),
+        F.round(F.expr("percentile(micros_to_next, 0.5)") / hours, 4).alias(
+            "p50_hours"
+        ),
+        F.round(F.expr("percentile(micros_to_next, 0.9)") / hours, 4).alias(
+            "p90_hours"
+        ),
+        F.round(F.max("micros_to_next").cast("double") / hours, 4).alias(
+            "max_hours"
+        ),
+    )
+
+
+@query(
+    "events_transition_matrix_bucketed",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS to_type
+        FROM events
+    ),
+    t AS (
+        SELECT from_type, to_type, COUNT(*) AS n FROM seq
+        WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    r AS (SELECT from_type, SUM(n) AS row_n FROM t GROUP BY 1)
+    SELECT t.from_type, t.to_type, CAST(t.n AS BIGINT) AS n,
+           CAST((1000000 * t.n) // r.row_n AS BIGINT) AS p_ppm
+    FROM t JOIN r ON r.from_type = t.from_type
+    """,
+)
+def events_transition_matrix_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first-order type-transition matrix
+    (events_type_transition_matrix) computed through the hot-key-safe
+    two-phase lead instead of the per-user-lifetime window — the second
+    consumer of keyed_lead_bucketed, exercising a NON-timestamp lead
+    column (event_type) through the boundary exchange. Oracle = the plain
+    global window."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_lead_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "ts")
+    seq = keyed_lead_bucketed(ev, ["event_type"], key_cols=["user_id"]).select(
+        F.col("event_type").alias("from_type"),
+        F.col("event_type_next").alias("to_type"),
+    )
+    t = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    r = t.groupBy("from_type").agg(F.sum("n").cast("long").alias("row_n"))
+    return t.join(F.broadcast(r), on="from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("(1000000 * n) div row_n").cast("long").alias("p_ppm"),
+    )
+
+
+@query(
+    "events_cusum_bucketed",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, event_type, ts,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    stats AS (
+        SELECT event_type, COUNT(*) AS n_t, SUM(cents) AS sum_t
+        FROM c GROUP BY 1
+    ),
+    dev AS (
+        SELECT c.event_id, c.event_type, c.ts, s.n_t,
+               c.cents * s.n_t - s.sum_t AS dev_scaled
+        FROM c JOIN stats s USING (event_type)
+    ),
+    cusum AS (
+        SELECT event_id, event_type, ts, n_t,
+               CAST(SUM(dev_scaled) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cs
+        FROM dev
+    ),
+    ranked AS (
+        SELECT event_type, CAST(n_t AS BIGINT) AS n_events,
+               abs(cs) AS abs_cusum, event_id, ts,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY abs(cs) DESC, ts ASC, event_id ASC
+               ) AS rn
+        FROM cusum
+    )
+    SELECT event_type, n_events,
+           CAST(abs_cusum AS BIGINT) AS max_abs_cusum_scaled,
+           event_id AS changepoint_event_id,
+           ts AS changepoint_ts
+    FROM ranked WHERE rn = 1
+    """,
+)
+def events_cusum_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_cusum_changepoint through the hot-key-safe two-phase prefix
+    sum: event_type has ~5 values, so the classic per-type running window
+    funnels 1/5 of the CORPUS through single window partitions — the
+    hottest-key shape in the registry (far hotter than any user). The
+    running CUSUM series is exactly keyed_running_sum_bucketed over
+    dev_scaled with key=event_type, and the per-type argmax becomes a
+    struct-max AGGREGATE (map-side combinable) instead of a ranking
+    window, so no stage holds a per-type partition. Oracle = the
+    plain-window formulation (same as events_cusum_changepoint)."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_running_sum_bucketed,
+    )
+
+    c = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    stats = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_t"), F.sum("cents").alias("sum_t")
+    )
+    dev = c.join(F.broadcast(stats), on="event_type").withColumn(
+        "dev_scaled", F.col("cents") * F.col("n_t") - F.col("sum_t")
+    )
+    cusum = keyed_running_sum_bucketed(
+        dev, "dev_scaled", key_col="event_type", out_col="cs"
+    ).withColumn("cs", F.col("cs").cast("long"))
+    # argmax per type WITHOUT a window: max_by over a struct whose
+    # ordering encodes (|cs| DESC, ts ASC, event_id ASC) — one map-side
+    # combinable aggregate instead of a per-type ranking window
+    pick = F.max(
+        F.struct(
+            F.abs(F.col("cs")).alias("a"),
+            (-F.unix_micros("ts")).alias("neg_us"),
+            (-F.col("event_id")).alias("neg_id"),
+            F.abs(F.col("cs")).alias("abs_cs"),
+            F.col("event_id").alias("eid"),
+            F.col("ts").alias("cts"),
+        )
+    ).alias("_pick")
+    return (
+        cusum.groupBy("event_type")
+        .agg(F.max("n_t").alias("n_t"), pick)
+        .select(
+            "event_type",
+            F.col("n_t").cast("long").alias("n_events"),
+            F.col("_pick.abs_cs").alias("max_abs_cusum_scaled"),
+            F.col("_pick.eid").alias("changepoint_event_id"),
+            F.col("_pick.cts").alias("changepoint_ts"),
+        )
+    )

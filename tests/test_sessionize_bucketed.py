@@ -126,3 +126,59 @@ def test_keyed_running_sum_bucketed_with_negatives(spark):
         for r in df.withColumn("run", F.sum("v").over(w)).collect()
     }
     assert got == want
+
+
+def test_keyed_lead_bucketed_matches_global_window_boundaries(spark):
+    """keyed_lead_bucketed vs the plain per-key-lifetime LEAD window on
+    adversarial boundary shapes: rows exactly ON the day-bucket boundary,
+    a key whose next present bucket is several empty buckets away,
+    single-row buckets, single-row keys, timestamp ties broken by id, and
+    a non-timestamp lead column riding the same boundary exchange."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_lead_bucketed,
+    )
+
+    rows, eid = [], 0
+
+    def ev(user, ts, tag):
+        nonlocal eid
+        rows.append((user, eid, ts, tag))
+        eid += 1
+
+    # u1: dense day, then last row exactly at 23:59:59.999999, next row
+    # exactly at the next midnight (bucket boundary crossing)
+    ev("u1", "2024-01-01 10:00:00", "a")
+    ev("u1", "2024-01-01 23:59:59.999999", "b")
+    ev("u1", "2024-01-02 00:00:00", "c")
+    # u1: multi-bucket gap — next present bucket 5 days away
+    ev("u1", "2024-01-07 08:00:00", "d")
+    # u2: timestamp tie inside one bucket (order falls to event_id)
+    ev("u2", "2024-01-03 12:00:00", "x")
+    ev("u2", "2024-01-03 12:00:00", "y")
+    # u2: single-row far bucket (is both bucket-first and bucket-last)
+    ev("u2", "2024-02-01 00:00:00", "z")
+    # u3: single-event key — lead must be NULL
+    ev("u3", "2024-01-05 00:00:00", "only")
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_s", "tag"]
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"), "tag",
+    )
+
+    got = {
+        (r.user_id, r.event_id, str(r.ts_next), r.tag_next)
+        for r in keyed_lead_bucketed(df, ["ts", "tag"]).collect()
+    }
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+    want = {
+        (r.user_id, r.event_id, str(r.ts_next), r.tag_next)
+        for r in df.withColumn("ts_next", F.lead("ts").over(w))
+        .withColumn("tag_next", F.lead("tag").over(w))
+        .collect()
+    }
+    assert got == want
+    # and the single-event key really got a NULL lead
+    assert ("u3", 7, "None", None) in got

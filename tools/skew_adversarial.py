@@ -190,6 +190,26 @@ def main() -> int:
     assert n_naive == n_bucketed, (n_naive, n_bucketed)
     print(f"  sessions: {n_bucketed} (parity plain vs bucketed)")
 
+    print("2c) bucketed LEAD (keyed_lead_bucketed) vs plain per-key window")
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_lead_bucketed,
+    )
+
+    n_plain_lead = timed(
+        "lead_plain_window",
+        lambda: ev.withColumn("_next", F.lead("ts").over(w))
+        .filter(F.col("_next").isNotNull())
+        .count(),
+    )
+    n_bucketed_lead = timed(
+        "lead_bucketed",
+        lambda: keyed_lead_bucketed(ev, ["ts"])
+        .filter(F.col("ts_next").isNotNull())
+        .count(),
+    )
+    assert n_plain_lead == n_bucketed_lead, (n_plain_lead, n_bucketed_lead)
+    print(f"  lead rows: {n_bucketed_lead} (parity plain vs bucketed)")
+
     print("3) giant near-dup cluster: all-pairs listing vs star-edge clustering")
     pairs = timed(
         "minhash_allpairs_listing",
