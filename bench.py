@@ -90,6 +90,21 @@ def main() -> None:
     reps_max = max(
         reps, int(os.environ.get("SPARK_GRAFT_BENCH_REPS_MAX", "6"))
     )
+    # PINNED jitter-bound list (VERDICT r9 item 5): these queries'
+    # dominant cost is Arrow/BLAS matmul batches or iterative-superstep
+    # JIT, whose rep-to-rep spread is machine-load noise, not plan cost —
+    # the "unconverged" flag drifted between otherwise-identical runs.
+    # They get a widened rep budget so convergence is reached when the
+    # host is quiet, and a `jitter_bound` marker in BENCH_DETAIL either
+    # way so tools/bench_compare.py reports their non-convergence as the
+    # EXPECTED instrument property rather than a new low-confidence
+    # finding. Membership changes belong here, in code review — never
+    # inferred per run.
+    JITTER_BOUND = {
+        "graph_triangles_copurchase",
+        "emb_ann_ivf_topk",
+        "emb_ann_lsh_topk",
+    }
     converged: dict[str, bool] = {}
     timings: dict[str, float] = {}
     samples: dict[str, list[float]] = {}
@@ -151,7 +166,8 @@ def main() -> None:
             timings[name] = -1.0
             continue
         runs: list[float] = []
-        while len(runs) < reps_max:
+        q_reps_max = reps_max + 4 if name in JITTER_BOUND else reps_max
+        while len(runs) < q_reps_max:
             t0 = time.time()
             try:
                 fn(spark, sf_dir).count()
@@ -203,6 +219,7 @@ def main() -> None:
     }
     detail["queries_cold"] = {n: r[0] for n, r in samples.items()}
     detail["queries_converged"] = converged
+    detail["jitter_bound"] = sorted(JITTER_BOUND & set(timings))
     detail["calib_timeline"] = calib_timeline
     detail["queries_window"] = query_window
     detail_path = os.path.join(

@@ -62,13 +62,29 @@ def main() -> int:
         s = scales.get(q, scale)
         ratios.append((mb[q] / s / max(ma[q], 1e-4), q))
     ratios.sort()
+    # bench.py's PINNED jitter-bound list: non-convergence there is the
+    # expected instrument property (Arrow/BLAS batch noise), reported
+    # separately so it never reads as a new low-confidence finding
+    jitter = set(a.get("jitter_bound", [])) | set(b.get("jitter_bound", []))
     unconverged = sorted(
-        q for q in common if not (conv_a.get(q, True) and conv_b.get(q, True))
+        q
+        for q in common
+        if q not in jitter
+        and not (conv_a.get(q, True) and conv_b.get(q, True))
     )
     if unconverged:
         print(
             f"unconverged in either run (low-confidence numbers, "
             f"re-measure before calling a regression): {unconverged}"
+        )
+    jb_unconv = sorted(
+        q for q in jitter & set(common)
+        if not (conv_a.get(q, True) and conv_b.get(q, True))
+    )
+    if jb_unconv:
+        print(
+            f"jitter-bound (pinned in bench.py; non-convergence expected): "
+            f"{jb_unconv}"
         )
     n = len(ratios)
     if not n:
