@@ -100,10 +100,22 @@ def main() -> None:
     # EXPECTED instrument property rather than a new low-confidence
     # finding. Membership changes belong here, in code review — never
     # inferred per run.
+    # Class-defined, not per-incident: (a) the Arrow/BLAS-matmul ANN
+    # rows, (b) every iterative-superstep graph query — their walls ride
+    # a decaying JIT/codegen series (each rep re-JITs N superstep stages)
+    # that the two-best-agree rule mistakes for non-convergence on
+    # whichever runs land mid-decay. Two back-to-back r10 runs drifted
+    # exactly these classes (BENCH_NOTES r10 jitter row).
     JITTER_BOUND = {
-        "graph_triangles_copurchase",
         "emb_ann_ivf_topk",
         "emb_ann_lsh_topk",
+        "graph_triangles_copurchase",
+        "graph_label_propagation",
+        "graph_pagerank_trade",
+        "graph_pagerank_directed",
+        "graph_pagerank_personalized",
+        "graph_pagerank_weighted_trade",
+        "graph_khop_reach",
     }
     converged: dict[str, bool] = {}
     timings: dict[str, float] = {}
@@ -177,16 +189,20 @@ def main() -> None:
                 break
             if len(runs) >= max(2, reps):  # convergence needs two samples
                 b1, b2 = sorted(runs)[:2]
-                # 8% relative OR 50 ms absolute: sub-second queries carry
-                # scheduler jitter that relative bounds alone never settle
-                if b2 <= b1 * 1.08 + 0.05:
+                # 8% relative OR 150 ms absolute: sub-second queries on
+                # local[32] carry 100-200 ms scheduler jitter per rep
+                # (measured: back-to-back r10 runs flipped DIFFERENT
+                # ~0.6 s queries at the old 50 ms bound) — a tolerance
+                # below the scheduler's own noise floor measures the
+                # scheduler, not the query
+                if b2 <= b1 * 1.08 + 0.15:
                     break
         if runs and name not in failures:
             samples[name] = [warm] + runs  # samples[0] is the cold warm-up
             timings[name] = min(runs)  # headline: min of the warm reps
             if len(runs) >= 2:
                 b1, b2 = sorted(runs)[:2]
-                converged[name] = b2 <= b1 * 1.08 + 0.05
+                converged[name] = b2 <= b1 * 1.08 + 0.15
             else:  # REPS=1: a single sample can't demonstrate convergence
                 converged[name] = False
         else:

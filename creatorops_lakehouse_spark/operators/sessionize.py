@@ -239,3 +239,68 @@ def keyed_lead_bucketed(
         f"_nb_{c}" for c in cols
     ]
     return out.drop(*drop)
+
+
+def keyed_trailing_agg_bucketed(
+    df: DataFrame,
+    value_col: str,
+    lo_us: int,
+    hi_us: int = 0,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    count_col: str = "n_trailing",
+    sum_col: str = "trailing_sum",
+) -> DataFrame:
+    """``df`` + (count, sum) of ``value_col`` over the trailing time frame
+    ``[t + lo_us, t + hi_us]`` per key — the RANGE-frame member of the
+    hot-key-safe window family, completing it (gap sessions, prefix sums,
+    lead/lag, and now bounded trailing frames all have two-phase forms).
+
+    The classic ``RANGE BETWEEN x PRECEDING AND CURRENT ROW`` window
+    holds a key's LIFETIME rows in one partition even though each frame
+    only ever looks back ``|lo_us|`` — a 60M-row bot account
+    single-threads the stage for no semantic reason. Here time is cut
+    into buckets of width B = |lo_us| (the lookback span): a data row at
+    time d is visible only to probes in [d − hi, d − lo] ⊆ two
+    consecutive B-buckets, so each data row is emitted to exactly 2
+    bucket slots and the join's partitions are bounded by per-bucket
+    volume, never lifetime volume. Exact-integer aggregates make the
+    result bit-equal to the window form.
+
+    ``hi_us <= 0`` (trailing frames only). Empty frames keep their row:
+    count coalesces to 0, sum stays NULL (SQL window semantics). Cost:
+    one co-partitioned join over 2× the data + the probes — the price of
+    boundedness; the plain window is cheaper until one key's lifetime
+    exceeds a task."""
+    if hi_us > 0 or lo_us > hi_us:
+        raise ValueError("trailing frame requires lo_us <= hi_us <= 0")
+    b_us = max(-lo_us, 1)
+    us = F.unix_micros(F.col(ts_col))
+    probe = df.select(
+        key_col, id_col, us.alias("_pus")
+    ).withColumn("_bkt", F.floor(F.col("_pus") / F.lit(b_us)).cast("long"))
+    data = df.select(
+        key_col, us.alias("_dus"), F.col(value_col).alias("_dv")
+    ).withColumn(
+        # k0 = the FIRST probe bucket that can see this row: probes lie in
+        # [d - hi, d - lo], an interval of width hi-lo <= B starting at
+        # d - hi, hence spanning at most buckets {k0, k0 + 1}
+        "_bkt",
+        F.floor((F.col("_dus") - F.lit(hi_us)) / F.lit(b_us)).cast("long"),
+    )
+    dd = data.unionByName(data.withColumn("_bkt", F.col("_bkt") + 1))
+    delta = F.col("_dus") - F.col("_pus")
+    agg = (
+        probe.join(dd, on=[key_col, "_bkt"])
+        .filter((delta >= F.lit(lo_us)) & (delta <= F.lit(hi_us)))
+        .groupBy(key_col, id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias(count_col),
+            F.sum("_dv").alias(sum_col),
+        )
+    )
+    out = df.join(agg, on=[key_col, id_col], how="left")
+    return out.withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0).cast("long"))
+    )

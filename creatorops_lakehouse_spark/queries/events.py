@@ -4268,3 +4268,58 @@ def events_cusum_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_pick.cts").alias("changepoint_ts"),
         )
     )
+
+
+@query(
+    "events_trailing_30min_bucketed",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_trailing,
+           CAST(SUM(CAST(CAST(value AS DECIMAL(14,4)) * 10000 AS BIGINT))
+                OVER w AS BIGINT) AS trailing_value_units
+    FROM events
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW
+    )
+    ORDER BY user_id, event_id
+    """,
+)
+def events_trailing_30min_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_trailing_30min_spend's RANGE frame through the HOT-KEY-SAFE
+    bounded-frame decomposition (operators/sessionize.py::
+    keyed_trailing_agg_bucketed): time cut into 30-min buckets, each data
+    row visible to exactly two probe buckets, aggregates from a
+    co-partitioned join — no per-user-lifetime window partition. This
+    completes the hot-key-safe family: gap sessions, prefix sums,
+    lead/lag, and bounded trailing frames all have bucketed forms. The
+    oracle is the PLAIN RANGE window (identical to
+    events_trailing_30min_spend's), pinning bit-equality.
+
+    RANGE-frame subtlety carried over: timestamp PEERS must all be
+    in-frame — the join form gets this for free (membership is a pure
+    [lo, hi] predicate on time deltas, not row order)."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_trailing_agg_bucketed,
+    )
+
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("value").cast("decimal(14,4)") * 10000)
+        .cast("long")
+        .alias("_units"),
+    )
+    return (
+        keyed_trailing_agg_bucketed(
+            ev,
+            "_units",
+            lo_us=-1800 * 1_000_000,
+            hi_us=0,
+            count_col="n_trailing",
+            sum_col="trailing_value_units",
+        )
+        .select("event_id", "user_id", "n_trailing", "trailing_value_units")
+        .orderBy("user_id", "event_id")
+    )

@@ -182,3 +182,59 @@ def test_keyed_lead_bucketed_matches_global_window_boundaries(spark):
     assert got == want
     # and the single-event key really got a NULL lead
     assert ("u3", 7, "None", None) in got
+
+
+def test_keyed_trailing_agg_bucketed_matches_range_window(spark):
+    """Bounded trailing frame vs the plain RANGE window on adversarial
+    shapes: timestamp peers (all must be in-frame together), rows exactly
+    at the frame edge (inclusive), rows 1us past it (excluded), frames
+    spanning a bucket boundary, empty-history rows, and the strict
+    hi=-1us exclusive-current variant."""
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_trailing_agg_bucketed,
+    )
+
+    rows, eid = [], 0
+
+    def ev(user, ts, v):
+        nonlocal eid
+        rows.append((user, eid, ts, v))
+        eid += 1
+
+    ev("u1", "2024-01-01 10:00:00", 5)
+    ev("u1", "2024-01-01 10:29:59.999999", 7)   # 1us inside the 30min edge
+    ev("u1", "2024-01-01 10:30:00", 11)          # exactly AT the edge
+    ev("u1", "2024-01-01 10:30:00.000001", 13)   # first row past it
+    ev("u1", "2024-01-01 11:30:00", 17)          # empty trailing history
+    ev("u1", "2024-01-01 11:30:00", 19)          # timestamp PEER
+    ev("u2", "2024-01-01 10:44:59", 1)           # frame straddles the
+    ev("u2", "2024-01-01 11:01:00", 2)           # 30-min bucket boundary
+    df = spark.createDataFrame(
+        rows, ["user_id", "event_id", "ts_s", "v"]
+    ).select(
+        "user_id", "event_id",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+        F.col("v").cast("long").alias("v"),
+    )
+
+    for lo, hi in ((-1800 * 1_000_000, 0), (-1800 * 1_000_000, -1)):
+        got = {
+            (r.user_id, r.event_id, r.n, r.s)
+            for r in keyed_trailing_agg_bucketed(
+                df, "v", lo_us=lo, hi_us=hi, count_col="n", sum_col="s"
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("user_id")
+            .orderBy(F.unix_micros("ts"))
+            .rangeBetween(lo, hi)
+        )
+        want = {
+            (r.user_id, r.event_id, r.n, r.s)
+            for r in df.select(
+                "user_id", "event_id",
+                F.count(F.lit(1)).over(w).cast("long").alias("n"),
+                F.sum("v").over(w).alias("s"),
+            ).collect()
+        }
+        assert got == want, f"frame ({lo},{hi}) diverged"
