@@ -345,3 +345,125 @@ def test_edit1_pairs_equals_bruteforce_random(spark, names):
         if ia < ib and _lev(na, nb) <= 1
     }
     assert got == ref
+
+
+# ---- hot-key-safe bucketed window family vs plain windows ---------------
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                 # user
+            st.integers(0, 4 * 86400),         # seconds offset (spans 4+ day buckets)
+            st.integers(-50, 50),              # value (mixed sign)
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_bucketed_window_family_matches_plain_windows(spark, rows):
+    """Randomized cross-check of ALL four bucketed hot-key-safe forms
+    (lead, running sum, trailing frame, sessionize) against their plain
+    per-key-lifetime windows — random timestamp collisions, bucket
+    straddles, and empty buckets that hand-written cases under-sample."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from creatorops_lakehouse_spark.operators.sessionize import (
+        keyed_lead_bucketed,
+        keyed_running_sum_bucketed,
+        keyed_trailing_agg_bucketed,
+        sessionize_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (f"u{u}", i, s, v)
+            for i, (u, s, v) in enumerate(rows)
+        ],
+        "user_id string, event_id int, secs int, v long",
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr(
+            "timestampadd(SECOND, secs, TIMESTAMP'2024-01-01 00:00:00')"
+        ).alias("ts"),
+        "v",
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts").asc(), F.col("event_id").asc()
+    )
+
+    # lead
+    got = {
+        (r.user_id, r.event_id, str(r.ts_next))
+        for r in keyed_lead_bucketed(df, ["ts"]).collect()
+    }
+    want = {
+        (r.user_id, r.event_id, str(r.ts_next))
+        for r in df.withColumn("ts_next", F.lead("ts").over(w)).collect()
+    }
+    assert got == want
+
+    # running sum (mixed sign)
+    got = {
+        (r.user_id, r.event_id, r.run)
+        for r in keyed_running_sum_bucketed(df, "v", out_col="run").collect()
+    }
+    want = {
+        (r.user_id, r.event_id, r.run)
+        for r in df.withColumn(
+            "run", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        ).collect()
+    }
+    assert got == want
+
+    # trailing 1h frame, inclusive
+    got = {
+        (r.user_id, r.event_id, r.n, r.s)
+        for r in keyed_trailing_agg_bucketed(
+            df, "v", lo_us=-3600 * 1_000_000, hi_us=0,
+            count_col="n", sum_col="s",
+        ).collect()
+    }
+    wr = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    want = {
+        (r.user_id, r.event_id, r.n, r.s)
+        for r in df.select(
+            "user_id", "event_id",
+            F.count(F.lit(1)).over(wr).cast("long").alias("n"),
+            F.sum("v").over(wr).alias("s"),
+        ).collect()
+    }
+    assert got == want
+
+    # gap sessionization (30 min)
+    got = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in sessionize_bucketed(df, gap_s=1800).collect()
+    }
+    us = F.unix_micros("ts")
+    flagged = df.withColumn(
+        "_new",
+        F.when(
+            F.lag(us).over(w).isNull()
+            | (us - F.lag(us).over(w) > 1800 * 1_000_000),
+            1,
+        ).otherwise(0),
+    )
+    want = {
+        (r.user_id, r.event_id, r.session_id)
+        for r in flagged.withColumn(
+            "session_id",
+            (
+                F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+                - 1
+            ).cast("long"),
+        ).collect()
+    }
+    assert got == want
