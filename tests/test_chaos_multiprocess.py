@@ -203,3 +203,131 @@ def test_chaos_multiprocess_snapshot_log(spark, tmp_path):
         f"row conservation broken: {len(got)} rows vs {len(expected)} expected"
     )
     assert got == expected, "final state diverged from the serial replay"
+
+
+def test_chaos_aggressive_vacuum(spark, tmp_path):
+    """The same 10-process storm under TIGHT retention (vacuum
+    keep_last=6, 100ms cadence): with history this shallow, in-flight
+    readers/rewriters MAY lose their read set mid-op — explicitly allowed
+    by the documented VACUUM retention contract (retention must exceed
+    the longest in-flight transaction; Delta's default is 7 days for the
+    same reason). What must SURVIVE anyway is the write protocol:
+
+      - exactly-once appends still land each batch exactly once (txn
+        dedup makes blind retries safe, so appenders retry through
+        retention races);
+      - committed versions stay globally unique and the head monotone;
+      - the DML worker SKIPS (never blindly retries) an op whose read
+        set was vacuumed away — an ambiguous retry of `val = val + 1000`
+        could double-apply — and the final state equals the serial
+        replay of the ops that actually committed;
+      - maintenance loops tolerate the race classes and keep running.
+
+    This stresses the vacuum/fold/commit windows far harder than the
+    keep_last=40 run: versions are reaped within ~a second of landing,
+    so every read-check-act window in the log is raced for real."""
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        current_version,
+        last_txn_version,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    spec = TableSpec("chaos.t", table)
+    snapshot_write(
+        spark.createDataFrame([("seed", -1, 0, 0)], ["writer", "batch", "k", "val"]),
+        spec,
+    )
+
+    os.environ["CHAOS_TIGHT"] = "1"
+    try:
+        n_batches = 30
+        workers = {}
+        for wid in range(N_APPENDERS):
+            workers[f"append_{wid}"] = _launch(
+                ["append", wid, n_batches], table, run_dir
+            )
+        workers["dml"] = _launch(["dml", N_DML_ROUNDS], table, run_dir)
+        workers["optimize"] = _launch(["optimize"], table, run_dir)
+        workers["checkpoint"] = _launch(["checkpoint"], table, run_dir)
+        workers["vacuum"] = _launch(["vacuum", 6], table, run_dir)
+    finally:
+        os.environ.pop("CHAOS_TIGHT", None)
+
+    ready_names = set(workers)
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        have = {
+            n for n in ready_names
+            if os.path.exists(os.path.join(run_dir, f"ready_{n}"))
+        }
+        if have == ready_names:
+            break
+        dead = [n for n, p in workers.items() if p.poll() not in (None, 0)]
+        assert not dead, f"workers died before start: {dead}"
+        time.sleep(0.2)
+    else:
+        raise AssertionError("workers failed to initialize within 300s")
+    open(os.path.join(run_dir, "go"), "w").close()
+
+    finite = [n for n in workers if n.startswith(("append", "dml"))]
+    for n in finite:
+        assert workers[n].wait(timeout=900) == 0, f"worker {n} failed"
+    open(os.path.join(run_dir, "stop"), "w").close()
+    for n in ("optimize", "checkpoint", "vacuum"):
+        assert workers[n].wait(timeout=120) == 0, f"worker {n} failed"
+
+    journals = {n: _journal(run_dir, n) for n in workers}
+    races = 0
+    for n, entries in journals.items():
+        errs = [e for e in entries if "error" in e]
+        assert not errs, f"worker {n} hit a NON-retention error:\n{errs[0]['error']}"
+        assert entries and entries[-1].get("done"), f"worker {n} never finished"
+        races += sum(1 for e in entries if "retention_race" in e)
+
+    seen: dict[int, tuple] = {}
+    for n, entries in journals.items():
+        for e in entries:
+            if e.get("op") in ("append", "dml_seed", "delete", "update",
+                               "dv_delete", "optimize"):
+                v = e["version"]
+                assert v not in seen, f"version {v} double-granted: {seen[v]} / {n}"
+                seen[v] = (n, e["op"])
+    head = current_version(spec)
+    assert head is not None and head >= max(seen)
+
+    for wid in range(N_APPENDERS):
+        assert last_txn_version(spec, f"app{wid}") == n_batches - 1
+
+    rows = snapshot_read(spark, spec).collect()
+    got = sorted((r.writer, r.batch, r.k, r.val) for r in rows)
+    expected = [("seed", -1, 0, 0)]
+    for wid in range(N_APPENDERS):
+        base = (wid + 1) * 1_000_000
+        for b in range(n_batches):
+            for i in range(ROWS_PER_BATCH):
+                k = base + b * 1000 + i
+                expected.append((f"app{wid}", b, k, k % 97))
+    dml_state = {DML_BASE + i: (DML_BASE + i) % 97 for i in range(DML_ROWS)}
+    for e in journals["dml"]:
+        op = e.get("op")
+        if op in ("delete", "dv_delete"):
+            for k in list(dml_state):
+                if e["lo"] <= k <= e["hi"]:
+                    del dml_state[k]
+        elif op == "update":
+            for k in dml_state:
+                if e["lo"] <= k <= e["hi"]:
+                    dml_state[k] += 1000
+    expected.extend(("dml", -1, k, v) for k, v in dml_state.items())
+    expected.sort()
+    assert len(got) == len(expected)
+    assert got == expected, "final state diverged from the serial replay"
+    # visibility: how hard the retention boundary was actually raced
+    print(f"tight-retention run: {len(seen)} commits, "
+          f"{races} tolerated retention races, head v{head}")
