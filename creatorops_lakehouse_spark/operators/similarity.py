@@ -428,21 +428,50 @@ def ann_lsh_topk_replayable(
     )
 
 
+def replayable_plane_count(
+    n_rows: int, target_bucket: int = 64, lo: int = 4, hi: int = 16
+) -> int:
+    """Corpus-scaled plane count by EXACT INTEGER rule — the smallest
+    ``p`` in [lo, hi] with ``target_bucket * 2^p >= n_rows`` — so a SQL
+    oracle derives the identical geometry with a CASE chain of integer
+    comparisons (auto_planes' log2/ceil floats could differ by an ulp at
+    the boundaries). Fixed planes are a measured scale bug: occupancy
+    grows linearly and within-bucket pairs QUADRATICALLY (the r10 10×
+    sweep caught the pinned 4-plane near-dup twin at 39× wall for 10×
+    vectors); this rule holds expected occupancy ≈ target_bucket."""
+    for p in range(lo, hi):
+        if target_bucket * (1 << p) >= n_rows:
+            return p
+    return hi
+
+
 def embedding_neardup_pairs_replayable(
     df: DataFrame,
     threshold: float = 0.45,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 16,
     tag: str = "ndq",
 ) -> DataFrame:
     """Engine-replayable embedding near-dup pairs: integer-exact bucket
     collisions (see :func:`ann_lsh_topk_replayable`), verified with exact
     cosine rounded to 4 decimals (both engines filter the same rounded
-    value, so the pair set is identical). Pinned geometry; the auto-sized
-    Gaussian prod path (:func:`embedding_neardup_pairs`) keeps its
-    recall/precision verdict."""
+    value, so the pair set is identical).
+
+    ``n_planes=None`` (default) scales the plane count to the corpus by
+    :func:`replayable_plane_count` — integer-exact, so the SQL oracle
+    re-derives it — keeping candidate volume ~linear instead of the
+    quadratic blowup a pinned geometry measured at 10× data. Tables stay
+    fixed at 16, so threshold-floor recall DECLINES as planes grow with
+    the corpus (band-OR needs more tables at scale — auto_tables); the
+    recall CONTRACT lives on the auto-sized Gaussian prod path
+    (:func:`embedding_neardup_pairs` + emb_neardup_recall_verdict), and
+    the strongest pairs collide first (collision probability rises with
+    cosine). This row's contract is oracle-replayability + sub-quadratic
+    scaling."""
+    if n_planes is None:
+        n_planes = replayable_plane_count(df.count())
     tables = md5_integer_planes(64, n_planes, n_tables, tag)
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
 

@@ -182,8 +182,57 @@ def emb_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_int_buckets_scaled(
+    n_tables: int, tag: str, target: int = 64, lo: int = 4, hi: int = 16
+) -> str:
+    """Corpus-scaled variant of :func:`_sql_int_buckets`: the plane count
+    comes from the same EXACT-INTEGER rule as
+    operators/similarity.py::replayable_plane_count (smallest p in
+    [lo, hi] with target·2^p ≥ n), expressed as a CASE chain of integer
+    comparisons — no log2/ceil floats, so both engines derive the
+    identical geometry at ANY corpus size."""
+    case = " ".join(
+        f"WHEN n <= {target * (1 << p)} THEN {p}" for p in range(lo, hi)
+    )
+    return f"""
+    geom AS (
+        SELECT CASE {case} ELSE {hi} END AS np
+        FROM (SELECT COUNT(*) AS n FROM embeddings)
+    ),
+    qn AS (
+        SELECT vec_id,
+               list_transform(CAST(embedding AS DOUBLE[]),
+                              x -> CAST(floor(x * 1000000) AS BIGINT)) AS q
+        FROM embeddings
+    ),
+    dims AS (SELECT unnest(range(0, 64)) AS d),
+    planes AS (
+        SELECT t.t, p.p, d.d,
+               CAST(('0x' || substr(md5('{tag}:' || CAST(t.t AS VARCHAR)
+                    || ':' || CAST(p.p AS VARCHAR)
+                    || ':' || CAST(d.d AS VARCHAR)), 1, 4)) AS BIGINT)
+                   - 32768 AS w
+        FROM (SELECT unnest(range(0, {n_tables})) AS t) t,
+             (SELECT unnest(range(0, {hi})) AS p) p,
+             dims d
+        WHERE p.p < (SELECT np FROM geom)
+    ),
+    posts AS (SELECT vec_id, d.d AS d, q[d.d + 1] AS qd FROM qn, dims d),
+    dots AS (
+        SELECT po.vec_id, pl.t, pl.p, SUM(pl.w * po.qd) AS dot
+        FROM posts po JOIN planes pl ON po.d = pl.d
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               SUM(CASE WHEN dot > 0
+                        THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS bucket
+        FROM dots GROUP BY 1, 2
+    )"""
+
+
 _SQL_NEARDUP_REPLAY = f"""
-    WITH {_sql_int_buckets(4, 16, "ndq")},
+    WITH {_sql_int_buckets_scaled(16, "ndq")},
     cands AS (
         SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
         FROM buckets a JOIN buckets b
@@ -213,9 +262,14 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Replayable registry configuration (VERDICT r9 item 2): md5-integer
     planes + int64-quantized vectors make the candidate set a
     deterministic cross-engine function — hash-checked end-to-end.
-    Pinned 4×16 geometry; the auto-sized Gaussian prod path
-    (operators/similarity.py::embedding_neardup_pairs) keeps its
-    hash-green recall/precision verdict (emb_neardup_recall_verdict).
+    Plane count SCALES with the corpus by an exact-integer rule both
+    engines compute (replayable_plane_count ↔ the oracle's CASE chain)
+    — the r10 10× sweep measured the earlier PINNED 4-plane geometry at
+    39× wall for 10× vectors (quadratic bucket occupancy), the classic
+    fixed-plane scale bug. Tables stay 16, so threshold-floor recall
+    declines at scale; the recall contract lives on the auto-sized
+    Gaussian prod path (operators/similarity.py::embedding_neardup_pairs
+    + emb_neardup_recall_verdict).
 
     τ matches that verdict's threshold: the driver corpus is weakly
     clustered (true neighbors at cos 0.26–0.49), so a production-style
