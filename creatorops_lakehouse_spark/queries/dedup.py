@@ -1,10 +1,13 @@
 """Deduplication queries over the driver ``documents`` table.
 
-Exact hash dedup and token-set Jaccard pairs are oracle-checked in SQL;
-MinHash-LSH and SimHash use engine-specific hashing (xxhash64) so they get
-rows-only driver checks — their *correctness* is pinned by pytest
-(LSH/SimHash candidates ⊇ high-similarity Jaccard pairs, no false
-positives after verification; tests/test_operators_dedup.py).
+Every query here is oracle-checked in SQL, including MinHash-LSH and
+SimHash since r10: the registered rows run hash_mode="md5" (the one
+64-bit-quality hash Spark, DuckDB, and Python share), so the full
+pipelines — lanes, permutations, band buckets, candidate joins, exact
+verify / bit votes — replay in DuckDB hash-for-hash. xxhash64 stays the
+operator prod default, its correctness pinned by the recall verdicts
+and pytest (LSH/SimHash candidates ⊇ high-similarity Jaccard pairs, no
+false positives after verification; tests/test_operators_dedup.py).
 """
 
 from __future__ import annotations

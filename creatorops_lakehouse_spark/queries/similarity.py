@@ -9,9 +9,12 @@ overload accumulates in float32 (measured 1.6e-7 off the double value),
 which sits only ~3 decades under the 1e-4 rounding grain — a per-value
 boundary-flip probability that compounds across rows into a real flake
 rate. The DOUBLE[] overload agrees with Spark's double math to ~4e-16.
-LSH ANN and embedding near-dup use engine-specific plane signatures →
-rows-only checks, with recall pinned by pytest against the brute-force
-baseline (tests/test_similarity.py).
+LSH ANN and embedding near-dup are hash-checked end-to-end since r10:
+the registered rows run the REPLAYABLE configuration (md5-derived
+integer planes + int64-quantized vectors — the bucket stage is exact
+integer arithmetic both engines compute identically), while the
+auto-sized Gaussian operators stay the prod default with recall pinned
+by the hash-green verdicts and pytest (tests/test_similarity.py).
 """
 
 from __future__ import annotations

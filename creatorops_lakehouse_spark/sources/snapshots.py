@@ -1912,11 +1912,11 @@ def checkpoint_manifest(spec: TableSpec, upto: int | None = None) -> int:
     for v in manifests:
         with contextlib.suppress(FileNotFoundError):
             os.remove(os.path.join(d, f"v{v}.json"))
-    # sweep EVERY older checkpoint, not just the one we read at start:
-    # a lost fold race leaves a stale smaller c<k>.json behind (its
-    # writer read a superset-ordering invariant: any c<k> with k < n is
-    # covered by c<n>, since versions are gap-free and a fold reads the
-    # complete listing at its start). Tolerate racing removers.
+    # sweep EVERY older checkpoint, not just the one we read at start: a
+    # lost fold race leaves a stale smaller c<k>.json behind. Removal is
+    # safe by the superset-ordering invariant — any c<k> with k < n is
+    # covered by c<n>, since versions are gap-free and every fold reads
+    # the complete listing at its start. Tolerate racing removers.
     for f in os.listdir(d):
         if f.startswith("c") and f.endswith(".json"):
             try:
