@@ -21,11 +21,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from creatorops_lakehouse_spark.sources.snapshots import (
+    checkpoint_manifest,
     current_version,
     optimize_snapshots,
-    checkpoint_manifest,
     rollback,
     snapshot_delete_where,
+    snapshot_merge,
     snapshot_read,
     snapshot_update_where,
     snapshot_write,
@@ -36,7 +37,7 @@ from creatorops_lakehouse_spark.sources.tables import TableSpec
 # each op draws: (kind selector, a, b) — interpreted per kind so one
 # strategy shape covers every op without combinatorial strategy nesting
 OPS = st.lists(
-    st.tuples(st.integers(0, 9), st.integers(0, 19), st.integers(1, 5)),
+    st.tuples(st.integers(0, 10), st.integers(0, 19), st.integers(1, 5)),
     min_size=3,
     max_size=12,
 )
@@ -111,6 +112,20 @@ def test_snapshot_log_matches_reference_model(spark, tmp_path_factory, ops):
         elif kind == 7:  # OPTIMIZE (content-preserving rewrite)
             v2 = optimize_snapshots(spark, spec)
             v = v2 if v2 is not None else v
+        elif kind == 10:  # MERGE upsert: half existing-band keys
+            # (matched → take source row), half fresh keys (insert)
+            lo, hi = a, a + b
+            src = {k: content[k] + 50_000 for k in content if lo <= k <= hi}
+            src.update(fresh_rows(2))
+            content.update(src)
+            v = snapshot_merge(
+                spark,
+                spec,
+                spark.createDataFrame(
+                    list(src.items()), "k long, val long"
+                ),
+                keys=["k"],
+            )
         elif kind == 8:  # rollback to a random RETAINED version
             target = sorted(retained)[a % len(retained)]
             content = dict(history[target])
