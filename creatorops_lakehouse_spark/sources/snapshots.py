@@ -1949,7 +1949,9 @@ def vacuum_snapshots(
     uncommitted-file cleanup; the grace window is what keeps a concurrent
     writer's just-written-not-yet-committed dir safe, so use a horizon
     comfortably above the longest write-to-commit gap (Delta's default is
-    7 days). None (default) leaves orphans alone.
+    7 days). None (default) leaves orphans alone. The same grace window
+    also reaps stale mkstemp leftovers (``.v<N>-*``/``.c<N>-*``) stranded
+    in the manifest dir by writers killed between tmp-write and publish.
 
     ``retain_hours``: the literal ``VACUUM ... RETAIN N HOURS`` contract
     (the reference's DDL prescribes 168): versions whose ``committed_at``
@@ -2020,6 +2022,20 @@ def vacuum_snapshots(
                     and now - os.path.getmtime(full) >= orphan_grace_s
                 ):
                     doomed.add(rel)
+        # stale mkstemp leftovers in the manifest dir (".v<N>-*"/".c<N>-*"):
+        # a writer SIGKILLed between mkstemp and os.link/os.replace strands
+        # its tmp file forever — readers never see it (they glob v*.json /
+        # c*.json) but the dir grows without bound across crashes. Reap
+        # under the same grace window that protects a LIVE writer mid-link.
+        md_tmp = _manifest_dir(spec)
+        if os.path.isdir(md_tmp):
+            for name in os.listdir(md_tmp):
+                if not name.startswith("."):
+                    continue
+                full = os.path.join(md_tmp, name)
+                with contextlib.suppress(OSError):
+                    if now - os.path.getmtime(full) >= orphan_grace_s:
+                        os.remove(full)
     if not doomed and not drop:
         return []
     import shutil

@@ -1,0 +1,298 @@
+"""SIGKILL crash-chaos on the snapshot log — kill -9 the WHOLE writer
+process group (python driver + JVM, a node dying) at random points and
+assert the table never shows a torn state.
+
+The cross-process chaos suite races live writers; every one of those
+processes still EXITS CLEANLY. This suite is about the other production
+failure: the writer that never gets to clean up. Each cycle boots a
+fresh worker (tests/crash_worker.py), lets it commit, and murders it
+mid-flight; across cycles the kill lands inside ``df.write`` (torn
+parquet), between data-write and manifest publish (orphan dir), inside
+the mkstemp-to-os.link window (stranded tmp), and between commit and
+journal fsync (committed-but-unjournaled batch).
+
+Invariants:
+  - ALL-OR-NOTHING: every (cycle, seq) batch visible in the table is
+    COMPLETE (exactly ROWS_PER_BATCH rows) — a partial batch visible at
+    any version would be a torn commit;
+  - every journaled commit is present (fsync'd journal line => the
+    commit had published — kills must not un-commit);
+  - every retained version is readable (no manifest points at a file a
+    crash left half-written);
+  - post-crash maintenance heals the debris: checkpoint + vacuum with an
+    orphan grace reap the crashed writers' uncommitted data dirs AND the
+    stranded manifest-dir tmp files, without touching committed rows;
+  - exactly-once txn replay across process death: a worker that replays
+    its full txn_version range from scratch after every SIGKILL lands
+    each batch exactly once (Delta's txnAppId/txnVersion contract);
+  - streaming exactly-once across driver death: kill the streaming
+    driver mid-stream, restart from the same checkpoint, every input
+    row lands exactly once.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "crash_worker.py")
+
+ROWS_PER_BATCH = 40  # keep in sync with crash_worker.py
+
+
+def _launch(role_args, table, run_dir):
+    # start_new_session puts the worker AND its JVM child in their own
+    # process group, so killpg takes the whole "node" down at one instant
+    return subprocess.Popen(
+        [sys.executable, WORKER, *map(str, role_args), table, run_dir],
+        cwd=REPO,
+        env={**os.environ, "PYTHONPATH": REPO},
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.STDOUT,
+        start_new_session=True,
+    )
+
+
+def _killpg(proc):
+    with open(os.devnull, "w"):
+        pass
+    try:
+        os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+    except ProcessLookupError:
+        pass
+    proc.wait()
+
+
+def _wait_file(path, deadline_s, proc=None, what=""):
+    deadline = time.time() + deadline_s
+    while time.time() < deadline:
+        if os.path.exists(path):
+            return True
+        if proc is not None and proc.poll() not in (None, 0):
+            raise AssertionError(f"worker died before {what or path}")
+        time.sleep(0.1)
+    return False
+
+
+def _journal_lines(run_dir, pattern):
+    out = []
+    for path in glob.glob(os.path.join(run_dir, pattern)):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    out.append(json.loads(line))
+    return out
+
+
+def _seed(spark, spec):
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_write
+
+    snapshot_write(
+        spark.createDataFrame([(-1, -1, -1, 0)], ["cycle", "seq", "k", "val"]),
+        spec,
+    )
+
+
+def test_crash_torn_appender_all_or_nothing(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _manifest_dir,
+        _read_manifest,
+        _versions,
+        checkpoint_manifest,
+        snapshot_read,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    spec = TableSpec("crash.t", table)
+    _seed(spark, spec)
+
+    rng = random.Random(0xC0FFEE)
+    n_cycles = 4
+    for cycle in range(n_cycles):
+        p = _launch(["append", cycle], table, run_dir)
+        ok = _wait_file(
+            os.path.join(run_dir, f"ready_append_{cycle}"), 180, p, "first commit"
+        )
+        assert ok, f"cycle {cycle}: worker never landed its first commit"
+        time.sleep(rng.uniform(0.1, 1.2))  # kill mid-commit, varying phase
+        _killpg(p)
+
+    # --- all-or-nothing: every visible batch is complete ------------------
+    df = snapshot_read(spark, spec).filter("cycle >= 0")
+    counts = {
+        (r["cycle"], r["seq"]): r["n"]
+        for r in df.groupBy("cycle", "seq").count().withColumnRenamed("count", "n").collect()
+    }
+    torn = {k: v for k, v in counts.items() if v != ROWS_PER_BATCH}
+    assert not torn, f"TORN batches visible after SIGKILL: {torn}"
+
+    # --- journaled commits are durable ------------------------------------
+    journaled = {
+        (ln["cycle"], ln["seq"])
+        for ln in _journal_lines(run_dir, "journal_append_*.jsonl")
+    }
+    missing = journaled - set(counts)
+    assert not missing, f"journaled commits vanished: {missing}"
+    assert len(journaled) >= n_cycles  # >=1 commit per cycle (the ready gate)
+
+    # --- every retained version still readable ----------------------------
+    for v in _versions(spec):
+        snapshot_read(spark, spec, version=v).count()
+
+    # --- maintenance heals the crash debris -------------------------------
+    n_before = df.count()
+    checkpoint_manifest(spec)
+    snapshot_write(
+        spark.createDataFrame(
+            [(99, 0, 99_000_000 + i, i % 97) for i in range(ROWS_PER_BATCH)],
+            ["cycle", "seq", "k", "val"],
+        ),
+        spec,
+    )
+    # the mkstemp-to-link kill window is microseconds wide, so a stranded
+    # manifest tmp is rare in practice — plant one to pin the reap path
+    # (exactly what a writer killed between tmp-write and os.link leaves)
+    planted = os.path.join(_manifest_dir(spec), ".v999-stalecrash")
+    with open(planted, "w") as f:
+        f.write("{}")
+    vacuum_snapshots(spec, keep_last=1, orphan_grace_s=0.0)
+
+    after = snapshot_read(spark, spec).filter("cycle >= 0")
+    assert after.count() == n_before + ROWS_PER_BATCH  # reap touched no rows
+
+    # on-disk data dirs == exactly what the retained manifests reference
+    referenced: set[str] = set()
+    for v in _versions(spec):
+        referenced.update(_read_manifest(spec, v)["dirs"])
+    on_disk = {
+        f"data/{name}" for name in os.listdir(os.path.join(table, "data"))
+    }
+    stray = on_disk - referenced
+    assert not stray, f"crash orphans survived vacuum: {stray}"
+
+    # stranded mkstemp tmps in the manifest dir were reaped too
+    tmps = [n for n in os.listdir(_manifest_dir(spec)) if n.startswith(".")]
+    assert not tmps, f"stranded manifest tmp files survived vacuum: {tmps}"
+
+
+def test_crash_exactly_once_txn_resume(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        last_txn_version,
+        snapshot_read,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    spec = TableSpec("crash.t", table)
+    _seed(spark, spec)
+
+    n_txn = 10
+    rng = random.Random(0xDEAD)
+    done = None
+    for cycle in range(4):
+        p = _launch(["txn", cycle, n_txn], table, run_dir)
+        done_path = os.path.join(run_dir, f"done_txn_{cycle}")
+        ok = _wait_file(
+            os.path.join(run_dir, f"ready_txn_{cycle}"), 180, p, "first txn"
+        )
+        assert ok, f"cycle {cycle}: worker never landed its first txn"
+        if cycle < 3:
+            # kill mid-range; the NEXT cycle replays 0..n-1 from scratch
+            deadline = time.time() + rng.uniform(0.1, 0.8)
+            while time.time() < deadline and not os.path.exists(done_path):
+                time.sleep(0.05)
+        else:
+            # final cycle runs undisturbed to completion
+            assert _wait_file(done_path, 240, p, "txn completion")
+        if os.path.exists(done_path):
+            done = cycle
+        _killpg(p)
+        if done is not None:
+            break
+    assert done is not None
+
+    # exactly once: each txn_version appears as ONE complete batch, never
+    # duplicated by the replaying restarts
+    df = snapshot_read(spark, spec).filter("cycle >= 0")
+    per_txn = {
+        r["seq"]: r["n"]
+        for r in df.groupBy("seq").count().withColumnRenamed("count", "n").collect()
+    }
+    assert per_txn == {i: ROWS_PER_BATCH for i in range(n_txn)}, per_txn
+    # and each came from exactly one cycle (no cross-restart double-land)
+    assert df.select("cycle", "seq").distinct().count() == n_txn
+    assert last_txn_version(spec, "crashapp") == n_txn - 1
+
+
+def _drop_stream_files(input_dir, file_ids):
+    os.makedirs(input_dir, exist_ok=True)
+    for j in file_ids:
+        rows = [
+            {"cycle": 0, "seq": j, "k": j * 100 + i, "val": i} for i in range(25)
+        ]
+        tmp = os.path.join(input_dir, f".f{j}.json.tmp")
+        with open(tmp, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+        os.rename(tmp, os.path.join(input_dir, f"f{j}.json"))
+
+
+def test_crash_streaming_sink_resume(spark, tmp_path):
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_read
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    spec = TableSpec("crash.t", table)
+    input_dir = os.path.join(run_dir, "stream_in")
+    _drop_stream_files(input_dir, range(3))
+
+    rng = random.Random(0xBEEF)
+    p = _launch(["stream", 0], table, run_dir)
+    ok = _wait_file(
+        os.path.join(run_dir, "ready_stream_0"), 240, p, "first micro-batches"
+    )
+    assert ok, "streaming worker never processed its first micro-batches"
+    time.sleep(rng.uniform(0.2, 1.0))
+    _killpg(p)  # driver death mid-stream, checkpoint possibly mid-batch
+
+    _drop_stream_files(input_dir, range(3, 6))
+    p = _launch(["stream", 1], table, run_dir)
+    try:
+        deadline = time.time() + 240
+        total = 0
+        while time.time() < deadline:
+            assert p.poll() is None, "restarted streaming worker died"
+            try:
+                total = snapshot_read(spark, spec).count()
+            except Exception:
+                total = 0
+            if total >= 150:
+                break
+            time.sleep(0.5)
+        assert total == 150, f"expected 150 rows after resume, saw {total}"
+        # give a trailing replayed batch the chance to double-land (it
+        # must not — the txn map makes the replay a no-op)
+        time.sleep(3)
+    finally:
+        _killpg(p)
+
+    df = snapshot_read(spark, spec)
+    assert df.count() == 150
+    assert df.select("k").distinct().count() == 150, "duplicated rows after resume"
