@@ -296,3 +296,85 @@ def test_crash_streaming_sink_resume(spark, tmp_path):
     df = snapshot_read(spark, spec)
     assert df.count() == 150
     assert df.select("k").distinct().count() == 150, "duplicated rows after resume"
+
+
+def test_crash_mid_vacuum_self_heals(spark, tmp_path):
+    """Vacuum reclaims data dirs FIRST and removes dropped manifests
+    SECOND (the same ordering as Delta's VACUUM, which deletes files the
+    log may still reference). A crash between the two phases leaves
+    ZOMBIE versions: manifests whose exclusive data dirs are gone. The
+    contract this test pins: the head and every retained version stay
+    readable, a checkpoint fold that resurrects a zombie keeps the log
+    healthy (reading the zombie itself fails LOUDLY, never silently
+    empty), and the NEXT vacuum converges — zombies dropped, disk equal
+    to the retained reference set."""
+    import shutil
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        _versions,
+        checkpoint_manifest,
+        current_version,
+        snapshot_read,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    spec = TableSpec("crash.t", str(tmp_path / "t"))
+    # v0-v2 appends, v3 OVERWRITE (the pre-overwrite dirs become exclusive
+    # to v0-v2 — in an append-only chain dropped versions share every dir
+    # with the head and vacuum reclaims nothing), v4-v5 appends
+    for b in range(6):
+        snapshot_write(
+            spark.createDataFrame(
+                [(0, b, b * 1000 + i, i % 97) for i in range(ROWS_PER_BATCH)],
+                ["cycle", "seq", "k", "val"],
+            ),
+            spec,
+            mode="overwrite" if b == 3 else "append",
+        )
+    head = current_version(spec)
+    head_rows = 3 * ROWS_PER_BATCH  # seq 3 (overwrite) + seq 4 + seq 5
+
+    # --- simulate the crash: vacuum(keep_last=2)'s phase 1 completed
+    # (exclusive data dirs of dropped versions reclaimed), phase 2 (manifest
+    # removal + checkpoint rewrite) never ran
+    vs = _versions(spec)
+    drop, keep = vs[:-2], vs[-2:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(spec, v)["dirs"])
+    for v in drop:
+        for d in _read_manifest(spec, v)["dirs"]:
+            if d not in live:
+                shutil.rmtree(os.path.join(spec.path, d), ignore_errors=True)
+
+    # head + retained versions unaffected by the zombie manifests
+    assert current_version(spec) == head
+    assert snapshot_read(spark, spec).filter("cycle = 0").count() == head_rows
+    for v in keep:
+        snapshot_read(spark, spec, version=v).count()
+
+    # a fold now RESURRECTS the zombies into the checkpoint — the log must
+    # stay healthy, and reading a zombie must fail loudly, never return
+    # silently-partial data
+    checkpoint_manifest(spec)
+    assert current_version(spec) == head
+    assert snapshot_read(spark, spec).filter("cycle = 0").count() == head_rows
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="PATH_NOT_FOUND|unknown snapshot|does not exist"):
+        snapshot_read(spark, spec, version=drop[0]).count()
+
+    # the next vacuum converges: zombies dropped, disk == retained refs
+    vacuum_snapshots(spec, keep_last=2, orphan_grace_s=0.0)
+    assert _versions(spec) == keep
+    referenced: set[str] = set()
+    for v in _versions(spec):
+        referenced.update(_read_manifest(spec, v)["dirs"])
+    on_disk = {
+        f"data/{name}" for name in os.listdir(os.path.join(spec.path, "data"))
+    }
+    assert on_disk == {d for d in referenced if d.startswith("data/")}
+    assert snapshot_read(spark, spec).filter("cycle = 0").count() == head_rows
