@@ -450,7 +450,11 @@ def _sql_lloyd_iter(i: int) -> str:
     )"""
 
 
-_SQL_IVF_TOPK = f"""
+#: shared oracle prefix: quantized-Lloyd training replay + full-corpus
+#: cell assignment (``cass``) — consumed by the IVF top-k oracle AND the
+#: cluster-balanced sampling oracle (same trained quantizer, same
+#: stable-argsort assignment contract)
+_SQL_IVF_ASSIGN = f"""
     emb5 AS (
         SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings WHERE vec_id % 5 = 0
@@ -475,7 +479,9 @@ _SQL_IVF_TOPK = f"""
                        c.cell ASC) AS rn
             FROM corpus e CROSS JOIN c2 c
         ) WHERE rn = 1
-    ),
+    )"""
+
+_SQL_IVF_TOPK = f"""{_SQL_IVF_ASSIGN},
     probes AS (
         SELECT id AS query_id, v AS q_vec, cell FROM (
             SELECT e.id, e.v, c.cell,
@@ -583,6 +589,72 @@ def emb_ann_ivf_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries_df = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < N_QUERIES)
     ann = ann_ivf_topk_indexed(spark, spec, queries_df, centroids, k=TOP_K, nprobe=4)
     return _ann_recall_verdict(exact, ann, floor=0.6)
+
+
+@query(
+    "emb_cluster_balanced_sample",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    ranked AS (
+        SELECT cell, id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cell
+                   ORDER BY CAST('0x' || substr(sha256(CAST(id AS VARCHAR)),
+                                                1, 8) AS BIGINT) % 10000 ASC,
+                            id ASC
+               ) AS rn
+        FROM cass
+    ),
+    tot AS (SELECT cell, COUNT(*) AS n_cell FROM cass GROUP BY 1)
+    SELECT r.cell, t.n_cell,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(r.id) AS BIGINT) AS sum_vec_id,
+           MIN(r.id) AS min_vec_id
+    FROM ranked r JOIN tot t USING (cell)
+    WHERE r.rn <= 25
+    GROUP BY 1, 2
+    """,
+)
+def emb_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (semantic domain balancing): a
+    fixed per-cluster quota drawn from the SAME trained coarse quantizer
+    the IVF index uses — the k-means-cells + per-cell-quota recipe that
+    training-data curation uses to keep a corpus from being dominated by
+    its biggest semantic mode (the embedding-space analogue of the
+    metadata-keyed docs_balanced_lang_sample).
+
+    Composition, all previously-gated pieces: cell assignments come
+    straight from the PERSISTED IVF index table (build once, sample from
+    the assignment for free — no second pass over the vectors), the
+    within-cell draw is per_group_sample's (sha-bucket, id) rank —
+    engine-portable, stable under corpus growth, quota-exact. Output pins
+    per-cell totals AND exact sampled membership (sum/min of ids), so the
+    hash catches a wrong assignment, a wrong rank order, or a quota leak.
+
+    Oracle: the shared quantized-Lloyd replay (_SQL_IVF_ASSIGN — training
+    included, same fidelity bound as emb_ann_ivf_topk) + the sha-bucket
+    rank in SQL. 100 TB: one groupBy on cell + one window keyed by cell;
+    cells are quantizer-balanced by construction (a pathological mega-cell
+    means the quantizer, not the sampler, needs more centroids)."""
+    from creatorops_lakehouse_spark.operators.sampling import per_group_sample
+    from creatorops_lakehouse_spark.sources.tables import read_table
+
+    _, spec = _ivf_index_for(spark, sf_dir)
+    assigned = read_table(spark, spec).select(
+        F.col("neighbor_id").alias("id"), "cell"
+    )
+    sample = per_group_sample(assigned, "cell", "id", k=25)
+    tot = assigned.groupBy("cell").agg(F.count("*").alias("n_cell"))
+    return (
+        sample.groupBy("cell")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("id").alias("sum_vec_id"),
+            F.min("id").alias("min_vec_id"),
+        )
+        .join(tot, "cell")
+        .select("cell", "n_cell", "n_sampled", "sum_vec_id", "min_vec_id")
+    )
 
 
 NEARDUP_VERDICT_TAU = 0.45
