@@ -191,6 +191,45 @@ def _idiv(numer: Column, denom: Column) -> Column:
     return F.floor(numer / denom).cast("long")
 
 
+#: fixed public weights for the LINEAR quality classifier (the
+#: fastText-style model-based filter of CCNet/LLaMA-class curation
+#: pipelines, reduced to an auditable linear head over the exact-integer
+#: signals above). Integer weights over integer features => the logit is
+#: an exact integer, reproducible in any engine — no sigmoid needed for
+#: the keep/drop decision (monotone), so the threshold is applied in
+#: logit space. Signs follow the signals' documented semantics: natural
+#: prose scores high on stopword fraction and length, low on repetition
+#: and symbol noise; mean word length is penalized by distance from the
+#: ~4.5-char English sweet spot.
+QC_WEIGHTS = {
+    "stopword_bp": 3,
+    "rep_bigram_bp": -2,
+    "dup_line_bp": -2,
+    "symbol_bp": -3,
+    "length_credit": 1,  # min(n_chars, 2000)
+    "word_len_penalty": -1,  # |mean_word_len_c - 450|
+}
+
+
+def quality_classifier_logit(text: Column) -> Column:
+    """Exact-integer logit of the linear quality classifier (weights
+    :data:`QC_WEIGHTS`). Pure Column expressions — one codegen pass, no
+    shuffle; at 100 TB the filter fuses into whatever scan reads the
+    corpus, exactly like the heuristic gates."""
+    r = repetition_features(text)
+    n_chars = F.length(text)
+    length_credit = F.least(n_chars, F.lit(2000)).cast("long")
+    word_len_penalty = F.abs(r["mean_word_len_c"] - F.lit(450)).cast("long")
+    return (
+        F.lit(QC_WEIGHTS["stopword_bp"]) * r["stopword_bp"]
+        + F.lit(QC_WEIGHTS["rep_bigram_bp"]) * r["rep_bigram_bp"]
+        + F.lit(QC_WEIGHTS["dup_line_bp"]) * r["dup_line_bp"]
+        + F.lit(QC_WEIGHTS["symbol_bp"]) * r["symbol_bp"]
+        + F.lit(QC_WEIGHTS["length_credit"]) * length_credit
+        + F.lit(QC_WEIGHTS["word_len_penalty"]) * word_len_penalty
+    ).cast("long")
+
+
 def quality_score(text: Column) -> Column:
     """Composite [0,1] quality score: length sweet-spot, lexical diversity,
     low punctuation/digit noise. Weights are heuristic (documented, simple);

@@ -1386,3 +1386,144 @@ def events_running_totals_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("_run").cast("double") / 100).alias("running_value"),
         )
     )
+
+
+@query(
+    "orders_matview_incremental_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    fin AS (
+        SELECT key,
+               CASE WHEN key BETWEEN 1000 AND 2000 THEN cents + 777
+                    ELSE cents END AS cents
+        FROM o WHERE key > 500
+    )
+    SELECT CAST(COUNT(DISTINCT key % 7) AS BIGINT) AS n_groups,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           TRUE AS append_path_ok, TRUE AS catchup_path_ok,
+           TRUE AS diff_path_ok, TRUE AS equals_full_ok, TRUE AS noop_ok
+    FROM fin
+    """,
+)
+def orders_matview_incremental_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view under one
+    oracle hash (sources/matview.py — the upgrade path for the
+    reference's full-recompute gold tables): SUM/COUNT per key%7 group
+    maintained across the whole source lifecycle WITHOUT ever
+    re-aggregating the table.
+
+    write band0 → create view (full materialization, watermark v0) →
+    append band1 → refresh (must take the INCREMENTAL-APPEND path: only
+    the added dirs are scanned) → append band2 + band3 → one catch-up
+    refresh spanning two versions (still the append fast path — the check
+    is content-based on the two manifests) → copy-on-write DELETE
+    key ≤ 500 → UPDATE cents += 777 on key ∈ [1000, 2000] → refresh
+    (must fall back to the CDF DIFF path, folding delete/update
+    pre/post images with ±1 weights) → replayed refresh (must no-op via
+    the txn-map watermark). After EVERY refresh the view is compared to
+    a from-scratch aggregate of the source head (equals_full_ok).
+
+    The oracle recomputes the final state's group count, row count, and
+    cents total from raw ``orders`` in pure SQL and pins all five path
+    booleans TRUE — a wrong refresh mode, a lost delta, a double-applied
+    replay, or any divergence from the full recompute flips the hash.
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {"sum_cents": "cents"}, ["key"]
+
+    def _full(src_spec):
+        return {
+            r.grp: (r.n, r.s)
+            for r in snapshot_read(spark, src_spec)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("cents").cast("long").alias("s"))
+            .collect()
+        }
+
+    def _mat(view_spec):
+        return {
+            r.grp: (r.n_rows, r.sum_cents)
+            for r in snapshot_read(spark, view_spec).collect()
+        }
+
+    root = _tempfile.mkdtemp(prefix="snap_matview_")
+    try:
+        src = TableSpec("t.mvsrc", root + "/src")
+        view = TableSpec("t.mview", root + "/view")
+        cols = ("key", "cents", "grp")
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums)
+        equals = _mat(view) == _full(src)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        _, mode1 = refresh_agg_view(spark, src, view, keys, sums, row_key)
+        append_path_ok = mode1 == "incremental-append"
+        equals = equals and _mat(view) == _full(src)
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        _, mode2 = refresh_agg_view(spark, src, view, keys, sums, row_key)
+        catchup_path_ok = mode2 == "incremental-append"
+        equals = equals and _mat(view) == _full(src)
+
+        snapshot_delete_where(spark, src, {"key": (None, 500)})
+        snapshot_update_where(spark, src, {"key": (1000, 2000)},
+                              {"cents": "cents + 777"})
+        v3, mode3 = refresh_agg_view(spark, src, view, keys, sums, row_key)
+        diff_path_ok = mode3 == "incremental-diff"
+        equals = equals and _mat(view) == _full(src)
+
+        v4, mode4 = refresh_agg_view(spark, src, view, keys, sums, row_key)
+        noop_ok = (v4, mode4) == (v3, "noop")
+
+        mat = snapshot_read(spark, view).agg(
+            F.count(F.lit(1)).cast("long").alias("g"),
+            F.sum("n_rows").cast("long").alias("n"),
+            F.sum("sum_cents").cast("long").alias("c"),
+        ).collect()[0]
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [(
+            int(mat["g"]), int(mat["n"]), int(mat["c"]),
+            bool(append_path_ok), bool(catchup_path_ok),
+            bool(diff_path_ok), bool(equals), bool(noop_ok),
+        )],
+        "n_groups long, total_rows long, total_cents long, "
+        "append_path_ok boolean, catchup_path_ok boolean, "
+        "diff_path_ok boolean, equals_full_ok boolean, noop_ok boolean",
+    )

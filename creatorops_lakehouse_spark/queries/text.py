@@ -199,6 +199,102 @@ def docs_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DuckDB per-doc mirror of operators/text.py::quality_classifier_logit —
+#: the same scaled-integer signals as _SQL_REP_DOC keyed by (source,
+#: doc_id), folded through the fixed QC_WEIGHTS linear head
+_SQL_QC_DOC = """
+    clf AS (
+        SELECT source, doc_id,
+               3 * ((10000 * len(list_filter(l, t -> list_contains(
+                        ['the','and','of','to','in','is','that','it','for','with'],
+                        t)))) // greatest(len(l), 1))
+               - 2 * (CASE WHEN len(l) >= 2
+                      THEN 10000 - (10000 * len(list_distinct(list_transform(
+                               range(0, greatest(len(l) - 2, 0) + 1),
+                               i -> array_to_string(l[i + 1 : i + 2], ' ')))))
+                           // (len(l) - 1)
+                      ELSE 0 END)
+               - 2 * (CASE WHEN len(lines) >= 1
+                      THEN 10000 - (10000 * len(list_distinct(lines)))
+                           // len(lines)
+                      ELSE 0 END)
+               - 3 * ((10000 * (len(text)
+                        - len(regexp_replace(text, '[^\\w\\s]', '', 'g'))))
+                   // greatest(len(text), 1))
+               + LEAST(len(text), 2000)
+               - ABS((100 * COALESCE(CAST(list_sum(list_transform(
+                          l, t -> len(t))) AS BIGINT), 0))
+                     // greatest(len(l), 1) - 450)
+                   AS logit
+        FROM (
+            SELECT source, doc_id, text,
+                   list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                               t -> t <> '') AS l,
+                   list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+            FROM documents
+        )
+    )
+"""
+
+
+@query(
+    "docs_quality_classifier",
+    oracle=f"""
+    WITH {_SQL_QC_DOC}
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           (10000 * CAST(SUM(CASE WHEN logit >= 0 THEN 1 ELSE 0 END) AS BIGINT))
+               // COUNT(*) AS keep_bp,
+           CAST(SUM(logit) AS BIGINT) AS sum_logit,
+           CAST(SUM(CASE WHEN logit >= 0 THEN doc_id ELSE 0 END) AS BIGINT)
+               AS sum_kept_doc_id
+    FROM clf
+    GROUP BY 1
+    """,
+)
+def docs_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (the fastText-classifier stage of
+    CCNet/LLaMA-class curation, reduced to an auditable linear head): a
+    fixed-weight integer logit over the exact-integer repetition/noise
+    signals, thresholded at 0 (≈78% keep on this corpus — the C4-scale
+    acceptance band). Distinct from the heuristic docs_quality_signals
+    gates: this is ONE trained-model-shaped score, so re-weighting (a
+    real trained head's coefficients) slots in without touching the
+    pipeline. Per-source keep rates in exact basis points plus the exact
+    kept-membership pin (sum of kept doc_ids) — a wrong sign, a wrong
+    weight, or a threshold slip flips the hash.
+
+    100 TB: pure Column expressions, no shuffle before the per-source
+    aggregate; the filter fuses into the corpus scan exactly like the
+    heuristic gates (one codegen pass, embarrassingly parallel)."""
+    from creatorops_lakehouse_spark.operators.text import quality_classifier_logit
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "doc_id", quality_classifier_logit(F.col("text")).alias("logit")
+    )
+    keep = F.when(F.col("logit") >= 0, 1).otherwise(0)
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(keep).alias("n_keep"),
+            F.sum("logit").alias("sum_logit"),
+            F.sum(F.when(F.col("logit") >= 0, F.col("doc_id")).otherwise(0)).alias(
+                "sum_kept_doc_id"
+            ),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_keep",
+            F.expr("10000 * n_keep div n_docs").alias("keep_bp"),
+            "sum_logit",
+            "sum_kept_doc_id",
+        )
+    )
+
+
 #: DuckDB mirror of operators/sampling.py::hash_bucket — bit-identical
 _SQL_BUCKET = (
     "CAST('0x' || substr(sha256(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 10000"

@@ -109,6 +109,39 @@ def main() -> int:
         while True:
             time.sleep(0.5)
 
+    elif role == "maint":
+        # maintenance loop made to be killed: OPTIMIZE -> checkpoint fold
+        # -> vacuum, round-robin forever. Every one of these ops has a
+        # multi-step on-disk footprint (optimize: data write + commit;
+        # fold: c<n>.json replace + loose deletes + old-checkpoint sweep;
+        # vacuum: rmtree walk + manifest removals + checkpoint rewrite) —
+        # the kill lands between those steps for real.
+        from creatorops_lakehouse_spark.sources.snapshots import (
+            SnapshotConflictError,
+            checkpoint_manifest,
+            optimize_snapshots,
+            vacuum_snapshots,
+        )
+
+        i = 0
+        while True:
+            try:
+                op = ("optimize", "checkpoint", "vacuum")[i % 3]
+                if op == "optimize":
+                    optimize_snapshots(spark, spec)
+                elif op == "checkpoint":
+                    checkpoint_manifest(spec)
+                else:
+                    vacuum_snapshots(spec, keep_last=6, orphan_grace_s=30.0)
+                log(op=op, i=i)
+                if i == 0:
+                    ready()
+            except (SnapshotConflictError, ValueError) as e:
+                # a fold/optimize racing this process's own previous
+                # incarnation's survivors; journal and continue
+                log(tolerated=f"{type(e).__name__}: {e}"[:200], i=i)
+            i += 1
+
     elif role == "stream":
         from creatorops_lakehouse_spark.streaming.pipeline import (
             start_exactly_once_sink,

@@ -378,3 +378,78 @@ def test_crash_mid_vacuum_self_heals(spark, tmp_path):
     }
     assert on_disk == {d for d in referenced if d.startswith("data/")}
     assert snapshot_read(spark, spec).filter("cycle = 0").count() == head_rows
+
+
+def test_crash_killed_maintenance_preserves_data(spark, tmp_path):
+    """SIGKILL the MAINTENANCE process mid-op across repeated cycles:
+    OPTIMIZE (data rewrite + commit), checkpoint fold (c<n>.json replace
+    + loose-manifest deletes + stale-checkpoint sweep), and vacuum
+    (rmtree walk + manifest removal + checkpoint rewrite) all die at
+    random phases. Maintenance is DATA-PRESERVING by contract, so the
+    invariant is absolute: after every storm of kills the head holds
+    exactly the rows the appends committed, and a fresh
+    checkpoint+optimize+vacuum converges the debris."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        _versions,
+        checkpoint_manifest,
+        optimize_snapshots,
+        snapshot_read,
+        snapshot_write,
+        vacuum_snapshots,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    spec = TableSpec("crash.t", table)
+
+    # ground truth: 12 committed batches, never touched after this
+    for b in range(12):
+        snapshot_write(
+            spark.createDataFrame(
+                [(0, b, b * 1000 + i, i % 97) for i in range(ROWS_PER_BATCH)],
+                ["cycle", "seq", "k", "val"],
+            ),
+            spec,
+        )
+    expect_n = 12 * ROWS_PER_BATCH
+    expect_sum = sum(
+        b * 1000 + i for b in range(12) for i in range(ROWS_PER_BATCH)
+    )
+
+    rng = random.Random(0xFA11)
+    for cycle in range(3):
+        p = _launch(["maint", cycle], table, run_dir)
+        ok = _wait_file(
+            os.path.join(run_dir, f"ready_maint_{cycle}"), 180, p, "first op"
+        )
+        assert ok, f"cycle {cycle}: maintenance worker never finished an op"
+        time.sleep(rng.uniform(0.2, 2.0))
+        _killpg(p)
+
+        # the table is intact after EVERY kill, not just at the end
+        got = snapshot_read(spark, spec).agg(
+            {"k": "sum", "*": "count"}
+        ).collect()[0]
+        assert got["count(1)"] == expect_n, f"cycle {cycle}: rows changed"
+        assert got["sum(k)"] == expect_sum, f"cycle {cycle}: content changed"
+
+    # post-storm maintenance converges whatever the kills left behind
+    optimize_snapshots(spark, spec)
+    checkpoint_manifest(spec)
+    vacuum_snapshots(spec, keep_last=1, orphan_grace_s=0.0)
+    got = snapshot_read(spark, spec).agg({"k": "sum", "*": "count"}).collect()[0]
+    assert (got["count(1)"], got["sum(k)"]) == (expect_n, expect_sum)
+    referenced: set[str] = set()
+    for v in _versions(spec):
+        referenced.update(_read_manifest(spec, v)["dirs"])
+    on_disk = set()
+    for name in os.listdir(os.path.join(table, "data")):
+        on_disk.add(f"data/{name}")
+    stray = {
+        d for d in on_disk
+        if d not in referenced and not any(r.startswith(d + "/") for r in referenced)
+    }
+    assert not stray, f"maintenance-kill debris survived final vacuum: {stray}"
