@@ -88,6 +88,7 @@ def main() -> int:
             "docs_mixture_token_budget",  # n_sources scalar onto source rows
             "docs_lang_source_contingency",  # corpus-total scalar onto cells
             "events_negative_samples",  # n_users scalar onto label rows
+            "events_hll_distinct_events",  # 1-row estimate x 1-row exact count
             # 8-query broadcast exact rerank — same sanctioned shape as
             # emb_cosine_topk_bruteforce (ANN is the scale path, see
             # docstring)
