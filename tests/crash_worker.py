@@ -109,6 +109,47 @@ def main() -> int:
         while True:
             time.sleep(0.5)
 
+    elif role == "mview":
+        # append-then-refresh loop made to be killed: each iteration
+        # appends one batch to the SOURCE table then refreshes the VIEW
+        # (table_path is the source; the view lives beside it). The kill
+        # lands inside the append, inside the delta computation, or
+        # between them — the view's txn-map watermark must make every
+        # replayed refresh exact.
+        from creatorops_lakehouse_spark.sources.matview import (
+            create_agg_view,
+            refresh_agg_view,
+        )
+        from creatorops_lakehouse_spark.sources.snapshots import (
+            current_version,
+            last_txn_version,
+        )
+
+        view = TableSpec("crash.v", os.path.join(run_dir, "view"))
+        keys, sums, row_key = ["grp"], {"sum_k": "k"}, ["k"]
+
+        def vrows(c, s):
+            base = c * 1_000_000 + s * 1_000
+            return [
+                (c, s, base + i, (base + i) % 7) for i in range(ROWS_PER_BATCH)
+            ]
+
+        def vdf(rows):
+            return spark.createDataFrame(rows, ["cycle", "seq", "k", "grp"])
+
+        if current_version(spec) is None:
+            snapshot_write(vdf(vrows(cycle, 0)), spec)
+        if last_txn_version(view, f"matview:{view.name}") is None:
+            create_agg_view(spark, spec, view, keys, sums)
+        seq = 1
+        while True:
+            snapshot_write(vdf(vrows(cycle, seq)), spec)
+            v, mode = refresh_agg_view(spark, spec, view, keys, sums, row_key)
+            log(cycle=cycle, seq=seq, src_version=v, mode=mode)
+            if seq == 1:
+                ready()
+            seq += 1
+
     elif role == "maint":
         # maintenance loop made to be killed: OPTIMIZE -> checkpoint fold
         # -> vacuum, round-robin forever. Every one of these ops has a

@@ -41,6 +41,8 @@ import subprocess
 import sys
 import time
 
+import pyspark.sql.functions as F
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "crash_worker.py")
 
@@ -453,3 +455,58 @@ def test_crash_killed_maintenance_preserves_data(spark, tmp_path):
         if d not in referenced and not any(r.startswith(d + "/") for r in referenced)
     }
     assert not stray, f"maintenance-kill debris survived final vacuum: {stray}"
+
+
+def test_crash_matview_refresher_watermark_exact(spark, tmp_path):
+    """SIGKILL the append-then-refresh loop at random phases across
+    cycles: the kill lands inside a source append, inside a refresh's
+    delta computation, or between refresh commit and journal. The
+    matview contract under fire: the view's txn-map watermark and the
+    merged state land in ONE commit, so after any number of murdered
+    refreshers one final refresh brings the view to EXACT equality with
+    a from-scratch aggregate of the source head — nothing double-folded,
+    nothing lost."""
+    from creatorops_lakehouse_spark.sources.matview import refresh_agg_view
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_read
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    src = TableSpec("crash.t", table)
+    view = TableSpec("crash.v", os.path.join(run_dir, "view"))
+
+    rng = random.Random(0x51EE)
+    for cycle in range(3):
+        p = _launch(["mview", cycle], table, run_dir)
+        ok = _wait_file(
+            os.path.join(run_dir, f"ready_mview_{cycle}"), 180, p,
+            "first refresh",
+        )
+        assert ok, f"cycle {cycle}: worker never completed a refresh"
+        time.sleep(rng.uniform(0.1, 1.5))
+        _killpg(p)
+
+    # one clean catch-up, then exact equality with the full recompute
+    refresh_agg_view(
+        spark, src, view, ["grp"], {"sum_k": "k"}, ["k"]
+    )
+    expect = {
+        r.grp: (r.n, r.s)
+        for r in snapshot_read(spark, src)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        r.grp: (r.n_rows, r.sum_k)
+        for r in snapshot_read(spark, view).collect()
+    }
+    assert got == expect
+    # and every journaled (committed) refresh's source version is <= head
+    lines = _journal_lines(run_dir, "journal_mview_*.jsonl")
+    assert lines, "no refresh ever committed across three cycles"
+    assert all(ln["mode"] in ("incremental-append", "noop") for ln in lines)
