@@ -154,3 +154,54 @@ def test_matview_concurrent_refreshers(spark, tmp_path):
     assert not errors, errors
     assert {v for v, _ in results} == {2}, results
     assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_over_streaming_sink(spark, tmp_path):
+    """Composition: micro-batches land in the source table through the
+    exactly-once streaming sink, and the matview refreshes incrementally
+    on top — every sink commit is a plain append, so the refresh takes
+    the fast path (only the new micro-batch dirs are scanned). The
+    pattern is the streaming→serving handoff: the stream owns the fact
+    table, the view serves the aggregate, and both legs are exactly-once
+    (sink via its batch-id txn, refresh via its source-version txn)."""
+    import json
+    import os
+
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        start_exactly_once_sink,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def drop(name, ks):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for k in ks:
+                f.write(json.dumps({"k": k, "grp": k % 5, "val": k * 10}) + "\n")
+
+    drop("f0.json", range(0, 20))
+    stream = (
+        spark.readStream.schema("k long, grp long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = start_exactly_once_sink(
+        stream, src, str(tmp_path / "ckpt"), app_id="mvstream"
+    )
+    q.awaitTermination()
+    create_agg_view(spark, src, view, KEYS, SUMS)
+    assert _view(spark, view) == _expect(spark, src)
+
+    # two more micro-batches, then an incremental catch-up refresh
+    drop("f1.json", range(20, 45))
+    drop("f2.json", range(45, 60))
+    q = start_exactly_once_sink(
+        stream, src, str(tmp_path / "ckpt"), app_id="mvstream"
+    )
+    q.awaitTermination()
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert mode == "incremental-append"
+    assert _view(spark, view) == _expect(spark, src)
+    assert snapshot_read(spark, src).count() == 60
