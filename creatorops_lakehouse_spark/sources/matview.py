@@ -7,8 +7,12 @@ The reference's gold tables (pipelines/gold/kpis.py, retention.py — full
 recompute on every run) are the workload this upgrades: at 100 TB a
 nightly full re-aggregation re-reads the whole fact table to refresh a
 few thousand group rows. A SUM/COUNT aggregate is SELF-MAINTAINABLE:
-the new view state is a pure function of (old view state, changed rows),
-so refresh cost is ∝ CHANGED rows — never table size.
+the new view state is a pure function of (old view state, changed rows).
+Refresh cost: the APPEND path (the common case) reads only the new
+data; the DML fallback computes the key-level CDF, which scans the two
+pinned versions (O(table) read, like Delta CDF without per-commit
+change files) but still folds into the view through the tiny delta —
+the full re-AGGREGATION and the view rewrite stay O(changes)/O(groups).
 
 Two refresh paths, chosen per refresh from the two manifests alone:
 
