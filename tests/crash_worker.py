@@ -137,6 +137,10 @@ def main() -> int:
         def vdf(rows):
             return spark.createDataFrame(rows, ["cycle", "seq", "k", "grp"])
 
+        from creatorops_lakehouse_spark.sources.snapshots import (
+            SnapshotConflictError,
+        )
+
         if current_version(spec) is None:
             snapshot_write(vdf(vrows(cycle, 0)), spec)
         if last_txn_version(view, f"matview:{view.name}") is None:
@@ -144,8 +148,17 @@ def main() -> int:
         seq = 1
         while True:
             snapshot_write(vdf(vrows(cycle, seq)), spec)
-            v, mode = refresh_agg_view(spark, spec, view, keys, sums, row_key)
-            log(cycle=cycle, seq=seq, src_version=v, mode=mode)
+            try:
+                v, mode = refresh_agg_view(
+                    spark, spec, view, keys, sums, row_key
+                )
+                log(cycle=cycle, seq=seq, src_version=v, mode=mode)
+            except SnapshotConflictError as e:
+                # retry exhaustion under flat-out contention is a
+                # legitimate optimistic-concurrency outcome (Delta's
+                # ConcurrentAppendException shape): journal it and loop —
+                # the next refresh re-reads the watermark and catches up
+                log(cycle=cycle, seq=seq, tolerated=str(e)[:160])
             if seq == 1:
                 ready()
             seq += 1

@@ -510,3 +510,81 @@ def test_crash_matview_refresher_watermark_exact(spark, tmp_path):
     lines = _journal_lines(run_dir, "journal_mview_*.jsonl")
     assert lines, "no refresh ever committed across three cycles"
     assert all(ln["mode"] in ("incremental-append", "noop") for ln in lines)
+
+
+def test_crash_dueling_matview_refreshers(spark, tmp_path):
+    """TWO append-and-refresh processes share one source and ONE view:
+    their view overwrites race for real across JVMs (the in-process
+    thread test can't see file-level publish races). The refresh retry
+    loop must absorb every cross-process SnapshotConflictError — a loser
+    re-reads the watermark and either redoes the catch-up or no-ops.
+    Both storms end in SIGKILL; a final clean refresh must land the view
+    at exact equality with the full recompute."""
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+    src = TableSpec("crash.t", table)
+    view = TableSpec("crash.v", os.path.join(run_dir, "view"))
+
+    # pre-seed table + view so the workers race only append/refresh
+    snapshot_write(
+        spark.createDataFrame(
+            [(-1, 0, i, i % 7) for i in range(ROWS_PER_BATCH)],
+            ["cycle", "seq", "k", "grp"],
+        ),
+        src,
+    )
+    create_agg_view(spark, src, view, ["grp"], {"sum_k": "k"})
+
+    ps = [_launch(["mview", c], table, run_dir) for c in (0, 1)]
+    try:
+        for c in (0, 1):
+            ok = _wait_file(
+                os.path.join(run_dir, f"ready_mview_{c}"), 180, ps[c],
+                "first refresh",
+            )
+            assert ok, f"refresher {c} never completed a refresh"
+        time.sleep(6)  # dueling refreshes across JVMs
+        for p in ps:
+            assert p.poll() is None, (
+                "a refresher died mid-duel — retry loop failed to absorb "
+                "a cross-process conflict"
+            )
+    finally:
+        for p in ps:
+            _killpg(p)
+
+    refresh_agg_view(spark, src, view, ["grp"], {"sum_k": "k"}, ["k"])
+    expect = {
+        r.grp: (r.n, r.s)
+        for r in snapshot_read(spark, src)
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        r.grp: (r.n_rows, r.sum_k)
+        for r in snapshot_read(spark, view).collect()
+    }
+    assert got == expect
+    # both refreshers stayed in the fight (committed or tolerated a
+    # conflict-exhaustion — never died), and real refreshes landed
+    committed = 0
+    for c in (0, 1):
+        lines = _journal_lines(run_dir, f"journal_mview_{c}.jsonl")
+        assert lines, f"refresher {c} journaled nothing"
+        committed += sum(1 for ln in lines if "mode" in ln)
+    assert committed >= 2, "the duel produced almost no committed refreshes"
