@@ -14,7 +14,7 @@ pinned versions (O(table) read, like Delta CDF without per-commit
 change files) but still folds into the view through the tiny delta —
 the full re-AGGREGATION and the view rewrite stay O(changes)/O(groups).
 
-Two refresh paths, chosen per refresh from the two manifests alone:
+Refresh paths, chosen per refresh from the two manifests alone:
 
 - **incremental-append** (the common case): if the source head's file
   set is a superset of the watermark version's (same schema, same
@@ -26,6 +26,10 @@ Two refresh paths, chosen per refresh from the two manifests alone:
   back to the key-level CDF (snapshot_diff with update detection);
   change rows fold into the view with +1/-1 weights
   (insert/update_postimage = +1, delete/update_preimage = -1).
+- **full-rebuild**: vacuum reclaimed the watermark version, so the delta
+  is unreconstructible — re-materialize from the head (Delta's behavior
+  past the change feed's retention horizon), still as ONE commit
+  carrying the new watermark.
 
 The WATERMARK is the snapshot log's own exactly-once txn map
 (app_id = "matview:<view table name>", txn_version = source version):
@@ -140,7 +144,9 @@ def refresh_agg_view(
     max_retries: int = 5,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
-    mode)`` with mode in ``noop | incremental-append | incremental-diff``.
+    mode)`` with mode in ``noop | incremental-append | incremental-diff |
+    full-rebuild`` (the last when vacuum reclaimed the watermark version
+    — the delta is gone, so the view re-materializes from the head).
 
     ``row_key`` identifies source ROWS (not groups) for the CDF fallback;
     on the append fast path it is unused. The refresh is idempotent and
@@ -191,7 +197,21 @@ def _refresh_once(
     if v_now is None or v_now <= v_last:
         return (v_last, "noop")
 
-    m_last = _read_manifest(src, v_last)
+    try:
+        m_last = _read_manifest(src, v_last)
+    except ValueError:
+        # the watermark version was vacuumed past — the delta between
+        # watermark and head is no longer reconstructible, so fall back
+        # to a FULL re-materialization (Delta MVs do the same when the
+        # change feed's retention horizon is crossed). Still one commit:
+        # state + new watermark land together.
+        df = snapshot_read(spark, src, version=v_now)
+        _check_measures_non_null(df, sums)
+        snapshot_write_txn(
+            _aggregate(df, keys, sums), view,
+            app_id=_app_id(view), txn_version=v_now, mode="overwrite",
+        )
+        return (v_now, "full-rebuild")
     m_now = _read_manifest(src, v_now)
     if _append_only(m_last, m_now):
         mode = "incremental-append"

@@ -205,3 +205,59 @@ def test_matview_over_streaming_sink(spark, tmp_path):
     assert mode == "incremental-append"
     assert _view(spark, view) == _expect(spark, src)
     assert snapshot_read(spark, src).count() == 60
+
+
+def test_matview_survives_optimize_and_rollback(spark, tmp_path):
+    """Maintenance and undo between refreshes: OPTIMIZE rewrites the file
+    set without changing content (the diff path must fold an EMPTY
+    delta), and a rollback re-publishes an old file set as a NEW version
+    (the diff path must fold the reverted rows back out). Both end in
+    exact equality with the full recompute."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+        rollback,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(_rows(spark, range(0, 30)), src)  # v0
+    create_agg_view(spark, src, view, KEYS, SUMS)
+    snapshot_write(_rows(spark, range(30, 50)), src)  # v1
+    refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+
+    optimize_snapshots(spark, src)  # v2: same rows, new file set
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert mode == "incremental-diff"  # dirs changed -> not append-only
+    assert _view(spark, view) == _expect(spark, src)
+
+    rollback(src, 0)  # v3: back to the first 30 rows
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert mode == "incremental-diff"
+    assert _view(spark, view) == _expect(spark, src)
+    assert snapshot_read(spark, src).count() == 30
+
+
+def test_matview_vacuumed_watermark_full_rebuild(spark, tmp_path):
+    """Vacuum reclaims the version the view last refreshed at: the delta
+    is unreconstructible, so the refresh must FULL-REBUILD (Delta's
+    behavior past the change-feed retention horizon) rather than raise —
+    and the rebuild is still one commit carrying the new watermark."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        vacuum_snapshots,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(_rows(spark, range(0, 20)), src)  # v0
+    create_agg_view(spark, src, view, KEYS, SUMS)  # watermark = 0
+    snapshot_write(_rows(spark, range(20, 40)), src)  # v1
+    snapshot_write(_rows(spark, range(40, 60)), src)  # v2
+    checkpoint_manifest(src)
+    vacuum_snapshots(src, keep_last=1)  # v0 (the watermark) is gone
+
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert (v, mode) == (2, "full-rebuild")
+    assert _view(spark, view) == _expect(spark, src)
+    # and the watermark advanced: the next refresh is a no-op
+    assert refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)[1] == "noop"
