@@ -56,23 +56,35 @@ def estimate_numerator(b: int = DEFAULT_B) -> int:
     return _alpha_scaled(m) * m * m * (1 << 54)
 
 
-def hll_registers(df: DataFrame, key_col: str, b: int = DEFAULT_B) -> DataFrame:
-    """Sketch a column: ≤ 2^b rows of (bucket int, rho int). One
-    projection + one map-side-combinable groupBy — the same shuffle
-    shape as any partial aggregate, with ≤ 2^b groups."""
+def hll_registers(
+    df: DataFrame,
+    key_col: str,
+    b: int = DEFAULT_B,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Sketch a column: ≤ 2^b rows of (bucket int, rho int) — per group
+    when ``group_cols`` is given (≤ 2^b rows PER group: the GROUP BY
+    COUNT(DISTINCT) shape, e.g. a matview's per-group distinct measure).
+    One projection + one map-side-combinable groupBy — the same shuffle
+    shape as any partial aggregate. NULL keys are excluded, matching
+    COUNT(DISTINCT)'s NULL semantics (md5(NULL) would otherwise sketch a
+    phantom bucket)."""
     m = 1 << b
     h60 = F.conv(
         F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    d = df.select(h60.alias("_h60"))
+    d = df.filter(F.col(key_col).isNotNull()).select(
+        *group_cols, h60.alias("_h60")
+    )
     q = F.expr(f"_h60 div {m}")
     rho = F.when(q == 0, F.lit(54)).otherwise(F.lit(54) - F.length(F.bin(q)))
     return (
         d.select(
+            *group_cols,
             (F.col("_h60") % m).cast("int").alias("bucket"),
             rho.cast("int").alias("rho"),
         )
-        .groupBy("bucket")
+        .groupBy(*group_cols, "bucket")
         .agg(F.max("rho").alias("rho"))
     )
 

@@ -135,28 +135,51 @@ _PIN_FIRST = (
     "events_medallion_e2e_verdict",
     "docs_curation_e2e_verdict",
     "orders_snapshot_lifecycle_verdict",
+    # family representatives whose modules would otherwise bury them too
+    # deep for the driver's 50-query window (VERDICT r10 item 4: every §2
+    # family must appear in CORRECTNESS_r{N}): streaming, matview, HLL.
+    "events_streaming_exactly_once_verdict",
+    "events_session_windows",
+    "orders_matview_incremental_verdict",
+    "events_hll_distinct_events",
 )
 
 
 def _ordered() -> list[RegisteredQuery]:
     """Registry in driver-facing order: pinned pipeline verdicts, then
-    every other oracle-backed query, then rows-only queries.
+    every other oracle-backed query ROUND-ROBINED across query families,
+    then rows-only queries.
 
-    The correctness harness checks the first 50 ``queries()`` entries; a
-    rows-only pair-list query occupying one of those slots displaces an
-    oracle-backed query from the hash gate. Stable sort keeps each group in
-    registration order, so the ordering is deterministic across runs.
+    The correctness harness hash-checks the first 50 ``queries()``
+    entries. Registration order alone front-loads whichever module
+    registers first (r10's window was 47 ``docs_*`` rows — the
+    relational/window/graph/emb families went driver-unchecked that
+    round, VERDICT r10 item 4), so after the pinned composed verdicts the
+    families are interleaved one-at-a-time: any 50-prefix spans scans,
+    joins, aggs, windows, dedup, ANN, graph, and streaming. Families are
+    the defining query modules; module order and in-module order are
+    both registration order, so the interleaving is deterministic across
+    runs. Rows-only queries still sort last — one of them in the window
+    would displace an oracle-backed query from the hash gate.
     """
     _ensure_imported()
-    return sorted(
-        REGISTRY.values(),
-        key=lambda rq: (
-            rq.oracle is None,
-            _PIN_FIRST.index(rq.name) - len(_PIN_FIRST)
-            if rq.name in _PIN_FIRST
-            else 0,
-        ),
-    )
+    pinned = [REGISTRY[n] for n in _PIN_FIRST]
+    groups: dict[str, list[RegisteredQuery]] = {}
+    rows_only: list[RegisteredQuery] = []
+    for rq in REGISTRY.values():
+        if rq.name in _PIN_FIRST:
+            continue
+        if rq.oracle is None:
+            rows_only.append(rq)
+        else:
+            groups.setdefault(rq.fn.__module__, []).append(rq)
+    interleaved: list[RegisteredQuery] = []
+    lanes = [list(g) for g in groups.values()]
+    while lanes:
+        for g in lanes:
+            interleaved.append(g.pop(0))
+        lanes = [g for g in lanes if g]
+    return pinned + interleaved + rows_only
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1527,3 +1527,174 @@ def orders_matview_incremental_verdict(spark: SparkSession, sf_dir: str) -> Data
         "append_path_ok boolean, catchup_path_ok boolean, "
         "diff_path_ok boolean, equals_full_ok boolean, noop_ok boolean",
     )
+
+
+def _sql_matview_hll() -> str:
+    from creatorops_lakehouse_spark.operators.hll import estimate_numerator
+
+    num = estimate_numerator(7)
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey % 7 AS grp,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_custkey AS cust
+        FROM orders
+    ),
+    h AS (
+        SELECT grp,
+               CAST('0x' || substr(md5(CAST(cust AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM o
+    ),
+    reg AS (
+        SELECT grp, h60 % 128 AS bucket,
+               MAX(CASE WHEN h60 // 128 = 0 THEN 54
+                        ELSE 54 - length(bin(h60 // 128)) END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    s AS (
+        -- integer shifts only (** is pow() -> DOUBLE in DuckDB and
+        -- rounds past 53 mantissa bits); max sum 128 * 2^54 = 2^61
+        SELECT grp,
+               SUM(CAST(1 AS BIGINT) << (54 - rho))
+                   + CAST((128 - COUNT(*)) AS BIGINT)
+                     * (CAST(1 AS BIGINT) << 54) AS s54
+        FROM reg GROUP BY 1
+    ),
+    est AS (
+        SELECT grp,
+               CAST(CAST('{num}' AS HUGEINT)
+                    // (CAST(s54 AS HUGEINT) * 1000000) AS BIGINT) AS nd_cust
+        FROM s
+    ),
+    base AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM o GROUP BY 1
+    )
+    SELECT b.grp, b.n_rows, b.sum_cents, e.nd_cust,
+           TRUE AS append_path_ok, TRUE AS catchup_path_ok,
+           TRUE AS regs_equal_full
+    FROM base b JOIN est e USING (grp)
+    """
+
+
+@query("orders_matview_hll_verdict", oracle=_sql_matview_hll())
+def orders_matview_hll_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) matview self-maintenance under one hash (VERDICT
+    r10 item 2): the reason matviews classically can't increment is the
+    distinct measure — this row pins the HLL answer. The view stores
+    per-group (bucket, rho) register arrays (sources/matview.py
+    ``hlls=``); the APPEND refresh path folds ONLY the new dirs'
+    registers in by per-bucket MAX (O(new data) + O(groups · m), the
+    mergeable-sketch property a 100 TB deployment ships sketches across
+    partitions with), alongside the exact SUM/COUNT measures.
+
+    Lifecycle: write band0 of orders → create view (grp = key%7;
+    COUNT(*), SUM(cents), HLL(cust)) → append band1 → refresh (must be
+    incremental-append) → append band2+band3 → one catch-up refresh →
+    verdict. In-engine booleans: both refresh modes, plus
+    regs_equal_full — the incrementally-folded registers equal a
+    from-scratch sketch of the source head BUCKET FOR BUCKET (full-outer
+    anti-comparison), which is strictly stronger than estimate equality.
+
+    The oracle recomputes per-group n_rows, sum_cents, and the HLL
+    estimate from raw ``orders`` in pure SQL (same md5 register
+    construction, same exact-integer 88-bit-constant division as
+    operators/hll.py — integer shifts, never pow()) and pins the
+    booleans TRUE: a lost register, a double-folded append, or any
+    estimate drift flips the hash at any SF. DML-between-refreshes is
+    REFUSED for HLL views (registers are MAX-folded, not subtractable) —
+    that contract is pytest-pinned (tests/test_matview.py::
+    test_matview_hll_dml_refused), keeping this row append-only by
+    construction. Eager verdict harness (excluded from bench); scratch
+    tree deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.hll import hll_registers
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {"sum_cents": "cents"}, ["key"]
+    hlls = {"nd_cust": "cust"}
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_hll_")
+    try:
+        src = TableSpec("t.mvhsrc", root + "/src")
+        view = TableSpec("t.mvhview", root + "/view")
+        cols = ("key", "cents", "cust", "grp")
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, hlls=hlls)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        _, mode1 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hlls=hlls
+        )
+        append_path_ok = mode1 == "incremental-append"
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        _, mode2 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hlls=hlls
+        )
+        catchup_path_ok = mode2 == "incremental-append"
+
+        mat = snapshot_read(spark, view)
+        stored_long = mat.select(
+            "grp", F.explode("nd_cust_regs").alias("_r")
+        ).select(
+            "grp",
+            F.col("_r.bucket").alias("bucket"),
+            F.col("_r.rho").alias("_rs"),
+        )
+        full_long = hll_registers(
+            snapshot_read(spark, src), "cust", 7, ("grp",)
+        ).withColumnRenamed("rho", "_rf")
+        n_mismatch = (
+            stored_long.join(full_long, on=["grp", "bucket"], how="full_outer")
+            .filter(
+                F.col("_rs").isNull()
+                | F.col("_rf").isNull()
+                | (F.col("_rs") != F.col("_rf"))
+            )
+            .count()
+        )
+        out = mat.select(
+            "grp",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("nd_cust").cast("long").alias("nd_cust"),
+            F.lit(bool(append_path_ok)).alias("append_path_ok"),
+            F.lit(bool(catchup_path_ok)).alias("catchup_path_ok"),
+            F.lit(n_mismatch == 0).alias("regs_equal_full"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, n_rows long, sum_cents long, nd_cust long, "
+        "append_path_ok boolean, catchup_path_ok boolean, "
+        "regs_equal_full boolean",
+    )

@@ -449,6 +449,134 @@ def docs_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "docs_minhash_lsh_pairs_prod",
+    oracle=f"""
+    WITH {_SQL_BIGRAM_SETS},
+    posts AS (SELECT doc_id, set_size, unnest(shingles) AS tok FROM sized),
+    common AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               a.set_size AS a_size, b.set_size AS b_size,
+               COUNT(*) AS n_common
+        FROM posts a JOIN posts b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT a_id, b_id,
+           CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) AS jaccard
+    FROM common
+    WHERE CAST(n_common AS DOUBLE) / (a_size + b_size - n_common) >= 0.5
+    """,
+)
+def docs_minhash_lsh_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION MinHash-LSH path (xxhash64 lanes + 64-bit-long band
+    buckets — 8 B bucket shuffle vs the md5 twin's 32 B hex strings),
+    registered as a BENCHED row so BENCH_r11+ times what production would
+    actually run (VERDICT r10 item 1b: the md5 twin's cost had silently
+    become the benched number).
+
+    The oracle is the EXACT all-pairs bigram-Jaccard set at the same
+    threshold — STRICTER than the md5 twin's LSH replay: a hash match
+    requires LSH recall = 1.0 on this corpus, so any lost band, broken
+    bucket join, or verify asymmetry flips the gate. That equality is an
+    empirical property of the fixed driver corpus (measured exact at
+    sf0.001/0.01/0.1; min true-pair jaccard 0.82 → per-pair miss
+    probability ≤ 7e-5 under the band geometry P(collide) =
+    1−(1−j^4)^16), and both the corpus and xxhash64 are deterministic, so
+    the gate is stable — it is NOT a general recall guarantee; the
+    declared floor lives in docs_minhash_recall_verdict."""
+    return minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"),
+        threshold=0.5,
+        ngram=2,
+        num_perm=64,
+        bands=16,
+        sets=corpus_sets(spark, sf_dir, 2),
+    )
+
+
+@query("docs_simhash_pairs_prod")
+def docs_simhash_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION SimHash path (xxhash64 shingle hashes), registered
+    as a BENCHED row (VERDICT r10 item 1b). Rows-only by necessity: the
+    64-bit signatures — and therefore the borderline-hamming pair set —
+    are a function of the shingle hash family, and DuckDB has no xxhash64
+    to replay (measured: md5 and xxhash64 tables agree on ~86-89% IoU of
+    pairs at hamming ≤ 7, diverging only at the 6-8 boundary). Its
+    correctness instruments are both hash-green: the banded-vs-exhaustive
+    recall contract at THIS hash (docs_simhash_recall_verdict) and the
+    cross-hash pair-set parity floor (docs_simhash_prod_parity_verdict)."""
+    return simhash_pairs(
+        load(spark, sf_dir, "documents"), ngram=2,
+        sets=corpus_sets(spark, sf_dir, 2),
+        **SIMHASH_GEOMETRY,
+    )
+
+
+@query(
+    "docs_simhash_prod_parity_verdict",
+    oracle=f"""
+    WITH {_SQL_BIGRAM_SETS},
+    hl AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) AS hi,
+               CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT) AS lo
+        FROM (SELECT doc_id, unnest(shingles) AS s FROM sized)
+    ),
+    votes AS (
+        SELECT doc_id, COUNT(*) AS n,
+               {', '.join(
+                   f"SUM(({'lo' if b < 32 else 'hi'} >> {b % 32}) & 1) AS v{b}"
+                   for b in range(64)
+               )}
+        FROM hl GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+               CAST({' + '.join(f"(CASE WHEN 2 * v{b} > n THEN {1 << b} ELSE 0 END)" for b in range(32))} AS BIGINT) AS slo,
+               CAST({' + '.join(f"(CASE WHEN 2 * v{b + 32} > n THEN {1 << b} ELSE 0 END)" for b in range(32))} AS BIGINT) AS shi
+        FROM votes
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_md5_pairs,
+           TRUE AS parity_ok
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.slo, b.slo)) + bit_count(xor(a.shi, b.shi)) <= 7
+    """,
+)
+def docs_simhash_prod_parity_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-hash pair-set parity for the benched SimHash prod row
+    (VERDICT r10 item 1b): the xxhash64 production pair set and the
+    md5 replayable twin's pair set must agree to IoU ≥ 0.6 — two hash
+    families estimating the same bigram-vote similarity may flip
+    borderline pairs at the hamming 6-8 boundary (measured IoU 0.83-0.89
+    across sf0.001/0.01/0.1) but collapse of the overlap means the prod
+    path's banding or signature broke. The oracle recomputes the md5
+    twin's EXHAUSTIVE pair count in SQL (valid as the banded twin's
+    expected output by the pigeonhole recall guarantee at h ≤ 7) and pins
+    parity_ok; a drifted prod path flips the hash-checked boolean."""
+    sets = corpus_sets(spark, sf_dir, 2)
+    docs = load(spark, sf_dir, "documents")
+    prod = simhash_pairs(
+        docs, ngram=2, sets=sets, **SIMHASH_GEOMETRY
+    ).select("a_id", "b_id", F.lit(1).alias("_p"))
+    twin = simhash_pairs(
+        docs, ngram=2, sets=sets, hash_mode="md5", **SIMHASH_GEOMETRY
+    ).select("a_id", "b_id", F.lit(1).alias("_t"))
+    merged = prod.join(twin, on=["a_id", "b_id"], how="full_outer")
+    agg = merged.agg(
+        F.count("_t").alias("_n_twin"),
+        F.count(F.lit(1)).alias("_n_union"),
+        F.count(F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)).alias(
+            "_n_both"
+        ),
+    )
+    return agg.select(
+        F.col("_n_twin").cast("long").alias("n_md5_pairs"),
+        ((F.col("_n_both") * 10) >= (F.col("_n_union") * 6)).alias("parity_ok"),
+    )
+
+
+@query(
     "docs_minhash_recall_verdict",
     oracle=f"""
     WITH toks AS (

@@ -4350,13 +4350,19 @@ def events_trailing_30min_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         SELECT bucket, MAX(rho) AS rho FROM reg_half GROUP BY 1
     ),
     s AS (
-        SELECT CAST(SUM(CAST(2 AS BIGINT) ** (54 - rho)) AS BIGINT)
+        -- integer shifts, never ** : DuckDB's ** is pow() and returns
+        -- DOUBLE, which silently rounds past 53 mantissa bits; << keeps
+        -- the sum exact-BIGINT (max 128 * 2^54 = 2^61), matching the
+        -- engine's shiftleft sum bit-for-bit. Computed from MERGED (the
+        -- halves folded by per-bucket MAX), so a register-merge
+        -- divergence flips est — not just merge_ok.
+        SELECT SUM(CAST(1 AS BIGINT) << (54 - rho))
                    + CAST((128 - COUNT(*)) AS BIGINT)
-                     * (CAST(2 AS BIGINT) ** 54) AS s54,
+                     * (CAST(1 AS BIGINT) << 54) AS s54,
                CAST(COUNT(*) AS BIGINT) AS n_buckets,
                CAST(MAX(rho) AS BIGINT) AS max_rho,
                CAST(SUM(rho) AS BIGINT) AS sum_rho
-        FROM reg
+        FROM merged
     ),
     e AS (
         SELECT CAST(CAST('211110442137635695750021120' AS HUGEINT)
@@ -4364,14 +4370,24 @@ def events_trailing_30min_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
                n_buckets, max_rho, sum_rho
         FROM s
     ),
+    mism AS (
+        SELECT (SELECT COUNT(*) FROM
+                   (SELECT bucket, rho FROM reg
+                    EXCEPT SELECT bucket, rho FROM merged))
+             + (SELECT COUNT(*) FROM
+                   (SELECT bucket, rho FROM merged
+                    EXCEPT SELECT bucket, rho FROM reg)) AS n_mism
+    ),
     x AS (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS exact_distinct
           FROM events)
     SELECT e.est, x.exact_distinct,
            (10000 * ABS(e.est - x.exact_distinct)) // x.exact_distinct
                AS err_bp,
            e.n_buckets, e.max_rho, e.sum_rho,
-           TRUE AS merge_ok, TRUE AS within_bound
-    FROM e, x
+           (mism.n_mism = 0) AS merge_ok,
+           ((10000 * ABS(e.est - x.exact_distinct)) // x.exact_distinct
+               <= 2000) AS within_bound
+    FROM e, x, mism
     """,
 )
 def events_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -287,6 +287,51 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("emb_ann_lsh_topk_prod")
+def emb_ann_lsh_topk_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION sign-LSH ANN path (Gaussian hyperplanes,
+    auto-sized planes × tables from auto_planes/auto_tables — the
+    geometry that holds bucket occupancy and recall as the corpus
+    grows), registered as a BENCHED row so BENCH_r11+ times the path a
+    100 TB deployment would run, not the pinned-geometry md5-integer
+    twin (VERDICT r10 item 1b). Rows-only by necessity: Gaussian plane
+    weights are not replayable in a SQL oracle; its correctness
+    instrument is the hash-green emb_ann_lsh_recall_verdict, which runs
+    THIS operator at THIS configuration against the exact brute-force
+    top-k."""
+    from creatorops_lakehouse_spark.operators.similarity import ann_lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(
+        emb, k=TOP_K, cos_floor=0.3, query_pred=lambda c: c < N_QUERIES
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round("cos_sim", 4).alias("cos_sim_r"),
+        "rank",
+    )
+
+
+@query("emb_neardup_pairs_prod")
+def emb_neardup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION embedding near-dup path (Gaussian hyperplanes,
+    auto_planes/auto_tables sizing, grouped in-bucket matmul verify),
+    registered as a BENCHED row (VERDICT r10 item 1b — the r10 bench
+    timed only the md5-integer replayable twin, whose string buckets and
+    quantization cost 2.78× the prod path). Rows-only by necessity
+    (Gaussian planes aren't SQL-replayable); correctness is pinned by
+    the hash-green emb_neardup_recall_verdict, which runs THIS operator
+    at THIS threshold against the exact all-pairs baseline (precision =
+    1, recall ≥ 0.6 floors)."""
+    from creatorops_lakehouse_spark.operators.similarity import (
+        embedding_neardup_pairs,
+    )
+
+    return embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=NEARDUP_VERDICT_TAU
+    ).select("a_id", "b_id", F.round("cos_sim", 4).alias("cos_sim_r"))
+
+
 @query(
     "emb_label_norm_stats",
     oracle="""

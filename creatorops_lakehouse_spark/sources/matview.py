@@ -47,6 +47,16 @@ Contracts (refused loudly, not silently wrong):
   the full recompute but materially contribute 0 through the merge's
   COALESCE, silently diverging the two. Enforced per refresh on the
   delta only (O(changed rows)).
+- COUNT(DISTINCT) measures (``hlls``) maintain per-group HyperLogLog
+  register state (operators/hll.py): the view stores each group's
+  (bucket, rho) array plus the exact-integer estimate, and the APPEND
+  path folds new-data registers in by per-bucket MAX — O(new data) scan
+  + O(groups · m) register fold, never a re-scan of distinct keys.
+  DML between refreshes is REFUSED for HLL views: a register MAX is not
+  subtractable (a deleted key's rho contribution needs a rescan of the
+  group — the same reason MIN/MAX are refused); recreate the view or
+  drop the distinct measure. NULL keys are skipped, matching
+  COUNT(DISTINCT) semantics on the full recompute.
 """
 
 from __future__ import annotations
@@ -97,24 +107,108 @@ def _check_measures_non_null(df: DataFrame, sums: dict[str, str]) -> None:
         )
 
 
+#: HLL precision for distinct-count matview measures (m = 128 registers,
+#: ~9.2% 1σ error — operators/hll.py DEFAULT_B)
+_HLL_B = 7
+
+
+def _hll_state(regs_long: DataFrame, keys: list[str], out_col: str) -> DataFrame:
+    """Fold long-form (keys..., bucket, rho) registers into the view's
+    stored shape: ``<out_col>_regs`` (bucket-sorted array — deterministic
+    bytes for the snapshot log) + ``<out_col>`` (the exact-integer HLL
+    estimate, operators/hll.py's DECIMAL(38,0) division — identical on
+    every engine given identical registers)."""
+    from creatorops_lakehouse_spark.operators.hll import estimate_numerator
+
+    m = 1 << _HLL_B
+    num = estimate_numerator(_HLL_B)
+    per = regs_long.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("bucket"), F.col("rho")))
+        ).alias(f"{out_col}_regs"),
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 54 - rho)"))
+            + (F.lit(m) - F.count(F.lit(1))).cast("long") * F.lit(1 << 54)
+        ).alias("_s54"),
+    )
+    return per.withColumn(
+        out_col,
+        F.expr(
+            f"CAST(CAST('{num}' AS DECIMAL(38,0)) div "
+            f"(CAST(_s54 AS DECIMAL(38,0)) * 1000000) AS BIGINT)"
+        ),
+    ).drop("_s54")
+
+
+def _attach_hll(
+    base: DataFrame,
+    keys: list[str],
+    states: dict[str, DataFrame],
+) -> DataFrame:
+    """Left-join each measure's HLL state onto the measure table; a group
+    whose distinct key was always NULL has no registers — normalize to an
+    empty array + estimate 0 so full recompute and incremental merge
+    produce byte-identical view state."""
+    out = base
+    for out_col, state in states.items():
+        out = out.join(state, on=keys, how="left").withColumns(
+            {
+                f"{out_col}_regs": F.coalesce(
+                    F.col(f"{out_col}_regs"),
+                    F.expr("CAST(array() AS array<struct<bucket:int,rho:int>>)"),
+                ),
+                out_col: F.coalesce(F.col(out_col), F.lit(0).cast("long")),
+            }
+        )
+    return out
+
+
+def _check_hll_cols(sums: dict[str, str], hlls: dict[str, str] | None) -> None:
+    if hlls and set(hlls) & ({N_COL} | set(sums)):
+        raise ValueError(
+            f"hll output columns collide with sum/count measures: "
+            f"{sorted(set(hlls) & ({N_COL} | set(sums)))}"
+        )
+
+
 def create_agg_view(
     spark: SparkSession,
     src: TableSpec,
     view: TableSpec,
     keys: list[str],
     sums: dict[str, str],
+    hlls: dict[str, str] | None = None,
 ) -> int:
     """Full initial materialization of ``GROUP BY keys`` with COUNT(*)
     plus the given SUM measures, watermarked at the source head. Returns
-    the source version the view now reflects."""
+    the source version the view now reflects.
+
+    ``hlls``: optional ``{out_col: in_col}`` COUNT(DISTINCT in_col)
+    measures, maintained as per-group HyperLogLog register state (module
+    docstring) — the view gains ``out_col`` (estimate) and
+    ``out_col_regs`` (mergeable registers) columns."""
+    from creatorops_lakehouse_spark.operators.hll import hll_registers
+
+    _check_hll_cols(sums, hlls)
     v = current_version(src)
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
     df = snapshot_read(spark, src, version=v)
     _check_measures_non_null(df, sums)
+    base = _aggregate(df, keys, sums)
+    if hlls:
+        base = _attach_hll(
+            base,
+            keys,
+            {
+                out: _hll_state(
+                    hll_registers(df, in_col, _HLL_B, tuple(keys)), keys, out
+                )
+                for out, in_col in hlls.items()
+            },
+        )
     snapshot_write_txn(
-        _aggregate(df, keys, sums), view,
-        app_id=_app_id(view), txn_version=v, mode="overwrite",
+        base, view, app_id=_app_id(view), txn_version=v, mode="overwrite",
     )
     return v
 
@@ -130,8 +224,12 @@ def _append_only(m_old: dict, m_new: dict) -> bool:
         return False
     if m_old.get("column_map") != m_new.get("column_map"):
         return False
-    dv_old, dv_new = m_old.get("dv", {}), m_new.get("dv", {})
-    return all(dv_old.get(d) == dv_new.get(d) for d in old_dirs)
+    # dv is a LIST of {ranges, dirs, n} entries (snapshots.py's
+    # snapshot_delete_where), carried forward VERBATIM by appends — so
+    # list equality is exactly "no vector changed". Any dv change
+    # (a new merge-on-read delete, or a purge dropping vectors) falls
+    # back to the incremental-diff path, whose snapshot_diff applies DVs.
+    return m_old.get("dv", []) == m_new.get("dv", [])
 
 
 def refresh_agg_view(
@@ -142,6 +240,7 @@ def refresh_agg_view(
     sums: dict[str, str],
     row_key: list[str],
     max_retries: int = 5,
+    hlls: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
     mode)`` with mode in ``noop | incremental-append | incremental-diff |
@@ -171,7 +270,7 @@ def refresh_agg_view(
     last_err: Exception | None = None
     for _ in range(max_retries):
         try:
-            return _refresh_once(spark, src, view, keys, sums, row_key)
+            return _refresh_once(spark, src, view, keys, sums, row_key, hlls)
         except SnapshotConflictError as e:
             last_err = e
     raise SnapshotConflictError(
@@ -187,7 +286,11 @@ def _refresh_once(
     keys: list[str],
     sums: dict[str, str],
     row_key: list[str],
+    hlls: dict[str, str] | None = None,
 ) -> tuple[int, str]:
+    from creatorops_lakehouse_spark.operators.hll import hll_registers
+
+    _check_hll_cols(sums, hlls)
     v_now = current_version(src)
     v_last = last_txn_version(view, _app_id(view))
     if v_last is None:
@@ -204,22 +307,67 @@ def _refresh_once(
         # watermark and head is no longer reconstructible, so fall back
         # to a FULL re-materialization (Delta MVs do the same when the
         # change feed's retention horizon is crossed). Still one commit:
-        # state + new watermark land together.
+        # state + new watermark land together. HLL measures rebuild from
+        # the head the same way — a rebuild has no subtraction to refuse.
         df = snapshot_read(spark, src, version=v_now)
         _check_measures_non_null(df, sums)
+        rebuilt = _aggregate(df, keys, sums)
+        if hlls:
+            rebuilt = _attach_hll(
+                rebuilt,
+                keys,
+                {
+                    out: _hll_state(
+                        hll_registers(df, in_col, _HLL_B, tuple(keys)),
+                        keys,
+                        out,
+                    )
+                    for out, in_col in hlls.items()
+                },
+            )
         snapshot_write_txn(
-            _aggregate(df, keys, sums), view,
+            rebuilt, view,
             app_id=_app_id(view), txn_version=v_now, mode="overwrite",
         )
         return (v_now, "full-rebuild")
     m_now = _read_manifest(src, v_now)
+    hll_states: dict[str, DataFrame] = {}
     if _append_only(m_last, m_now):
         mode = "incremental-append"
         added = [d for d in m_now["dirs"] if d not in set(m_last["dirs"])]
         changed = _load_dirs(spark, src, m_now, added)
         _check_measures_non_null(changed, sums)
         delta = _aggregate(changed, keys, sums)
+        if hlls:
+            old_view = snapshot_read(spark, view)
+            for out_col, in_col in hlls.items():
+                # stored registers back to long form ∪ new data's
+                # registers, folded by per-bucket MAX — O(groups · m)
+                # rows plus the new dirs' scan, never the old table
+                old_long = (
+                    old_view.select(
+                        *keys, F.explode(f"{out_col}_regs").alias("_r")
+                    )
+                    .select(*keys, F.col("_r.bucket").alias("bucket"),
+                            F.col("_r.rho").alias("rho"))
+                )
+                new_long = hll_registers(changed, in_col, _HLL_B, tuple(keys))
+                merged_long = (
+                    old_long.unionByName(new_long)
+                    .groupBy(*keys, "bucket")
+                    .agg(F.max("rho").alias("rho"))
+                )
+                hll_states[out_col] = _hll_state(merged_long, keys, out_col)
     else:
+        if hlls:
+            raise ValueError(
+                "matview has COUNT(DISTINCT) HLL measures "
+                f"({sorted(hlls)}), but the source changed by DML/rewrite "
+                f"between versions {v_last} and {v_now}: HLL registers are "
+                "MAX-folded and not subtractable — a delete needs a "
+                "rescan of the affected groups. Recreate the view "
+                "(create_agg_view) or drop the distinct measures."
+            )
         mode = "incremental-diff"
         cdf = snapshot_diff(
             spark, src, v_last, v_now, keys=row_key, detect_updates=True
@@ -255,6 +403,8 @@ def _refresh_once(
         )
         .filter(F.col(N_COL) > 0)
     )
+    if hlls:
+        merged = _attach_hll(merged, keys, hll_states)
     snapshot_write_txn(
         merged, view, app_id=_app_id(view), txn_version=v_now, mode="overwrite"
     )

@@ -2029,8 +2029,15 @@ def vacuum_snapshots(
         # under the same grace window that protects a LIVE writer mid-link.
         md_tmp = _manifest_dir(spec)
         if os.path.isdir(md_tmp):
+            import re as _re
+
+            # ONLY the documented mkstemp prefixes — an unscoped
+            # dot-prefix match would reap unrelated hidden files (editor
+            # swap files, .DS_Store, future sidecar metadata) colocated
+            # in the log dir.
+            _tmp_pat = _re.compile(r"^\.(v|c)\d+-")
             for name in os.listdir(md_tmp):
-                if not name.startswith("."):
+                if not _tmp_pat.match(name):
                     continue
                 full = os.path.join(md_tmp, name)
                 with contextlib.suppress(OSError):

@@ -14,6 +14,11 @@ Roles (argv[1]):
                               txn_version exactly ONE commit may land
   dml     <n_rounds>          serial DELETE/UPDATE/DV-DELETE over its
                               own key range (k >= 9_000_000)
+  mview                       matview refresher loop: create-if-absent,
+                              then refresh until stop — races the DML
+                              worker for the classic IVM lost-delta
+                              window (delete landing between the CDF
+                              read and the view commit)
   optimize                    OPTIMIZE loop until the stop file appears
   checkpoint                  checkpoint-fold loop until stop
   vacuum                      vacuum loop (keep_last deep enough that a
@@ -197,6 +202,38 @@ def main() -> int:
                 if v is None:
                     continue
                 log(op=kind, lo=lo, hi=hi, version=v)
+        elif role == "mview":
+            from creatorops_lakehouse_spark.sources.matview import (
+                create_agg_view,
+                refresh_agg_view,
+            )
+            from creatorops_lakehouse_spark.sources.snapshots import (
+                last_txn_version,
+            )
+
+            view = TableSpec("chaos.v", table_path + "_view")
+            keys, sums, row_key = ["writer"], {"sum_val": "val"}, ["k"]
+            if last_txn_version(view, "matview:chaos.v") is None:
+                v = until_committed(
+                    lambda: create_agg_view(spark, spec, view, keys, sums),
+                    "mview create",
+                )
+                log(op="mview_create", version=v)
+            while not os.path.exists(stop):
+                try:
+                    v, mode = refresh_agg_view(
+                        spark, spec, view, keys, sums, row_key
+                    )
+                    if mode != "noop":
+                        log(op="mview_refresh", version=v, mode=mode)
+                except SnapshotConflictError as e:
+                    log(conflict="mview", msg=str(e)[:120])
+                except Exception as e:  # noqa: BLE001
+                    if tight and is_retention_race(e):
+                        log(retention_race="mview", msg=str(e)[:120])
+                    else:
+                        raise
+                time.sleep(0.25)
         elif role == "optimize":
             while not os.path.exists(stop):
                 try:

@@ -170,7 +170,15 @@ def test_crash_torn_appender_all_or_nothing(spark, tmp_path):
     planted = os.path.join(_manifest_dir(spec), ".v999-stalecrash")
     with open(planted, "w") as f:
         f.write("{}")
+    # an UNRELATED hidden file (editor swap, .DS_Store, future sidecar)
+    # colocated in the log dir is NOT the reaper's to delete — only the
+    # documented .v<N>-/.c<N>- mkstemp prefixes are
+    bystander = os.path.join(_manifest_dir(spec), ".DS_Store")
+    with open(bystander, "w") as f:
+        f.write("x")
     vacuum_snapshots(spec, keep_last=1, orphan_grace_s=0.0)
+    assert os.path.exists(bystander), "reaper deleted an unrelated hidden file"
+    os.remove(bystander)
 
     after = snapshot_read(spark, spec).filter("cycle >= 0")
     assert after.count() == n_before + ROWS_PER_BATCH  # reap touched no rows

@@ -205,6 +205,115 @@ def test_chaos_multiprocess_snapshot_log(spark, tmp_path):
     assert got == expected, "final state diverged from the serial replay"
 
 
+def test_chaos_refresher_vs_dml(spark, tmp_path):
+    """Matview refresher racing concurrent base-table DML across real
+    processes (VERDICT r10 item 5) — the classic incremental-view-
+    maintenance lost-delta window: a delete landing between the
+    refresher's CDF read and its view commit must NOT be skipped-yet-
+    watermarked-past. The design defense is that the refresh folds the
+    delta between two PINNED versions and writes that same v_now as the
+    watermark (DML landing after the pin is simply the NEXT refresh's
+    delta); this test makes real interleavings hit the window: two
+    appenders + the serial DML worker (copy-on-write delete / update /
+    DV delete) + OPTIMIZE + checkpoint + vacuum, with the refresher
+    looping the whole time. After every interleaving settles, one clean
+    catch-up refresh must land the view at EXACT equality with a
+    from-scratch aggregate of the source head."""
+    table = str(tmp_path / "t")
+    run_dir = str(tmp_path / "run")
+    os.makedirs(run_dir)
+
+    from creatorops_lakehouse_spark.sources.matview import refresh_agg_view
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    import pyspark.sql.functions as F
+
+    spec = TableSpec("chaos.t", table)
+    view = TableSpec("chaos.v", table + "_view")
+    snapshot_write(
+        spark.createDataFrame([("seed", -1, 0, 0)], ["writer", "batch", "k", "val"]),
+        spec,
+    )
+
+    n_batches = 24
+    workers = {}
+    for wid in range(2):
+        workers[f"append_{wid}"] = _launch(
+            ["append", wid, n_batches], table, run_dir
+        )
+    workers["dml"] = _launch(["dml", N_DML_ROUNDS], table, run_dir)
+    workers["mview"] = _launch(["mview"], table, run_dir)
+    workers["optimize"] = _launch(["optimize"], table, run_dir)
+    workers["checkpoint"] = _launch(["checkpoint"], table, run_dir)
+    workers["vacuum"] = _launch(["vacuum"], table, run_dir)
+
+    ready_names = set(workers)
+    deadline = time.time() + 300
+    while time.time() < deadline:
+        have = {
+            n for n in ready_names
+            if os.path.exists(os.path.join(run_dir, f"ready_{n}"))
+        }
+        if have == ready_names:
+            break
+        dead = [n for n, p in workers.items() if p.poll() not in (None, 0)]
+        assert not dead, f"workers died before start: {dead}"
+        time.sleep(0.2)
+    else:
+        raise AssertionError("workers failed to initialize within 300s")
+    open(os.path.join(run_dir, "go"), "w").close()
+
+    finite = [n for n in workers if n.startswith(("append", "dml"))]
+    for n in finite:
+        assert workers[n].wait(timeout=900) == 0, f"worker {n} failed"
+    # let the refresher observe the final DML state at least once
+    time.sleep(2)
+    open(os.path.join(run_dir, "stop"), "w").close()
+    for n in ("mview", "optimize", "checkpoint", "vacuum"):
+        assert workers[n].wait(timeout=180) == 0, f"worker {n} failed"
+
+    journals = {n: _journal(run_dir, n) for n in workers}
+    for n, entries in journals.items():
+        errs = [e for e in entries if "error" in e]
+        assert not errs, f"worker {n} raced into an error:\n{errs[0]['error']}"
+        assert entries and entries[-1].get("done"), f"worker {n} never finished"
+
+    refreshes = [e for e in journals["mview"] if e.get("op") == "mview_refresh"]
+    assert refreshes, "the refresher never committed a refresh"
+    modes = {e["mode"] for e in refreshes}
+    assert "incremental-diff" in modes, (
+        f"no refresh ever spanned a DML commit (modes seen: {modes}) — "
+        "the lost-delta window was not exercised"
+    )
+
+    # one clean catch-up, then EXACT equality with the full recompute
+    refresh_agg_view(
+        spark, spec, view, ["writer"], {"sum_val": "val"}, ["k"]
+    )
+    expect = {
+        r.writer: (r.n, r.s)
+        for r in snapshot_read(spark, spec)
+        .groupBy("writer")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("val").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    got = {
+        r.writer: (r.n_rows, r.sum_val)
+        for r in snapshot_read(spark, view).collect()
+    }
+    assert got == expect, (
+        "view diverged from the full recompute after refresher-vs-DML "
+        f"interleavings ({len(refreshes)} refreshes, modes {modes})"
+    )
+
+
 def test_chaos_aggressive_vacuum(spark, tmp_path):
     """The same 10-process storm under TIGHT retention (vacuum
     keep_last=6, 100ms cadence): with history this shallow, in-flight
