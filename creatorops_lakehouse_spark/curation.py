@@ -216,6 +216,41 @@ class CurationResult:
         )
 
 
+#: stages :meth:`CurationResult.write` persists, in pipeline order
+_WRITE_STAGES = (
+    "quality",
+    "deduped",
+    "split",
+    "clean_train",
+    "mixture",
+    "packed",
+    "shards",
+)
+
+
+def write_result(
+    spark: SparkSession, result: CurationResult, root: str
+) -> dict[str, "object"]:
+    """Persist the curation run durably: each stage table becomes a
+    snapshot-log table under ``root/<stage>`` (time travel, CDF, vacuum
+    for free) and the one-row audit manifest lands at ``root/manifest``.
+    Returns ``{stage: TableSpec}``. Each write is one commit; a re-run
+    into the same root overwrites (the curation run is derived data —
+    the source of truth is the input corpus + config)."""
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_write
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    specs: dict[str, TableSpec] = {}
+    for stage in _WRITE_STAGES:
+        spec = TableSpec(f"curation.{stage}", f"{root}/{stage}")
+        snapshot_write(getattr(result, stage), spec, mode="overwrite")
+        specs[stage] = spec
+    mspec = TableSpec("curation.manifest", f"{root}/manifest")
+    snapshot_write(result.manifest(spark), mspec, mode="overwrite")
+    specs["manifest"] = mspec
+    return specs
+
+
 def run(
     spark: SparkSession,
     docs: DataFrame,

@@ -1698,3 +1698,170 @@ def orders_matview_hll_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append_path_ok boolean, catchup_path_ok boolean, "
         "regs_equal_full boolean",
     )
+
+
+@query(
+    "orders_matview_cms_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey % 7 AS grp
+        FROM orders
+    ),
+    fin AS (
+        SELECT key, grp,
+               CASE WHEN key BETWEEN 1000 AND 2000 THEN cents + 777
+                    ELSE cents END AS cents
+        FROM o WHERE key > 500
+    )
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS append_path_ok, TRUE AS diff_path_ok,
+           TRUE AS catchup_path_ok, TRUE AS cms_equals_full,
+           TRUE AS probe_overest_ok
+    FROM fin GROUP BY grp
+    """,
+)
+def orders_matview_cms_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Count-Min frequency sketches as matview measures,
+    maintained through DML (sources/matview.py ``cmss=``) — the LINEAR
+    complement to the HLL row: CMS cells add AND subtract, so the CDF
+    fallback folds delete/update ±1 cells straight through the sketch
+    where HLL must refuse. The pair pins the full sketch-measure story:
+    HLL for COUNT(DISTINCT) (append-only, refusal-guarded), CMS for
+    heavy-hitter frequency (every path).
+
+    Lifecycle: write band0 → create view (grp = key%7; COUNT(*),
+    SUM(cents), CMS(cust)) → append band1 → refresh (incremental-append:
+    new cells ADD) → append band2+band3 → one catch-up refresh → then
+    copy-on-write DELETE key ≤ 500 + UPDATE on key ∈ [1000, 2000] that
+    moves BOTH a sum measure (cents += 777) and the sketched key
+    (cust += 7) → refresh (incremental-diff: preimage cells decrement,
+    postimage cells increment). In-engine booleans: all three
+    refresh modes, cms_equals_full (stored cells == a from-scratch
+    sketch of the head CELL FOR CELL — the linear-fold exactness), and
+    probe_overest_ok (matview_cms_estimate never undercounts the exact
+    per-(grp, cust) frequency — the classic CMS guarantee).
+
+    The oracle recomputes per-group n_rows and sum_cents from raw
+    ``orders`` with the DML replayed in SQL and pins the booleans TRUE —
+    a lost cell, a double-folded delta, or a broken ± weight flips the
+    hash at any SF. Eager verdict harness (excluded from bench);
+    scratch tree deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        _cms_long,
+        create_agg_view,
+        matview_cms_estimate,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {"sum_cents": "cents"}, ["key"]
+    cmss = {"f_cust": "cust"}
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_cms_")
+    try:
+        src = TableSpec("t.mvcsrc", root + "/src")
+        view = TableSpec("t.mvcview", root + "/view")
+        cols = ("key", "cents", "cust", "grp")
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, cmss=cmss)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        _, mode1 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, cmss=cmss
+        )
+        append_path_ok = mode1 == "incremental-append"
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        _, mode3 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, cmss=cmss
+        )
+        catchup_path_ok = mode3 == "incremental-append"
+
+        # DML last so the oracle can replay it over the whole table
+        snapshot_delete_where(spark, src, {"key": (None, 500)})
+        snapshot_update_where(
+            spark, src, {"key": (1000, 2000)},
+            {"cents": "cents + 777", "cust": "cust + 7"},
+        )
+        _, mode2 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, cmss=cmss
+        )
+        diff_path_ok = mode2 == "incremental-diff"
+
+        mat = scoped_persist(snapshot_read(spark, view))
+        head = scoped_persist(snapshot_read(spark, src))
+        stored_long = mat.select(
+            "grp", F.explode("f_cust_cms").alias("_c")
+        ).select(
+            "grp",
+            F.col("_c.row_i").alias("row_i"),
+            F.col("_c.bucket").alias("bucket"),
+            F.col("_c.cnt").alias("_cs"),
+        )
+        full_long = _cms_long(head, ["grp"], "cust").withColumnRenamed(
+            "cnt", "_cf"
+        )
+        n_mismatch = (
+            stored_long.join(
+                full_long, on=["grp", "row_i", "bucket"], how="full_outer"
+            )
+            .filter(~F.col("_cs").eqNullSafe(F.col("_cf")))
+            .count()
+        )
+        exact = head.groupBy("grp", "cust").agg(
+            F.count(F.lit(1)).cast("long").alias("_exact")
+        )
+        est = matview_cms_estimate(
+            mat, "f_cust", ["grp"], exact.select("grp", "cust"), "cust"
+        )
+        n_under = (
+            exact.join(est, on=["grp", "cust"])
+            .filter(F.col("est") < F.col("_exact"))
+            .count()
+        )
+        out = mat.select(
+            "grp",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.lit(bool(append_path_ok)).alias("append_path_ok"),
+            F.lit(bool(diff_path_ok)).alias("diff_path_ok"),
+            F.lit(bool(catchup_path_ok)).alias("catchup_path_ok"),
+            F.lit(n_mismatch == 0).alias("cms_equals_full"),
+            F.lit(n_under == 0).alias("probe_overest_ok"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, n_rows long, sum_cents long, "
+        "append_path_ok boolean, diff_path_ok boolean, "
+        "catchup_path_ok boolean, cms_equals_full boolean, "
+        "probe_overest_ok boolean",
+    )

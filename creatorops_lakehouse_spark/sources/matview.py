@@ -57,6 +57,15 @@ Contracts (refused loudly, not silently wrong):
   group — the same reason MIN/MAX are refused); recreate the view or
   drop the distinct measure. NULL keys are skipped, matching
   COUNT(DISTINCT) semantics on the full recompute.
+- heavy-hitter frequency measures (``cmss``) maintain per-group
+  Count-Min sketches (operators/cms.py). A CMS is a LINEAR sketch —
+  cells add AND subtract — so unlike HLL it survives EVERY refresh
+  path: appends add the new dirs' cells, and the DML fallback folds the
+  CDF's ±1-weighted cells straight through the sketch (a deleted row's
+  coordinates decrement exactly what its insert incremented). The
+  stored state is always cell-identical to a from-scratch build of the
+  head. NULL keys are skipped (COUNT(col) semantics). Probe with
+  :func:`matview_cms_estimate`.
 """
 
 from __future__ import annotations
@@ -68,7 +77,6 @@ from creatorops_lakehouse_spark.sources.snapshots import (
     _load_dirs,
     _read_manifest,
     current_version,
-    last_txn_version,
     snapshot_diff,
     snapshot_read,
     snapshot_write_txn,
@@ -163,12 +171,126 @@ def _attach_hll(
     return out
 
 
-def _check_hll_cols(sums: dict[str, str], hlls: dict[str, str] | None) -> None:
-    if hlls and set(hlls) & ({N_COL} | set(sums)):
+def _check_hll_cols(
+    sums: dict[str, str],
+    hlls: dict[str, str] | None,
+    cmss: dict[str, str] | None = None,
+) -> None:
+    names = [N_COL, *sums, *(hlls or ()), *(cmss or ())]
+    dupes = {n for n in names if names.count(n) > 1}
+    if dupes:
         raise ValueError(
-            f"hll output columns collide with sum/count measures: "
-            f"{sorted(set(hlls) & ({N_COL} | set(sums)))}"
+            f"measure output columns collide across sums/hlls/cmss: "
+            f"{sorted(dupes)}"
         )
+
+
+#: per-group CMS geometry for ``cmss`` measures (operators/cms.py
+#: defaults: depth 5 × width 272, eps ≈ e/272, delta ≈ e^-5)
+_CMS_DEPTH, _CMS_WIDTH, _CMS_SEED = 5, 272, 7
+
+
+def _cms_long(
+    df: DataFrame, keys: list[str], in_col: str, weight: str | None = None
+) -> DataFrame:
+    """(keys..., row_i, bucket, cnt) per-group CMS cells of df[in_col].
+    ``weight`` (a ±1 column from the CDF) makes the build SIGNED — the
+    linear-sketch property that lets DML fold straight through. NULL
+    keys are skipped (COUNT(col) semantics)."""
+    from creatorops_lakehouse_spark.operators.cms import _coords
+
+    d = df.filter(F.col(in_col).isNotNull()).select(
+        *keys,
+        F.lit(1).cast("long").alias("_w") if weight is None else F.col(weight).cast("long").alias("_w"),
+        F.explode(
+            _coords(F.col(in_col), _CMS_DEPTH, _CMS_WIDTH, _CMS_SEED)
+        ).alias("_c"),
+    )
+    return (
+        d.groupBy(
+            *keys,
+            F.col("_c.row_i").alias("row_i"),
+            F.col("_c.bucket").alias("bucket"),
+        )
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def _cms_state(cms_long: DataFrame, keys: list[str], out_col: str) -> DataFrame:
+    """Fold long-form cells into the stored shape: a (row_i, bucket)-
+    sorted array — canonical bytes, so the incrementally-folded state is
+    cell-identical to a from-scratch build."""
+    return cms_long.groupBy(*keys).agg(
+        F.sort_array(
+            F.collect_list(F.struct("row_i", "bucket", "cnt"))
+        ).alias(f"{out_col}_cms")
+    )
+
+
+def _attach_cms(
+    base: DataFrame, keys: list[str], states: dict[str, DataFrame]
+) -> DataFrame:
+    out = base
+    for out_col, state in states.items():
+        out = out.join(state, on=keys, how="left").withColumn(
+            f"{out_col}_cms",
+            F.coalesce(
+                F.col(f"{out_col}_cms"),
+                F.expr(
+                    "CAST(array() AS "
+                    "array<struct<row_i:int,bucket:int,cnt:bigint>>)"
+                ),
+            ),
+        )
+    return out
+
+
+def _cms_states_from(
+    df_long_per_measure: dict[str, DataFrame], keys: list[str]
+) -> dict[str, DataFrame]:
+    return {
+        out: _cms_state(long, keys, out)
+        for out, long in df_long_per_measure.items()
+    }
+
+
+def matview_cms_estimate(
+    view_df: DataFrame,
+    out_col: str,
+    keys: list[str],
+    probe: DataFrame,
+    probe_col: str,
+) -> DataFrame:
+    """Probe a ``cmss`` measure: for each (group keys..., probe key) pair
+    return the CMS frequency estimate (min over the depth rows — the
+    classic never-undercounts estimate). ``probe`` carries ``keys`` +
+    ``probe_col``."""
+    from creatorops_lakehouse_spark.operators.cms import _coords
+
+    cells = view_df.select(
+        *keys, F.explode(f"{out_col}_cms").alias("_c")
+    ).select(
+        *keys,
+        F.col("_c.row_i").alias("row_i"),
+        F.col("_c.bucket").alias("bucket"),
+        F.col("_c.cnt").alias("cnt"),
+    )
+    coords = probe.select(
+        *keys,
+        F.col(probe_col),
+        F.explode(
+            _coords(F.col(probe_col), _CMS_DEPTH, _CMS_WIDTH, _CMS_SEED)
+        ).alias("_c"),
+    ).select(
+        *keys, probe_col,
+        F.col("_c.row_i").alias("row_i"),
+        F.col("_c.bucket").alias("bucket"),
+    )
+    joined = coords.join(cells, on=[*keys, "row_i", "bucket"], how="left")
+    return joined.groupBy(*keys, probe_col).agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est")
+    )
 
 
 def create_agg_view(
@@ -178,6 +300,7 @@ def create_agg_view(
     keys: list[str],
     sums: dict[str, str],
     hlls: dict[str, str] | None = None,
+    cmss: dict[str, str] | None = None,
 ) -> int:
     """Full initial materialization of ``GROUP BY keys`` with COUNT(*)
     plus the given SUM measures, watermarked at the source head. Returns
@@ -186,10 +309,15 @@ def create_agg_view(
     ``hlls``: optional ``{out_col: in_col}`` COUNT(DISTINCT in_col)
     measures, maintained as per-group HyperLogLog register state (module
     docstring) — the view gains ``out_col`` (estimate) and
-    ``out_col_regs`` (mergeable registers) columns."""
+    ``out_col_regs`` (mergeable registers) columns.
+
+    ``cmss``: optional ``{out_col: in_col}`` per-group Count-Min
+    frequency sketches — the view gains ``out_col_cms`` (cell array);
+    probe with :func:`matview_cms_estimate`. Linear, so every refresh
+    path (including DML) maintains it."""
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls)
+    _check_hll_cols(sums, hlls, cmss)
     v = current_version(src)
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
@@ -206,6 +334,15 @@ def create_agg_view(
                 )
                 for out, in_col in hlls.items()
             },
+        )
+    if cmss:
+        base = _attach_cms(
+            base,
+            keys,
+            _cms_states_from(
+                {out: _cms_long(df, keys, in_col) for out, in_col in cmss.items()},
+                keys,
+            ),
         )
     snapshot_write_txn(
         base, view, app_id=_app_id(view), txn_version=v, mode="overwrite",
@@ -241,6 +378,7 @@ def refresh_agg_view(
     row_key: list[str],
     max_retries: int = 5,
     hlls: dict[str, str] | None = None,
+    cmss: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
     mode)`` with mode in ``noop | incremental-append | incremental-diff |
@@ -270,7 +408,9 @@ def refresh_agg_view(
     last_err: Exception | None = None
     for _ in range(max_retries):
         try:
-            return _refresh_once(spark, src, view, keys, sums, row_key, hlls)
+            return _refresh_once(
+                spark, src, view, keys, sums, row_key, hlls, cmss
+            )
         except SnapshotConflictError as e:
             last_err = e
     raise SnapshotConflictError(
@@ -287,16 +427,31 @@ def _refresh_once(
     sums: dict[str, str],
     row_key: list[str],
     hlls: dict[str, str] | None = None,
+    cmss: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls)
+    _check_hll_cols(sums, hlls, cmss)
     v_now = current_version(src)
-    v_last = last_txn_version(view, _app_id(view))
-    if v_last is None:
+    # Pin ONE view version and read BOTH the watermark and the old state
+    # from it, then commit with expected_version CAS. Reading them as two
+    # separate head reads is the classic IVM double-fold race: refresher
+    # R1 commits between R2's watermark read (old v_last) and R2's state
+    # read (R1's already-merged view), and if R2's source head is newer
+    # than R1's, R2's commit is NOT a txn-map replay — R1's span folds
+    # TWICE. With the pin + CAS, R2's stale commit aborts and its retry
+    # re-reads a consistent (watermark, state) pair.
+    view_v = current_version(view)
+    if view_v is None:
         raise ValueError(
             f"view {view.path} has no watermark — call create_agg_view first"
         )
+    raw_last = _read_manifest(view, view_v).get("txns", {}).get(_app_id(view))
+    if raw_last is None:
+        raise ValueError(
+            f"view {view.path} has no watermark — call create_agg_view first"
+        )
+    v_last = int(raw_last)
     if v_now is None or v_now <= v_last:
         return (v_last, "noop")
 
@@ -325,6 +480,18 @@ def _refresh_once(
                     for out, in_col in hlls.items()
                 },
             )
+        if cmss:
+            rebuilt = _attach_cms(
+                rebuilt,
+                keys,
+                _cms_states_from(
+                    {
+                        out: _cms_long(df, keys, in_col)
+                        for out, in_col in cmss.items()
+                    },
+                    keys,
+                ),
+            )
         snapshot_write_txn(
             rebuilt, view,
             app_id=_app_id(view), txn_version=v_now, mode="overwrite",
@@ -332,6 +499,32 @@ def _refresh_once(
         return (v_now, "full-rebuild")
     m_now = _read_manifest(src, v_now)
     hll_states: dict[str, DataFrame] = {}
+    cms_states: dict[str, DataFrame] = {}
+
+    def _fold_cms(delta_src_df: DataFrame, weight: str | None) -> None:
+        """Cell-wise fold of the delta's per-group CMS cells into the
+        stored state — the SAME linear merge for appends (+1 rows) and
+        the CDF fallback (±1 rows); zero cells drop so the state stays
+        canonical (== a from-scratch build of the head)."""
+        old_view_cms = snapshot_read(spark, view, version=view_v)
+        for out_col, in_col in cmss.items():
+            old_long = old_view_cms.select(
+                *keys, F.explode(f"{out_col}_cms").alias("_c")
+            ).select(
+                *keys,
+                F.col("_c.row_i").alias("row_i"),
+                F.col("_c.bucket").alias("bucket"),
+                F.col("_c.cnt").alias("cnt"),
+            )
+            new_long = _cms_long(delta_src_df, keys, in_col, weight)
+            merged_long = (
+                old_long.unionByName(new_long)
+                .groupBy(*keys, "row_i", "bucket")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            )
+            cms_states[out_col] = _cms_state(merged_long, keys, out_col)
+
     if _append_only(m_last, m_now):
         mode = "incremental-append"
         added = [d for d in m_now["dirs"] if d not in set(m_last["dirs"])]
@@ -339,7 +532,7 @@ def _refresh_once(
         _check_measures_non_null(changed, sums)
         delta = _aggregate(changed, keys, sums)
         if hlls:
-            old_view = snapshot_read(spark, view)
+            old_view = snapshot_read(spark, view, version=view_v)
             for out_col, in_col in hlls.items():
                 # stored registers back to long form ∪ new data's
                 # registers, folded by per-bucket MAX — O(groups · m)
@@ -358,6 +551,8 @@ def _refresh_once(
                     .agg(F.max("rho").alias("rho"))
                 )
                 hll_states[out_col] = _hll_state(merged_long, keys, out_col)
+        if cmss:
+            _fold_cms(changed, None)
     else:
         if hlls:
             raise ValueError(
@@ -383,8 +578,12 @@ def _refresh_once(
                 F.sum(F.col("_w") * F.col(in_col)).cast("long").alias(out_col)
             )
         delta = weighted.groupBy(*keys).agg(*aggs)
+        if cmss:
+            # linear sketch: the ±1 CDF weights subtract deleted rows'
+            # cells exactly — DML needs no refusal here, unlike HLL
+            _fold_cms(weighted, "_w")
 
-    old = snapshot_read(spark, view)
+    old = snapshot_read(spark, view, version=view_v)
     measure_cols = [N_COL, *sums.keys()]
     d = delta.select(
         *keys, *[F.col(c).alias(f"_d_{c}") for c in measure_cols]
@@ -405,7 +604,10 @@ def _refresh_once(
     )
     if hlls:
         merged = _attach_hll(merged, keys, hll_states)
+    if cmss:
+        merged = _attach_cms(merged, keys, cms_states)
     snapshot_write_txn(
-        merged, view, app_id=_app_id(view), txn_version=v_now, mode="overwrite"
+        merged, view, app_id=_app_id(view), txn_version=v_now,
+        mode="overwrite", expected_version=view_v,
     )
     return (v_now, mode)

@@ -1395,6 +1395,7 @@ def snapshot_write(
     bloom_max_bits: int = _BLOOM_MAX_BITS_DEFAULT,
     _pre_commit=None,
     _txn: tuple[str, int] | None = None,
+    expected_version: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot version; returns the version won.
 
@@ -1439,6 +1440,23 @@ def snapshot_write(
     from pyspark.sql.types import StructType
 
     cur = current_version(spec)
+    # optimistic-concurrency CAS for read-modify-write overwrites (the
+    # matview refresher's merge): the caller read table state at
+    # expected_version and its new state is only valid against THAT
+    # head. The cheap check here fails fast; the airtight guarantee is
+    # the put-if-absent commit at expected_version + 1 below — if ANY
+    # writer advanced the table after this read, that slot is taken and
+    # the overwrite aborts instead of silently discarding the
+    # interleaved commit. (Without this, a competitor finishing BEFORE
+    # our current_version() read is invisible: we would overwrite its
+    # merged state from a stale read — the double-fold race the dueling
+    # refresher chaos test caught.)
+    if expected_version is not None and cur != expected_version:
+        raise SnapshotConflictError(
+            f"optimistic overwrite at {spec.path}: caller read state at "
+            f"v{expected_version} but the head is now "
+            f"v{cur} — re-read and retry"
+        )
     if cur is not None:  # protocol gate: a writer missing a feature the
         # table head requires must not commit (even an overwrite — it
         # must first prove it can read what it replaces)

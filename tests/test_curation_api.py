@@ -58,6 +58,24 @@ def test_lsh_mode_and_knobs(spark):
     )
 
 
+def test_write_result_durable(spark, tmp_path):
+    """write_result persists every stage as a snapshot-log table plus
+    the audit manifest; read-back counts match the in-memory run and
+    the persisted manifest equals manifest(spark) exactly."""
+    from creatorops_lakehouse_spark.curation import write_result
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_read
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    result = run(spark, docs)
+    specs = write_result(spark, result, str(tmp_path / "cur"))
+
+    assert snapshot_read(spark, specs["mixture"]).count() == result.mixture.count()
+    assert snapshot_read(spark, specs["shards"]).count() == result.shards.count()
+    persisted = snapshot_read(spark, specs["manifest"]).collect()[0].asDict()
+    live = result.manifest(spark).collect()[0].asDict()
+    assert persisted == live
+
+
 def test_bad_neardup_mode_refused(spark):
     import pytest
 

@@ -124,6 +124,92 @@ def test_matview_refusals(spark, tmp_path):
         refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
 
 
+def test_overwrite_expected_version_cas(spark, tmp_path):
+    """snapshot_write's optimistic-concurrency CAS: a read-modify-write
+    overwrite declares the version its state was derived from; if the
+    head moved, the commit aborts instead of silently discarding the
+    interleaved commit."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        snapshot_write,
+    )
+
+    spec = TableSpec("cas.t", str(tmp_path / "t"))
+    snapshot_write(_rows(spark, range(0, 5)), spec)  # v0
+    snapshot_write(_rows(spark, range(5, 10)), spec)  # v1
+
+    with pytest.raises(SnapshotConflictError, match="optimistic overwrite"):
+        snapshot_write(
+            _rows(spark, range(0, 3)), spec, mode="overwrite",
+            expected_version=0,
+        )
+    v = snapshot_write(
+        _rows(spark, range(0, 3)), spec, mode="overwrite", expected_version=1
+    )
+    assert v == 2
+
+
+def test_matview_interleaved_refresher_no_double_fold(spark, tmp_path, monkeypatch):
+    """Deterministic replay of the double-fold race the cross-process
+    duel caught: refresher R2 reads the watermark, then a competitor R1
+    lands a refresh (folding source v1) BEFORE R2 reads the old view
+    state and commits. Pre-fix, R2's lazy head read picked up R1's
+    already-merged state and re-folded R1's span (R2's newer txn_version
+    sails past the replay guard) — counts inflate. Post-fix, R2's state
+    read is PINNED to the same view version as its watermark and its
+    commit carries an expected_version CAS, so the stale merge aborts
+    and the retry folds exactly once."""
+    import creatorops_lakehouse_spark.sources.matview as mv
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_write_txn,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(_rows(spark, range(0, 20)), src)  # v0
+    create_agg_view(spark, src, view, KEYS, SUMS)  # watermark 0
+    snapshot_write(_rows(spark, range(20, 40)), src)  # v1
+    snapshot_write(_rows(spark, range(40, 60)), src)  # v2
+
+    # competitor state: a refresh that folded ONLY source v1
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _load_dirs as _ld,
+        _read_manifest as _rm,
+    )
+    import pyspark.sql.functions as F
+
+    v1_state = (
+        _ld(spark, src, _rm(src, 1), _rm(src, 1)["dirs"])
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("val").cast("long").alias("sum_val"),
+        )
+    )
+
+    fired = {"done": False}
+    orig_rm = mv._read_manifest
+
+    def hooked(spec, v):
+        m = orig_rm(spec, v)
+        if spec.path == view.path and not fired["done"]:
+            fired["done"] = True
+            # R1 lands between R2's watermark read and R2's commit
+            snapshot_write_txn(
+                v1_state, view, app_id="matview:mv.view", txn_version=1,
+                mode="overwrite",
+            )
+        return m
+
+    monkeypatch.setattr(mv, "_read_manifest", hooked)
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    monkeypatch.setattr(mv, "_read_manifest", orig_rm)
+    assert v == 2
+    assert _view(spark, view) == _expect(spark, src), (
+        "interleaved refresher double-folded a span"
+    )
+
+
 def test_matview_concurrent_refreshers(spark, tmp_path):
     """Two refreshers racing the same view: the overwrite commit aborts
     the loser, whose retry re-reads the watermark and no-ops (the txn map
@@ -205,6 +291,59 @@ def test_matview_over_streaming_sink(spark, tmp_path):
     assert mode == "incremental-append"
     assert _view(spark, view) == _expect(spark, src)
     assert snapshot_read(spark, src).count() == 60
+
+
+def test_matview_hll_over_streaming_sink(spark, tmp_path):
+    """Composition: the exactly-once streaming sink owns the fact table,
+    an HLL distinct-count view serves on top — every micro-batch commit
+    is a plain append, so the refresh takes the register-fold fast path
+    and the stored sketch stays bucket-identical to a from-scratch
+    sketch of the head. The full streaming→serving handoff for the
+    COUNT(DISTINCT) dashboard case (distinct users per group over an
+    ever-growing stream) without ever re-scanning history."""
+    import json
+    import os
+
+    from creatorops_lakehouse_spark.streaming.pipeline import (
+        start_exactly_once_sink,
+    )
+
+    HLLS = {"nd_val": "val"}
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    in_dir = str(tmp_path / "in")
+    os.makedirs(in_dir)
+
+    def drop(name, ks):
+        with open(os.path.join(in_dir, name), "w") as f:
+            for k in ks:
+                f.write(
+                    json.dumps({"k": k, "grp": k % 5, "val": k % 13}) + "\n"
+                )
+
+    drop("f0.json", range(0, 30))
+    stream = (
+        spark.readStream.schema("k long, grp long, val long")
+        .option("maxFilesPerTrigger", 1)
+        .json(in_dir)
+    )
+    q = start_exactly_once_sink(
+        stream, src, str(tmp_path / "ckpt"), app_id="mvhllstream"
+    )
+    q.awaitTermination()
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS)
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+
+    drop("f1.json", range(30, 70))
+    drop("f2.json", range(70, 90))
+    q = start_exactly_once_sink(
+        stream, src, str(tmp_path / "ckpt"), app_id="mvhllstream"
+    )
+    q.awaitTermination()
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS)
+    assert mode == "incremental-append"
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+    assert _view(spark, view) == _expect(spark, src)
 
 
 def test_matview_survives_optimize_and_rollback(spark, tmp_path):
@@ -300,6 +439,93 @@ def test_matview_hll_append_equals_full(spark, tmp_path):
 
     # replay no-ops
     assert refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS)[1] == "noop"
+
+
+def _cms_full(spark, src, in_col="val"):
+    """From-scratch per-group CMS state of the source head."""
+    from creatorops_lakehouse_spark.sources.matview import (
+        _cms_long,
+        _cms_state,
+    )
+
+    df = snapshot_read(spark, src)
+    state = _cms_state(_cms_long(df, ["grp"], in_col), ["grp"], "f_val")
+    return {
+        r.grp: tuple((c.row_i, c.bucket, c.cnt) for c in r.f_val_cms)
+        for r in state.collect()
+    }
+
+
+def _cms_view(spark, view):
+    return {
+        r.grp: tuple((c.row_i, c.bucket, c.cnt) for c in r.f_val_cms)
+        for r in snapshot_read(spark, view).collect()
+    }
+
+
+def test_matview_cms_survives_dml(spark, tmp_path):
+    """Count-Min matview measures are LINEAR — cells add and subtract —
+    so unlike HLL every refresh path maintains them, including the CDF
+    fallback: a delete's ±1-weighted preimage cells decrement exactly
+    what its insert incremented. After EVERY refresh (append, catch-up,
+    delete, update) the stored cells must equal a from-scratch build of
+    the head CELL FOR CELL, and probe estimates never undercount."""
+    from creatorops_lakehouse_spark.sources.matview import (
+        matview_cms_estimate,
+    )
+
+    CMSS = {"f_val": "val"}
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+
+    def rows(ks):  # val = k % 13: real duplicate keys per group
+        return spark.createDataFrame(
+            [(k, k % 5, k % 13) for k in ks], "k long, grp long, val long"
+        )
+
+    snapshot_write(rows(range(0, 60)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, cmss=CMSS)
+    assert _cms_view(spark, view) == _cms_full(spark, src)
+
+    # append fast path
+    snapshot_write(rows(range(60, 100)), src)
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, cmss=CMSS)
+    assert (v, mode) == (1, "incremental-append")
+    assert _cms_view(spark, view) == _cms_full(spark, src)
+
+    # copy-on-write DELETE -> diff path, cells subtract exactly
+    snapshot_delete_where(spark, src, {"k": (20, 45)})
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, cmss=CMSS)
+    assert mode == "incremental-diff"
+    assert _cms_view(spark, view) == _cms_full(spark, src)
+    assert _view(spark, view) == _expect(spark, src)
+
+    # UPDATE that MOVES the sketched key: pre-image cells decrement,
+    # post-image cells increment
+    snapshot_update_where(spark, src, {"k": (50, 70)}, {"val": "val + 3"})
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, cmss=CMSS)
+    assert mode == "incremental-diff"
+    assert _cms_view(spark, view) == _cms_full(spark, src)
+
+    # deletion-vector delete (metadata-only DML) folds the same way
+    snapshot_delete_where(spark, src, {"k": (80, 88)}, rewrite=False)
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, cmss=CMSS)
+    assert mode == "incremental-diff"
+    assert _cms_view(spark, view) == _cms_full(spark, src)
+
+    # probe: estimates never undercount the exact per-(grp, val) counts
+    exact = (
+        snapshot_read(spark, src)
+        .groupBy("grp", "val")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact"))
+    )
+    est = matview_cms_estimate(
+        snapshot_read(spark, view), "f_val", ["grp"],
+        exact.select("grp", "val"), "val",
+    )
+    merged = exact.join(est, on=["grp", "val"])
+    n_under = merged.filter(F.col("est") < F.col("exact")).count()
+    assert n_under == 0, "CMS estimate undercounted"
 
 
 def test_matview_hll_dml_refused(spark, tmp_path):
