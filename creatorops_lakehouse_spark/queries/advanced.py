@@ -1865,3 +1865,193 @@ def orders_matview_cms_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "catchup_path_ok boolean, cms_equals_full boolean, "
         "probe_overest_ok boolean",
     )
+
+
+@query(
+    "orders_matview_hist_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey % 7 AS grp
+        FROM orders
+    ),
+    fin AS (
+        SELECT key, grp,
+               CASE WHEN key BETWEEN 1000 AND 2000 THEN cents + 777
+                    ELSE cents END AS cents
+        FROM o WHERE key > 500
+    ),
+    cells AS (
+        SELECT grp, (cents % 10000) // 100 AS bin, COUNT(*) AS cnt
+        FROM fin GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT grp, bin,
+               SUM(cnt) OVER (PARTITION BY grp ORDER BY bin) AS c,
+               SUM(cnt) OVER (PARTITION BY grp) AS t
+        FROM cells
+    ),
+    q AS (
+        SELECT grp,
+               CAST(MIN(CASE WHEN c * 10000 >= 5000 * t THEN bin END)
+                    AS INTEGER) AS p50_bin,
+               CAST(MIN(CASE WHEN c * 10000 >= 9000 * t THEN bin END)
+                    AS INTEGER) AS p90_bin,
+               CAST(COUNT(*) AS BIGINT) AS n_bins
+        FROM cum GROUP BY 1
+    ),
+    base AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents
+        FROM fin GROUP BY 1
+    )
+    SELECT base.grp, n_rows, sum_cents, q.p50_bin, q.p90_bin, q.n_bins,
+           TRUE AS append_path_ok, TRUE AS diff_path_ok,
+           TRUE AS hist_equals_full
+    FROM base JOIN q USING (grp)
+    """,
+)
+def orders_matview_hist_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group QUANTILE matview measures via equi-width histograms
+    (sources/matview.py ``hists=``), maintained through DML — and unlike
+    the CMS/HLL rows, the sketch VALUES themselves sit under the oracle
+    hash: histogram bins are pure integer arithmetic (no hash function),
+    so the oracle recomputes the per-group p50/p90 BIN and the non-zero
+    bin count from raw ``orders`` (DML replayed in SQL) and they must
+    match the view's incrementally-folded state EXACTLY.
+
+    Lifecycle: band0 create (grp = key%7; measure = cents%10000 in 100
+    bins of width 100) → append band1 → refresh (cells ADD) → append
+    band2+3 → catch-up → copy-on-write DELETE key ≤ 500 + UPDATE
+    cents += 777 on key ∈ [1000, 2000] (moves the binned value) →
+    refresh (cells fold ±). hist_equals_full pins the stored bins
+    cell-for-cell against a from-scratch build in-engine; p50_bin /
+    p90_bin / n_bins are the cross-engine-checked outputs. The
+    percentile-dashboard-under-DML story at 100 TB: refresh cost is the
+    delta plus O(groups · nbins) cells, never a history re-scan, and a
+    dashboard quantile is one tiny scan of the view."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        _hist_long,
+        create_agg_view,
+        matview_hist_quantile,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {"sum_cents": "cents"}, ["key"]
+    SPEC = ("pct", 0, 10000, 100)
+    hists = {"h_pct": SPEC}
+
+    def with_pct(df):
+        return df.withColumn("pct", F.col("cents") % 10000)
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_hist_")
+    try:
+        src = TableSpec("t.mvhsrc2", root + "/src")
+        view = TableSpec("t.mvhview2", root + "/view")
+        cols = ("key", "cents", "pct", "grp")
+
+        snapshot_write(
+            with_pct(banded.filter(F.col("band") == 0)).select(*cols), src
+        )
+        create_agg_view(spark, src, view, keys, sums, hists=hists)
+
+        snapshot_write(
+            with_pct(banded.filter(F.col("band") == 1)).select(*cols), src
+        )
+        _, mode1 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hists=hists
+        )
+        append_path_ok = mode1 == "incremental-append"
+
+        snapshot_write(
+            with_pct(banded.filter(F.col("band") == 2)).select(*cols), src
+        )
+        snapshot_write(
+            with_pct(banded.filter(F.col("band") == 3)).select(*cols), src
+        )
+        refresh_agg_view(spark, src, view, keys, sums, row_key, hists=hists)
+
+        # DML last so the oracle can replay it over the whole table;
+        # the update moves BOTH the sum measure and the binned value
+        snapshot_delete_where(spark, src, {"key": (None, 500)})
+        snapshot_update_where(
+            spark, src, {"key": (1000, 2000)},
+            {"cents": "cents + 777", "pct": "(cents + 777) % 10000"},
+        )
+        _, mode2 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hists=hists
+        )
+        diff_path_ok = mode2 == "incremental-diff"
+
+        mat = scoped_persist(snapshot_read(spark, view))
+        head = scoped_persist(snapshot_read(spark, src))
+        stored_long = mat.select(
+            "grp", F.explode("h_pct_hist").alias("_c")
+        ).select(
+            "grp",
+            F.col("_c.bin").alias("bin"),
+            F.col("_c.cnt").alias("_cs"),
+        )
+        full_long = _hist_long(head, ["grp"], SPEC).withColumnRenamed(
+            "cnt", "_cf"
+        )
+        n_mismatch = (
+            stored_long.join(full_long, on=["grp", "bin"], how="full_outer")
+            .filter(~F.col("_cs").eqNullSafe(F.col("_cf")))
+            .count()
+        )
+        p50 = matview_hist_quantile(mat, "h_pct", ["grp"], 5000).withColumnRenamed(
+            "q_bin", "p50_bin"
+        )
+        p90 = matview_hist_quantile(mat, "h_pct", ["grp"], 9000).withColumnRenamed(
+            "q_bin", "p90_bin"
+        )
+        out = (
+            mat.select(
+                "grp",
+                F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("sum_cents").cast("long").alias("sum_cents"),
+                F.size("h_pct_hist").cast("long").alias("n_bins"),
+            )
+            .join(p50, "grp")
+            .join(p90, "grp")
+            .select(
+                "grp", "n_rows", "sum_cents", "p50_bin", "p90_bin", "n_bins",
+                F.lit(bool(append_path_ok)).alias("append_path_ok"),
+                F.lit(bool(diff_path_ok)).alias("diff_path_ok"),
+                F.lit(n_mismatch == 0).alias("hist_equals_full"),
+            )
+            .collect()
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, n_rows long, sum_cents long, p50_bin int, p90_bin int, "
+        "n_bins long, append_path_ok boolean, diff_path_ok boolean, "
+        "hist_equals_full boolean",
+    )

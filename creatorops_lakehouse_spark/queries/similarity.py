@@ -287,6 +287,94 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "emb_ann_lsh_prod_parity_verdict",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_twin_rows, TRUE AS parity_ok
+    FROM ({_SQL_LSH_TOPK_REPLAY.format(nq=N_QUERIES, k=TOP_K)})
+    """,
+)
+def emb_ann_lsh_prod_parity_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-set parity between the BENCHED Gaussian prod ANN row
+    (emb_ann_lsh_topk_prod) and the md5-integer replayable twin
+    (VERDICT r10 item 1b): the two geometries retrieve overlapping
+    top-k id sets — ≥ 60% of the twin's (query, neighbor) pairs must
+    appear in the prod result (measured 0.78–0.93 across
+    sf0.001/0.01/0.1; both sets are exact-reranked, so divergence is
+    candidate-recall differences at the bucket stage, not ranking). The
+    oracle recomputes the twin's full top-k in SQL and pins parity_ok;
+    a collapsed prod geometry flips the hash-checked boolean."""
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_lsh_topk,
+        ann_lsh_topk_replayable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    prod = ann_lsh_topk(
+        emb, k=TOP_K, cos_floor=0.3, query_pred=lambda c: c < N_QUERIES
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_p"))
+    twin = ann_lsh_topk_replayable(
+        emb, k=TOP_K, query_pred=lambda c: c < N_QUERIES
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_t"))
+    merged = prod.join(twin, on=["query_id", "neighbor_id"], how="full_outer")
+    agg = merged.agg(
+        F.count("_t").alias("_n_twin"),
+        F.count(
+            F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("_n_both"),
+    )
+    return agg.select(
+        F.col("_n_twin").cast("long").alias("n_twin_rows"),
+        ((F.col("_n_both") * 10) >= (F.col("_n_twin") * 6)).alias("parity_ok"),
+    )
+
+
+@query(
+    "emb_neardup_prod_parity_verdict",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_twin_pairs, TRUE AS parity_ok
+    FROM ({_SQL_NEARDUP_REPLAY.format(tau="0.45")})
+    """,
+)
+def emb_neardup_prod_parity_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pair-set parity between the BENCHED Gaussian prod near-dup row
+    (emb_neardup_pairs_prod) and the md5-integer replayable twin
+    (VERDICT r10 item 1b): IoU of the two verified pair sets ≥ 0.6
+    (measured 0.86–0.92 across sf0.001/0.01/0.1 — both are subsets of
+    the exact τ-pair set with band-geometry recall < 1, so they differ
+    only in which borderline pairs each candidate stage surfaces). The
+    oracle recomputes the twin's pair count in SQL and pins parity_ok;
+    a broken prod bucket join collapses the IoU and flips the hash."""
+    from creatorops_lakehouse_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_replayable,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    prod = embedding_neardup_pairs(
+        emb, threshold=NEARDUP_VERDICT_TAU
+    ).select("a_id", "b_id", F.lit(1).alias("_p"))
+    twin = embedding_neardup_pairs_replayable(
+        emb, threshold=NEARDUP_VERDICT_TAU
+    ).select("a_id", "b_id", F.lit(1).alias("_t"))
+    merged = prod.join(twin, on=["a_id", "b_id"], how="full_outer")
+    agg = merged.agg(
+        F.count("_t").alias("_n_twin"),
+        F.count(F.lit(1)).alias("_n_union"),
+        F.count(
+            F.when(F.col("_p").isNotNull() & F.col("_t").isNotNull(), 1)
+        ).alias("_n_both"),
+    )
+    return agg.select(
+        F.col("_n_twin").cast("long").alias("n_twin_pairs"),
+        ((F.col("_n_both") * 10) >= (F.col("_n_union") * 6)).alias("parity_ok"),
+    )
+
+
 @query("emb_ann_lsh_topk_prod")
 def emb_ann_lsh_topk_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION sign-LSH ANN path (Gaussian hyperplanes,

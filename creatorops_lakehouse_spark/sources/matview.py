@@ -66,6 +66,14 @@ Contracts (refused loudly, not silently wrong):
   stored state is always cell-identical to a from-scratch build of the
   head. NULL keys are skipped (COUNT(col) semantics). Probe with
   :func:`matview_cms_estimate`.
+- quantile measures (``hists``): per-group equi-width histograms over a
+  declared integer domain ``(in_col, lo, hi, nbins)``. Linear like CMS
+  (maintained through DML), and the bin ids are pure integer arithmetic
+  — no hash — so the stored counts AND the quantiles derived from them
+  (:func:`matview_hist_quantile`) are engine-exact and can sit directly
+  under an oracle hash. Out-of-range values clamp into the edge bins
+  (mass is never lost); NULLs are skipped. Error = one bin width by
+  construction — size ``nbins`` to the dashboard's tolerance.
 """
 
 from __future__ import annotations
@@ -175,8 +183,9 @@ def _check_hll_cols(
     sums: dict[str, str],
     hlls: dict[str, str] | None,
     cmss: dict[str, str] | None = None,
+    hists: dict[str, tuple] | None = None,
 ) -> None:
-    names = [N_COL, *sums, *(hlls or ()), *(cmss or ())]
+    names = [N_COL, *sums, *(hlls or ()), *(cmss or ()), *(hists or ())]
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(
@@ -255,6 +264,98 @@ def _cms_states_from(
     }
 
 
+def _hist_bin(in_col: str, lo: int, hi: int, nbins: int) -> F.Column:
+    """Engine-exact equi-width bin id over integer domain [lo, hi):
+    floor((x - lo) * nbins / (hi - lo)) clamped into [0, nbins-1] —
+    pure integer arithmetic, so a SQL oracle derives identical bins."""
+    span = hi - lo
+    raw = F.expr(f"CAST(({in_col} - {lo}) * {nbins} AS BIGINT) div {span}")
+    return F.greatest(
+        F.lit(0), F.least(F.lit(nbins - 1), raw)
+    ).cast("int")
+
+
+def _hist_long(
+    df: DataFrame,
+    keys: list[str],
+    spec: tuple,
+    weight: str | None = None,
+) -> DataFrame:
+    """(keys..., bin, cnt) per-group histogram cells of df under
+    ``spec = (in_col, lo, hi, nbins)``. Signed when ``weight`` names a
+    ±1 CDF column — histograms are linear like CMS, so DML folds
+    through. NULL values are skipped; out-of-range values clamp into
+    the edge bins (they stay COUNTED — a quantile over the histogram
+    never silently loses mass)."""
+    in_col, lo, hi, nbins = spec
+    d = df.filter(F.col(in_col).isNotNull()).select(
+        *keys,
+        (
+            F.lit(1).cast("long") if weight is None else F.col(weight).cast("long")
+        ).alias("_w"),
+        _hist_bin(in_col, lo, hi, nbins).alias("bin"),
+    )
+    return (
+        d.groupBy(*keys, "bin")
+        .agg(F.sum("_w").cast("long").alias("cnt"))
+        .filter(F.col("cnt") != 0)
+    )
+
+
+def _hist_state(hist_long: DataFrame, keys: list[str], out_col: str) -> DataFrame:
+    return hist_long.groupBy(*keys).agg(
+        F.sort_array(F.collect_list(F.struct("bin", "cnt"))).alias(
+            f"{out_col}_hist"
+        )
+    )
+
+
+def _attach_hist(
+    base: DataFrame, keys: list[str], states: dict[str, DataFrame]
+) -> DataFrame:
+    out = base
+    for out_col, state in states.items():
+        out = out.join(state, on=keys, how="left").withColumn(
+            f"{out_col}_hist",
+            F.coalesce(
+                F.col(f"{out_col}_hist"),
+                F.expr("CAST(array() AS array<struct<bin:int,cnt:bigint>>)"),
+            ),
+        )
+    return out
+
+
+def matview_hist_quantile(
+    view_df: DataFrame, out_col: str, keys: list[str], q_bp: int
+) -> DataFrame:
+    """Per-group approximate quantile from a ``hists`` measure: the
+    SMALLEST bin whose cumulative count reaches ``q_bp`` basis points of
+    the group's histogram mass (ceil semantics — exact integer
+    comparison ``cum * 10000 >= q_bp * total``, so any engine derives
+    the identical bin). Returns (keys..., q_bin int). Error is the bin
+    width by construction; size ``nbins`` to the dashboard's tolerance."""
+    cells = view_df.select(
+        *keys, F.explode(f"{out_col}_hist").alias("_c")
+    ).select(
+        *keys, F.col("_c.bin").alias("bin"), F.col("_c.cnt").alias("cnt")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys).orderBy("bin")
+    tot = Window.partitionBy(*keys)
+    cum = cells.select(
+        *keys,
+        "bin",
+        F.sum("cnt").over(w).alias("_cum"),
+        F.sum("cnt").over(tot).alias("_tot"),
+    )
+    return (
+        cum.filter(F.col("_cum") * 10000 >= F.lit(q_bp) * F.col("_tot"))
+        .groupBy(*keys)
+        .agg(F.min("bin").cast("int").alias("q_bin"))
+    )
+
+
 def matview_cms_estimate(
     view_df: DataFrame,
     out_col: str,
@@ -301,6 +402,7 @@ def create_agg_view(
     sums: dict[str, str],
     hlls: dict[str, str] | None = None,
     cmss: dict[str, str] | None = None,
+    hists: dict[str, tuple] | None = None,
 ) -> int:
     """Full initial materialization of ``GROUP BY keys`` with COUNT(*)
     plus the given SUM measures, watermarked at the source head. Returns
@@ -314,10 +416,17 @@ def create_agg_view(
     ``cmss``: optional ``{out_col: in_col}`` per-group Count-Min
     frequency sketches — the view gains ``out_col_cms`` (cell array);
     probe with :func:`matview_cms_estimate`. Linear, so every refresh
-    path (including DML) maintains it."""
+    path (including DML) maintains it.
+
+    ``hists``: optional ``{out_col: (in_col, lo, hi, nbins)}`` per-group
+    equi-width histograms over an integer domain — linear like CMS
+    (every refresh path maintains them), with the extra property that
+    the bin counts are ENGINE-EXACT (pure integer binning, no hash), so
+    quantiles derived from them (:func:`matview_hist_quantile`) replay
+    bit-identically in a SQL oracle."""
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss)
+    _check_hll_cols(sums, hlls, cmss, hists)
     v = current_version(src)
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
@@ -343,6 +452,15 @@ def create_agg_view(
                 {out: _cms_long(df, keys, in_col) for out, in_col in cmss.items()},
                 keys,
             ),
+        )
+    if hists:
+        base = _attach_hist(
+            base,
+            keys,
+            {
+                out: _hist_state(_hist_long(df, keys, spec_), keys, out)
+                for out, spec_ in hists.items()
+            },
         )
     snapshot_write_txn(
         base, view, app_id=_app_id(view), txn_version=v, mode="overwrite",
@@ -379,6 +497,7 @@ def refresh_agg_view(
     max_retries: int = 5,
     hlls: dict[str, str] | None = None,
     cmss: dict[str, str] | None = None,
+    hists: dict[str, tuple] | None = None,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
     mode)`` with mode in ``noop | incremental-append | incremental-diff |
@@ -409,7 +528,7 @@ def refresh_agg_view(
     for _ in range(max_retries):
         try:
             return _refresh_once(
-                spark, src, view, keys, sums, row_key, hlls, cmss
+                spark, src, view, keys, sums, row_key, hlls, cmss, hists
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -428,10 +547,11 @@ def _refresh_once(
     row_key: list[str],
     hlls: dict[str, str] | None = None,
     cmss: dict[str, str] | None = None,
+    hists: dict[str, tuple] | None = None,
 ) -> tuple[int, str]:
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss)
+    _check_hll_cols(sums, hlls, cmss, hists)
     v_now = current_version(src)
     # Pin ONE view version and read BOTH the watermark and the old state
     # from it, then commit with expected_version CAS. Reading them as two
@@ -492,6 +612,15 @@ def _refresh_once(
                     keys,
                 ),
             )
+        if hists:
+            rebuilt = _attach_hist(
+                rebuilt,
+                keys,
+                {
+                    out: _hist_state(_hist_long(df, keys, spec_), keys, out)
+                    for out, spec_ in hists.items()
+                },
+            )
         snapshot_write_txn(
             rebuilt, view,
             app_id=_app_id(view), txn_version=v_now, mode="overwrite",
@@ -500,6 +629,29 @@ def _refresh_once(
     m_now = _read_manifest(src, v_now)
     hll_states: dict[str, DataFrame] = {}
     cms_states: dict[str, DataFrame] = {}
+    hist_states: dict[str, DataFrame] = {}
+
+    def _fold_hist(delta_src_df: DataFrame, weight: str | None) -> None:
+        """Linear cell fold, same shape as _fold_cms — bins are exact
+        integers, so the folded state is bit-identical to a from-scratch
+        build of the head on any engine."""
+        old_view_h = snapshot_read(spark, view, version=view_v)
+        for out_col, spec_ in hists.items():
+            old_long = old_view_h.select(
+                *keys, F.explode(f"{out_col}_hist").alias("_c")
+            ).select(
+                *keys,
+                F.col("_c.bin").alias("bin"),
+                F.col("_c.cnt").alias("cnt"),
+            )
+            new_long = _hist_long(delta_src_df, keys, spec_, weight)
+            merged_long = (
+                old_long.unionByName(new_long)
+                .groupBy(*keys, "bin")
+                .agg(F.sum("cnt").cast("long").alias("cnt"))
+                .filter(F.col("cnt") != 0)
+            )
+            hist_states[out_col] = _hist_state(merged_long, keys, out_col)
 
     def _fold_cms(delta_src_df: DataFrame, weight: str | None) -> None:
         """Cell-wise fold of the delta's per-group CMS cells into the
@@ -553,6 +705,8 @@ def _refresh_once(
                 hll_states[out_col] = _hll_state(merged_long, keys, out_col)
         if cmss:
             _fold_cms(changed, None)
+        if hists:
+            _fold_hist(changed, None)
     else:
         if hlls:
             raise ValueError(
@@ -582,6 +736,8 @@ def _refresh_once(
             # linear sketch: the ±1 CDF weights subtract deleted rows'
             # cells exactly — DML needs no refusal here, unlike HLL
             _fold_cms(weighted, "_w")
+        if hists:
+            _fold_hist(weighted, "_w")
 
     old = snapshot_read(spark, view, version=view_v)
     measure_cols = [N_COL, *sums.keys()]
@@ -606,6 +762,8 @@ def _refresh_once(
         merged = _attach_hll(merged, keys, hll_states)
     if cmss:
         merged = _attach_cms(merged, keys, cms_states)
+    if hists:
+        merged = _attach_hist(merged, keys, hist_states)
     snapshot_write_txn(
         merged, view, app_id=_app_id(view), txn_version=v_now,
         mode="overwrite", expected_version=view_v,

@@ -528,6 +528,81 @@ def test_matview_cms_survives_dml(spark, tmp_path):
     assert n_under == 0, "CMS estimate undercounted"
 
 
+def test_matview_hist_quantiles_survive_dml(spark, tmp_path):
+    """Histogram matview measures: linear like CMS (every refresh path
+    maintains them, DML included), with engine-exact integer bins. After
+    every refresh the stored bins equal a from-scratch build, and the
+    derived quantile bins match the exact per-group quantile's bin."""
+    from creatorops_lakehouse_spark.sources.matview import (
+        _hist_bin,
+        _hist_long,
+        _hist_state,
+        matview_hist_quantile,
+    )
+
+    SPEC = ("val", 0, 13, 13)  # unit-width bins: bin == val exactly
+    HISTS = {"h_val": SPEC}
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k % 5, k % 13) for k in ks], "k long, grp long, val long"
+        )
+
+    def hist_full():
+        state = _hist_state(
+            _hist_long(snapshot_read(spark, src), ["grp"], SPEC),
+            ["grp"], "h_val",
+        )
+        return {
+            r.grp: tuple((c.bin, c.cnt) for c in r.h_val_hist)
+            for r in state.collect()
+        }
+
+    def hist_view():
+        return {
+            r.grp: tuple((c.bin, c.cnt) for c in r.h_val_hist)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    snapshot_write(rows(range(0, 80)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, hists=HISTS)
+    assert hist_view() == hist_full()
+
+    snapshot_write(rows(range(80, 140)), src)
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hists=HISTS
+    )
+    assert (v, mode) == (1, "incremental-append")
+    assert hist_view() == hist_full()
+
+    snapshot_delete_where(spark, src, {"k": (25, 60)})
+    snapshot_update_where(spark, src, {"k": (70, 95)}, {"val": "(val + 4) % 13"})
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hists=HISTS
+    )
+    assert mode == "incremental-diff"
+    assert hist_view() == hist_full()
+    assert _view(spark, view) == _expect(spark, src)
+
+    # with unit-width bins the histogram median IS the exact median
+    got = {
+        r.grp: r.q_bin
+        for r in matview_hist_quantile(
+            snapshot_read(spark, view), "h_val", ["grp"], 5000
+        ).collect()
+    }
+    import math
+
+    exact = {}
+    for r in snapshot_read(spark, src).groupBy("grp").agg(
+        F.sort_array(F.collect_list("val")).alias("vs")
+    ).collect():
+        exact[r.grp] = r.vs[math.ceil(0.5 * len(r.vs)) - 1]
+    assert got == exact
+
+
 def test_matview_hll_dml_refused(spark, tmp_path):
     """HLL registers are MAX-folded — not subtractable. Any DML between
     refreshes must be REFUSED loudly (same contract as MIN/MAX), never

@@ -60,9 +60,11 @@ def main() -> None:
 
     keys, sums, row_key = ["grp"], {"sum_val": "val"}, ["k"]
     hlls = {"nd_dk": "dk"}
+    cmss = {"f_dk": "dk"}
 
     print("base_rows,create_s,append_refresh_s,append_refresh_hll_s,"
-          "dml_refresh_s,view_groups,mode_append,mode_dml")
+          "append_refresh_cms_s,dml_refresh_s,dml_refresh_cms_s,"
+          "view_groups,mode_append,mode_dml")
     for mult in (1, 10, 100):
         n = mult * X
         root = tempfile.mkdtemp(prefix=f"mv_rehearsal_{mult}x_")
@@ -70,11 +72,13 @@ def main() -> None:
             src = TableSpec("r.src", root + "/src")
             view = TableSpec("r.view", root + "/view")       # SUM/COUNT only
             hview = TableSpec("r.hview", root + "/hview")    # + HLL distinct
+            cview = TableSpec("r.cview", root + "/cview")    # + CMS frequency
             snapshot_write(rows(0, n), src)
 
             t0 = time.time()
             create_agg_view(spark, src, view, keys, sums)
             create_agg_view(spark, src, hview, keys, sums, hlls=hlls)
+            create_agg_view(spark, src, cview, keys, sums, cmss=cmss)
             create_s = time.time() - t0
 
             # FIXED-size append against the grown base
@@ -85,19 +89,28 @@ def main() -> None:
             t0 = time.time()
             refresh_agg_view(spark, src, hview, keys, sums, row_key, hlls=hlls)
             append_hll_s = time.time() - t0
+            t0 = time.time()
+            refresh_agg_view(spark, src, cview, keys, sums, row_key, cmss=cmss)
+            append_cms_s = time.time() - t0
             assert mode_a == "incremental-append", mode_a
 
-            # one DML, then the CDF-fallback refresh (SUM/COUNT view only)
+            # one DML, then the CDF-fallback refresh (SUM/COUNT + CMS —
+            # the CMS view folds the ± cells through the SAME fallback;
+            # the HLL view would refuse here by contract)
             snapshot_delete_where(spark, src, {"k": (0, n // 100)})
             t0 = time.time()
             _, mode_d = refresh_agg_view(spark, src, view, keys, sums, row_key)
             dml_s = time.time() - t0
+            t0 = time.time()
+            refresh_agg_view(spark, src, cview, keys, sums, row_key, cmss=cmss)
+            dml_cms_s = time.time() - t0
             assert mode_d == "incremental-diff", mode_d
 
             groups = snapshot_read(spark, view).count()
             print(
                 f"{n},{create_s:.2f},{append_s:.2f},{append_hll_s:.2f},"
-                f"{dml_s:.2f},{groups},{mode_a},{mode_d}"
+                f"{append_cms_s:.2f},{dml_s:.2f},{dml_cms_s:.2f},"
+                f"{groups},{mode_a},{mode_d}"
             )
         finally:
             shutil.rmtree(root, ignore_errors=True)
