@@ -213,16 +213,22 @@ def main() -> int:
 
             view = TableSpec("chaos.v", table_path + "_view")
             keys, sums, row_key = ["writer"], {"sum_val": "val"}, ["k"]
+            # the view also carries a CMS frequency sketch: the linear ±
+            # fold goes through the SAME raced CDF fallback, so the duel
+            # exercises sketch maintenance under concurrent DML too
+            cmss = {"f_val": "val"}
             if last_txn_version(view, "matview:chaos.v") is None:
                 v = until_committed(
-                    lambda: create_agg_view(spark, spec, view, keys, sums),
+                    lambda: create_agg_view(
+                        spark, spec, view, keys, sums, cmss=cmss
+                    ),
                     "mview create",
                 )
                 log(op="mview_create", version=v)
             while not os.path.exists(stop):
                 try:
                     v, mode = refresh_agg_view(
-                        spark, spec, view, keys, sums, row_key
+                        spark, spec, view, keys, sums, row_key, cmss=cmss
                     )
                     if mode != "noop":
                         log(op="mview_refresh", version=v, mode=mode)

@@ -290,9 +290,18 @@ def test_chaos_refresher_vs_dml(spark, tmp_path):
         "the lost-delta window was not exercised"
     )
 
-    # one clean catch-up, then EXACT equality with the full recompute
+    # one clean catch-up, then EXACT equality with the full recompute —
+    # for the SUM/COUNT measures AND the CMS sketch cells (the linear ±
+    # fold must be cell-identical to a from-scratch build after every
+    # raced delete/update/DV-delete interleaving)
+    from creatorops_lakehouse_spark.sources.matview import (
+        _cms_long,
+        _cms_state,
+    )
+
     refresh_agg_view(
-        spark, spec, view, ["writer"], {"sum_val": "val"}, ["k"]
+        spark, spec, view, ["writer"], {"sum_val": "val"}, ["k"],
+        cmss={"f_val": "val"},
     )
     expect = {
         r.writer: (r.n, r.s)
@@ -311,6 +320,21 @@ def test_chaos_refresher_vs_dml(spark, tmp_path):
     assert got == expect, (
         "view diverged from the full recompute after refresher-vs-DML "
         f"interleavings ({len(refreshes)} refreshes, modes {modes})"
+    )
+    cms_full = {
+        r.writer: tuple((c.row_i, c.bucket, c.cnt) for c in r.f_val_cms)
+        for r in _cms_state(
+            _cms_long(snapshot_read(spark, spec), ["writer"], "val"),
+            ["writer"], "f_val",
+        ).collect()
+    }
+    cms_view = {
+        r.writer: tuple((c.row_i, c.bucket, c.cnt) for c in r.f_val_cms)
+        for r in snapshot_read(spark, view).collect()
+    }
+    assert cms_view == cms_full, (
+        "CMS sketch cells diverged from the from-scratch build after "
+        "raced DML folds"
     )
 
 
