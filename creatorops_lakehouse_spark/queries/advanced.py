@@ -2055,3 +2055,151 @@ def orders_matview_hist_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bins long, append_path_ok boolean, diff_path_ok boolean, "
         "hist_equals_full boolean",
     )
+
+
+@query(
+    "orders_matview_join_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_custkey AS cust
+        FROM orders
+    ),
+    fin AS (
+        SELECT key, cust,
+               CASE WHEN key BETWEEN 1000 AND 2000 THEN cents + 777
+                    ELSE cents END AS cents
+        FROM o WHERE key > 500
+    ),
+    j AS (
+        SELECT f.cents, CAST(c.c_nationkey AS BIGINT) AS nation
+        FROM fin f LEFT JOIN customer c ON c.c_custkey = f.cust
+    )
+    SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           TRUE AS append_path_ok, TRUE AS diff_path_ok,
+           TRUE AS equals_full_ok
+    FROM j GROUP BY 1
+    """,
+)
+def orders_matview_join_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIMENSION-ENRICHED matview under one hash — the gold-layer
+    fact⋈dim view shape (the reference's gold tables aggregate enriched
+    facts; this is that workload maintained incrementally). The view's
+    ``enrich`` hook broadcast-joins each orders row to its customer's
+    nation BEFORE aggregation on every refresh path, so the maintained
+    state is ``SELECT nation, COUNT(*), SUM(cents) FROM orders ⋈
+    customer GROUP BY nation`` — refreshed in O(new data) on appends
+    and through the ±1 CDF fold on DML, never by re-joining history.
+
+    Lifecycle: band0 create → append band1 → refresh (append path; new
+    rows enrich against the broadcast dim) → append band2+3 → catch-up
+    → copy-on-write DELETE key ≤ 500 + UPDATE cents += 777 on
+    key ∈ [1000, 2000] → refresh (diff path; pre/post images re-enrich
+    under the static-dim contract). In-engine boolean equals_full_ok
+    pins the view against a from-scratch enriched aggregate of the
+    head; the oracle replays the DML AND the join in SQL for per-nation
+    n_rows/sum_cents — a mis-enriched delta or double-folded span flips
+    the hash at any SF. The enrich contract (row-local, static dim) is
+    documented at sources/matview.py module docstring; the
+    changing-dim-key DML case is pytest-pinned
+    (test_matview_enriched_with_broadcast_dim)."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    dim = scoped_persist(
+        load(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("cust"),
+            F.col("c_nationkey").cast("long").alias("nation"),
+        )
+    )
+
+    def enrich(df):
+        return df.join(F.broadcast(dim), on="cust", how="left")
+
+    keys, sums, row_key = ["nation"], {"sum_cents": "cents"}, ["key"]
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_join_")
+    try:
+        src = TableSpec("t.mvjsrc", root + "/src")
+        view = TableSpec("t.mvjview", root + "/view")
+        cols = ("key", "cents", "cust")
+
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, enrich=enrich)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        _, mode1 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, enrich=enrich
+        )
+        append_path_ok = mode1 == "incremental-append"
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        refresh_agg_view(spark, src, view, keys, sums, row_key, enrich=enrich)
+
+        snapshot_delete_where(spark, src, {"key": (None, 500)})
+        snapshot_update_where(
+            spark, src, {"key": (1000, 2000)}, {"cents": "cents + 777"}
+        )
+        _, mode2 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, enrich=enrich
+        )
+        diff_path_ok = mode2 == "incremental-diff"
+
+        full = {
+            r.nation: (r.n, r.s)
+            for r in enrich(snapshot_read(spark, src))
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+            )
+            .collect()
+        }
+        mat = snapshot_read(spark, view)
+        got = {
+            r.nation: (r.n_rows, r.sum_cents) for r in mat.collect()
+        }
+        out = mat.select(
+            F.col("nation").cast("long").alias("nation"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.lit(bool(append_path_ok)).alias("append_path_ok"),
+            F.lit(bool(diff_path_ok)).alias("diff_path_ok"),
+            F.lit(got == full).alias("equals_full_ok"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "nation long, n_rows long, sum_cents long, "
+        "append_path_ok boolean, diff_path_ok boolean, "
+        "equals_full_ok boolean",
+    )

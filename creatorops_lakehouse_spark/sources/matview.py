@@ -74,6 +74,22 @@ Contracts (refused loudly, not silently wrong):
   under an oracle hash. Out-of-range values clamp into the edge bins
   (mass is never lost); NULLs are skipped. Error = one bin width by
   construction — size ``nbins`` to the dashboard's tolerance.
+- dimension enrichment (``enrich``): a caller-supplied
+  ``DataFrame -> DataFrame`` applied to source rows BEFORE aggregation
+  on every refresh path — the fact⋈dim join views of a gold layer
+  (e.g. orders enriched with the customer's region, grouped by
+  region). The contract that makes delta maintenance commute with it:
+  enrich must be ROW-LOCAL (exactly one output row per input row — a
+  projection / withColumn / broadcast LEFT join on a key, never an
+  aggregate, explode, or filter), must preserve the input columns it
+  doesn't transform, and must be DETERMINISTIC with respect to its
+  reference data for the life of the view — if the dimension changes,
+  old CDF preimages would re-enrich differently than they folded in,
+  silently corrupting the view (the classic join-view staleness);
+  recreate the view on dimension change (or version the dim and pin
+  it). The same function is applied to full builds, appended dirs, and
+  CDF change rows, so incremental state always equals the enriched
+  full recompute.
 """
 
 from __future__ import annotations
@@ -403,6 +419,7 @@ def create_agg_view(
     hlls: dict[str, str] | None = None,
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
+    enrich=None,
 ) -> int:
     """Full initial materialization of ``GROUP BY keys`` with COUNT(*)
     plus the given SUM measures, watermarked at the source head. Returns
@@ -431,6 +448,8 @@ def create_agg_view(
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
     df = snapshot_read(spark, src, version=v)
+    if enrich is not None:
+        df = enrich(df)
     _check_measures_non_null(df, sums)
     base = _aggregate(df, keys, sums)
     if hlls:
@@ -498,6 +517,7 @@ def refresh_agg_view(
     hlls: dict[str, str] | None = None,
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
+    enrich=None,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
     mode)`` with mode in ``noop | incremental-append | incremental-diff |
@@ -528,7 +548,8 @@ def refresh_agg_view(
     for _ in range(max_retries):
         try:
             return _refresh_once(
-                spark, src, view, keys, sums, row_key, hlls, cmss, hists
+                spark, src, view, keys, sums, row_key, hlls, cmss, hists,
+                enrich,
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -548,6 +569,7 @@ def _refresh_once(
     hlls: dict[str, str] | None = None,
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
+    enrich=None,
 ) -> tuple[int, str]:
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
@@ -585,6 +607,8 @@ def _refresh_once(
         # state + new watermark land together. HLL measures rebuild from
         # the head the same way — a rebuild has no subtraction to refuse.
         df = snapshot_read(spark, src, version=v_now)
+        if enrich is not None:
+            df = enrich(df)
         _check_measures_non_null(df, sums)
         rebuilt = _aggregate(df, keys, sums)
         if hlls:
@@ -681,6 +705,8 @@ def _refresh_once(
         mode = "incremental-append"
         added = [d for d in m_now["dirs"] if d not in set(m_last["dirs"])]
         changed = _load_dirs(spark, src, m_now, added)
+        if enrich is not None:
+            changed = enrich(changed)
         _check_measures_non_null(changed, sums)
         delta = _aggregate(changed, keys, sums)
         if hlls:
@@ -721,6 +747,11 @@ def _refresh_once(
         cdf = snapshot_diff(
             spark, src, v_last, v_now, keys=row_key, detect_updates=True
         )
+        if enrich is not None:
+            # row-local contract: enrich preserves every input column
+            # (including _change_type) and emits one row per change row,
+            # so the ±1 weighting below still pairs pre/post images
+            cdf = enrich(cdf)
         _check_measures_non_null(cdf, sums)
         w = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)

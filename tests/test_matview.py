@@ -124,6 +124,69 @@ def test_matview_refusals(spark, tmp_path):
         refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
 
 
+def test_matview_enriched_with_broadcast_dim(spark, tmp_path):
+    """Dimension-enriched view (the gold-layer fact⋈dim shape): source
+    rows pass through a row-local broadcast-dim join before aggregation
+    on EVERY refresh path — append, multi-version catch-up, delete, and
+    update all end in exact equality with the enriched full recompute.
+    The update moves rows BETWEEN groups (the dim key changes), so the
+    CDF pre/post images must re-enrich consistently."""
+    import pyspark.sql.functions as F
+
+    # static dim: k%10 -> band name
+    dim = spark.createDataFrame(
+        [(i, f"band{i % 3}") for i in range(10)], "dk long, band string"
+    )
+
+    def enrich(df):
+        return df.withColumn("dk", F.col("k") % 10).join(
+            F.broadcast(dim), on="dk", how="left"
+        ).drop("dk")
+
+    KEYS_E, SUMS_E = ["band"], {"sum_val": "val"}
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+
+    def expect():
+        return {
+            r.band: (r.n, r.s)
+            for r in enrich(snapshot_read(spark, src))
+            .groupBy("band")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("val").cast("long").alias("s"),
+            )
+            .collect()
+        }
+
+    def got():
+        return {
+            r.band: (r.n_rows, r.sum_val)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    snapshot_write(_rows(spark, range(0, 40)), src)
+    create_agg_view(spark, src, view, KEYS_E, SUMS_E, enrich=enrich)
+    assert got() == expect()
+
+    snapshot_write(_rows(spark, range(40, 70)), src)
+    snapshot_write(_rows(spark, range(70, 90)), src)
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS_E, SUMS_E, ROW_KEY, enrich=enrich
+    )
+    assert mode == "incremental-append"
+    assert got() == expect()
+
+    # delete + an update that changes k%10 -> the row CHANGES dim group
+    snapshot_delete_where(spark, src, {"k": (10, 25)})
+    snapshot_update_where(spark, src, {"k": (30, 45)}, {"val": "val + 1000"})
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS_E, SUMS_E, ROW_KEY, enrich=enrich
+    )
+    assert mode == "incremental-diff"
+    assert got() == expect()
+
+
 def test_overwrite_expected_version_cas(spark, tmp_path):
     """snapshot_write's optimistic-concurrency CAS: a read-modify-write
     overwrite declares the version its state was derived from; if the
