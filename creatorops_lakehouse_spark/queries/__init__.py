@@ -142,6 +142,11 @@ _PIN_FIRST = (
     "events_session_windows",
     "orders_matview_incremental_verdict",
     "events_hll_distinct_events",
+    # r11 flagship matview capabilities — the histogram row puts sketch
+    # VALUES (p50/p90 bins) under the driver hash; the join row is the
+    # gold fact⋈dim shape maintained incrementally
+    "orders_matview_hist_verdict",
+    "orders_matview_join_verdict",
 )
 
 
