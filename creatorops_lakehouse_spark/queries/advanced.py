@@ -2203,3 +2203,116 @@ def orders_matview_join_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "append_path_ok boolean, diff_path_ok boolean, "
         "equals_full_ok boolean",
     )
+
+
+@query(
+    "orders_matview_minmax_verdict",
+    oracle="""
+    SELECT o_orderkey % 7 AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS min_cents,
+           CAST(MAX(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS max_cents,
+           TRUE AS append_path_ok, TRUE AS catchup_path_ok,
+           TRUE AS dml_refused_ok
+    FROM orders GROUP BY 1
+    """,
+)
+def orders_matview_minmax_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND-ONLY MIN/MAX matview measures under one hash
+    (sources/matview.py ``mins``/``maxs``): a new row can only TIGHTEN a
+    group's extreme, so appends fold by least/greatest against the
+    stored scalar — O(new data), never a rescan — while DML between
+    refreshes is REFUSED loudly (a deleted extreme needs a group rescan;
+    same contract class as HLL). This completes the measure taxonomy:
+    exact ± (SUM/COUNT), append-only fold (MIN/MAX, HLL), linear ±
+    sketches (CMS, histogram).
+
+    Lifecycle: band0 create (grp = key%7; COUNT(*), MIN/MAX cents) →
+    append band1 → refresh (append path) → append band2+3 → catch-up →
+    then a copy-on-write DELETE and a refresh ATTEMPT that must raise
+    (dml_refused_ok — caught in-engine; the view stays at its all-bands
+    watermark, which is exactly what the oracle recomputes from raw
+    ``orders``). Per-group n_rows/min_cents/max_cents are
+    SQL-recomputed; the booleans pin the two modes and the refusal —
+    a silently-folded delete or a lost extreme flips the hash at any
+    SF. Eager verdict harness (excluded from bench); scratch tree
+    deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {}, ["key"]
+    mm = dict(mins={"min_cents": "cents"}, maxs={"max_cents": "cents"})
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_mm_")
+    try:
+        src = TableSpec("t.mvmsrc", root + "/src")
+        view = TableSpec("t.mvmview", root + "/view")
+        cols = ("key", "cents", "grp")
+
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, **mm)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        _, mode1 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, **mm
+        )
+        append_path_ok = mode1 == "incremental-append"
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        _, mode2 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, **mm
+        )
+        catchup_path_ok = mode2 == "incremental-append"
+
+        # DML then a refresh attempt: MUST refuse; the view stays at
+        # the all-bands watermark (= raw orders, what the oracle sees)
+        snapshot_delete_where(spark, src, {"key": (None, 500)})
+        dml_refused = False
+        try:
+            refresh_agg_view(spark, src, view, keys, sums, row_key, **mm)
+        except ValueError as e:
+            dml_refused = "append-only" in str(e)
+
+        out = snapshot_read(spark, view).select(
+            "grp",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("min_cents").cast("long").alias("min_cents"),
+            F.col("max_cents").cast("long").alias("max_cents"),
+            F.lit(bool(append_path_ok)).alias("append_path_ok"),
+            F.lit(bool(catchup_path_ok)).alias("catchup_path_ok"),
+            F.lit(bool(dml_refused)).alias("dml_refused_ok"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, n_rows long, min_cents long, max_cents long, "
+        "append_path_ok boolean, catchup_path_ok boolean, "
+        "dml_refused_ok boolean",
+    )

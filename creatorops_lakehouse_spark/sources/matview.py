@@ -40,9 +40,12 @@ commits the merged view state as ONE snapshot version of the view
 table, so the view itself has time travel, CDF, and vacuum for free.
 
 Contracts (refused loudly, not silently wrong):
-- only SUM and COUNT measures — MIN/MAX are not self-maintainable under
-  deletes (a deleted max needs a rescan); register a full-recompute view
-  for those.
+- SUM and COUNT measures fold through every path. MIN/MAX measures
+  (``mins``/``maxs``) are APPEND-ONLY: a new row can only tighten the
+  extreme, so appends fold by MIN/MAX against the stored value — but a
+  deleted extreme needs a rescan of its group, so DML between refreshes
+  is REFUSED loudly (same contract as HLL); the vacuumed-watermark
+  full-rebuild recomputes them from the head.
 - measure columns must be non-null: a NULL would be skipped by SUM on
   the full recompute but materially contribute 0 through the merge's
   COALESCE, silently diverging the two. Enforced per refresh on the
@@ -172,6 +175,29 @@ def _hll_state(regs_long: DataFrame, keys: list[str], out_col: str) -> DataFrame
     ).drop("_s54")
 
 
+def _minmax_state(
+    df: DataFrame, keys: list[str], mins: dict[str, str], maxs: dict[str, str]
+) -> DataFrame:
+    """Per-group MIN/MAX scalars of df — the append-only extremes.
+    NULLs are skipped (MIN/MAX aggregate semantics)."""
+    aggs = [F.min(in_col).alias(out) for out, in_col in mins.items()]
+    aggs += [F.max(in_col).alias(out) for out, in_col in maxs.items()]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def _attach_minmax(
+    base: DataFrame,
+    keys: list[str],
+    state: DataFrame,
+    mins: dict[str, str],
+    maxs: dict[str, str],
+) -> DataFrame:
+    """Left-join the extremes onto the measure table; a group whose
+    measure column was always NULL keeps NULL (matching MIN/MAX on the
+    full recompute)."""
+    return base.join(state, on=keys, how="left")
+
+
 def _attach_hll(
     base: DataFrame,
     keys: list[str],
@@ -200,8 +226,13 @@ def _check_hll_cols(
     hlls: dict[str, str] | None,
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> None:
-    names = [N_COL, *sums, *(hlls or ()), *(cmss or ()), *(hists or ())]
+    names = [
+        N_COL, *sums, *(hlls or ()), *(cmss or ()), *(hists or ()),
+        *(mins or ()), *(maxs or ()),
+    ]
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(
@@ -420,6 +451,8 @@ def create_agg_view(
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
     enrich=None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> int:
     """Full initial materialization of ``GROUP BY keys`` with COUNT(*)
     plus the given SUM measures, watermarked at the source head. Returns
@@ -443,7 +476,7 @@ def create_agg_view(
     bit-identically in a SQL oracle."""
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss, hists)
+    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs)
     v = current_version(src)
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
@@ -480,6 +513,11 @@ def create_agg_view(
                 out: _hist_state(_hist_long(df, keys, spec_), keys, out)
                 for out, spec_ in hists.items()
             },
+        )
+    if mins or maxs:
+        base = _attach_minmax(
+            base, keys, _minmax_state(df, keys, mins or {}, maxs or {}),
+            mins or {}, maxs or {},
         )
     snapshot_write_txn(
         base, view, app_id=_app_id(view), txn_version=v, mode="overwrite",
@@ -518,6 +556,8 @@ def refresh_agg_view(
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
     enrich=None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
     mode)`` with mode in ``noop | incremental-append | incremental-diff |
@@ -549,7 +589,7 @@ def refresh_agg_view(
         try:
             return _refresh_once(
                 spark, src, view, keys, sums, row_key, hlls, cmss, hists,
-                enrich,
+                enrich, mins, maxs,
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -570,10 +610,12 @@ def _refresh_once(
     cmss: dict[str, str] | None = None,
     hists: dict[str, tuple] | None = None,
     enrich=None,
+    mins: dict[str, str] | None = None,
+    maxs: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss, hists)
+    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs)
     v_now = current_version(src)
     # Pin ONE view version and read BOTH the watermark and the old state
     # from it, then commit with expected_version CAS. Reading them as two
@@ -644,6 +686,11 @@ def _refresh_once(
                     out: _hist_state(_hist_long(df, keys, spec_), keys, out)
                     for out, spec_ in hists.items()
                 },
+            )
+        if mins or maxs:
+            rebuilt = _attach_minmax(
+                rebuilt, keys, _minmax_state(df, keys, mins or {}, maxs or {}),
+                mins or {}, maxs or {},
             )
         snapshot_write_txn(
             rebuilt, view,
@@ -733,7 +780,21 @@ def _refresh_once(
             _fold_cms(changed, None)
         if hists:
             _fold_hist(changed, None)
+        if mins or maxs:
+            # append-only extremes: new rows can only TIGHTEN them —
+            # fold the new dirs' per-group extremes against the stored
+            # scalars (computed below after the measure merge)
+            minmax_delta = _minmax_state(changed, keys, mins or {}, maxs or {})
     else:
+        if mins or maxs:
+            raise ValueError(
+                "matview has MIN/MAX measures "
+                f"({sorted([*(mins or {}), *(maxs or {})])}), but the "
+                f"source changed by DML/rewrite between versions {v_last} "
+                f"and {v_now}: a deleted extreme needs a rescan of its "
+                "group — MIN/MAX are append-only (same contract as HLL). "
+                "Recreate the view or drop the extremes."
+            )
         if hlls:
             raise ValueError(
                 "matview has COUNT(DISTINCT) HLL measures "
@@ -795,6 +856,23 @@ def _refresh_once(
         merged = _attach_cms(merged, keys, cms_states)
     if hists:
         merged = _attach_hist(merged, keys, hist_states)
+    if mins or maxs:
+        old_mm = snapshot_read(spark, view, version=view_v).select(
+            *keys,
+            *[F.col(c).alias(f"_o_{c}") for c in [*(mins or {}), *(maxs or {})]],
+        )
+        d_mm = minmax_delta.select(
+            *keys,
+            *[F.col(c).alias(f"_d_{c}") for c in [*(mins or {}), *(maxs or {})]],
+        )
+        mm = old_mm.join(d_mm, on=keys, how="full_outer")
+        mm_cols = [
+            *[F.least(F.col(f"_o_{c}"), F.col(f"_d_{c}")).alias(c) for c in (mins or {})],
+            *[F.greatest(F.col(f"_o_{c}"), F.col(f"_d_{c}")).alias(c) for c in (maxs or {})],
+        ]
+        # least/greatest skip NULLs (a brand-new group has no old value;
+        # an untouched group has no delta) — exactly the fold we want
+        merged = merged.join(mm.select(*keys, *mm_cols), on=keys, how="left")
     snapshot_write_txn(
         merged, view, app_id=_app_id(view), txn_version=v_now,
         mode="overwrite", expected_version=view_v,

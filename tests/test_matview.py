@@ -526,6 +526,66 @@ def _cms_view(spark, view):
     }
 
 
+def test_matview_minmax_append_only(spark, tmp_path):
+    """MIN/MAX measures fold on the append path (a new row can only
+    tighten the extreme — least/greatest against the stored scalar, new
+    groups and untouched groups handled by the NULL-skipping fold) and
+    are REFUSED on DML with the same loud contract as HLL."""
+    MM = dict(mins={"min_val": "val"}, maxs={"max_val": "val"})
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+
+    def rows(ks, grp_mod=5):
+        return spark.createDataFrame(
+            [(k, k % grp_mod, (k * 37) % 101) for k in ks],
+            "k long, grp long, val long",
+        )
+
+    def expect_mm():
+        return {
+            r.grp: (r.mn, r.mx)
+            for r in snapshot_read(spark, src)
+            .groupBy("grp")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .collect()
+        }
+
+    def got_mm():
+        return {
+            r.grp: (r.min_val, r.max_val)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    snapshot_write(rows(range(0, 40)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, **MM)
+    assert got_mm() == expect_mm()
+
+    snapshot_write(rows(range(40, 90)), src)
+    snapshot_write(rows(range(90, 130)), src)
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, **MM)
+    assert mode == "incremental-append"
+    assert got_mm() == expect_mm()
+    assert _view(spark, view) == _expect(spark, src)
+
+    # DML -> refused loudly; the view is untouched
+    snapshot_delete_where(spark, src, {"k": (10, 20)})
+    with pytest.raises(ValueError, match="append-only"):
+        refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, **MM)
+
+    # vacuumed watermark -> full rebuild recomputes extremes from head
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        vacuum_snapshots,
+    )
+
+    snapshot_write(rows(range(130, 160)), src)
+    checkpoint_manifest(src)
+    vacuum_snapshots(src, keep_last=1)
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY, **MM)
+    assert mode == "full-rebuild"
+    assert got_mm() == expect_mm()
+
+
 def test_matview_cms_survives_dml(spark, tmp_path):
     """Count-Min matview measures are LINEAR — cells add and subtract —
     so unlike HLL every refresh path maintains them, including the CDF
