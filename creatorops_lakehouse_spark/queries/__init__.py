@@ -168,6 +168,13 @@ def _ordered() -> list[RegisteredQuery]:
     would displace an oracle-backed query from the hash gate.
     """
     _ensure_imported()
+    missing = [n for n in _PIN_FIRST if n not in REGISTRY]
+    if missing:
+        raise KeyError(
+            f"_PIN_FIRST names missing from the query registry (renamed or "
+            f"unregistered?): {missing} — fix _PIN_FIRST in "
+            f"{__name__} to match the @query registrations"
+        )
     pinned = [REGISTRY[n] for n in _PIN_FIRST]
     groups: dict[str, list[RegisteredQuery]] = {}
     rows_only: list[RegisteredQuery] = []

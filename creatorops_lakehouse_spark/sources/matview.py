@@ -14,18 +14,28 @@ pinned versions (O(table) read, like Delta CDF without per-commit
 change files) but still folds into the view through the tiny delta —
 the full re-AGGREGATION and the view rewrite stay O(changes)/O(groups).
 
-Refresh paths, chosen per refresh from the two manifests alone:
+Refresh paths, chosen per refresh by walking the PER-COMMIT manifests
+between watermark and head (:func:`_classify_span` — O(span) small JSON
+reads, no data files touched):
 
-- **incremental-append** (the common case): if the source head's file
-  set is a superset of the watermark version's (same schema, same
-  deletion vectors on the common dirs — i.e. every old row survived
-  verbatim and only new dirs arrived), the delta is computed by scanning
-  ONLY the added dirs (_load_dirs on the added subset). True
-  O(new data): the existing table bytes are never touched.
-- **incremental-diff**: any DML/rewrite between watermark and head falls
+- **noop-optimize**: every commit in the span is a content-noop —
+  OPTIMIZE / OPTIMIZE ZORDER / purge / constraint DDL, the snapshot
+  log's analog of Delta's ``dataChange=false`` commits. The watermark
+  advances with a metadata-only view commit; nothing folds, so the
+  reference's weekly-OPTIMIZE runbook costs a view refresh nothing.
+- **incremental-append** (the common case): every step is a verbatim
+  append or a content-noop; the delta is computed by scanning ONLY the
+  appended dirs, each loaded under its own step's manifest (so a later
+  OPTIMIZE packing them out of the head's dir set cannot orphan them).
+  True O(new data): the existing table bytes are never touched.
+- **incremental-diff**: real DML between watermark and head falls
   back to the key-level CDF (snapshot_diff with update detection);
   change rows fold into the view with +1/-1 weights
   (insert/update_postimage = +1, delete/update_preimage = -1).
+- **incremental-diff-rescan**: DML on a view with append-only measures
+  (HLL/MIN/MAX) and ``on_dml='rescan_groups'`` — the diff fold plus a
+  surgical rescan of ONLY the affected groups' head rows to re-sketch
+  their registers/extremes (cost ∝ touched groups, never the table).
 - **full-rebuild**: vacuum reclaimed the watermark version, so the delta
   is unreconstructible — re-materialize from the head (Delta's behavior
   past the change feed's retention horizon), still as ONE commit
@@ -44,7 +54,8 @@ Contracts (refused loudly, not silently wrong):
   (``mins``/``maxs``) are APPEND-ONLY: a new row can only tighten the
   extreme, so appends fold by MIN/MAX against the stored value — but a
   deleted extreme needs a rescan of its group, so DML between refreshes
-  is REFUSED loudly (same contract as HLL); the vacuumed-watermark
+  is REFUSED loudly by default (same contract as HLL) — or repaired
+  surgically with ``on_dml='rescan_groups'``; the vacuumed-watermark
   full-rebuild recomputes them from the head.
 - measure columns must be non-null: a NULL would be skipped by SUM on
   the full recompute but materially contribute 0 through the merge's
@@ -55,10 +66,12 @@ Contracts (refused loudly, not silently wrong):
   (bucket, rho) array plus the exact-integer estimate, and the APPEND
   path folds new-data registers in by per-bucket MAX — O(new data) scan
   + O(groups · m) register fold, never a re-scan of distinct keys.
-  DML between refreshes is REFUSED for HLL views: a register MAX is not
-  subtractable (a deleted key's rho contribution needs a rescan of the
-  group — the same reason MIN/MAX are refused); recreate the view or
-  drop the distinct measure. NULL keys are skipped, matching
+  DML between refreshes is REFUSED for HLL views by default: a register
+  MAX is not subtractable (a deleted key's rho contribution needs a
+  rescan of the group — the same reason MIN/MAX are refused); pass
+  ``on_dml='rescan_groups'`` to repair only the affected groups, or
+  recreate the view, or drop the distinct measure. NULL keys are
+  skipped, matching
   COUNT(DISTINCT) semantics on the full recompute.
 - heavy-hitter frequency measures (``cmss``) maintain per-group
   Count-Min sketches (operators/cms.py). A CMS is a LINEAR sketch —
@@ -113,6 +126,11 @@ from creatorops_lakehouse_spark.sources.tables import TableSpec
 #: the view's row-count measure (also the group-death signal: a group
 #: whose count folds to 0 is removed from the view)
 N_COL = "n_rows"
+
+#: rescan_groups repair: affected-key sets at or below this size are
+#: inlined as an IN-list (pushable predicate → partition pruning /
+#: row-group skipping); larger sets fall back to a distributed semi-join
+_RESCAN_INLIST_MAX = 1000
 
 
 def _app_id(view: TableSpec) -> str:
@@ -228,16 +246,27 @@ def _check_hll_cols(
     hists: dict[str, tuple] | None = None,
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    keys: list[str] | None = None,
 ) -> None:
+    # the full name space the view's schema will carry: grouping keys,
+    # every measure output, and the derived sketch-state columns
+    # (<out>_regs / <out>_cms / <out>_hist) — a collision ANYWHERE here
+    # (e.g. sums={'x_regs': ...} next to hlls={'x': ...}, or a measure
+    # named after a key) would surface as a duplicate/ambiguous column at
+    # join time deep inside a refresh; refuse loudly at the API instead
     names = [
+        *(keys or ()),
         N_COL, *sums, *(hlls or ()), *(cmss or ()), *(hists or ()),
         *(mins or ()), *(maxs or ()),
+        *(f"{o}_regs" for o in (hlls or ())),
+        *(f"{o}_cms" for o in (cmss or ())),
+        *(f"{o}_hist" for o in (hists or ())),
     ]
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
         raise ValueError(
-            f"measure output columns collide across sums/hlls/cmss: "
-            f"{sorted(dupes)}"
+            f"matview column names collide across keys/measures/derived "
+            f"sketch columns: {sorted(dupes)}"
         )
 
 
@@ -316,7 +345,13 @@ def _hist_bin(in_col: str, lo: int, hi: int, nbins: int) -> F.Column:
     floor((x - lo) * nbins / (hi - lo)) clamped into [0, nbins-1] —
     pure integer arithmetic, so a SQL oracle derives identical bins."""
     span = hi - lo
-    raw = F.expr(f"CAST(({in_col} - {lo}) * {nbins} AS BIGINT) div {span}")
+    # the offset is cast to BIGINT BEFORE the multiply: for a 32-bit
+    # input column with a wide declared domain, (x - lo) * nbins can
+    # exceed 2^31 and would silently wrap in non-ANSI Spark, moving the
+    # row's mass into the wrong edge bin and diverging from a SQL oracle
+    raw = F.expr(
+        f"((CAST({in_col} AS BIGINT) - {lo}) * {nbins}) div {span}"
+    )
     return F.greatest(
         F.lit(0), F.least(F.lit(nbins - 1), raw)
     ).cast("int")
@@ -379,8 +414,12 @@ def matview_hist_quantile(
     SMALLEST bin whose cumulative count reaches ``q_bp`` basis points of
     the group's histogram mass (ceil semantics — exact integer
     comparison ``cum * 10000 >= q_bp * total``, so any engine derives
-    the identical bin). Returns (keys..., q_bin int). Error is the bin
-    width by construction; size ``nbins`` to the dashboard's tolerance."""
+    the identical bin). Returns (keys..., q_bin int) for EVERY group in
+    ``view_df`` — a group whose histogram is empty (measure column was
+    all-NULL) returns a NULL ``q_bin`` rather than vanishing, matching
+    SQL's percentile-of-no-rows and keeping downstream inner joins from
+    silently dropping the group. Error is the bin width by construction;
+    size ``nbins`` to the dashboard's tolerance."""
     cells = view_df.select(
         *keys, F.explode(f"{out_col}_hist").alias("_c")
     ).select(
@@ -396,11 +435,12 @@ def matview_hist_quantile(
         F.sum("cnt").over(w).alias("_cum"),
         F.sum("cnt").over(tot).alias("_tot"),
     )
-    return (
+    q = (
         cum.filter(F.col("_cum") * 10000 >= F.lit(q_bp) * F.col("_tot"))
         .groupBy(*keys)
         .agg(F.min("bin").cast("int").alias("q_bin"))
     )
+    return view_df.select(*keys).join(q, on=keys, how="left")
 
 
 def matview_cms_estimate(
@@ -476,7 +516,7 @@ def create_agg_view(
     bit-identically in a SQL oracle."""
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs)
+    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs, keys)
     v = current_version(src)
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
@@ -544,6 +584,102 @@ def _append_only(m_old: dict, m_new: dict) -> bool:
     return m_old.get("dv", []) == m_new.get("dv", [])
 
 
+#: commit modes whose read content equals the parent version's — the
+#: snapshot log's analog of Delta's ``dataChange=false`` commits.
+#: OPTIMIZE / OPTIMIZE ZORDER rewrite the file LAYOUT of rows the reads
+#: already return; purge materializes deletion vectors the reads already
+#: apply; the constraint DDLs and a sibling matview's watermark bump
+#: touch only metadata. A refresh can advance its watermark across any
+#: of these without folding anything.
+_NOOP_MODES = frozenset(
+    {
+        "optimize",
+        "optimize-zorder",
+        "purge",
+        "set_constraint",
+        "drop_constraint",
+        "matview_watermark",
+    }
+)
+
+
+def _classify_span(
+    src: TableSpec, v_last: int, v_now: int, m_last: dict
+) -> tuple[str, list | None]:
+    """Walk the per-commit manifests between watermark and head and
+    classify the SPAN by its content change (VERDICT r11 item 1 — the
+    fix for "weekly OPTIMIZE bricks append-only matview measures"):
+
+    - ``("append", plan)`` — every step is either a verbatim append or a
+      content-noop commit (:data:`_NOOP_MODES`); ``plan`` is
+      ``[(manifest, added_dirs), ...]`` — one entry per append step, so
+      the delta is exactly those dirs' content even when a LATER
+      OPTIMIZE packed them out of the head's dir set. An all-noop span
+      yields an empty plan (watermark advances free).
+    - ``("dml", None)`` — some step changed content beyond appends
+      (delete/update/merge/replace/rollback/...): the caller needs the
+      key-level CDF.
+    - ``("unknown", None)`` — an intermediate manifest was vacuumed;
+      the caller falls back to the endpoint-pair heuristics.
+
+    Cost: O(span) small JSON manifest reads — no data files touched.
+    """
+    manifests = {v_last: m_last}
+    for v in range(v_last + 1, v_now + 1):
+        try:
+            manifests[v] = _read_manifest(src, v)
+        except ValueError:
+            return ("unknown", None)
+    plan: list = []
+    for v in range(v_last + 1, v_now + 1):
+        m_prev, m_cur = manifests[v - 1], manifests[v]
+        if _append_only(m_prev, m_cur):
+            added = [d for d in m_cur["dirs"] if d not in set(m_prev["dirs"])]
+            if added:
+                plan.append((m_cur, added))
+            continue
+        if (
+            m_cur.get("mode") in _NOOP_MODES
+            and m_prev.get("schema") == m_cur.get("schema")
+            and m_prev.get("column_map") == m_cur.get("column_map")
+        ):
+            # content-noop: reads at v return exactly v-1's rows (an
+            # OPTIMIZE that rebased a racing blind append still
+            # preserves per-version content — the append is its own
+            # step). Earlier appended dirs stay loadable from their
+            # original location: every span version's manifest is
+            # readable, so vacuum has not reclaimed their files.
+            continue
+        return ("dml", None)
+    return ("append", plan)
+
+
+def _advance_watermark(view: TableSpec, view_v: int, v_now: int) -> None:
+    """Metadata-only view commit that bumps the matview watermark without
+    rewriting a byte of view state — used when every source commit in
+    the span is a content-noop (weekly OPTIMIZE with no new data). The
+    commit is put-if-absent on ``view_v + 1``, so a racing refresher
+    raises :class:`SnapshotConflictError` and the caller's retry loop
+    re-reads a consistent (watermark, state) pair — the same CAS
+    invariant as the state-rewriting paths."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        _commit,
+        _metadata_commit_body,
+    )
+
+    if current_version(view) != view_v:
+        raise SnapshotConflictError(
+            f"matview watermark advance of {view.path}: view moved past "
+            f"pinned version {view_v}"
+        )
+    m = _metadata_commit_body(view, view_v, mode="matview_watermark")
+    txns = dict(m.get("txns", {}))
+    txns[_app_id(view)] = int(v_now)
+    m["txns"] = txns
+    _commit(view, view_v + 1, m)
+
+
 def refresh_agg_view(
     spark: SparkSession,
     src: TableSpec,
@@ -558,11 +694,36 @@ def refresh_agg_view(
     enrich=None,
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    on_dml: str = "refuse",
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
-    mode)`` with mode in ``noop | incremental-append | incremental-diff |
-    full-rebuild`` (the last when vacuum reclaimed the watermark version
-    — the delta is gone, so the view re-materializes from the head).
+    mode)`` with mode in ``noop | noop-optimize | incremental-append |
+    incremental-diff | incremental-diff-rescan | full-rebuild``.
+
+    The refresh walks the PER-COMMIT manifests between watermark and
+    head (:func:`_classify_span`): content-noop commits — OPTIMIZE,
+    OPTIMIZE ZORDER, purge, constraint DDL (the snapshot log's
+    ``dataChange=false``) — advance the watermark free, so the
+    reference's weekly-OPTIMIZE runbook (sql/ddl/01_bronze.sql:25-26,
+    runbooks/silver-transform.md:138) no longer bricks append-only
+    HLL/MIN-MAX measures or forces an O(2×table) empty-delta CDF scan
+    on SUM/COUNT/CMS/hist views. An all-noop span returns
+    ``noop-optimize`` (metadata-only view commit, zero state bytes
+    rewritten); a mixed append+noop span folds ONLY the appended dirs
+    (``incremental-append``); full-rebuild is reserved for a vacuumed
+    watermark version.
+
+    ``on_dml`` governs append-only measures (``hlls``/``mins``/``maxs``)
+    when real DML intervened: ``"refuse"`` (default) raises — a register
+    MAX / extreme is not subtractable; ``"rescan_groups"`` repairs
+    surgically instead: the CDF delta's distinct group keys identify the
+    affected groups, ONLY those groups' head rows are rescanned (an
+    IN-list pushdown when the key set is small, a semi-join otherwise),
+    their registers/extremes are re-sketched from scratch, and the
+    result is spliced into the stored state (mode
+    ``incremental-diff-rescan``). Cost ∝ the affected groups' rows —
+    never a full re-aggregation — and the spliced state is
+    bucket-for-bucket identical to a from-scratch build of the head.
 
     ``row_key`` identifies source ROWS (not groups) for the CDF fallback;
     on the append fast path it is unused. The refresh is idempotent and
@@ -584,12 +745,16 @@ def refresh_agg_view(
         SnapshotConflictError,
     )
 
+    if on_dml not in ("refuse", "rescan_groups"):
+        raise ValueError(
+            f"on_dml must be 'refuse' or 'rescan_groups', got {on_dml!r}"
+        )
     last_err: Exception | None = None
     for _ in range(max_retries):
         try:
             return _refresh_once(
                 spark, src, view, keys, sums, row_key, hlls, cmss, hists,
-                enrich, mins, maxs,
+                enrich, mins, maxs, on_dml,
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -612,10 +777,11 @@ def _refresh_once(
     enrich=None,
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    on_dml: str = "refuse",
 ) -> tuple[int, str]:
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs)
+    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs, keys)
     v_now = current_version(src)
     # Pin ONE view version and read BOTH the watermark and the old state
     # from it, then commit with expected_version CAS. Reading them as two
@@ -692,9 +858,15 @@ def _refresh_once(
                 rebuilt, keys, _minmax_state(df, keys, mins or {}, maxs or {}),
                 mins or {}, maxs or {},
             )
+        # same CAS as every other commit path: the rebuild recomputes
+        # purely from one pinned source version, so a lost race would
+        # only cost a wasted rebuild — but holding the invariant
+        # uniformly (commit validates the view version it read) keeps
+        # "every refresh commit is CAS-guarded" true without exceptions
         snapshot_write_txn(
             rebuilt, view,
             app_id=_app_id(view), txn_version=v_now, mode="overwrite",
+            expected_version=view_v,
         )
         return (v_now, "full-rebuild")
     m_now = _read_manifest(src, v_now)
@@ -748,10 +920,38 @@ def _refresh_once(
             )
             cms_states[out_col] = _cms_state(merged_long, keys, out_col)
 
-    if _append_only(m_last, m_now):
+    cls, plan = _classify_span(src, v_last, v_now, m_last)
+    if cls == "unknown":
+        # an intermediate manifest was vacuumed — fall back to the
+        # endpoint-pair heuristic (the pre-r12 behavior): a head whose
+        # dir set is a verbatim superset of the watermark's is still a
+        # provable append regardless of the missing middle
+        if _append_only(m_last, m_now):
+            cls = "append"
+            plan = [
+                (m_now, [d for d in m_now["dirs"]
+                         if d not in set(m_last["dirs"])])
+            ]
+        else:
+            cls = "dml"
+    minmax_replace: DataFrame | None = None
+    if cls == "append" and not plan:
+        # every commit in the span was a content-noop (OPTIMIZE / purge /
+        # constraint DDL): zero rows changed, so the watermark advances
+        # with a metadata-only view commit — no fold, no state rewrite,
+        # and append-only HLL/MIN-MAX measures sail through
+        _advance_watermark(view, view_v, v_now)
+        return (v_now, "noop-optimize")
+    if cls == "append":
         mode = "incremental-append"
-        added = [d for d in m_now["dirs"] if d not in set(m_last["dirs"])]
-        changed = _load_dirs(spark, src, m_now, added)
+        # one scan per append step's dirs, loaded under THAT step's
+        # manifest (schema/column_map are span-constant — any change
+        # classifies as dml) so a later OPTIMIZE packing them out of the
+        # head's dir set cannot orphan them
+        parts = [_load_dirs(spark, src, m_step, ds) for m_step, ds in plan]
+        changed = parts[0]
+        for p in parts[1:]:
+            changed = changed.unionByName(p)
         if enrich is not None:
             changed = enrich(changed)
         _check_measures_non_null(changed, sums)
@@ -786,23 +986,17 @@ def _refresh_once(
             # scalars (computed below after the measure merge)
             minmax_delta = _minmax_state(changed, keys, mins or {}, maxs or {})
     else:
-        if mins or maxs:
+        if (mins or maxs or hlls) and on_dml != "rescan_groups":
+            which = sorted([*(mins or {}), *(maxs or {}), *(hlls or {})])
             raise ValueError(
-                "matview has MIN/MAX measures "
-                f"({sorted([*(mins or {}), *(maxs or {})])}), but the "
-                f"source changed by DML/rewrite between versions {v_last} "
-                f"and {v_now}: a deleted extreme needs a rescan of its "
-                "group — MIN/MAX are append-only (same contract as HLL). "
-                "Recreate the view or drop the extremes."
-            )
-        if hlls:
-            raise ValueError(
-                "matview has COUNT(DISTINCT) HLL measures "
-                f"({sorted(hlls)}), but the source changed by DML/rewrite "
-                f"between versions {v_last} and {v_now}: HLL registers are "
-                "MAX-folded and not subtractable — a delete needs a "
-                "rescan of the affected groups. Recreate the view "
-                "(create_agg_view) or drop the distinct measures."
+                f"matview has append-only measures ({which}: HLL "
+                "registers are MAX-folded and MIN/MAX extremes only "
+                "tighten — not subtractable), but the source "
+                f"changed by DML/rewrite between versions {v_last} and "
+                f"{v_now}: a deleted row needs a rescan of its group. "
+                "Pass on_dml='rescan_groups' to repair only the affected "
+                "groups, or recreate the view (create_agg_view), or drop "
+                "the append-only measures."
             )
         mode = "incremental-diff"
         cdf = snapshot_diff(
@@ -830,6 +1024,50 @@ def _refresh_once(
             _fold_cms(weighted, "_w")
         if hists:
             _fold_hist(weighted, "_w")
+        if hlls or mins or maxs:
+            # on_dml='rescan_groups': surgical repair of the append-only
+            # measures. The CDF already names every group whose row set
+            # changed — rescan ONLY those groups' head rows, re-sketch
+            # their registers/extremes from scratch, and splice the
+            # results next to the untouched groups' stored state. Cost ∝
+            # affected groups' rows; the spliced state equals a
+            # from-scratch build bucket-for-bucket (unaffected groups'
+            # row sets are unchanged, so their canonical sorted-register
+            # arrays are unchanged too).
+            mode = "incremental-diff-rescan"
+            affected = cdf.select(*keys).distinct()
+            head_rows = snapshot_read(spark, src, version=v_now)
+            if enrich is not None:
+                head_rows = enrich(head_rows)
+            n_aff = affected.limit(_RESCAN_INLIST_MAX + 1).count()
+            if len(keys) == 1 and n_aff <= _RESCAN_INLIST_MAX:
+                # small key set: inline it as an IN-list so the scan gets
+                # a pushable predicate (partition pruning + parquet
+                # row-group skipping when the table is laid out by key)
+                vals = [r[0] for r in affected.collect()]
+                aff_rows = head_rows.filter(F.col(keys[0]).isin(vals))
+            else:
+                aff_rows = head_rows.join(affected, on=keys, how="left_semi")
+            old_state = snapshot_read(spark, view, version=view_v)
+            unaff = old_state.join(affected, on=keys, how="left_anti")
+            for out_col, in_col in (hlls or {}).items():
+                hll_states[out_col] = unaff.select(
+                    *keys, f"{out_col}_regs", out_col
+                ).unionByName(
+                    _hll_state(
+                        hll_registers(aff_rows, in_col, _HLL_B, tuple(keys)),
+                        keys,
+                        out_col,
+                    )
+                )
+            if mins or maxs:
+                mm_cols = [*(mins or {}), *(maxs or {})]
+                # REPLACEMENT semantics, not the append path's
+                # least/greatest fold: a deleted extreme must be allowed
+                # to loosen, so affected groups take the rescan verbatim
+                minmax_replace = unaff.select(*keys, *mm_cols).unionByName(
+                    _minmax_state(aff_rows, keys, mins or {}, maxs or {})
+                )
 
     old = snapshot_read(spark, view, version=view_v)
     measure_cols = [N_COL, *sums.keys()]
@@ -856,7 +1094,9 @@ def _refresh_once(
         merged = _attach_cms(merged, keys, cms_states)
     if hists:
         merged = _attach_hist(merged, keys, hist_states)
-    if mins or maxs:
+    if minmax_replace is not None:
+        merged = merged.join(minmax_replace, on=keys, how="left")
+    elif mins or maxs:
         old_mm = snapshot_read(spark, view, version=view_v).select(
             *keys,
             *[F.col(c).alias(f"_o_{c}") for c in [*(mins or {}), *(maxs or {})]],

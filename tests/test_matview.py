@@ -429,7 +429,9 @@ def test_matview_survives_optimize_and_rollback(spark, tmp_path):
 
     optimize_snapshots(spark, src)  # v2: same rows, new file set
     v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
-    assert mode == "incremental-diff"  # dirs changed -> not append-only
+    # r12: mode='optimize' commits are content-noops (dataChange=false) —
+    # the watermark advances free instead of paying an empty-delta CDF
+    assert (v, mode) == (2, "noop-optimize")
     assert _view(spark, view) == _expect(spark, src)
 
     rollback(src, 0)  # v3: back to the first 30 rows
@@ -833,3 +835,302 @@ def test_matview_vacuumed_watermark_full_rebuild(spark, tmp_path):
     assert _view(spark, view) == _expect(spark, src)
     # and the watermark advanced: the next refresh is a no-op
     assert refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)[1] == "noop"
+
+
+def test_matview_optimize_is_content_noop(spark, tmp_path):
+    """VERDICT r11 item 1 (the round's one real defect): OPTIMIZE commits
+    are content-noops — mode='optimize' is the snapshot log's
+    dataChange=false. A span of pure maintenance advances the watermark
+    with a metadata-only commit (no fold, no state rewrite), and a mixed
+    append→OPTIMIZE→append span folds EXACTLY the appended dirs even
+    though the later OPTIMIZE packed them out of the head's dir set."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(_rows(spark, range(0, 30)), src)  # v0
+    create_agg_view(spark, src, view, KEYS, SUMS)
+
+    optimize_snapshots(spark, src)  # v1: same rows, packed layout
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert (v, mode) == (1, "noop-optimize")
+    assert _view(spark, view) == _expect(spark, src)
+    # the advance is durable: a replay no-ops via the txn map
+    assert refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)[1] == "noop"
+
+    # append → OPTIMIZE → append: the OPTIMIZE at v3 consumes v2's
+    # appended dir; the span walk must still fold v2's AND v4's content
+    # exactly once each, via the incremental-append path (never the CDF)
+    snapshot_write(_rows(spark, range(30, 50)), src)  # v2
+    optimize_snapshots(spark, src)  # v3 packs v2's dir away
+    snapshot_write(_rows(spark, range(50, 70)), src)  # v4
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert (v, mode) == (4, "incremental-append")
+    assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_hll_minmax_survive_optimize(spark, tmp_path):
+    """The same fix, on the measures OPTIMIZE used to BRICK: HLL and
+    MIN/MAX views refused to refresh forever after a compaction (the dir
+    set changed, so every span looked like DML). With per-commit mode
+    classification they refresh green — noop for pure maintenance,
+    append fold for mixed spans — and the folded registers/extremes
+    equal a from-scratch build of the head bucket for bucket."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+    )
+
+    HLLS = {"nd_val": "val"}
+    MM = dict(mins={"min_val": "val"}, maxs={"max_val": "val"})
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+
+    def rows(ks):  # val = k % 13: real duplicate distinct keys per group
+        return spark.createDataFrame(
+            [(k, k % 5, k % 13) for k in ks], "k long, grp long, val long"
+        )
+
+    def mm_expect():
+        return {
+            r.grp: (r.mn, r.mx)
+            for r in snapshot_read(spark, src)
+            .groupBy("grp")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .collect()
+        }
+
+    def mm_got():
+        return {
+            r.grp: (r.min_val, r.max_val)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    snapshot_write(rows(range(0, 60)), src)  # v0
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS, **MM)
+
+    optimize_snapshots(spark, src)  # v1 — pre-r12 this bricked the view
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS, **MM
+    )
+    assert (v, mode) == (1, "noop-optimize")
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+    assert mm_got() == mm_expect()
+
+    # mixed span: append v2, OPTIMIZE v3, append v4 — one append fold
+    snapshot_write(rows(range(60, 90)), src)
+    optimize_snapshots(spark, src)
+    snapshot_write(rows(range(90, 140)), src)
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS, **MM
+    )
+    assert (v, mode) == (4, "incremental-append")
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+    assert mm_got() == mm_expect()
+    assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_dml_rescan_groups(spark, tmp_path):
+    """VERDICT r11 item 2: on_dml='rescan_groups' upgrades the append-only
+    refusal to a surgical repair — the CDF's distinct group keys name the
+    affected groups, ONLY their head rows are rescanned, and the
+    re-sketched registers/extremes are spliced next to the untouched
+    groups' stored state. After a delete (which must LOOSEN a max) and an
+    update, the view equals a from-scratch build bucket for bucket."""
+    HLLS = {"nd": "dval"}
+    MM = dict(mins={"min_val": "val"}, maxs={"max_val": "val"})
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k % 5, k * 10, k % 13) for k in ks],
+            "k long, grp long, val long, dval long",
+        )
+
+    def hll_full():
+        from creatorops_lakehouse_spark.operators.hll import hll_registers
+        from creatorops_lakehouse_spark.sources.matview import _hll_state
+
+        df = snapshot_read(spark, src)
+        state = _hll_state(
+            hll_registers(df, "dval", 7, ("grp",)), ["grp"], "nd"
+        )
+        return {
+            r.grp: (tuple((x.bucket, x.rho) for x in r.nd_regs), r.nd)
+            for r in state.collect()
+        }
+
+    def hll_got():
+        return {
+            r.grp: (tuple((x.bucket, x.rho) for x in r.nd_regs), r.nd)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    def mm_expect():
+        return {
+            r.grp: (r.mn, r.mx)
+            for r in snapshot_read(spark, src)
+            .groupBy("grp")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .collect()
+        }
+
+    def mm_got():
+        return {
+            r.grp: (r.min_val, r.max_val)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(rows(range(0, 60)), src)  # v0
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS, **MM)
+    before_max = mm_got()
+
+    # delete the TOP rows (k 55..59 are each group's max: val = k*10) —
+    # the repair must loosen those maxes, which no fold can do
+    snapshot_delete_where(spark, src, {"k": (55, 59)})
+    # default contract unchanged: refuse loudly
+    with pytest.raises(ValueError, match="append-only"):
+        refresh_agg_view(
+            spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS, **MM
+        )
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups", **MM
+    )
+    assert mode == "incremental-diff-rescan"
+    assert mm_got() == mm_expect()
+    assert any(
+        mm_got()[g][1] < before_max[g][1] for g in mm_got()
+    ), "the delete was supposed to loosen at least one group max"
+    assert hll_got() == hll_full()
+    assert _view(spark, view) == _expect(spark, src)
+
+    # an update changes dval for a band of rows: affected groups'
+    # registers must be re-sketched, untouched groups' carried verbatim
+    snapshot_update_where(spark, src, {"k": (10, 14)}, {"dval": "dval + 20"})
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups", **MM
+    )
+    assert mode == "incremental-diff-rescan"
+    assert hll_got() == hll_full()
+    assert mm_got() == mm_expect()
+    assert _view(spark, view) == _expect(spark, src)
+
+    # replay no-ops; a pure append afterwards takes the fast path again
+    assert refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups", **MM
+    )[1] == "noop"
+    snapshot_write(rows(range(60, 80)), src)
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups", **MM
+    )
+    assert mode == "incremental-append"
+    assert hll_got() == hll_full()
+    assert mm_got() == mm_expect()
+
+
+def test_matview_rescan_semijoin_path(spark, tmp_path, monkeypatch):
+    """The rescan's scale path: above _RESCAN_INLIST_MAX affected keys
+    the IN-list inlining gives way to a distributed semi-join (no
+    driver-side key materialization). Forced here by pinning the
+    threshold to 0 — the repair must be byte-identical either way."""
+    import creatorops_lakehouse_spark.sources.matview as mv
+
+    monkeypatch.setattr(mv, "_RESCAN_INLIST_MAX", 0)
+    HLLS = {"nd_val": "val"}
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k % 5, k % 13) for k in ks], "k long, grp long, val long"
+        )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(rows(range(0, 60)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS)
+    snapshot_delete_where(spark, src, {"k": (5, 25)})
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups",
+    )
+    assert mode == "incremental-diff-rescan"
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+    assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_watermark_advance_cas(spark, tmp_path):
+    """The metadata-only watermark advance holds the same CAS invariant
+    as the state-rewriting commits: a stale pinned view version aborts
+    with SnapshotConflictError instead of publishing over a racing
+    refresher's commit."""
+    from creatorops_lakehouse_spark.sources.matview import _advance_watermark
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        SnapshotConflictError,
+        optimize_snapshots,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(_rows(spark, range(0, 30)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS)
+    optimize_snapshots(spark, src)
+    with pytest.raises(SnapshotConflictError):
+        _advance_watermark(view, 7, 1)  # view head is 0, not 7
+    # and the real advance still lands after the failed attempt
+    v, mode = refresh_agg_view(spark, src, view, KEYS, SUMS, ROW_KEY)
+    assert (v, mode) == (1, "noop-optimize")
+
+
+def test_matview_hist_quantile_keeps_empty_groups(spark, tmp_path):
+    """A group whose histogram measure column was all-NULL stores an
+    empty histogram; matview_hist_quantile must return that group with a
+    NULL q_bin (percentile-of-no-rows), not silently drop it into the
+    void of a downstream inner join."""
+    from creatorops_lakehouse_spark.sources.matview import (
+        matview_hist_quantile,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    df = spark.createDataFrame(
+        [(k, k % 3, k * 10, None if k % 3 == 2 else k % 50) for k in range(30)],
+        "k long, grp long, val long, hv int",
+    )
+    snapshot_write(df, src)
+    create_agg_view(
+        spark, src, view, KEYS, SUMS, hists={"h": ("hv", 0, 50, 10)}
+    )
+    q = {
+        r.grp: r.q_bin
+        for r in matview_hist_quantile(
+            snapshot_read(spark, view), "h", ["grp"], 5000
+        ).collect()
+    }
+    assert set(q) == {0, 1, 2}
+    assert q[2] is None
+    assert q[0] is not None and q[1] is not None
+
+
+def test_matview_name_collisions_refused(spark, tmp_path):
+    """Output-name collisions anywhere in the view's schema — with the
+    grouping keys or with the derived sketch-state suffix columns — are
+    refused at the API, not surfaced as ambiguous-column errors deep in
+    a refresh."""
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    with pytest.raises(ValueError, match="collide"):
+        create_agg_view(spark, src, view, ["grp"], {"grp": "val"})
+    with pytest.raises(ValueError, match="collide"):
+        create_agg_view(
+            spark, src, view, ["grp"], {"x_regs": "val"}, hlls={"x": "val"}
+        )
+    with pytest.raises(ValueError, match="collide"):
+        create_agg_view(
+            spark, src, view, ["grp"], {"x_cms": "val"},
+            cmss={"x": "val"},
+        )
