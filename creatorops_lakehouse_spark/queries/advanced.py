@@ -2316,3 +2316,203 @@ def orders_matview_minmax_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
         "append_path_ok boolean, catchup_path_ok boolean, "
         "dml_refused_ok boolean",
     )
+
+
+def _sql_matview_rescan() -> str:
+    from creatorops_lakehouse_spark.operators.hll import estimate_numerator
+
+    num = estimate_numerator(7)
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               o_orderkey % 7 AS grp,
+               o_orderkey % 4 AS band,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_custkey AS cust
+        FROM orders
+    ),
+    -- the delete hits bands 0+1 (already in the table) at key <= 1000;
+    -- bands 2+3 are appended AFTER it, so their low keys survive
+    surv AS (
+        SELECT * FROM o WHERE NOT (band <= 1 AND key <= 1000)
+    ),
+    h AS (
+        SELECT grp,
+               CAST('0x' || substr(md5(CAST(cust AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM surv
+    ),
+    reg AS (
+        SELECT grp, h60 % 128 AS bucket,
+               MAX(CASE WHEN h60 // 128 = 0 THEN 54
+                        ELSE 54 - length(bin(h60 // 128)) END) AS rho
+        FROM h GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT grp,
+               SUM(CAST(1 AS BIGINT) << (54 - rho))
+                   + CAST((128 - COUNT(*)) AS BIGINT)
+                     * (CAST(1 AS BIGINT) << 54) AS s54
+        FROM reg GROUP BY 1
+    ),
+    est AS (
+        SELECT grp,
+               CAST(CAST('{num}' AS HUGEINT)
+                    // (CAST(s54 AS HUGEINT) * 1000000) AS BIGINT) AS nd_cust
+        FROM s
+    ),
+    base AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(MIN(key) AS BIGINT) AS min_key,
+               CAST(MAX(key) AS BIGINT) AS max_key
+        FROM surv GROUP BY 1
+    )
+    SELECT b.grp, b.n_rows, b.sum_cents, e.nd_cust, b.min_key, b.max_key,
+           TRUE AS rescan_path_ok, TRUE AS postdml_append_ok,
+           TRUE AS regs_equal_full, TRUE AS mins_loosened_ok
+    FROM base b JOIN est e USING (grp)
+    """
+
+
+@query("orders_matview_rescan_verdict", oracle=_sql_matview_rescan())
+def orders_matview_rescan_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surgical DML repair of APPEND-ONLY matview measures under one hash
+    (VERDICT r11 item 2, sources/matview.py ``on_dml='rescan_groups'``):
+    HLL registers and MIN/MAX extremes are not subtractable, so a delete
+    classically forces recreate — this row pins the upgrade where the
+    CDF's distinct group keys pick the affected groups, ONLY their head
+    rows are rescanned (IN-list pushdown under 1000 keys, semi-join
+    above — O(touched groups' rows), never a re-aggregation), and the
+    re-sketched registers/extremes splice next to the untouched groups'
+    stored state.
+
+    Lifecycle: band0 create (grp = key%7; COUNT(*), SUM(cents),
+    HLL(cust), MIN/MAX(key)) → append band1 → refresh (append path) →
+    copy-on-write DELETE of key <= 1000 → refresh with
+    on_dml='rescan_groups' (must take 'incremental-diff-rescan') →
+    append band2+3 → catch-up refresh (must take the append fast path
+    again). In-engine booleans: the two modes, regs_equal_full (the
+    repaired registers equal a from-scratch sketch of the final head
+    BUCKET FOR BUCKET, full-outer anti-comparison), and
+    mins_loosened_ok — after the repair EVERY group's min_key rose
+    above its pre-delete value (TPC-H orderkeys 1..8 mod 32 guarantee
+    every grp×band cell has keys below 1000, so the delete removes
+    every group's minimum; a fold could never raise a stored MIN, only
+    the rescan can). The oracle recomputes the final per-group state
+    from raw ``orders`` with the delete's exact predicate — bands 0+1
+    lose key <= 1000, the later-appended bands 2+3 keep theirs — so a
+    double-folded CDF, a stale register, or an unloosened extreme flips
+    the hash at any SF. Eager verdict harness (excluded from bench);
+    scratch tree deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.hll import hll_registers
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {"sum_cents": "cents"}, ["key"]
+    hlls = {"nd_cust": "cust"}
+    mm = dict(mins={"min_key": "key"}, maxs={"max_key": "key"})
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_rescan_")
+    try:
+        src = TableSpec("t.mvrsrc", root + "/src")
+        view = TableSpec("t.mvrview", root + "/view")
+        cols = ("key", "cents", "cust", "grp")
+
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, hlls=hlls, **mm)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hlls=hlls, **mm
+        )
+        pre_min = {
+            r.grp: r.min_key for r in snapshot_read(spark, view).collect()
+        }
+
+        snapshot_delete_where(spark, src, {"key": (None, 1000)})
+        _, mode_r = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hlls=hlls,
+            on_dml="rescan_groups", **mm
+        )
+        rescan_path_ok = mode_r == "incremental-diff-rescan"
+        post = {
+            r.grp: r.min_key for r in snapshot_read(spark, view).collect()
+        }
+        mins_loosened = bool(post) and all(
+            post[g] > pre_min[g] for g in post
+        )
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        _, mode_a = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hlls=hlls, **mm
+        )
+        postdml_append_ok = mode_a == "incremental-append"
+
+        mat = snapshot_read(spark, view)
+        stored_long = mat.select(
+            "grp", F.explode("nd_cust_regs").alias("_r")
+        ).select(
+            "grp",
+            F.col("_r.bucket").alias("bucket"),
+            F.col("_r.rho").alias("_rs"),
+        )
+        full_long = hll_registers(
+            snapshot_read(spark, src), "cust", 7, ("grp",)
+        ).withColumnRenamed("rho", "_rf")
+        n_mismatch = (
+            stored_long.join(full_long, on=["grp", "bucket"], how="full_outer")
+            .filter(
+                F.col("_rs").isNull()
+                | F.col("_rf").isNull()
+                | (F.col("_rs") != F.col("_rf"))
+            )
+            .count()
+        )
+        out = mat.select(
+            "grp",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("nd_cust").cast("long").alias("nd_cust"),
+            F.col("min_key").cast("long").alias("min_key"),
+            F.col("max_key").cast("long").alias("max_key"),
+            F.lit(bool(rescan_path_ok)).alias("rescan_path_ok"),
+            F.lit(bool(postdml_append_ok)).alias("postdml_append_ok"),
+            F.lit(n_mismatch == 0).alias("regs_equal_full"),
+            F.lit(bool(mins_loosened)).alias("mins_loosened_ok"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, n_rows long, sum_cents long, nd_cust long, "
+        "min_key long, max_key long, rescan_path_ok boolean, "
+        "postdml_append_ok boolean, regs_equal_full boolean, "
+        "mins_loosened_ok boolean",
+    )
