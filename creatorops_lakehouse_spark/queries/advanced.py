@@ -2516,3 +2516,142 @@ def orders_matview_rescan_verdict(spark: SparkSession, sf_dir: str) -> DataFrame
         "postdml_append_ok boolean, regs_equal_full boolean, "
         "mins_loosened_ok boolean",
     )
+
+
+@query(
+    "orders_matview_cascade_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               o_orderkey % 21 AS grp21,
+               o_orderkey % 7 AS grp7,
+               o_orderkey % 4 AS band,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    -- the delete hits bands 0+1 at key <= 1000; bands 2+3 are appended
+    -- after it, so their low keys survive (same shape as the rescan row)
+    surv AS (
+        SELECT * FROM o WHERE NOT (band <= 1 AND key <= 1000)
+    )
+    SELECT grp7,
+           CAST(COUNT(DISTINCT grp21) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS silver_rows,
+           TRUE AS silver_append_ok, TRUE AS gold_diff_ok,
+           TRUE AS dml_diff_ok, TRUE AS chain_noop_ok
+    FROM surv GROUP BY 1
+    """,
+)
+def orders_matview_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matview CASCADE — a gold view whose SOURCE is the silver view
+    (VERDICT r11 item 5, sources/matview.py ``refresh_cascade``) — under
+    one hash. The medallion's serving shape: silver aggregates the fact
+    table (grp21 = key%21; SUM cents), gold rolls silver up to grp7 =
+    grp21%7 with an enrich hook deriving the coarse key, and the child's
+    watermark chains on the PARENT's version. Parent refreshes commit as
+    overwrites, so the child folds the parent's key-level CDF —
+    O(changed parent groups) = O(changed silver groups), never a fact
+    scan; ``snapshot_diff`` emits nothing for silver groups that
+    rewrote verbatim.
+
+    Lifecycle: band0 → create silver+gold → append band1 → cascade
+    (silver must take 'incremental-append', gold 'incremental-diff') →
+    copy-on-write DELETE of key <= 1000 → cascade (both levels
+    'incremental-diff') → append bands 2+3 → cascade → a final cascade
+    that must all-noop (the chain is settled). Gold's measures:
+    COUNT(*) of silver rows = surviving distinct grp21 per grp7
+    (n_rows), SUM of silver sums = SUM(cents) (sum_cents), and SUM of
+    silver n_rows = surviving fact rows per grp7 (silver_rows) — three
+    numbers the oracle recomputes straight off raw ``orders`` with the
+    delete's exact predicate, because grp21 % 7 == key % 7 (21 is a
+    multiple of 7). A double-folded parent CDF, a missed group death,
+    or a stale child watermark flips the hash at any SF. The
+    parent/child refresher RACE is pytest-pinned
+    (tests/test_matview.py::test_matview_cascade_racing_refreshers) —
+    every commit in the chain carries the same expected_version CAS.
+    Eager verdict harness (excluded from bench); scratch tree deleted
+    before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_cascade,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 21).alias("grp21"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    g_enrich = lambda df: df.withColumn(  # noqa: E731
+        "grp7", F.col("grp21") % 7
+    )
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_cascade_")
+    try:
+        src = TableSpec("t.mvcsrc", root + "/src")
+        silver = TableSpec("t.mvcsilver", root + "/silver")
+        gold = TableSpec("t.mvcgold", root + "/gold")
+        cols = ("key", "cents", "grp21")
+        S = dict(src=src, view=silver, keys=["grp21"],
+                 sums={"sum_cents": "cents"}, row_key=["key"])
+        G = dict(src=silver, view=gold, keys=["grp7"],
+                 sums={"sum_cents": "sum_cents", "silver_rows": "n_rows"},
+                 row_key=["grp21"], enrich=g_enrich)
+
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, silver, S["keys"], S["sums"])
+        create_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                        enrich=g_enrich)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        modes1 = refresh_cascade(spark, [S, G])
+        silver_append_ok = modes1[0][1] == "incremental-append"
+        gold_diff_ok = modes1[1][1] == "incremental-diff"
+
+        snapshot_delete_where(spark, src, {"key": (None, 1000)})
+        modes2 = refresh_cascade(spark, [S, G])
+        dml_diff_ok = [m for _, m in modes2] == [
+            "incremental-diff", "incremental-diff",
+        ]
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        refresh_cascade(spark, [S, G])
+        modes3 = refresh_cascade(spark, [S, G])
+        chain_noop_ok = [m for _, m in modes3] == ["noop", "noop"]
+
+        out = snapshot_read(spark, gold).select(
+            "grp7",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("silver_rows").cast("long").alias("silver_rows"),
+            F.lit(bool(silver_append_ok)).alias("silver_append_ok"),
+            F.lit(bool(gold_diff_ok)).alias("gold_diff_ok"),
+            F.lit(bool(dml_diff_ok)).alias("dml_diff_ok"),
+            F.lit(bool(chain_noop_ok)).alias("chain_noop_ok"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp7 long, n_rows long, sum_cents long, silver_rows long, "
+        "silver_append_ok boolean, gold_diff_ok boolean, "
+        "dml_diff_ok boolean, chain_noop_ok boolean",
+    )

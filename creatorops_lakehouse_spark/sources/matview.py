@@ -1118,3 +1118,51 @@ def _refresh_once(
         mode="overwrite", expected_version=view_v,
     )
     return (v_now, mode)
+
+
+def refresh_cascade(
+    spark: SparkSession, stages: list[dict]
+) -> list[tuple[int, str]]:
+    """Refresh a CHAIN of views in dependency order — the medallion's
+    real serving shape, where gold KPI views read silver views rather
+    than re-scanning the fact table (VERDICT r11 item 5).
+
+    ``stages``: one dict of :func:`refresh_agg_view` keyword arguments
+    per view, parents before children; stage ``i+1``'s ``src`` is
+    typically stage ``i``'s ``view``. Returns the per-stage
+    ``(source_version, mode)`` pairs.
+
+    Why this composes without new machinery:
+
+    - a view IS a snapshot table, so a child's ``src`` can be a parent
+      view directly; the child's watermark is the PARENT'S version
+      (the txn map), chained exactly like the parent's watermark is the
+      fact table's version;
+    - every parent refresh commits as one ``overwrite`` version, so the
+      child's span classifier sees DML and folds the parent's key-level
+      CDF — ``snapshot_diff`` emits rows only for groups whose state
+      actually changed (unchanged groups rewrite verbatim and cancel),
+      so the child folds O(changed parent groups), and the diff's two
+      pinned reads are O(parent) = O(groups), never O(fact table);
+    - a parent that advanced by ``noop-optimize`` (metadata-only
+      watermark bump) is itself a content-noop commit
+      (``matview_watermark`` ∈ :data:`_NOOP_MODES`), so the child
+      advances free in turn — maintenance never cascades into folds;
+    - each stage's commit carries the CAS (`expected_version`), so
+      racing refreshers of the SAME stage serialize, and a parent
+      committing mid-child-refresh is invisible to the child (its delta
+      is computed between two pinned parent versions).
+
+    Staleness contract: after one cascade pass, stage ``i`` reflects
+    stage ``i-1`` exactly as of stage ``i-1``'s JUST-COMMITTED version —
+    the chain is consistent "as of" a version vector, not a wall-clock
+    instant; source commits landing mid-cascade surface on the next
+    pass. Child measures must draw from parent columns that are
+    non-null by construction (N_COL, SUM/COUNT outputs); MIN/MAX parent
+    columns can be NULL for all-NULL groups and are refused by the
+    child's own non-null gate.
+    """
+    out: list[tuple[int, str]] = []
+    for st in stages:
+        out.append(refresh_agg_view(spark, **st))
+    return out

@@ -1134,3 +1134,193 @@ def test_matview_name_collisions_refused(spark, tmp_path):
             spark, src, view, ["grp"], {"x_cms": "val"},
             cmss={"x": "val"},
         )
+
+
+def test_matview_cascade_silver_gold(spark, tmp_path):
+    """View-over-view (VERDICT r11 item 5): a gold view whose SOURCE is
+    the silver view. The child's watermark chains on the PARENT's
+    version; parent refreshes commit as overwrites, so the child folds
+    the parent's key-level CDF — O(changed parent groups), never a fact
+    scan. After appends, DML, and group death the chain equals a
+    from-scratch rollup of the source head at both levels."""
+    from creatorops_lakehouse_spark.sources.matview import refresh_cascade
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    silver = TableSpec("mv.silver", str(tmp_path / "silver"))
+    gold = TableSpec("mv.gold", str(tmp_path / "gold"))
+
+    def rows(ks):  # fine groups k%10, coarse groups (k%10)%3
+        return spark.createDataFrame(
+            [(k, k % 10, k * 10) for k in ks], "k long, grp long, val long"
+        )
+
+    g_enrich = lambda df: df.withColumn("cgrp", F.col("grp") % 3)  # noqa: E731
+    S = dict(src=src, view=silver, keys=["grp"], sums={"sum_val": "val"},
+             row_key=["k"])
+    G = dict(src=silver, view=gold, keys=["cgrp"],
+             sums={"sum_val": "sum_val", "src_rows": "n_rows"},
+             row_key=["grp"], enrich=g_enrich)
+
+    def gold_expect():
+        return {
+            r.cgrp: (r.n, r.s, r.sr)
+            for r in snapshot_read(spark, src)
+            .groupBy((F.col("grp") % 3).alias("cgrp"))
+            .agg(
+                F.count_distinct("grp").cast("long").alias("n"),
+                F.sum("val").cast("long").alias("s"),
+                F.count(F.lit(1)).cast("long").alias("sr"),
+            )
+            .collect()
+        }
+
+    def gold_got():
+        return {
+            r.cgrp: (r.n_rows, r.sum_val, r.src_rows)
+            for r in snapshot_read(spark, gold).collect()
+        }
+
+    snapshot_write(rows(range(0, 50)), src)
+    create_agg_view(spark, src, silver, **{k: S[k] for k in ("keys", "sums")},
+                    )
+    create_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                    enrich=g_enrich)
+    assert gold_got() == gold_expect()
+
+    # append → cascade: silver takes the fast path, gold folds the
+    # parent CDF (parent overwrites are DML to the child)
+    snapshot_write(rows(range(50, 80)), src)
+    modes = refresh_cascade(spark, [S, G])
+    assert modes[0][1] == "incremental-append"
+    assert modes[1][1] == "incremental-diff"
+    assert gold_got() == gold_expect()
+
+    # DML on the fact → both levels diff; equality holds
+    snapshot_delete_where(spark, src, {"k": (10, 30)})
+    snapshot_update_where(spark, src, {"k": (40, 60)}, {"val": "val + 7"})
+    modes = refresh_cascade(spark, [S, G])
+    assert modes[0][1] == "incremental-diff"
+    assert modes[1][1] == "incremental-diff"
+    assert gold_got() == gold_expect()
+
+    # no new source commits → the whole chain no-ops
+    modes = refresh_cascade(spark, [S, G])
+    assert [m for _, m in modes] == ["noop", "noop"]
+
+    # fact-level group death cascades: kill every row of grp 7 (k%10==7)
+    for k in (7, 17, 27, 37, 47, 57, 67, 77):
+        snapshot_delete_where(spark, src, {"k": (k, k)})
+    modes = refresh_cascade(spark, [S, G])
+    assert gold_got() == gold_expect()
+    silver_groups = {
+        r.grp for r in snapshot_read(spark, silver).collect()
+    }
+    assert 7 not in silver_groups
+
+
+def test_matview_cascade_optimize_propagates_noop(spark, tmp_path):
+    """Maintenance composes down the chain: an OPTIMIZE on the fact
+    table advances the silver watermark as a content-noop, and the
+    silver 'matview_watermark' commit is itself a content-noop to the
+    gold view — neither level folds anything."""
+    from creatorops_lakehouse_spark.sources.matview import refresh_cascade
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    silver = TableSpec("mv.silver", str(tmp_path / "silver"))
+    gold = TableSpec("mv.gold", str(tmp_path / "gold"))
+    g_enrich = lambda df: df.withColumn("cgrp", F.col("grp") % 2)  # noqa: E731
+    S = dict(src=src, view=silver, keys=["grp"], sums={"sum_val": "val"},
+             row_key=["k"])
+    G = dict(src=silver, view=gold, keys=["cgrp"],
+             sums={"sum_val": "sum_val"}, row_key=["grp"], enrich=g_enrich)
+
+    snapshot_write(_rows(spark, range(0, 40)), src)
+    create_agg_view(spark, src, silver, S["keys"], S["sums"])
+    create_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                    enrich=g_enrich)
+
+    optimize_snapshots(spark, src)
+    modes = refresh_cascade(spark, [S, G])
+    assert [m for _, m in modes] == ["noop-optimize", "noop-optimize"]
+
+    # and data still flows after the maintenance pass
+    snapshot_write(_rows(spark, range(40, 60)), src)
+    modes = refresh_cascade(spark, [S, G])
+    assert modes[0][1] == "incremental-append"
+    assert modes[1][1] == "incremental-diff"
+    got = {
+        r.cgrp: r.sum_val for r in snapshot_read(spark, gold).collect()
+    }
+    exp = {
+        r.cgrp: r.s
+        for r in snapshot_read(spark, src)
+        .groupBy((F.col("grp") % 2).alias("cgrp"))
+        .agg(F.sum("val").cast("long").alias("s"))
+        .collect()
+    }
+    assert got == exp
+
+
+def test_matview_cascade_racing_refreshers(spark, tmp_path):
+    """Parent and child refreshers racing in threads: every commit is
+    CAS-guarded, so any interleaving converges — after the dust settles
+    one final ordered cascade must land on the from-scratch rollup with
+    no double-fold."""
+    import threading
+
+    from creatorops_lakehouse_spark.sources.matview import refresh_cascade
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    silver = TableSpec("mv.silver", str(tmp_path / "silver"))
+    gold = TableSpec("mv.gold", str(tmp_path / "gold"))
+    g_enrich = lambda df: df.withColumn("cgrp", F.col("grp") % 2)  # noqa: E731
+    S = dict(src=src, view=silver, keys=["grp"], sums={"sum_val": "val"},
+             row_key=["k"])
+    G = dict(src=silver, view=gold, keys=["cgrp"],
+             sums={"sum_val": "sum_val"}, row_key=["grp"], enrich=g_enrich)
+
+    snapshot_write(_rows(spark, range(0, 30)), src)
+    create_agg_view(spark, src, silver, S["keys"], S["sums"])
+    create_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                    enrich=g_enrich)
+
+    snapshot_write(_rows(spark, range(30, 60)), src)
+    snapshot_write(_rows(spark, range(60, 90)), src)
+
+    errs = []
+
+    def refresh_stage(st):
+        try:
+            refresh_agg_view(spark, **st)
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=refresh_stage, args=(st,))
+        for st in (S, S, G, G)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+
+    refresh_cascade(spark, [S, G])  # settle ordering, then check
+    got = {
+        r.cgrp: (r.n_rows, r.sum_val)
+        for r in snapshot_read(spark, gold).collect()
+    }
+    exp = {
+        r.cgrp: (r.n, r.s)
+        for r in snapshot_read(spark, src)
+        .groupBy((F.col("grp") % 2).alias("cgrp"))
+        .agg(
+            F.count_distinct("grp").cast("long").alias("n"),
+            F.sum("val").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp
