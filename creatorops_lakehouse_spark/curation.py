@@ -274,30 +274,12 @@ def run(
         shard_snake,
     )
     from creatorops_lakehouse_spark.operators.sampling import stratified_split
-    from creatorops_lakehouse_spark.operators.text import (
-        repetition_features,
-        token_count,
-    )
 
     cfg = (config or CurationConfig()).resolved()
     if cfg.neardup not in ("exact", "lsh"):
         raise ValueError(f"neardup must be 'exact' or 'lsh', got {cfg.neardup!r}")
 
-    rep = repetition_features(F.col("text"))
-    features = docs.select(
-        "doc_id",
-        "text",
-        "lang",
-        token_count(F.col("text")).alias("k"),
-        rep["rep_bigram_bp"].alias("rep_bp"),
-        rep["symbol_bp"].alias("sym_bp"),
-    )
-
-    quality = features.filter(
-        (F.col("k") >= cfg.min_tokens)
-        & (F.col("rep_bp") <= cfg.max_rep_bp)
-        & (F.col("sym_bp") <= cfg.max_symbol_bp)
-    ).select("doc_id", "text", "lang", "k")
+    features, quality = _quality_stage(docs, cfg)
 
     exact_deduped = quality.join(
         quality.groupBy("text").agg(F.min("doc_id").alias("doc_id")).select("doc_id"),
@@ -369,3 +351,350 @@ def run(
         packed=packed,
         shards=shards,
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (rolling) curation — VERDICT r11 item 4
+# ---------------------------------------------------------------------------
+
+#: per-table exactly-once app id for increment admission (the snapshot
+#: log's txn map — the same mechanism as the matview watermark and the
+#: streaming sink)
+_INC_APP = "curation-increment"
+
+
+def _inc_specs(root: str) -> dict:
+    """The rolling state under ``root`` — every table a snapshot-log
+    table (atomic commits, CDF, time travel, and the txn map that makes
+    batch admission exactly-once per table)."""
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    return {
+        # (doc_id, toks, set_size) shingle sets of every doc that entered
+        # near-dup — keepers AND losers, so later batches chain through
+        # dropped docs exactly like a one-shot CC would
+        "sets": TableSpec("curation.inc_sets", f"{root}/inc_sets"),
+        # (text) distinct quality-surviving texts seen so far —
+        # first-seen-wins exact dedup across batches
+        "texts": TableSpec("curation.inc_texts", f"{root}/inc_texts"),
+        # (doc_id, text, lang, k) eval-split docs accumulated so far
+        "eval_docs": TableSpec("curation.inc_eval", f"{root}/inc_eval"),
+        # the growing training set (append-only)
+        "clean_train": TableSpec(
+            "curation.inc_clean_train", f"{root}/inc_clean_train"
+        ),
+        # (doc_id) tombstones: clean_train docs retro-contaminated by
+        # eval docs that arrived in a LATER batch (merge-on-read — the
+        # set is append-only; readers anti-join it)
+        "tombstones": TableSpec(
+            "curation.inc_tombstones", f"{root}/inc_tombstones"
+        ),
+        # (batch_id, stage counts) — one row per admitted increment
+        "increments": TableSpec(
+            "curation.inc_manifest", f"{root}/inc_manifest"
+        ),
+    }
+
+
+def _quality_stage(docs: DataFrame, cfg: CurationConfig):
+    """(features, quality) — the row-local head of the pipeline, shared
+    verbatim by :func:`run` and :func:`curate_increment` so the two can
+    never drift."""
+    from creatorops_lakehouse_spark.operators.text import (
+        repetition_features,
+        token_count,
+    )
+
+    rep = repetition_features(F.col("text"))
+    features = docs.select(
+        "doc_id",
+        "text",
+        "lang",
+        token_count(F.col("text")).alias("k"),
+        rep["rep_bigram_bp"].alias("rep_bp"),
+        rep["symbol_bp"].alias("sym_bp"),
+    )
+    quality = features.filter(
+        (F.col("k") >= cfg.min_tokens)
+        & (F.col("rep_bp") <= cfg.max_rep_bp)
+        & (F.col("sym_bp") <= cfg.max_symbol_bp)
+    ).select("doc_id", "text", "lang", "k")
+    return features, quality
+
+
+def incremental_clean_train(spark: SparkSession, root: str) -> DataFrame:
+    """The rolling training set: clean_train minus retro-contamination
+    tombstones (merge-on-read). Equal, field for field, to a one-shot
+    :func:`curate_increment` over the concatenated batches — and to
+    :func:`run`'s ``clean_train`` whenever no near-dup cluster straddles
+    batches via a BRIDGE doc (see curate_increment's contract)."""
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_read
+
+    specs = _inc_specs(root)
+    ct = snapshot_read(spark, specs["clean_train"])
+    from creatorops_lakehouse_spark.sources.snapshots import current_version
+
+    if current_version(specs["tombstones"]) is not None:
+        tomb = snapshot_read(spark, specs["tombstones"]).select("doc_id")
+        ct = ct.join(tomb, "doc_id", "left_anti")
+    return ct
+
+
+def increment_manifest(spark: SparkSession, root: str) -> DataFrame:
+    """Per-increment stage counts, one row per admitted batch."""
+    from creatorops_lakehouse_spark.sources.snapshots import snapshot_read
+
+    return snapshot_read(spark, _inc_specs(root)["increments"])
+
+
+def curate_increment(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    root: str,
+    config: CurationConfig | None = None,
+    batch_id: int | None = None,
+) -> dict:
+    """Admit ONE batch of new documents into a rolling curation corpus —
+    the incremental form of :func:`run` (VERDICT r11 item 4): only the
+    new docs flow through quality → exact-dedup probe → near-dup probe →
+    split → decontamination; ``clean_train`` grows append-only (plus a
+    tombstone set for retro-contamination); the manifest records
+    per-increment counts. The first call on an empty ``root``
+    initializes the state.
+
+    Stage semantics against the accumulated state (first-seen-wins):
+
+    - exact dedup: a new doc whose text was already seen drops; within
+      the batch the smallest doc_id wins (with monotone ingestion ids
+      this IS the one-shot MIN-id keeper).
+    - near-dup: pairs come from :func:`probe_jaccard_index` — the EXACT
+      posting-join math of the one-shot pipeline, so batched and
+      one-shot pair sets agree with no LSH recall loss. New components
+      are closed over within-batch edges (connected_components); any
+      component touching ANY indexed doc — keeper or loser — drops
+      entirely (the indexed side's cluster already has a smaller-id
+      keeper), matching the one-shot CC through dropped docs. The ONE
+      documented divergence from a one-shot rerun: a new BRIDGE doc
+      whose edges would merge two previously-separate old clusters —
+      one-shot would retroactively drop one old keeper; incrementally
+      both stand and the bridge drops (prior decisions are immutable).
+    - decontamination: new train docs check against the FULL eval set
+      (accumulated ∪ this batch's); eval docs arriving in THIS batch
+      also retro-check the EXISTING clean_train, and newly-contaminated
+      old docs land in the tombstone set (merge-on-read delete) — so
+      :func:`incremental_clean_train` equals the one-shot rerun even
+      when contamination straddles batches.
+    - mixture/packing/sharding are TRAINING-CUT steps, not corpus
+      state — run them over ``incremental_clean_train`` when cutting a
+      set (they are global resamples; maintaining them per-increment
+      would churn the whole output for every batch).
+
+    Exactly-once: every state-table append commits through the snapshot
+    log's txn map under ``(_INC_APP, batch_id)`` — a replayed batch
+    (crash between table appends, at-least-once scheduler) skips the
+    tables it already reached and completes the rest, converging to the
+    same state. ``batch_id`` defaults to the manifest's next id; pass it
+    explicitly when replaying.
+
+    Scale: the batch is the small side everywhere — quality is
+    row-local on new docs; the exact-dedup probe anti-joins the texts
+    index; the near-dup probe broadcast-joins batch postings against
+    one scan of the sets index; decontam broadcasts eval grams. No
+    state table is ever rewritten; appends are O(batch).
+
+    Returns the increment's stage counts (the manifest row as a dict).
+    """
+    from creatorops_lakehouse_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+        probe_jaccard_index,
+        _token_sets,
+    )
+    from creatorops_lakehouse_spark.operators.decontam import (
+        ngram_contamination,
+    )
+    from creatorops_lakehouse_spark.operators.sampling import stratified_split
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        current_version,
+        last_txn_version,
+        snapshot_read,
+        snapshot_write_txn,
+    )
+
+    cfg = (config or CurationConfig()).resolved()
+    specs = _inc_specs(root)
+    if batch_id is None:
+        prev = (
+            last_txn_version(specs["increments"], _INC_APP)
+            if current_version(specs["increments"]) is not None
+            else None
+        )
+        batch_id = (prev if prev is not None else -1) + 1
+
+    def pre_batch(key):
+        """The state table as of BEFORE this batch — None if absent.
+        Replay safety: a crashed increment may have admitted some tables
+        already; recomputing the stages against those would see the
+        batch's own partial writes and diverge. Each admitted table's
+        txn commit is exactly one version, so its pre-batch state is
+        version-1 — the replay recomputes the SAME stage outputs and
+        the remaining admits complete the batch."""
+        spec = specs[key]
+        v = current_version(spec)
+        if v is None:
+            return None
+        seen_txn = last_txn_version(spec, _INC_APP)
+        if seen_txn is not None and seen_txn >= batch_id:
+            if seen_txn > batch_id:
+                raise ValueError(
+                    f"curate_increment({root}): batch {batch_id} is older "
+                    f"than the state's latest admitted batch {seen_txn} — "
+                    "increments must be admitted in order"
+                )
+            v -= 1
+            if v < 0:
+                return None
+        return snapshot_read(spark, spec, version=v)
+
+    def admit(df, key):
+        snapshot_write_txn(
+            df, specs[key], app_id=_INC_APP, txn_version=batch_id,
+            mode="append",
+        )
+
+    seen_texts = pre_batch("texts")
+    idx_sets = pre_batch("sets")
+    eval_old = pre_batch("eval_docs")
+
+    _, quality = _quality_stage(new_docs, cfg)
+
+    # exact dedup: within-batch keep-one, then first-seen-wins vs index
+    batch_keep = quality.join(
+        quality.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    if seen_texts is not None:
+        exact_new = batch_keep.join(
+            seen_texts.select("text"), "text", "left_anti"
+        )
+    else:
+        exact_new = batch_keep
+
+    # near-dup: exact posting-join probe against the sets index
+    if idx_sets is not None:
+        pairs = probe_jaccard_index(
+            spark, idx_sets, exact_new,
+            threshold=cfg.neardup_threshold, ngram=cfg.neardup_ngram,
+        )
+        old_touch = pairs.filter(~F.col("b_is_new")).select(
+            F.col("a_id").alias("node")
+        ).distinct()
+        edges = pairs.filter(F.col("b_is_new")).select("a_id", "b_id")
+    else:
+        old_touch = None
+        edges = jaccard_pairs(
+            exact_new, text_col="text", id_col="doc_id",
+            threshold=cfg.neardup_threshold, ngram=cfg.neardup_ngram,
+            prefix_filter=False,
+        ).select("a_id", "b_id")
+
+    cc = connected_components(edges)
+    losers = cc.filter(F.col("node") != F.col("cluster_id")).select("node")
+    if idx_sets is not None:
+        # a component touching the index drops ENTIRELY: its indexed
+        # neighbor's cluster already holds a smaller-id keeper
+        tainted_clusters = cc.join(old_touch, "node").select(
+            "cluster_id"
+        ).distinct()
+        tainted_members = cc.join(tainted_clusters, "cluster_id").select(
+            "node"
+        )
+        losers = (
+            losers.unionByName(tainted_members)
+            .unionByName(old_touch)
+            .distinct()
+        )
+    deduped_new = exact_new.join(
+        losers.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
+    )
+
+    # split + decontam against the FULL eval corpus
+    split_new = stratified_split(deduped_new, "doc_id", cfg.split_weights)
+    train_new = split_new.filter(F.col("split") == "train")
+    eval_new = split_new.filter(F.col("split") == "eval").select(
+        "doc_id", "text", "lang", "k"
+    )
+    if eval_old is not None:
+        eval_all = eval_old.select(
+            "doc_id", "text", "lang", "k"
+        ).unionByName(eval_new)
+    else:
+        eval_all = eval_new
+    contaminated = (
+        ngram_contamination(train_new, eval_all, n=cfg.decontam_ngram)
+        .filter(F.col("hit_bp") >= cfg.decontam_bp)
+        .select("doc_id")
+    )
+    clean_new = train_new.join(contaminated, "doc_id", "left_anti").select(
+        "doc_id", "text", "lang", "k"
+    )
+
+    # retro-decontam: THIS batch's eval docs against the EXISTING
+    # clean_train — late-arriving eval contamination tombstones old docs
+    retro = None
+    old_ct = pre_batch("clean_train")
+    if old_ct is not None:
+        old_tomb = pre_batch("tombstones")
+        if old_tomb is not None:
+            old_ct = old_ct.join(
+                old_tomb.select("doc_id"), "doc_id", "left_anti"
+            )
+        retro = (
+            ngram_contamination(old_ct, eval_new, n=cfg.decontam_ngram)
+            .filter(F.col("hit_bp") >= cfg.decontam_bp)
+            .select("doc_id")
+        )
+
+    # counts BEFORE the state writes (the manifest row)
+    counts = {
+        "batch_id": batch_id,
+        "n_in": new_docs.count(),
+        "n_quality": quality.count(),
+        "n_exact": exact_new.count(),
+        "n_neardup": deduped_new.count(),
+        "n_train": train_new.count(),
+        "n_contaminated": contaminated.count(),
+        "n_clean": clean_new.count(),
+        "n_retro_tombstoned": retro.count() if retro is not None else 0,
+    }
+    n_retro = counts["n_retro_tombstoned"]
+
+    # state appends — each exactly-once under (app, batch_id)
+    new_texts = batch_keep.select("text").distinct()
+    if seen_texts is not None:
+        new_texts = new_texts.join(
+            seen_texts.select("text"), "text", "left_anti"
+        )
+    admit(new_texts, "texts")
+    admit(
+        _token_sets(exact_new, "text", "doc_id", cfg.neardup_ngram).filter(
+            F.col("set_size") > 0
+        ),
+        "sets",
+    )
+    admit(eval_new, "eval_docs")
+    admit(clean_new, "clean_train")
+    if n_retro:
+        admit(retro, "tombstones")
+    admit(
+        spark.createDataFrame(
+            [tuple(counts.values())],
+            "batch_id long, n_in long, n_quality long, n_exact long, "
+            "n_neardup long, n_train long, n_contaminated long, "
+            "n_clean long, n_retro_tombstoned long",
+        ),
+        "increments",
+    )
+    return counts

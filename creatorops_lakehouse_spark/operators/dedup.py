@@ -1284,3 +1284,113 @@ def strip_duplicate_spans(
             F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
         )
     )
+
+
+def build_jaccard_index(
+    df: DataFrame,
+    sets_spec,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    mode: str = "overwrite",
+) -> None:
+    """Persist the corpus's EXACT-Jaccard dedup state — one
+    (doc_id, toks, set_size) shingle-set table — so future batches pair
+    against it via :func:`probe_jaccard_index` instead of recomputing the
+    corpus. The exact sibling of :func:`build_minhash_index`: no banding,
+    no recall loss — the posting-join intersection count is a pure
+    function of the two documents' shingle sets, so batched and one-shot
+    pair generation agree EXACTLY. ``mode="append"`` admits a batch into
+    the index afterwards."""
+    from creatorops_lakehouse_spark.sources.tables import write_table
+
+    sets = _token_sets(df, text_col, id_col, ngram).filter(
+        F.col("set_size") > 0
+    )
+    write_table(sets, sets_spec, mode=mode)
+
+
+def probe_jaccard_index(
+    spark,
+    sets_spec,
+    new_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    ngram: int = 3,
+) -> DataFrame:
+    """Exact-Jaccard near-dup pairs for a NEW batch against an indexed
+    corpus plus within-batch pairs — the incremental form of
+    :func:`jaccard_pairs(prefix_filter=False)`.
+
+    Returns (a_id, b_id, jaccard, b_is_new): ``a_id`` is always a NEW
+    doc; ``b_id`` is an indexed doc (``b_is_new`` false) or another batch
+    doc with a smaller id (``b_is_new`` true, matching jaccard_pairs'
+    a < b emission).
+
+    Exactness: the inverted-index join counts |A ∩ B| by grouping shared
+    postings — a pure per-pair function, independent of which side is
+    indexed — so probe(new) ∪ pairs(indexed) == pairs(indexed ∪ new)
+    EXACTLY (no LSH recall loss; this is what lets the incremental
+    curation pipeline equal its one-shot rerun field-for-field).
+
+    Scale: the new batch's postings are the small side — Spark
+    broadcast-joins them against one scan of the index's posting lists
+    (no corpus shuffle); within-batch pairs self-join only the batch.
+    At 100 TB the sets index lives bucketed by a shingle-hash prefix so
+    the probe scan partition-prunes to the batch's posting buckets.
+
+    ``sets_spec`` may be a TableSpec (plain-parquet index, read via
+    read_table) or an already-loaded (doc_id, toks, set_size) DataFrame —
+    e.g. a snapshot-log table pinned at a version by the caller."""
+    new_sets = scoped_persist(
+        _token_sets(new_df, text_col, id_col, ngram).filter(
+            F.col("set_size") > 0
+        )
+    )
+    if isinstance(sets_spec, DataFrame):
+        idx_sets = sets_spec.select("doc_id", "toks", "set_size")
+    else:
+        from creatorops_lakehouse_spark.sources.tables import read_table
+
+        idx_sets = read_table(spark, sets_spec).select(
+            "doc_id", "toks", "set_size"
+        )
+
+    def posts(sets_df):
+        return sets_df.select(
+            "doc_id", "set_size", F.explode("toks").alias("tok")
+        )
+
+    a = posts(new_sets).select(
+        "tok", F.col("doc_id").alias("a_id"), F.col("set_size").alias("a_size")
+    )
+    jac = F.col("n_common") / (
+        F.col("a_size") + F.col("b_size") - F.col("n_common")
+    )
+    # new ↔ indexed: every shared shingle of (new doc, indexed doc)
+    bi = posts(idx_sets).select(
+        "tok", F.col("doc_id").alias("b_id"), F.col("set_size").alias("b_size")
+    )
+    cross = (
+        a.join(bi, on="tok")
+        .groupBy("a_id", "b_id", "a_size", "b_size")
+        .agg(F.count("*").alias("n_common"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("b_is_new", F.lit(False))
+    )
+    # new ↔ new: jaccard_pairs' own a < b counting join over the batch
+    bn = posts(new_sets).select(
+        "tok", F.col("doc_id").alias("b_id"), F.col("set_size").alias("b_size")
+    )
+    within = (
+        a.join(bn, on="tok")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .groupBy("a_id", "b_id", "a_size", "b_size")
+        .agg(F.count("*").alias("n_common"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+        .withColumn("b_is_new", F.lit(True))
+    )
+    return cross.unionByName(within)

@@ -142,11 +142,15 @@ _PIN_FIRST = (
     "events_session_windows",
     "orders_matview_incremental_verdict",
     "events_hll_distinct_events",
-    # r11 flagship matview capabilities — the histogram row puts sketch
-    # VALUES (p50/p90 bins) under the driver hash; the join row is the
-    # gold fact⋈dim shape maintained incrementally
-    "orders_matview_hist_verdict",
-    "orders_matview_join_verdict",
+    # r11/r12 rotation (VERDICT r11 item 6): the r11 hist/join rows were
+    # driver-checked in CORRECTNESS_r11 — swap in the CMS/MIN-MAX measure
+    # rows they displaced plus the r12 newcomers: rescan repair, the
+    # silver→gold cascade, and rolling curation
+    "orders_matview_cms_verdict",
+    "orders_matview_minmax_verdict",
+    "orders_matview_rescan_verdict",
+    "orders_matview_cascade_verdict",
+    "docs_curation_incremental_verdict",
 )
 
 

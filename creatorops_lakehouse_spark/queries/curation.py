@@ -450,3 +450,122 @@ def curation_e2e_row(
             (F.col("pk_docs") == F.col("n_mixture")).alias("pack_counts_ok"),
         )
     )
+
+
+@query(
+    "docs_curation_incremental_verdict",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_E2E}
+    SELECT n_all, n_quality, n_exact, n_neardup, n_train,
+           n_contaminated, n_clean,
+           TRUE AS equals_oneshot, TRUE AS equals_full_run,
+           TRUE AS replay_noop_ok
+    FROM stages
+    """,
+)
+def docs_curation_incremental_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ROLLING curation under one hash (VERDICT r11 item 4,
+    curation.py::curate_increment): the corpus arrives as two
+    monotone-id batches; only the new docs flow through quality →
+    exact-dedup probe (first-seen texts index) → near-dup probe
+    (:func:`probe_jaccard_index` — the EXACT posting-join math, no LSH
+    recall loss) → split → decontamination against the accumulated eval
+    corpus, with late-arriving eval contamination TOMBSTONING earlier
+    train docs (merge-on-read); ``clean_train`` grows append-only and
+    each state append is exactly-once under the snapshot log's txn map.
+
+    The output row is the incremental run's summed per-batch manifest:
+    n_* columns are the per-increment counts summed (quality is
+    row-local, exact/near-dup probes partition the one-shot decision by
+    batch, splits are hash-deterministic — so the sums must equal the
+    ONE-SHOT pipeline's stage counts, which is exactly what the oracle
+    recomputes from raw ``documents`` with the e2e pipeline's recursive
+    CTE; n_contaminated folds the retro tombstones in). In-engine
+    booleans: equals_oneshot (incremental clean_train ==
+    curate_increment over the whole corpus in one batch, set equality),
+    equals_full_run (== run()'s clean_train — the hash-checked e2e
+    pipeline), replay_noop_ok (re-admitting batch 2 under its batch_id
+    changes nothing — the txn map skips every table). A drifted probe,
+    a double-folded replay, or a missed retro tombstone flips the hash
+    at any SF. Eager verdict harness (excluded from bench); scratch
+    trees deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.curation import (
+        curate_increment,
+        increment_manifest,
+        incremental_clean_train,
+        run,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    root = _tempfile.mkdtemp(prefix="snap_cur_inc_")
+    one_root = _tempfile.mkdtemp(prefix="snap_cur_one_")
+    try:
+        b2 = docs.filter(F.col("doc_id") > cut)
+        c1 = curate_increment(
+            spark, docs.filter(F.col("doc_id") <= cut), root
+        )
+        c2 = curate_increment(spark, b2, root)
+        got = incremental_clean_train(spark, root).select(
+            "doc_id", "text", "lang", "k"
+        )
+
+        c2r = curate_increment(spark, b2, root, batch_id=c2["batch_id"])
+        after_replay = incremental_clean_train(spark, root).select(
+            "doc_id", "text", "lang", "k"
+        )
+        replay_noop_ok = (
+            c2r == c2
+            and after_replay.join(got, ["doc_id"], "left_anti").count() == 0
+            and got.join(after_replay, ["doc_id"], "left_anti").count() == 0
+        )
+
+        curate_increment(spark, docs, one_root)
+        oneshot = incremental_clean_train(spark, one_root).select(
+            "doc_id", "text", "lang", "k"
+        )
+        cols = ["doc_id", "text", "lang", "k"]
+        equals_oneshot = (
+            got.join(oneshot, cols, "left_anti").count() == 0
+            and oneshot.join(got, cols, "left_anti").count() == 0
+        )
+        full_ct = run(spark, docs).clean_train.select(*cols)
+        equals_full_run = (
+            got.join(full_ct, cols, "left_anti").count() == 0
+            and full_ct.join(got, cols, "left_anti").count() == 0
+        )
+
+        man = {
+            r.batch_id: r.asDict()
+            for r in increment_manifest(spark, root).collect()
+        }
+        s = {
+            k: man[0][k] + man[1][k]
+            for k in (
+                "n_in", "n_quality", "n_exact", "n_neardup", "n_train",
+                "n_contaminated", "n_retro_tombstoned",
+            )
+        }
+        row = (
+            s["n_in"], s["n_quality"], s["n_exact"], s["n_neardup"],
+            s["n_train"], s["n_contaminated"] + s["n_retro_tombstoned"],
+            got.count(),
+            bool(equals_oneshot), bool(equals_full_run),
+            bool(replay_noop_ok),
+        )
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+        _shutil.rmtree(one_root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [row],
+        "n_all long, n_quality long, n_exact long, n_neardup long, "
+        "n_train long, n_contaminated long, n_clean long, "
+        "equals_oneshot boolean, equals_full_run boolean, "
+        "replay_noop_ok boolean",
+    )
