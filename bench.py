@@ -109,6 +109,15 @@ def main() -> None:
     JITTER_BOUND = {
         "emb_ann_ivf_topk",
         "emb_ann_lsh_topk",
+        # r12 attribution (VERDICT r11 item 3): two back-to-back isolated
+        # runs put both at their r9/r10 walls (PQ min 1.47/1.39 s, bigram
+        # 1.75/1.62 s — agree within 8%) while their first rep rides a
+        # ~7 s JIT/codegen decay; the r11 driver moves (PQ 1.06→1.83,
+        # bigram spread 3.35x) were host drift over exactly that decay —
+        # class (a) for PQ (Arrow/numpy ADC matmul seam), class-(b)-like
+        # codegen decay for the bigram LM's chained HOF stages.
+        "emb_ann_pq_topk",
+        "docs_bigram_lm_score",
         "graph_triangles_copurchase",
         "graph_label_propagation",
         "graph_pagerank_trade",
