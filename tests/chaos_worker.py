@@ -240,6 +240,58 @@ def main() -> int:
                     else:
                         raise
                 time.sleep(0.25)
+        elif role == "cascade":
+            # GOLD view over the mview role's silver view (matview
+            # cascade, VERDICT r11 item 5): this process races the
+            # PARENT's refresher — every parent overwrite it spans folds
+            # as the parent's key-level CDF between two pinned versions,
+            # and both levels' commits carry the expected_version CAS,
+            # so any interleaving converges with no double-fold.
+            import pyspark.sql.functions as F
+
+            from creatorops_lakehouse_spark.sources.matview import (
+                create_agg_view,
+                refresh_agg_view,
+            )
+            from creatorops_lakehouse_spark.sources.snapshots import (
+                current_version,
+                last_txn_version,
+            )
+
+            parent = TableSpec("chaos.v", table_path + "_view")
+            gold = TableSpec("chaos.g", table_path + "_gold")
+            keys = ["wband"]
+            sums = {"sum_val": "sum_val", "silver_rows": "n_rows"}
+            row_key = ["writer"]
+
+            def enrich(df):
+                return df.withColumn("wband", F.substring("writer", 1, 3))
+
+            while (
+                current_version(parent) is None
+                and not os.path.exists(stop)
+            ):
+                time.sleep(0.2)
+            if current_version(parent) is not None:
+                if last_txn_version(gold, "matview:chaos.g") is None:
+                    v = until_committed(
+                        lambda: create_agg_view(
+                            spark, parent, gold, keys, sums, enrich=enrich
+                        ),
+                        "cascade create",
+                    )
+                    log(op="cascade_create", version=v)
+                while not os.path.exists(stop):
+                    try:
+                        v, mode = refresh_agg_view(
+                            spark, parent, gold, keys, sums, row_key,
+                            enrich=enrich,
+                        )
+                        if mode != "noop":
+                            log(op="cascade_refresh", version=v, mode=mode)
+                    except SnapshotConflictError as e:
+                        log(conflict="cascade", msg=str(e)[:120])
+                    time.sleep(0.3)
         elif role == "optimize":
             while not os.path.exists(stop):
                 try:

@@ -247,6 +247,7 @@ def test_chaos_refresher_vs_dml(spark, tmp_path):
         )
     workers["dml"] = _launch(["dml", N_DML_ROUNDS], table, run_dir)
     workers["mview"] = _launch(["mview"], table, run_dir)
+    workers["cascade"] = _launch(["cascade"], table, run_dir)
     workers["optimize"] = _launch(["optimize"], table, run_dir)
     workers["checkpoint"] = _launch(["checkpoint"], table, run_dir)
     workers["vacuum"] = _launch(["vacuum"], table, run_dir)
@@ -273,7 +274,7 @@ def test_chaos_refresher_vs_dml(spark, tmp_path):
     # let the refresher observe the final DML state at least once
     time.sleep(2)
     open(os.path.join(run_dir, "stop"), "w").close()
-    for n in ("mview", "optimize", "checkpoint", "vacuum"):
+    for n in ("mview", "cascade", "optimize", "checkpoint", "vacuum"):
         assert workers[n].wait(timeout=180) == 0, f"worker {n} failed"
 
     journals = {n: _journal(run_dir, n) for n in workers}
@@ -284,6 +285,13 @@ def test_chaos_refresher_vs_dml(spark, tmp_path):
 
     refreshes = [e for e in journals["mview"] if e.get("op") == "mview_refresh"]
     assert refreshes, "the refresher never committed a refresh"
+    cascade_refreshes = [
+        e for e in journals["cascade"] if e.get("op") == "cascade_refresh"
+    ]
+    assert cascade_refreshes, (
+        "the gold refresher never committed mid-race — the parent/child "
+        "duel was not exercised"
+    )
     modes = {e["mode"] for e in refreshes}
     assert "incremental-diff" in modes, (
         f"no refresh ever spanned a DML commit (modes seen: {modes}) — "
@@ -335,6 +343,41 @@ def test_chaos_refresher_vs_dml(spark, tmp_path):
     assert cms_view == cms_full, (
         "CMS sketch cells diverged from the from-scratch build after "
         "raced DML folds"
+    )
+
+    # the GOLD view (cascade worker, chained on the raced silver view):
+    # one ordered catch-up, then exact equality with a from-scratch
+    # rollup of the source head — a double-folded parent CDF anywhere in
+    # the race would surface here
+    gold = TableSpec("chaos.g", table + "_gold")
+
+    def g_enrich(df):
+        return df.withColumn("wband", F.substring("writer", 1, 3))
+
+    refresh_agg_view(
+        spark, view, gold, ["wband"],
+        {"sum_val": "sum_val", "silver_rows": "n_rows"}, ["writer"],
+        enrich=g_enrich,
+    )
+    gold_expect = {
+        r.wband: (r.n, r.s, r.sr)
+        for r in snapshot_read(spark, spec)
+        .withColumn("wband", F.substring("writer", 1, 3))
+        .groupBy("wband")
+        .agg(
+            F.count_distinct("writer").cast("long").alias("n"),
+            F.sum("val").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("sr"),
+        )
+        .collect()
+    }
+    gold_got = {
+        r.wband: (r.n_rows, r.sum_val, r.silver_rows)
+        for r in snapshot_read(spark, gold).collect()
+    }
+    assert gold_got == gold_expect, (
+        "gold cascade view diverged from the from-scratch rollup after "
+        "parent/child refresher races"
     )
 
 

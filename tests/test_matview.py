@@ -1324,3 +1324,39 @@ def test_matview_cascade_racing_refreshers(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_matview_rescan_through_mixed_dml_optimize_span(spark, tmp_path):
+    """DML and OPTIMIZE in the SAME span: the walk classifies it DML
+    (the optimize is a noop step but the delete isn't), the CDF between
+    the pinned endpoints sees through the rewrite, and the rescan reads
+    affected groups from the post-OPTIMIZE head — state still equals a
+    from-scratch build bucket for bucket."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        optimize_snapshots,
+    )
+
+    HLLS = {"nd_val": "val"}
+
+    def rows(ks):
+        return spark.createDataFrame(
+            [(k, k % 5, k % 13) for k in ks], "k long, grp long, val long"
+        )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(rows(range(0, 60)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS)
+
+    snapshot_write(rows(range(60, 80)), src)       # append
+    snapshot_delete_where(spark, src, {"k": (5, 25)})  # DML
+    optimize_snapshots(spark, src)                 # pack it all
+    snapshot_write(rows(range(80, 100)), src)      # append after pack
+
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups",
+    )
+    assert mode == "incremental-diff-rescan"
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+    assert _view(spark, view) == _expect(spark, src)
