@@ -1036,17 +1036,37 @@ def _refresh_once(
             # arrays are unchanged too).
             mode = "incremental-diff-rescan"
             affected = cdf.select(*keys).distinct()
-            head_rows = snapshot_read(spark, src, version=v_now)
-            if enrich is not None:
-                head_rows = enrich(head_rows)
             n_aff = affected.limit(_RESCAN_INLIST_MAX + 1).count()
-            if len(keys) == 1 and n_aff <= _RESCAN_INLIST_MAX:
-                # small key set: inline it as an IN-list so the scan gets
-                # a pushable predicate (partition pruning + parquet
-                # row-group skipping when the table is laid out by key)
+            src_schema = snapshot_read(spark, src, version=v_now).columns
+            if (
+                len(keys) == 1
+                and n_aff <= _RESCAN_INLIST_MAX
+                and keys[0] in src_schema
+                and enrich is None
+            ):
+                # small key set on a PHYSICAL source column: an IN-set
+                # stats/bloom-pruned read (snapshot_read_where eq_in) —
+                # on a layout clustered by the group key (hive partition
+                # or OPTIMIZE ZORDER BY) the scan plans ONLY the commit
+                # dirs that can contain the affected keys, making the
+                # repair I/O ∝ touched groups, not the table; read_where
+                # applies the exact residual isin itself
+                from creatorops_lakehouse_spark.sources.snapshots import (
+                    snapshot_read_where,
+                )
+
                 vals = [r[0] for r in affected.collect()]
-                aff_rows = head_rows.filter(F.col(keys[0]).isin(vals))
+                aff_rows = snapshot_read_where(
+                    spark, src, version=v_now, eq_in={keys[0]: vals}
+                )
             else:
+                # large key set, multi-key group, or an enriched view
+                # (the scan can't prove a derived/overwritten key
+                # prunable): distributed semi-join after enrichment
+                # (no driver materialization)
+                head_rows = snapshot_read(spark, src, version=v_now)
+                if enrich is not None:
+                    head_rows = enrich(head_rows)
                 aff_rows = head_rows.join(affected, on=keys, how="left_semi")
             old_state = snapshot_read(spark, view, version=view_v)
             unaff = old_state.join(affected, on=keys, how="left_anti")

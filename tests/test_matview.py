@@ -1360,3 +1360,43 @@ def test_matview_rescan_through_mixed_dml_optimize_span(spark, tmp_path):
     assert mode == "incremental-diff-rescan"
     assert _hll_view(spark, view) == _hll_full(spark, src)
     assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_rescan_prunes_clustered_source(spark, tmp_path):
+    """When the source layout separates group keys across commit dirs
+    (per-band appends here; OPTIMIZE ZORDER BY grp at scale), the rescan
+    repair's IN-set read proves most dirs disjoint from its manifest
+    stats — repair I/O ∝ touched groups, not the table — and the
+    repaired state still equals a from-scratch build."""
+    from creatorops_lakehouse_spark.sources.snapshots import pruned_dirs
+
+    HLLS = {"nd_val": "val"}
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+
+    def band(g, lo, hi):  # one grp per commit dir -> tight grp stats
+        return spark.createDataFrame(
+            [(g * 1000 + k, g, k % 13) for k in range(lo, hi)],
+            "k long, grp long, val long",
+        )
+
+    for g in range(5):
+        snapshot_write(band(g, 0, 40), src)  # v0..v4, one grp per dir
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS)
+
+    # delete a slice of grp 2 only (k 2000..2019 lives in grp 2's dir)
+    snapshot_delete_where(spark, src, {"k": (2000, 2019)})
+    v_now = 5
+    kept, skipped = pruned_dirs(src, {}, version=v_now, eq_in={"grp": [2]})
+    assert len(skipped) >= 3, (
+        f"grp-banded dirs should prune for the affected-key IN-set "
+        f"(kept {len(kept)}, skipped {len(skipped)})"
+    )
+
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS,
+        on_dml="rescan_groups",
+    )
+    assert mode == "incremental-diff-rescan"
+    assert _hll_view(spark, view) == _hll_full(spark, src)
+    assert _view(spark, view) == _expect(spark, src)
