@@ -535,10 +535,12 @@ def curate_increment(
         """The state table as of BEFORE this batch — None if absent.
         Replay safety: a crashed increment may have admitted some tables
         already; recomputing the stages against those would see the
-        batch's own partial writes and diverge. Each admitted table's
-        txn commit is exactly one version, so its pre-batch state is
-        version-1 — the replay recomputes the SAME stage outputs and
-        the remaining admits complete the batch."""
+        batch's own partial writes and diverge. The pre-batch version is
+        found by walking manifests backwards to the last version whose
+        txn map records this app BELOW batch_id (maintenance commits —
+        OPTIMIZE — may sit between the batch's commit and the head, so
+        "head minus one" is not enough); the replay then recomputes the
+        SAME stage outputs and the remaining admits complete the batch."""
         spec = specs[key]
         v = current_version(spec)
         if v is None:
@@ -551,7 +553,24 @@ def curate_increment(
                     f"than the state's latest admitted batch {seen_txn} — "
                     "increments must be admitted in order"
                 )
-            v -= 1
+            from creatorops_lakehouse_spark.sources.snapshots import (
+                _read_manifest,
+            )
+
+            while v >= 0:
+                try:
+                    m = _read_manifest(spec, v)
+                except ValueError:
+                    raise ValueError(
+                        f"curate_increment({root}): replay of batch "
+                        f"{batch_id} needs {spec.name}'s pre-batch "
+                        f"version, but vacuum reclaimed it — the replay "
+                        "window is gone; admit the next batch instead"
+                    ) from None
+                t = m.get("txns", {}).get(_INC_APP)
+                if t is None or int(t) < batch_id:
+                    break
+                v -= 1
             if v < 0:
                 return None
         return snapshot_read(spark, spec, version=v)
@@ -698,3 +717,40 @@ def curate_increment(
         "increments",
     )
     return counts
+
+
+def optimize_curation_state(
+    spark: SparkSession, root: str, max_dirs: int = 16
+) -> dict[str, int | None]:
+    """Maintenance for the rolling state: every admitted batch appends
+    one commit dir per state table, so after N batches the probe scans
+    plan N dirs. Bin-pack each table whose head references more than
+    ``max_dirs`` dirs (OPTIMIZE — content-noop, the txn map survives the
+    rewrite) and fold its manifest log (checkpoint), so index reads stay
+    O(1 dir) and log opens O(tail) no matter how many batches have been
+    admitted. Admission semantics are unaffected: batch ids come from
+    the txn map, which rewrites carry verbatim, and a replayed batch's
+    pre-batch pin walks the txn map rather than assuming head-minus-one.
+    Returns {table: new_version | None} (None = skipped under max_dirs).
+
+    Run it between batches (not concurrently with an admission — same
+    single-maintainer discipline as the matview refresher loop). Vacuum
+    separately and AFTER the replay window you care about has passed: a
+    vacuumed pre-batch version makes that batch's exact replay refuse
+    loudly."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        current_version,
+        optimize_snapshots,
+    )
+
+    out: dict[str, int | None] = {}
+    for key, spec in _inc_specs(root).items():
+        if current_version(spec) is None:
+            out[key] = None
+            continue
+        v = optimize_snapshots(spark, spec, max_dirs=max_dirs)
+        if v is not None:
+            checkpoint_manifest(spec)
+        out[key] = v
+    return out

@@ -164,3 +164,56 @@ def test_incremental_replay_is_exactly_once(spark, tmp_path):
 
     with pytest.raises(ValueError, match="older than"):
         curate_increment(spark, b2, root, batch_id=0)
+
+
+def test_incremental_state_maintenance(spark, tmp_path):
+    """optimize_curation_state bin-packs the per-batch commit dirs
+    (probe scans plan O(1) dirs instead of one per batch) without
+    changing a single admission decision: admissions after maintenance
+    still equal the unmaintained run, and a REPLAY of a batch admitted
+    BEFORE the OPTIMIZE still pins its true pre-batch state (the txn
+    walk, not head-minus-one)."""
+    from creatorops_lakehouse_spark.curation import (
+        _inc_specs,
+        curate_increment,
+        incremental_clean_train,
+        optimize_curation_state,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    cuts = docs.approxQuantile("doc_id", [0.34, 0.67], 0.0)
+    b1 = docs.filter(F.col("doc_id") <= cuts[0])
+    b2 = docs.filter(
+        (F.col("doc_id") > cuts[0]) & (F.col("doc_id") <= cuts[1])
+    )
+    b3 = docs.filter(F.col("doc_id") > cuts[1])
+
+    plain = str(tmp_path / "plain")
+    maint = str(tmp_path / "maint")
+    for root in (plain, maint):
+        curate_increment(spark, b1, root)
+        c2 = curate_increment(spark, b2, root)
+        if root == maint:
+            out = optimize_curation_state(spark, root, max_dirs=1)
+            assert any(v is not None for v in out.values()), out
+            sets_spec = _inc_specs(root)["sets"]
+            head = _read_manifest(sets_spec, current_version(sets_spec))
+            assert len(head["dirs"]) == 1, "sets index should be packed"
+            # replay of the PRE-optimize batch still pins correctly
+            c2r = curate_increment(spark, b2, root, batch_id=1)
+            assert c2r == c2
+        curate_increment(spark, b3, root)
+
+    a = {
+        (r.doc_id, r.text, r.lang, r.k)
+        for r in incremental_clean_train(spark, plain).collect()
+    }
+    b = {
+        (r.doc_id, r.text, r.lang, r.k)
+        for r in incremental_clean_train(spark, maint).collect()
+    }
+    assert a == b, "maintenance changed admission decisions"
