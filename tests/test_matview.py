@@ -1400,3 +1400,61 @@ def test_matview_rescan_prunes_clustered_source(spark, tmp_path):
     assert mode == "incremental-diff-rescan"
     assert _hll_view(spark, view) == _hll_full(spark, src)
     assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_cascade_depth3(spark, tmp_path):
+    """Three-level chain (bronze fact → silver → gold → platinum): the
+    chaining argument is inductive — each child folds its parent's CDF —
+    so depth composes without new machinery. After appends and DML the
+    top of the chain equals a from-scratch rollup of the fact head."""
+    from creatorops_lakehouse_spark.sources.matview import refresh_cascade
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    silver = TableSpec("mv.silver", str(tmp_path / "silver"))
+    gold = TableSpec("mv.gold", str(tmp_path / "gold"))
+    plat = TableSpec("mv.plat", str(tmp_path / "plat"))
+
+    def rows(ks):  # fine k%12 → mid %4 → coarse %2
+        return spark.createDataFrame(
+            [(k, k % 12, k * 10) for k in ks], "k long, grp long, val long"
+        )
+
+    g_enrich = lambda df: df.withColumn("g4", F.col("grp") % 4)  # noqa: E731
+    p_enrich = lambda df: df.withColumn("g2", F.col("g4") % 2)  # noqa: E731
+    S = dict(src=src, view=silver, keys=["grp"], sums={"sum_val": "val"},
+             row_key=["k"])
+    G = dict(src=silver, view=gold, keys=["g4"],
+             sums={"sum_val": "sum_val", "fact_rows": "n_rows"},
+             row_key=["grp"], enrich=g_enrich)
+    P = dict(src=gold, view=plat, keys=["g2"],
+             sums={"sum_val": "sum_val", "fact_rows": "fact_rows"},
+             row_key=["g4"], enrich=p_enrich)
+
+    snapshot_write(rows(range(0, 60)), src)
+    create_agg_view(spark, src, silver, S["keys"], S["sums"])
+    create_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                    enrich=g_enrich)
+    create_agg_view(spark, gold, plat, P["keys"], P["sums"],
+                    enrich=p_enrich)
+
+    snapshot_write(rows(range(60, 100)), src)
+    snapshot_delete_where(spark, src, {"k": (10, 30)})
+    refresh_cascade(spark, [S, G, P])
+
+    got = {
+        r.g2: (r.sum_val, r.fact_rows)
+        for r in snapshot_read(spark, plat).collect()
+    }
+    exp = {
+        r.g2: (r.s, r.n)
+        for r in snapshot_read(spark, src)
+        .groupBy(((F.col("grp") % 4) % 2).alias("g2"))
+        .agg(
+            F.sum("val").cast("long").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .collect()
+    }
+    assert got == exp
+    # settled chain no-ops at every level
+    assert [m for _, m in refresh_cascade(spark, [S, G, P])] == ["noop"] * 3
