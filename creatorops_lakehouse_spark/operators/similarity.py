@@ -856,6 +856,35 @@ def build_ivf_index(
     write_table(assigned, spec, mode="overwrite", dynamic=False)
 
 
+def append_to_ivf_index(
+    corpus_batch: DataFrame,
+    centroids: list[list[float]],
+    spec,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Admit a NEW batch of vectors into a persisted IVF index
+    (:func:`build_ivf_index`) without touching the existing postings —
+    the rolling-corpus form of index maintenance: the quantizer stays
+    FIXED (retrain offline when drift warrants, then rebuild), each new
+    vector is assigned to its nearest cell by the SAME deterministic
+    rule as the build, and the batch appends into the cell partitions.
+    Because assignment is per-row, append(b2) after build(b1) is
+    byte-equal in content to build(b1 ∪ b2) — probes and partition
+    pruning are unaffected. Cost: one Arrow-batched assignment pass over
+    the BATCH plus a partitioned append; the existing index is never
+    read or rewritten."""
+    from creatorops_lakehouse_spark.sources.tables import write_table
+
+    assert "cell" in spec.partition_by, "IVF index spec must partition by cell"
+    assigned = corpus_batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("c_vec"),
+        _nearest_centroid(F.col(vec_col).cast("array<double>"), centroids).alias("cell"),
+    )
+    write_table(assigned, spec, mode="append")
+
+
 def ann_ivf_topk_indexed(
     spark,
     spec,

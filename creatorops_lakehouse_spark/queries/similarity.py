@@ -614,7 +614,10 @@ _SQL_IVF_ASSIGN = f"""
         ) WHERE rn = 1
     )"""
 
-_SQL_IVF_TOPK = f"""{_SQL_IVF_ASSIGN},
+#: probe + exact-rerank CTE chain (consumed by the one-shot IVF top-k
+#: oracle AND the incremental-index variant, which wraps extra booleans
+#: around the same ``topk``)
+_SQL_IVF_PROBE_RERANK = f"""{_SQL_IVF_ASSIGN},
     probes AS (
         SELECT id AS query_id, v AS q_vec, cell FROM (
             SELECT e.id, e.v, c.cell,
@@ -630,13 +633,19 @@ _SQL_IVF_TOPK = f"""{_SQL_IVF_ASSIGN},
                list_cosine_similarity(p.q_vec, a.v) AS cos_sim
         FROM probes p JOIN cass a USING (cell)
         WHERE a.id <> p.query_id
-    )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM (
-        SELECT query_id, neighbor_id, cos_sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cos_sim DESC, neighbor_id) AS rank
-        FROM sims
-    ) WHERE rank <= {TOP_K}
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id)
+                       AS rank
+            FROM sims
+        ) WHERE rank <= {TOP_K}
+    )"""
+
+_SQL_IVF_TOPK = f"""{_SQL_IVF_PROBE_RERANK}
+    SELECT query_id, neighbor_id, cos_sim, rank FROM topk
 """
 
 
@@ -1438,3 +1447,84 @@ def emb_ann_pq_recall_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = emb_cosine_topk_bruteforce(spark, sf_dir)
     ann = emb_ann_pq_topk(spark, sf_dir)
     return _ann_recall_verdict(exact, ann, floor=0.6)
+
+
+@query(
+    "emb_ann_ivf_incremental_verdict",
+    oracle=f"""
+    WITH {_SQL_IVF_PROBE_RERANK}
+    SELECT query_id, neighbor_id, cos_sim, rank,
+           TRUE AS index_equals_fresh
+    FROM topk
+    """,
+)
+def emb_ann_ivf_incremental_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL IVF index maintenance under the end-to-end hash
+    (operators/similarity.py::append_to_ivf_index): the corpus arrives
+    as two batches — build the cell-partitioned index on batch 1
+    (vec_id even), APPEND batch 2 (vec_id odd) under the same fixed
+    quantizer — then run the identical probed top-k as
+    ``emb_ann_ivf_topk`` against the grown index. Because cell
+    assignment is a deterministic per-row rule, the appended index's
+    content must equal a one-shot build of the full corpus
+    (index_equals_fresh — two anti-joins on (neighbor_id, cell) in
+    engine), and therefore the top-k matches the SAME Lloyd-replay
+    oracle as the one-shot query: a drifted assignment, a dropped
+    batch, or an append that landed outside its cell partition flips
+    the hash at any SF. This is the rolling-corpus ANN story: admit
+    cost ∝ batch (one assignment pass + partitioned append; the
+    existing postings are never read), quantizer retrained offline.
+    Scratch index deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        _nearest_centroid,
+        ann_ivf_topk_indexed,
+        append_to_ivf_index,
+        build_ivf_index,
+    )
+    from creatorops_lakehouse_spark.sources.tables import (
+        TableSpec,
+        read_table,
+    )
+
+    centroids, _ = _ivf_index_for(spark, sf_dir)  # same trained quantizer
+    emb = load(spark, sf_dir, "embeddings")
+    root = _tempfile.mkdtemp(prefix="snap_ivf_inc_")
+    try:
+        spec = TableSpec("ivf.inc_index", f"{root}/index", ("cell",))
+        build_ivf_index(emb.filter(F.col("vec_id") % 2 == 0), centroids, spec)
+        append_to_ivf_index(
+            emb.filter(F.col("vec_id") % 2 == 1), centroids, spec
+        )
+
+        grown = read_table(spark, spec).select("neighbor_id", "cell")
+        fresh = emb.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _nearest_centroid(
+                F.col("embedding").cast("array<double>"), centroids
+            ).alias("cell"),
+        )
+        cols = ["neighbor_id", "cell"]
+        equals_fresh = (
+            grown.join(fresh, cols, "left_anti").count() == 0
+            and fresh.join(grown, cols, "left_anti").count() == 0
+        )
+
+        queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+        out = ann_ivf_topk_indexed(
+            spark, spec, queries_df, centroids, k=TOP_K, nprobe=4
+        ).withColumn(
+            "index_equals_fresh", F.lit(bool(equals_fresh))
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "query_id long, neighbor_id long, cos_sim double, rank int, "
+        "index_equals_fresh boolean",
+    )
