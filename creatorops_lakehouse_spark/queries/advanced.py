@@ -2655,3 +2655,131 @@ def orders_matview_cascade_verdict(spark: SparkSession, sf_dir: str) -> DataFram
         "silver_append_ok boolean, gold_diff_ok boolean, "
         "dml_diff_ok boolean, chain_noop_ok boolean",
     )
+
+
+@query(
+    "orders_matview_var_verdict",
+    oracle="""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               o_orderkey % 7 AS grp,
+               o_orderkey % 4 AS band,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents
+        FROM orders
+    ),
+    surv AS (
+        SELECT * FROM o WHERE NOT (band <= 1 AND key <= 1000)
+    ),
+    agg AS (
+        SELECT grp,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               SUM(CAST(cents AS HUGEINT) * cents) AS s2
+        FROM surv GROUP BY 1
+    )
+    SELECT grp, n_rows, sum_cents,
+           CAST(s2 AS VARCHAR) AS sq_cents,
+           CAST(CAST(n_rows AS HUGEINT) * s2
+                - CAST(sum_cents AS HUGEINT) * sum_cents AS VARCHAR)
+               AS var_num,
+           TRUE AS append_ok, TRUE AS dml_diff_ok
+    FROM agg
+    """,
+)
+def orders_matview_var_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANCE-class matview measures under one hash
+    (sources/matview.py ``sqsums``): exact per-group sums of squares,
+    DECIMAL(38,0) with the square computed through DECIMAL(19,0) (a
+    cents column squares past 2^63 — the long path would silently
+    wrap). x² is linear in row multiplicity exactly like x, so the
+    measure folds through the append fast path AND the ±1 CDF fallback
+    — no append-only refusal — and (n, Σx, Σx²) derive the exact
+    population-variance numerator n·Σx² − (Σx)², emitted here as an
+    arbitrary-precision string so Spark DECIMAL and DuckDB HUGEINT hash
+    identically.
+
+    Lifecycle: band0 create (grp = key%7; COUNT(*), SUM(cents),
+    SQSUM(cents)) → append band1 → refresh (must take
+    incremental-append) → copy-on-write DELETE of key <= 1000 → refresh
+    (must take incremental-diff: deleted rows' squares subtract
+    exactly) → append bands 2+3 → catch-up. The oracle recomputes the
+    final (n, s1, s2, variance numerator) from raw ``orders`` with the
+    delete's exact predicate in HUGEINT arithmetic — a wrapped square,
+    a double-folded delete, or a drifted merge flips the hash at any
+    SF. Eager verdict harness (excluded from bench); scratch tree
+    deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    banded = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_orderkey") % 4).alias("band"),
+        )
+    )
+    keys, sums, row_key = ["grp"], {"sum_cents": "cents"}, ["key"]
+    sqs = {"sq_cents": "cents"}
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_var_")
+    try:
+        src = TableSpec("t.mvvsrc", root + "/src")
+        view = TableSpec("t.mvvview", root + "/view")
+        cols = ("key", "cents", "grp")
+
+        snapshot_write(banded.filter(F.col("band") == 0).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, sqsums=sqs)
+
+        snapshot_write(banded.filter(F.col("band") == 1).select(*cols), src)
+        _, mode1 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, sqsums=sqs
+        )
+        append_ok = mode1 == "incremental-append"
+
+        snapshot_delete_where(spark, src, {"key": (None, 1000)})
+        _, mode2 = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, sqsums=sqs
+        )
+        dml_diff_ok = mode2 == "incremental-diff"
+
+        snapshot_write(banded.filter(F.col("band") == 2).select(*cols), src)
+        snapshot_write(banded.filter(F.col("band") == 3).select(*cols), src)
+        refresh_agg_view(spark, src, view, keys, sums, row_key, sqsums=sqs)
+
+        out = snapshot_read(spark, view).select(
+            "grp",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("sq_cents").cast("string").alias("sq_cents"),
+            (
+                F.col("n_rows").cast("decimal(20,0)") * F.col("sq_cents")
+                - F.col("sum_cents").cast("decimal(19,0)")
+                * F.col("sum_cents").cast("decimal(19,0)")
+            ).cast("decimal(38,0)").cast("string").alias("var_num"),
+            F.lit(bool(append_ok)).alias("append_ok"),
+            F.lit(bool(dml_diff_ok)).alias("dml_diff_ok"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, n_rows long, sum_cents long, sq_cents string, "
+        "var_num string, append_ok boolean, dml_diff_ok boolean",
+    )

@@ -50,7 +50,11 @@ commits the merged view state as ONE snapshot version of the view
 table, so the view itself has time travel, CDF, and vacuum for free.
 
 Contracts (refused loudly, not silently wrong):
-- SUM and COUNT measures fold through every path. MIN/MAX measures
+- SUM and COUNT measures fold through every path. ``sqsums`` (sum of
+  squares, DECIMAL(38,0) — overflow-safe) are equally linear in row
+  multiplicity and fold through every path too; together with n and sum
+  they derive exact AVG and population variance/stddev
+  ((n·s2 − s1²)/n²) — the variance-class measure. MIN/MAX measures
   (``mins``/``maxs``) are APPEND-ONLY: a new row can only tighten the
   extreme, so appends fold by MIN/MAX against the stored value — but a
   deleted extreme needs a rescan of its group, so DML between refreshes
@@ -137,18 +141,38 @@ def _app_id(view: TableSpec) -> str:
     return f"matview:{view.name}"
 
 
-def _aggregate(df: DataFrame, keys: list[str], sums: dict[str, str]) -> DataFrame:
+def _sq(in_col: str) -> F.Column:
+    """x² as DECIMAL(38,0): the input casts to DECIMAL(19,0) BEFORE the
+    multiply, so a 64-bit value squares without the silent long overflow
+    (19+19 → 38-digit product, Spark's exact decimal path)."""
+    c = F.col(in_col).cast("decimal(19,0)")
+    return c * c
+
+
+def _aggregate(
+    df: DataFrame,
+    keys: list[str],
+    sums: dict[str, str],
+    sqsums: dict[str, str] | None = None,
+) -> DataFrame:
     aggs = [F.count(F.lit(1)).cast("long").alias(N_COL)]
     for out_col, in_col in sums.items():
         aggs.append(F.sum(in_col).cast("long").alias(out_col))
+    for out_col, in_col in (sqsums or {}).items():
+        aggs.append(F.sum(_sq(in_col)).cast("decimal(38,0)").alias(out_col))
     return df.groupBy(*keys).agg(*aggs)
 
 
-def _check_measures_non_null(df: DataFrame, sums: dict[str, str]) -> None:
-    if not sums:
+def _check_measures_non_null(
+    df: DataFrame,
+    sums: dict[str, str],
+    sqsums: dict[str, str] | None = None,
+) -> None:
+    in_cols = [*sums.values(), *(sqsums or {}).values()]
+    if not in_cols:
         return
     cond = None
-    for in_col in sums.values():
+    for in_col in in_cols:
         c = F.col(in_col).isNull()
         cond = c if cond is None else (cond | c)
     bad = df.filter(cond).limit(1).count()
@@ -156,7 +180,7 @@ def _check_measures_non_null(df: DataFrame, sums: dict[str, str]) -> None:
         raise ValueError(
             "matview measures must be non-null: NULL would be skipped by "
             "SUM on a full recompute but fold as 0 through the incremental "
-            f"merge (columns {sorted(set(sums.values()))})"
+            f"merge (columns {sorted(set(in_cols))})"
         )
 
 
@@ -247,6 +271,7 @@ def _check_hll_cols(
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     keys: list[str] | None = None,
+    sqsums: dict[str, str] | None = None,
 ) -> None:
     # the full name space the view's schema will carry: grouping keys,
     # every measure output, and the derived sketch-state columns
@@ -261,6 +286,7 @@ def _check_hll_cols(
         *(f"{o}_regs" for o in (hlls or ())),
         *(f"{o}_cms" for o in (cmss or ())),
         *(f"{o}_hist" for o in (hists or ())),
+        *(sqsums or ()),
     ]
     dupes = {n for n in names if names.count(n) > 1}
     if dupes:
@@ -493,6 +519,7 @@ def create_agg_view(
     enrich=None,
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
+    sqsums: dict[str, str] | None = None,
 ) -> int:
     """Full initial materialization of ``GROUP BY keys`` with COUNT(*)
     plus the given SUM measures, watermarked at the source head. Returns
@@ -508,6 +535,13 @@ def create_agg_view(
     probe with :func:`matview_cms_estimate`. Linear, so every refresh
     path (including DML) maintains it.
 
+    ``sqsums``: optional ``{out_col: in_col}`` exact sums of squares
+    (DECIMAL(38,0); the input squares through DECIMAL(19,0), never a
+    silent long overflow) — linear like ``sums``, maintained through
+    every refresh path including DML; with ``n_rows`` and a ``sums``
+    measure on the same column they derive exact AVG and population
+    variance/stddev.
+
     ``hists``: optional ``{out_col: (in_col, lo, hi, nbins)}`` per-group
     equi-width histograms over an integer domain — linear like CMS
     (every refresh path maintains them), with the extra property that
@@ -516,15 +550,15 @@ def create_agg_view(
     bit-identically in a SQL oracle."""
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs, keys)
+    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs, keys, sqsums)
     v = current_version(src)
     if v is None:
         raise ValueError(f"source table {src.path} has no snapshots")
     df = snapshot_read(spark, src, version=v)
     if enrich is not None:
         df = enrich(df)
-    _check_measures_non_null(df, sums)
-    base = _aggregate(df, keys, sums)
+    _check_measures_non_null(df, sums, sqsums)
+    base = _aggregate(df, keys, sums, sqsums)
     if hlls:
         base = _attach_hll(
             base,
@@ -695,6 +729,7 @@ def refresh_agg_view(
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     on_dml: str = "refuse",
+    sqsums: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     """Advance the view to the source head. Returns ``(source_version,
     mode)`` with mode in ``noop | noop-optimize | incremental-append |
@@ -754,7 +789,7 @@ def refresh_agg_view(
         try:
             return _refresh_once(
                 spark, src, view, keys, sums, row_key, hlls, cmss, hists,
-                enrich, mins, maxs, on_dml,
+                enrich, mins, maxs, on_dml, sqsums,
             )
         except SnapshotConflictError as e:
             last_err = e
@@ -778,10 +813,11 @@ def _refresh_once(
     mins: dict[str, str] | None = None,
     maxs: dict[str, str] | None = None,
     on_dml: str = "refuse",
+    sqsums: dict[str, str] | None = None,
 ) -> tuple[int, str]:
     from creatorops_lakehouse_spark.operators.hll import hll_registers
 
-    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs, keys)
+    _check_hll_cols(sums, hlls, cmss, hists, mins, maxs, keys, sqsums)
     v_now = current_version(src)
     # Pin ONE view version and read BOTH the watermark and the old state
     # from it, then commit with expected_version CAS. Reading them as two
@@ -817,8 +853,8 @@ def _refresh_once(
         df = snapshot_read(spark, src, version=v_now)
         if enrich is not None:
             df = enrich(df)
-        _check_measures_non_null(df, sums)
-        rebuilt = _aggregate(df, keys, sums)
+        _check_measures_non_null(df, sums, sqsums)
+        rebuilt = _aggregate(df, keys, sums, sqsums)
         if hlls:
             rebuilt = _attach_hll(
                 rebuilt,
@@ -954,8 +990,8 @@ def _refresh_once(
             changed = changed.unionByName(p)
         if enrich is not None:
             changed = enrich(changed)
-        _check_measures_non_null(changed, sums)
-        delta = _aggregate(changed, keys, sums)
+        _check_measures_non_null(changed, sums, sqsums)
+        delta = _aggregate(changed, keys, sums, sqsums)
         if hlls:
             old_view = snapshot_read(spark, view, version=view_v)
             for out_col, in_col in hlls.items():
@@ -1007,7 +1043,7 @@ def _refresh_once(
             # (including _change_type) and emits one row per change row,
             # so the ±1 weighting below still pairs pre/post images
             cdf = enrich(cdf)
-        _check_measures_non_null(cdf, sums)
+        _check_measures_non_null(cdf, sums, sqsums)
         w = F.when(
             F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
         ).otherwise(F.lit(-1))
@@ -1016,6 +1052,14 @@ def _refresh_once(
         for out_col, in_col in sums.items():
             aggs.append(
                 F.sum(F.col("_w") * F.col(in_col)).cast("long").alias(out_col)
+            )
+        for out_col, in_col in (sqsums or {}).items():
+            # x² is as linear in ROW MULTIPLICITY as x: the ±1 weight
+            # subtracts a deleted row's square exactly
+            aggs.append(
+                F.sum(F.col("_w") * _sq(in_col))
+                .cast("decimal(38,0)")
+                .alias(out_col)
             )
         delta = weighted.groupBy(*keys).agg(*aggs)
         if cmss:
@@ -1090,7 +1134,9 @@ def _refresh_once(
                 )
 
     old = snapshot_read(spark, view, version=view_v)
-    measure_cols = [N_COL, *sums.keys()]
+    measure_cols = [N_COL, *sums.keys(), *(sqsums or {}).keys()]
+    cast_of = {c: "long" for c in (N_COL, *sums)}
+    cast_of.update({c: "decimal(38,0)" for c in (sqsums or {})})
     d = delta.select(
         *keys, *[F.col(c).alias(f"_d_{c}") for c in measure_cols]
     )
@@ -1102,7 +1148,7 @@ def _refresh_once(
                 (
                     F.coalesce(F.col(c), F.lit(0))
                     + F.coalesce(F.col(f"_d_{c}"), F.lit(0))
-                ).cast("long").alias(c)
+                ).cast(cast_of[c]).alias(c)
                 for c in measure_cols
             ],
         )

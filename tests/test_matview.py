@@ -1458,3 +1458,67 @@ def test_matview_cascade_depth3(spark, tmp_path):
     assert got == exp
     # settled chain no-ops at every level
     assert [m for _, m in refresh_cascade(spark, [S, G, P])] == ["noop"] * 3
+
+
+def test_matview_sqsums_variance_class(spark, tmp_path):
+    """Exact sum-of-squares measures (``sqsums``): linear in row
+    multiplicity like SUM, so they fold through appends AND the ±1 CDF
+    fallback; stored as DECIMAL(38,0) with the square computed through
+    DECIMAL(19,0) so 64-bit values never silently wrap. After every
+    refresh the stored s2 equals a from-scratch Σx², and (n, s1, s2)
+    derive the exact population variance numerator."""
+    SQ = {"sq_val": "val"}
+
+    def rows(ks):  # values big enough that val*val overflows... no -
+        # keep honest magnitudes: val up to ~4e9 so val² > 2^63 exercises
+        # the decimal path on real overflow territory
+        return spark.createDataFrame(
+            [(k, k % 5, (k % 7) * 700_000_000) for k in ks],
+            "k long, grp long, val long",
+        )
+
+    def expect_s2():
+        return {
+            r.grp: str(r.s2)
+            for r in snapshot_read(spark, src)
+            .groupBy("grp")
+            .agg(
+                F.sum(
+                    F.col("val").cast("decimal(19,0)")
+                    * F.col("val").cast("decimal(19,0)")
+                ).cast("decimal(38,0)").alias("s2")
+            )
+            .collect()
+        }
+
+    def got_s2():
+        return {
+            r.grp: str(r.sq_val)
+            for r in snapshot_read(spark, view).collect()
+        }
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(rows(range(0, 40)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, sqsums=SQ)
+    assert got_s2() == expect_s2()
+    # a single row's square exceeds 2^63 — the long path would have
+    # wrapped; the decimal path must hold the exact value
+    assert any(int(v) > 2**63 for v in got_s2().values())
+
+    snapshot_write(rows(range(40, 90)), src)
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, sqsums=SQ
+    )
+    assert mode == "incremental-append"
+    assert got_s2() == expect_s2()
+
+    # DML folds squares with ±1 weights — no refusal (linear measure)
+    snapshot_delete_where(spark, src, {"k": (10, 25)})
+    snapshot_update_where(spark, src, {"k": (30, 45)}, {"val": "val + 3"})
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, sqsums=SQ
+    )
+    assert mode == "incremental-diff"
+    assert got_s2() == expect_s2()
+    assert _view(spark, view) == _expect(spark, src)
