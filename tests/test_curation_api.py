@@ -217,3 +217,60 @@ def test_incremental_state_maintenance(spark, tmp_path):
         for r in incremental_clean_train(spark, maint).collect()
     }
     assert a == b, "maintenance changed admission decisions"
+
+
+def test_streaming_curation_ingest(spark, tmp_path):
+    """Structured-Streaming ingestion into the rolling corpus
+    (streaming/curation.py): files arrive, availableNow drains them one
+    micro-batch per file, curate_increment admits each under the
+    micro-batch id — and the resulting state equals a one-shot admission
+    of the concatenated corpus. A second stream run over a NEW file (same
+    checkpoint) continues the batch sequence instead of reprocessing."""
+    import json
+    import os
+
+    from creatorops_lakehouse_spark.curation import (
+        curate_increment,
+        increment_manifest,
+        incremental_clean_train,
+    )
+    from creatorops_lakehouse_spark.streaming.curation import (
+        curation_ingest_stream,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    src_dir = str(tmp_path / "in")
+    os.makedirs(src_dir)
+    ckpt = str(tmp_path / "ckpt")
+    root = str(tmp_path / "state")
+
+    def stage(name, df):
+        rows = [
+            json.dumps({"doc_id": r.doc_id, "text": r.text, "lang": r.lang})
+            for r in df.collect()
+        ]
+        with open(os.path.join(src_dir, name), "w") as f:
+            f.write("\n".join(rows))
+
+    stage("b0.json", docs.filter(F.col("doc_id") <= cut))
+    q = curation_ingest_stream(
+        spark, src_dir, "doc_id long, text string, lang string",
+        root, ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    stage("b1.json", docs.filter(F.col("doc_id") > cut))
+    q = curation_ingest_stream(
+        spark, src_dir, "doc_id long, text string, lang string",
+        root, ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    man = {r.batch_id for r in increment_manifest(spark, root).collect()}
+    assert man == {0, 1}, man
+
+    oneshot_root = str(tmp_path / "oneshot")
+    curate_increment(spark, docs, oneshot_root)
+    got = _ct_set(incremental_clean_train(spark, root))
+    assert got == _ct_set(incremental_clean_train(spark, oneshot_root))
