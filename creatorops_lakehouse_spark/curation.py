@@ -362,6 +362,11 @@ def run(
 #: streaming sink)
 _INC_APP = "curation-increment"
 
+#: MinHash band geometry for neardup='lsh' roots — must stay constant
+#: for the life of a root (the probe and the admitted bands must share
+#: it; recreate the root to change it)
+_LSH_NUM_PERM, _LSH_BANDS = 64, 16
+
 
 def _inc_specs(root: str) -> dict:
     """The rolling state under ``root`` — every table a snapshot-log
@@ -374,6 +379,9 @@ def _inc_specs(root: str) -> dict:
         # near-dup — keepers AND losers, so later batches chain through
         # dropped docs exactly like a one-shot CC would
         "sets": TableSpec("curation.inc_sets", f"{root}/inc_sets"),
+        # (doc_id, band, bucket) MinHash band index — written only by
+        # neardup='lsh' roots (its presence marks the root's mode)
+        "bands": TableSpec("curation.inc_bands", f"{root}/inc_bands"),
         # (text) distinct quality-surviving texts seen so far —
         # first-seen-wins exact dedup across batches
         "texts": TableSpec("curation.inc_texts", f"{root}/inc_texts"),
@@ -505,10 +513,13 @@ def curate_increment(
     Returns the increment's stage counts (the manifest row as a dict).
     """
     from creatorops_lakehouse_spark.operators.dedup import (
+        _band_buckets,
+        _token_sets,
         connected_components,
         jaccard_pairs,
+        minhash_lsh_pairs,
         probe_jaccard_index,
-        _token_sets,
+        probe_minhash_index,
     )
     from creatorops_lakehouse_spark.operators.decontam import (
         ngram_contamination,
@@ -581,9 +592,25 @@ def curate_increment(
             mode="append",
         )
 
+    if cfg.neardup not in ("exact", "lsh"):
+        raise ValueError(
+            f"neardup must be 'exact' or 'lsh', got {cfg.neardup!r}"
+        )
     seen_texts = pre_batch("texts")
     idx_sets = pre_batch("sets")
+    idx_bands = pre_batch("bands")
     eval_old = pre_batch("eval_docs")
+    if idx_sets is not None:
+        # a root's near-dup mode is fixed at init (the band index exists
+        # iff the root is LSH): mixing generators across batches would
+        # silently change which pairs exist
+        root_is_lsh = idx_bands is not None
+        if root_is_lsh != (cfg.neardup == "lsh"):
+            raise ValueError(
+                f"curate_increment({root}): this root was initialized with "
+                f"neardup={'lsh' if root_is_lsh else 'exact'!r} — batches "
+                "must keep the mode (recreate the root to switch)"
+            )
 
     _, quality = _quality_stage(new_docs, cfg)
 
@@ -601,8 +628,12 @@ def curate_increment(
     else:
         exact_new = batch_keep
 
-    # near-dup: exact posting-join probe against the sets index
-    if idx_sets is not None:
+    # near-dup probe against the persisted state: 'exact' = the
+    # posting-join math (zero recall loss vs one-shot), 'lsh' = the
+    # banded MinHash index (the 100 TB path — batched == one-shot holds
+    # by the band-collision decomposition, the same invariant
+    # docs_incremental_dedup_verdict pins)
+    if idx_sets is not None and cfg.neardup == "exact":
         pairs = probe_jaccard_index(
             spark, idx_sets, exact_new,
             threshold=cfg.neardup_threshold, ngram=cfg.neardup_ngram,
@@ -611,12 +642,49 @@ def curate_increment(
             F.col("a_id").alias("node")
         ).distinct()
         edges = pairs.filter(F.col("b_is_new")).select("a_id", "b_id")
-    else:
+    elif idx_sets is not None:
+        # probe emits CANONICAL (least, greatest) pairs — tag each
+        # endpoint against the batch id-set to find the new side
+        raw = probe_minhash_index(
+            spark, idx_bands, idx_sets, exact_new,
+            threshold=cfg.neardup_threshold, ngram=cfg.neardup_ngram,
+            num_perm=_LSH_NUM_PERM, bands=_LSH_BANDS,
+        )
+        nid = exact_new.select("doc_id")
+        tagged = raw.join(
+            nid.select(F.col("doc_id").alias("a_id"))
+            .withColumn("_a_new", F.lit(True)),
+            "a_id", "left",
+        ).join(
+            nid.select(F.col("doc_id").alias("b_id"))
+            .withColumn("_b_new", F.lit(True)),
+            "b_id", "left",
+        )
+        a_new = F.col("_a_new").isNotNull()
+        b_new = F.col("_b_new").isNotNull()
+        edges = tagged.filter(a_new & b_new).select("a_id", "b_id")
+        old_touch = (
+            tagged.filter(a_new != b_new)
+            .select(
+                F.when(a_new, F.col("a_id"))
+                .otherwise(F.col("b_id"))
+                .alias("node")
+            )
+            .distinct()
+        )
+    elif cfg.neardup == "exact":
         old_touch = None
         edges = jaccard_pairs(
             exact_new, text_col="text", id_col="doc_id",
             threshold=cfg.neardup_threshold, ngram=cfg.neardup_ngram,
             prefix_filter=False,
+        ).select("a_id", "b_id")
+    else:
+        old_touch = None
+        edges = minhash_lsh_pairs(
+            exact_new, text_col="text", id_col="doc_id",
+            threshold=cfg.neardup_threshold, ngram=cfg.neardup_ngram,
+            num_perm=_LSH_NUM_PERM, bands=_LSH_BANDS,
         ).select("a_id", "b_id")
 
     cc = connected_components(edges)
@@ -697,12 +765,15 @@ def curate_increment(
             seen_texts.select("text"), "text", "left_anti"
         )
     admit(new_texts, "texts")
-    admit(
-        _token_sets(exact_new, "text", "doc_id", cfg.neardup_ngram).filter(
-            F.col("set_size") > 0
-        ),
-        "sets",
-    )
+    new_sets_state = _token_sets(
+        exact_new, "text", "doc_id", cfg.neardup_ngram
+    ).filter(F.col("set_size") > 0)
+    admit(new_sets_state, "sets")
+    if cfg.neardup == "lsh":
+        admit(
+            _band_buckets(new_sets_state, _LSH_NUM_PERM, _LSH_BANDS),
+            "bands",
+        )
     admit(eval_new, "eval_docs")
     admit(clean_new, "clean_train")
     if n_retro:

@@ -775,6 +775,10 @@ def probe_minhash_index(
     independent of which side is indexed — so
     probe(new) ∪ pairs(indexed) == pairs(indexed ∪ new) exactly
     (pinned by tests and the docs_incremental_dedup_verdict oracle row).
+
+    ``bands_spec``/``sets_spec`` may be TableSpecs (plain-parquet index,
+    read via read_table) or already-loaded DataFrames — e.g. snapshot-log
+    tables pinned at a version by the caller.
     """
     from creatorops_lakehouse_spark.sources.tables import read_table
 
@@ -782,8 +786,13 @@ def probe_minhash_index(
     # (e.g. the streaming sink's p_batch partition key) — the probe only
     # ever needs the banding/verification columns, and unionByName with
     # the batch-side projections requires matching schemas.
-    idx_bands = read_table(spark, bands_spec).select("doc_id", "band", "bucket")
-    idx_sets = read_table(spark, sets_spec).select("doc_id", "toks", "set_size")
+    def _as_df(spec_or_df):
+        if isinstance(spec_or_df, DataFrame):
+            return spec_or_df
+        return read_table(spark, spec_or_df)
+
+    idx_bands = _as_df(bands_spec).select("doc_id", "band", "bucket")
+    idx_sets = _as_df(sets_spec).select("doc_id", "toks", "set_size")
     new_sets = scoped_persist(_token_sets(new_df, text_col, id_col, ngram))
     new_bands = scoped_persist(_band_buckets(new_sets, num_perm, bands))
 

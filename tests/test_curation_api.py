@@ -274,3 +274,43 @@ def test_streaming_curation_ingest(spark, tmp_path):
     curate_increment(spark, docs, oneshot_root)
     got = _ct_set(incremental_clean_train(spark, root))
     assert got == _ct_set(incremental_clean_train(spark, oneshot_root))
+
+
+def test_incremental_lsh_mode(spark, tmp_path):
+    """neardup='lsh' increments (the banded 100 TB path): two batches
+    through the persisted MinHash band index equal a one-shot LSH
+    admission field-for-field (band-collision candidate generation
+    decomposes across batches; verification is exact either way), LSH
+    retention is >= the exact path's (recall < 1 only ever KEEPS more),
+    and mode mixing across batches is refused loudly."""
+    import pytest
+
+    from creatorops_lakehouse_spark.curation import (
+        CurationConfig,
+        curate_increment,
+        incremental_clean_train,
+    )
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text", "lang")
+    cut = docs.approxQuantile("doc_id", [0.5], 0.0)[0]
+    b1 = docs.filter(F.col("doc_id") <= cut)
+    b2 = docs.filter(F.col("doc_id") > cut)
+    cfg = CurationConfig(neardup="lsh")
+
+    inc_root = str(tmp_path / "inc")
+    curate_increment(spark, b1, inc_root, cfg)
+    curate_increment(spark, b2, inc_root, cfg)
+    got = _ct_set(incremental_clean_train(spark, inc_root))
+
+    oneshot_root = str(tmp_path / "oneshot")
+    curate_increment(spark, docs, oneshot_root, cfg)
+    assert got == _ct_set(incremental_clean_train(spark, oneshot_root))
+
+    exact_root = str(tmp_path / "exact")
+    curate_increment(spark, docs, exact_root)
+    assert len(got) >= len(_ct_set(incremental_clean_train(spark, exact_root)))
+
+    with pytest.raises(ValueError, match="must keep the mode"):
+        curate_increment(spark, b2, inc_root)  # exact batch on an lsh root
+    with pytest.raises(ValueError, match="must keep the mode"):
+        curate_increment(spark, b2, exact_root, cfg)  # lsh on an exact root
