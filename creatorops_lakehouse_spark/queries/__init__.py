@@ -151,6 +151,8 @@ _PIN_FIRST = (
     "orders_matview_rescan_verdict",
     "orders_matview_cascade_verdict",
     "docs_curation_incremental_verdict",
+    "orders_matview_var_verdict",
+    "emb_ann_ivf_incremental_verdict",
 )
 
 
