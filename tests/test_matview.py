@@ -1522,3 +1522,72 @@ def test_matview_sqsums_variance_class(spark, tmp_path):
     assert mode == "incremental-diff"
     assert got_s2() == expect_s2()
     assert _view(spark, view) == _expect(spark, src)
+
+
+def test_matview_cascade_parent_maintenance(spark, tmp_path):
+    """Maintenance on the PARENT VIEW's own table composes with the
+    chain: OPTIMIZE on silver is a content-noop to gold (noop-optimize,
+    nothing folds), and a vacuum that reclaims gold's watermark version
+    of silver forces gold to FULL-REBUILD from the silver head — never a
+    wrong answer, and the chain keeps flowing afterwards."""
+    from creatorops_lakehouse_spark.sources.matview import refresh_cascade
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        checkpoint_manifest,
+        optimize_snapshots,
+        vacuum_snapshots,
+    )
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    silver = TableSpec("mv.silver", str(tmp_path / "silver"))
+    gold = TableSpec("mv.gold", str(tmp_path / "gold"))
+    g_enrich = lambda df: df.withColumn("cgrp", F.col("grp") % 2)  # noqa: E731
+    S = dict(src=src, view=silver, keys=["grp"], sums={"sum_val": "val"},
+             row_key=["k"])
+    G = dict(src=silver, view=gold, keys=["cgrp"],
+             sums={"sum_val": "sum_val"}, row_key=["grp"], enrich=g_enrich)
+
+    def gold_ok():
+        got = {
+            r.cgrp: r.sum_val
+            for r in snapshot_read(spark, gold).collect()
+        }
+        exp = {
+            r.cgrp: r.s
+            for r in snapshot_read(spark, src)
+            .groupBy((F.col("grp") % 2).alias("cgrp"))
+            .agg(F.sum("val").cast("long").alias("s"))
+            .collect()
+        }
+        assert got == exp
+
+    snapshot_write(_rows(spark, range(0, 40)), src)
+    create_agg_view(spark, src, silver, S["keys"], S["sums"])
+    create_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                    enrich=g_enrich)
+
+    # OPTIMIZE the PARENT VIEW itself: a content-noop commit on silver,
+    # so gold advances free
+    optimize_snapshots(spark, silver)
+    v, mode = refresh_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                               G["row_key"], enrich=g_enrich)
+    assert mode == "noop-optimize"
+    gold_ok()
+
+    # grow the chain a few refreshes, then vacuum silver's history past
+    # gold's watermark: the delta is unreconstructible -> full-rebuild
+    for lo in (40, 60, 80):
+        snapshot_write(_rows(spark, range(lo, lo + 20)), src)
+        refresh_agg_view(spark, **S)  # silver advances, gold does NOT
+    checkpoint_manifest(silver)
+    vacuum_snapshots(silver, keep_last=1)
+    v, mode = refresh_agg_view(spark, silver, gold, G["keys"], G["sums"],
+                               G["row_key"], enrich=g_enrich)
+    assert mode == "full-rebuild"
+    gold_ok()
+
+    # and the chain keeps flowing incrementally afterwards
+    snapshot_write(_rows(spark, range(100, 120)), src)
+    modes = refresh_cascade(spark, [S, G])
+    assert modes[0][1] == "incremental-append"
+    assert modes[1][1] == "incremental-diff"
+    gold_ok()
