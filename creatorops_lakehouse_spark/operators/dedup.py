@@ -1383,6 +1383,9 @@ def probe_jaccard_index(
     )
     cross = (
         a.join(bi, on="tok")
+        # a re-ingested id (present in the index AND the batch) is not a
+        # pair with itself — same hygiene as probe_minhash_index
+        .filter(F.col("a_id") != F.col("b_id"))
         .groupBy("a_id", "b_id", "a_size", "b_size")
         .agg(F.count("*").alias("n_common"))
         .select("a_id", "b_id", jac.alias("jaccard"))

@@ -141,6 +141,41 @@ def _app_id(view: TableSpec) -> str:
     return f"matview:{view.name}"
 
 
+def _key_join(
+    left: DataFrame, right: DataFrame, keys: list[str], how: str
+) -> DataFrame:
+    """Join two frames on the GROUP KEYS with NULL-SAFE equality.
+
+    SQL GROUP BY puts every NULL key in ONE group, but Spark's
+    ``on=[names]`` join matches with null-UNSAFE equality — a NULL-keyed
+    group's stored row and its delta row would never meet, and every
+    refresh would add another duplicate NULL-group row to the view
+    (found and fixed in r12; pinned by
+    tests/test_matview.py::test_matview_null_group_keys). All matview
+    state merges go through this helper instead: ``<=>`` matching, and
+    for row-producing joins ONE canonical key column per key (COALESCE
+    across the two sides — they are null-safe-equal or one-sided-null).
+    The right side must not share non-key column names with the left
+    (true for every internal state frame)."""
+    rr = right
+    for k in keys:
+        rr = rr.withColumnRenamed(k, f"_rk_{k}")
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_rk_{k}"))
+        cond = c if cond is None else cond & c
+    j = left.join(rr, cond, how)
+    if how in ("left_semi", "semi", "left_anti", "anti"):
+        return j  # right columns never surface
+    out_keys = [
+        F.coalesce(F.col(k), F.col(f"_rk_{k}")).alias(k) for k in keys
+    ]
+    others = [
+        c for c in j.columns if c not in keys and not c.startswith("_rk_")
+    ]
+    return j.select(*out_keys, *[F.col(c) for c in others])
+
+
 def _sq(in_col: str) -> F.Column:
     """x² as DECIMAL(38,0): the input casts to DECIMAL(19,0) BEFORE the
     multiply, so a 64-bit value squares without the silent long overflow
@@ -237,7 +272,7 @@ def _attach_minmax(
     """Left-join the extremes onto the measure table; a group whose
     measure column was always NULL keeps NULL (matching MIN/MAX on the
     full recompute)."""
-    return base.join(state, on=keys, how="left")
+    return _key_join(base, state, keys, "left")
 
 
 def _attach_hll(
@@ -251,7 +286,7 @@ def _attach_hll(
     produce byte-identical view state."""
     out = base
     for out_col, state in states.items():
-        out = out.join(state, on=keys, how="left").withColumns(
+        out = _key_join(out, state, keys, "left").withColumns(
             {
                 f"{out_col}_regs": F.coalesce(
                     F.col(f"{out_col}_regs"),
@@ -344,7 +379,7 @@ def _attach_cms(
 ) -> DataFrame:
     out = base
     for out_col, state in states.items():
-        out = out.join(state, on=keys, how="left").withColumn(
+        out = _key_join(out, state, keys, "left").withColumn(
             f"{out_col}_cms",
             F.coalesce(
                 F.col(f"{out_col}_cms"),
@@ -423,7 +458,7 @@ def _attach_hist(
 ) -> DataFrame:
     out = base
     for out_col, state in states.items():
-        out = out.join(state, on=keys, how="left").withColumn(
+        out = _key_join(out, state, keys, "left").withColumn(
             f"{out_col}_hist",
             F.coalesce(
                 F.col(f"{out_col}_hist"),
@@ -466,7 +501,7 @@ def matview_hist_quantile(
         .groupBy(*keys)
         .agg(F.min("bin").cast("int").alias("q_bin"))
     )
-    return view_df.select(*keys).join(q, on=keys, how="left")
+    return _key_join(view_df.select(*keys), q, keys, "left")
 
 
 def matview_cms_estimate(
@@ -1100,9 +1135,18 @@ def _refresh_once(
                 )
 
                 vals = [r[0] for r in affected.collect()]
-                aff_rows = snapshot_read_where(
-                    spark, src, version=v_now, eq_in={keys[0]: vals}
-                )
+                if any(v is None for v in vals):
+                    # a NULL group is a real GROUP BY group, but an
+                    # IN-list can't express it (isin(NULL) never
+                    # matches) — rescan it via the null-safe semi-join
+                    head_rows = snapshot_read(spark, src, version=v_now)
+                    aff_rows = _key_join(
+                        head_rows, affected, keys, "left_semi"
+                    )
+                else:
+                    aff_rows = snapshot_read_where(
+                        spark, src, version=v_now, eq_in={keys[0]: vals}
+                    )
             else:
                 # large key set, multi-key group, or an enriched view
                 # (the scan can't prove a derived/overwritten key
@@ -1111,9 +1155,9 @@ def _refresh_once(
                 head_rows = snapshot_read(spark, src, version=v_now)
                 if enrich is not None:
                     head_rows = enrich(head_rows)
-                aff_rows = head_rows.join(affected, on=keys, how="left_semi")
+                aff_rows = _key_join(head_rows, affected, keys, "left_semi")
             old_state = snapshot_read(spark, view, version=view_v)
-            unaff = old_state.join(affected, on=keys, how="left_anti")
+            unaff = _key_join(old_state, affected, keys, "left_anti")
             for out_col, in_col in (hlls or {}).items():
                 hll_states[out_col] = unaff.select(
                     *keys, f"{out_col}_regs", out_col
@@ -1141,7 +1185,7 @@ def _refresh_once(
         *keys, *[F.col(c).alias(f"_d_{c}") for c in measure_cols]
     )
     merged = (
-        old.join(d, on=keys, how="full_outer")
+        _key_join(old, d, keys, "full_outer")
         .select(
             *keys,
             *[
@@ -1161,7 +1205,7 @@ def _refresh_once(
     if hists:
         merged = _attach_hist(merged, keys, hist_states)
     if minmax_replace is not None:
-        merged = merged.join(minmax_replace, on=keys, how="left")
+        merged = _key_join(merged, minmax_replace, keys, "left")
     elif mins or maxs:
         old_mm = snapshot_read(spark, view, version=view_v).select(
             *keys,
@@ -1171,14 +1215,14 @@ def _refresh_once(
             *keys,
             *[F.col(c).alias(f"_d_{c}") for c in [*(mins or {}), *(maxs or {})]],
         )
-        mm = old_mm.join(d_mm, on=keys, how="full_outer")
+        mm = _key_join(old_mm, d_mm, keys, "full_outer")
         mm_cols = [
             *[F.least(F.col(f"_o_{c}"), F.col(f"_d_{c}")).alias(c) for c in (mins or {})],
             *[F.greatest(F.col(f"_o_{c}"), F.col(f"_d_{c}")).alias(c) for c in (maxs or {})],
         ]
         # least/greatest skip NULLs (a brand-new group has no old value;
         # an untouched group has no delta) — exactly the fold we want
-        merged = merged.join(mm.select(*keys, *mm_cols), on=keys, how="left")
+        merged = _key_join(merged, mm.select(*keys, *mm_cols), keys, "left")
     snapshot_write_txn(
         merged, view, app_id=_app_id(view), txn_version=v_now,
         mode="overwrite", expected_version=view_v,

@@ -1591,3 +1591,105 @@ def test_matview_cascade_parent_maintenance(spark, tmp_path):
     assert modes[0][1] == "incremental-append"
     assert modes[1][1] == "incremental-diff"
     gold_ok()
+
+
+def test_matview_null_group_keys(spark, tmp_path):
+    """SQL GROUP BY puts every NULL key in ONE group, but Spark's
+    ``on=[names]`` join matches null-UNSAFELY — before r12's _key_join,
+    each refresh added another duplicate NULL-group row to the view.
+    Pinned here through every path and measure class: create, append
+    fold (sums + sqsums + hll + minmax), CDF diff (linear measures),
+    rescan repair (append-only measures), and group death."""
+    HLLS = {"nd": "dval"}
+    MM = dict(mins={"min_val": "val"}, maxs={"max_val": "val"})
+    SQ = {"sq_val": "val"}
+
+    def rows(ks):  # every third k lands in the NULL group
+        return spark.createDataFrame(
+            [
+                (k, None if k % 3 == 0 else k % 4, k * 10, k % 7)
+                for k in ks
+            ],
+            "k long, grp long, val long, dval long",
+        )
+
+    def expect():
+        return {
+            r.grp: (r.n, r.s)
+            for r in snapshot_read(spark, src)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+            .collect()
+        }
+
+    def got():
+        out = {}
+        for r in snapshot_read(spark, view).collect():
+            assert r.grp not in out, (
+                f"duplicate view row for group {r.grp!r} — the null-safe "
+                "merge regressed"
+            )
+            out[r.grp] = (r.n_rows, r.sum_val)
+        return out
+
+    src = TableSpec("mv.src", str(tmp_path / "src"))
+    view = TableSpec("mv.view", str(tmp_path / "view"))
+    snapshot_write(rows(range(0, 30)), src)
+    create_agg_view(spark, src, view, KEYS, SUMS, hlls=HLLS, sqsums=SQ, **MM)
+    assert got() == expect()
+    assert None in got(), "the NULL group must exist as ONE row"
+
+    # append fold: NULL-group delta must merge into the stored NULL row
+    snapshot_write(rows(range(30, 60)), src)
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS, sqsums=SQ, **MM
+    )
+    assert mode == "incremental-append"
+    assert got() == expect()
+
+    # DML + rescan: the NULL group's extremes/registers repair too
+    # (the IN-list path cannot express a NULL key — the semi-join
+    # fallback must kick in)
+    snapshot_delete_where(spark, src, {"k": (0, 10)})
+    v, mode = refresh_agg_view(
+        spark, src, view, KEYS, SUMS, ROW_KEY, hlls=HLLS, sqsums=SQ,
+        on_dml="rescan_groups", **MM
+    )
+    assert mode == "incremental-diff-rescan"
+    assert got() == expect()
+    mm_expect = {
+        r.grp: (r.mn, r.mx)
+        for r in snapshot_read(spark, src)
+        .groupBy("grp")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    }
+    mm_got = {
+        r.grp: (r.min_val, r.max_val)
+        for r in snapshot_read(spark, view).collect()
+    }
+    assert mm_got == mm_expect
+
+    # plain linear diff on a view without append-only measures
+    src2 = TableSpec("mv.src2", str(tmp_path / "src2"))
+    view2 = TableSpec("mv.view2", str(tmp_path / "view2"))
+    snapshot_write(rows(range(0, 30)), src)  # no-op guard: distinct paths
+    snapshot_write(rows(range(0, 40)), src2)
+    create_agg_view(spark, src2, view2, KEYS, SUMS, sqsums=SQ)
+    snapshot_delete_where(spark, src2, {"k": (0, 6)})  # kills NULL rows too
+    v, mode = refresh_agg_view(
+        spark, src2, view2, KEYS, SUMS, ROW_KEY, sqsums=SQ
+    )
+    assert mode == "incremental-diff"
+    exp2 = {
+        r.grp: (r.n, r.s)
+        for r in snapshot_read(spark, src2)
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("val").alias("s"))
+        .collect()
+    }
+    got2 = {}
+    for r in snapshot_read(spark, view2).collect():
+        assert r.grp not in got2
+        got2[r.grp] = (r.n_rows, r.sum_val)
+    assert got2 == exp2
