@@ -103,26 +103,31 @@ def main() -> None:
     finally:
         shutil.rmtree(wroot, ignore_errors=True)
 
-    print("corpus_mult,corpus_docs,init_s,batch_docs,batch_admit_s,"
+    from creatorops_lakehouse_spark.curation import CurationConfig
+
+    print("mode,corpus_mult,corpus_docs,init_s,batch_docs,batch_admit_s,"
           "net_clean_train")
-    for m in (1, 10):
-        root = tempfile.mkdtemp(prefix=f"cur_inc_{m}x_")
-        try:
-            c = corpus(m).persist()
-            n_c = c.count()
-            t0 = time.time()
-            curate_increment(spark, c, root)
-            init_s = time.time() - t0
-            t0 = time.time()
-            curate_increment(spark, batch, root)
-            batch_s = time.time() - t0
-            n_clean = incremental_clean_train(spark, root).count()
-            print(
-                f"{m},{n_c},{init_s:.2f},500,{batch_s:.2f},{n_clean}"
-            )
-            c.unpersist()
-        finally:
-            shutil.rmtree(root, ignore_errors=True)
+    for mode in ("exact", "lsh"):
+        cfg = CurationConfig(neardup=mode)
+        for m in (1, 10):
+            root = tempfile.mkdtemp(prefix=f"cur_inc_{mode}_{m}x_")
+            try:
+                c = corpus(m).persist()
+                n_c = c.count()
+                t0 = time.time()
+                curate_increment(spark, c, root, cfg)
+                init_s = time.time() - t0
+                t0 = time.time()
+                curate_increment(spark, batch, root, cfg)
+                batch_s = time.time() - t0
+                n_clean = incremental_clean_train(spark, root).count()
+                print(
+                    f"{mode},{m},{n_c},{init_s:.2f},500,{batch_s:.2f},"
+                    f"{n_clean}"
+                )
+                c.unpersist()
+            finally:
+                shutil.rmtree(root, ignore_errors=True)
     spark.stop()
 
 
