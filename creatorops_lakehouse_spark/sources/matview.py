@@ -1268,7 +1268,9 @@ def refresh_cascade(
     the chain is consistent "as of" a version vector, not a wall-clock
     instant; source commits landing mid-cascade surface on the next
     pass. Child measures must draw from parent columns that are
-    non-null by construction (N_COL, SUM/COUNT outputs); MIN/MAX parent
+    non-null by construction AND long-typed (N_COL, SUM/COUNT outputs —
+    a parent's DECIMAL ``sqsums`` column does not roll up: the child's
+    SUM measures cast to long); MIN/MAX parent
     columns can be NULL for all-NULL groups and are refused by the
     child's own non-null gate.
     """

@@ -1843,7 +1843,12 @@ def snapshot_diff(
     'update_preimage' (the old row) and 'update_postimage' (the new row);
     unchanged keys emit nothing. Cost: one extra join on the keys with a
     payload-inequality filter (null-safe, so NULL↔value transitions
-    count as changes)."""
+    count as changes).
+
+    ``keys`` should be non-null row identifiers: the anti-joins match
+    null-UNSAFELY (SQL join semantics), so an unchanged NULL-keyed row
+    surfaces as a delete+insert pair on every diff — harmless to linear
+    consumers (the pair cancels) but noisy for row-level CDC readers."""
     a = snapshot_read(spark, spec, v_from)
     b = snapshot_read(spark, spec, v_to)
     import pyspark.sql.functions as F
