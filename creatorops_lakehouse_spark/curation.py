@@ -535,12 +535,44 @@ def curate_increment(
     cfg = (config or CurationConfig()).resolved()
     specs = _inc_specs(root)
     if batch_id is None:
-        prev = (
-            last_txn_version(specs["increments"], _INC_APP)
-            if current_version(specs["increments"]) is not None
-            else None
-        )
-        batch_id = (prev if prev is not None else -1) + 1
+        # Default from the max txn across ALL state tables, refusing on
+        # disagreement (r12 ADVICE): deriving from the increments
+        # manifest alone is unsafe — it is the LAST table admitted, so a
+        # batch that crashed mid-admission leaves texts/sets/eval/
+        # clean_train stamped at txn N with no manifest row, and a
+        # defaulted next call would reuse N for DIFFERENT docs: the
+        # already-stamped tables silently skip the new batch while the
+        # rest admit it — mixed, divergent state with no error. Only an
+        # explicit batch_id replay of the SAME batch may complete it.
+        core = ["texts", "sets", "eval_docs", "clean_train", "increments"]
+        if current_version(specs["bands"]) is not None:
+            core.append("bands")  # lsh roots stamp bands every batch
+        # tombstones legitimately lag (written only when retro-decontam
+        # hits), so they never participate in the consistency check
+        seen = {
+            k: last_txn_version(specs[k], _INC_APP)
+            for k in core
+            if current_version(specs[k]) is not None
+        }
+        vals = {int(t) for t in seen.values() if t is not None}
+        if not vals:
+            batch_id = 0
+        else:
+            mx = max(vals)
+            stragglers = sorted(
+                k for k in core
+                if seen.get(k) is None or int(seen[k]) != mx
+            )
+            if stragglers:
+                raise ValueError(
+                    f"curate_increment({root}): state tables disagree on "
+                    f"the last admitted batch (max txn {mx}; "
+                    f"{stragglers} are behind or missing) — a previous "
+                    f"admission crashed mid-batch. Replay it explicitly "
+                    f"with batch_id={mx} (same docs) before admitting "
+                    "new data."
+                )
+            batch_id = mx + 1
 
     def pre_batch(key):
         """The state table as of BEFORE this batch — None if absent.
@@ -612,21 +644,44 @@ def curate_increment(
                 "must keep the mode (recreate the root to switch)"
             )
 
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
     _, quality = _quality_stage(new_docs, cfg)
 
-    # exact dedup: within-batch keep-one, then first-seen-wins vs index
-    batch_keep = quality.join(
-        quality.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id"),
-        "doc_id",
-        "left_semi",
+    # exact dedup: within-batch keep-one, then first-seen-wins vs index.
+    # batch_keep is read by the index anti-joins, the probe, the sets
+    # state, and the counts — persist it (and every stage output below)
+    # so the ~14 downstream actions replay cached batch-sized partitions
+    # instead of recomputing the whole lineage per action (r12 ADVICE:
+    # the recompute was what undercut the documented O(batch) admission)
+    batch_keep = scoped_persist(
+        quality.join(
+            quality.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
     )
     if seen_texts is not None:
-        exact_new = batch_keep.join(
-            seen_texts.select("text"), "text", "left_anti"
+        # HASH-PREFILTERED anti-join (VERDICT r12 item 2): a plain
+        # anti-join against the texts index shuffles the INDEX side —
+        # O(corpus) per batch. Semi-filtering the index by the batch's
+        # broadcast text-hashes first turns that into one shuffle-free,
+        # column-pruned index scan; the exact anti-join then runs over
+        # the (batch-bounded) survivors. Hash collisions only ADD
+        # survivors, never remove one, so exactness is untouched.
+        batch_hashes = batch_keep.select(
+            F.xxhash64("text").alias("_th")
+        ).distinct()
+        seen_small = seen_texts.select("text").join(
+            F.broadcast(batch_hashes),
+            F.xxhash64("text") == F.col("_th"),
+            "left_semi",
         )
+        exact_new = batch_keep.join(seen_small, "text", "left_anti")
     else:
         exact_new = batch_keep
+    exact_new = scoped_persist(exact_new)
 
     # near-dup probe against the persisted state: 'exact' = the
     # posting-join math (zero recall loss vs one-shot), 'lsh' = the
@@ -703,12 +758,16 @@ def curate_increment(
             .unionByName(old_touch)
             .distinct()
         )
-    deduped_new = exact_new.join(
-        losers.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
+    deduped_new = scoped_persist(
+        exact_new.join(
+            losers.withColumnRenamed("node", "doc_id"), "doc_id", "left_anti"
+        )
     )
 
     # split + decontam against the FULL eval corpus
-    split_new = stratified_split(deduped_new, "doc_id", cfg.split_weights)
+    split_new = scoped_persist(
+        stratified_split(deduped_new, "doc_id", cfg.split_weights)
+    )
     train_new = split_new.filter(F.col("split") == "train")
     eval_new = split_new.filter(F.col("split") == "eval").select(
         "doc_id", "text", "lang", "k"
@@ -719,13 +778,21 @@ def curate_increment(
         ).unionByName(eval_new)
     else:
         eval_all = eval_new
-    contaminated = (
-        ngram_contamination(train_new, eval_all, n=cfg.decontam_ngram)
+    contaminated = scoped_persist(
+        # broadcast_eval=False: the accumulated eval corpus GROWS with
+        # the root — broadcasting it per batch is an O(corpus) driver
+        # build. The batch's exploded grams are the small side; AQE
+        # broadcasts them, and the eval-gram side scans shuffle-free.
+        ngram_contamination(
+            train_new, eval_all, n=cfg.decontam_ngram, broadcast_eval=False
+        )
         .filter(F.col("hit_bp") >= cfg.decontam_bp)
         .select("doc_id")
     )
-    clean_new = train_new.join(contaminated, "doc_id", "left_anti").select(
-        "doc_id", "text", "lang", "k"
+    clean_new = scoped_persist(
+        train_new.join(contaminated, "doc_id", "left_anti").select(
+            "doc_id", "text", "lang", "k"
+        )
     )
 
     # retro-decontam: THIS batch's eval docs against the EXISTING
@@ -738,7 +805,7 @@ def curate_increment(
             old_ct = old_ct.join(
                 old_tomb.select("doc_id"), "doc_id", "left_anti"
             )
-        retro = (
+        retro = scoped_persist(
             ngram_contamination(old_ct, eval_new, n=cfg.decontam_ngram)
             .filter(F.col("hit_bp") >= cfg.decontam_bp)
             .select("doc_id")
@@ -761,9 +828,10 @@ def curate_increment(
     # state appends — each exactly-once under (app, batch_id)
     new_texts = batch_keep.select("text").distinct()
     if seen_texts is not None:
-        new_texts = new_texts.join(
-            seen_texts.select("text"), "text", "left_anti"
-        )
+        # exact_new's keepers already passed the hash-prefiltered
+        # anti-join above; reuse those survivors (seen_small) instead of
+        # re-shuffling the whole texts index a second time
+        new_texts = new_texts.join(seen_small, "text", "left_anti")
     admit(new_texts, "texts")
     new_sets_state = _token_sets(
         exact_new, "text", "doc_id", cfg.neardup_ngram

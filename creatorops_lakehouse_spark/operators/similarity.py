@@ -885,6 +885,76 @@ def append_to_ivf_index(
     write_table(assigned, spec, mode="append")
 
 
+def _ivf_tombstone_spec(spec):
+    """Sidecar table holding erased vector ids for a persisted IVF index
+    (``<index_path>_tombstones``)."""
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    return TableSpec(
+        f"{spec.name}_tombstones", spec.path.rstrip("/") + "_tombstones"
+    )
+
+
+def tombstone_ivf_vectors(ids_df: DataFrame, spec, id_col: str = "vec_id") -> None:
+    """Erase vectors from a persisted IVF index WITHOUT rewriting it —
+    the merge-on-read leg of rolling index maintenance (VERDICT r12
+    item 4): ``append_to_ivf_index`` handles growth, this handles the
+    forget-user / DV-delete flow. The ids append to a tombstone sidecar
+    table; every :func:`ann_ivf_topk_indexed` probe anti-joins its
+    postings against it (tombstones are erased ids only — tiny, so the
+    anti-join broadcasts), so an erased vector can never be returned or
+    hold a top-k slot. ``compact_ivf_index`` materializes the erasure.
+
+    At 100 TB an erasure is one append of ids — the index's cell
+    partitions are untouched; probe cost gains one broadcast anti-join
+    against a set bounded by erasures since the last compaction."""
+    from creatorops_lakehouse_spark.sources.tables import write_table
+
+    write_table(
+        ids_df.select(F.col(id_col).alias("neighbor_id")).distinct(),
+        _ivf_tombstone_spec(spec),
+        mode="append",
+    )
+
+
+def _apply_ivf_tombstones(spark, idx: DataFrame, spec) -> DataFrame:
+    import os
+
+    tomb = _ivf_tombstone_spec(spec)
+    if not os.path.isdir(tomb.path):
+        return idx
+    from creatorops_lakehouse_spark.sources.tables import read_table
+
+    return idx.join(
+        F.broadcast(read_table(spark, tomb)), "neighbor_id", "left_anti"
+    )
+
+
+def compact_ivf_index(spark, spec) -> None:
+    """Materialize the tombstones: rewrite the index minus the erased
+    ids (one partitioned overwrite) and drop the tombstone sidecar —
+    after this the index content equals :func:`build_ivf_index` over the
+    surviving corpus, and probes pay no anti-join. The REORG/purge step
+    of the erasure pair, run at maintenance cadence."""
+    import os
+    import shutil
+
+    from creatorops_lakehouse_spark.sources.tables import (
+        read_table,
+        write_table,
+    )
+
+    tomb = _ivf_tombstone_spec(spec)
+    if not os.path.isdir(tomb.path):
+        return
+    survivors = _apply_ivf_tombstones(spark, read_table(spark, spec), spec)
+    # one materialized pass: the overwrite must not read the dirs it
+    # replaces mid-write
+    survivors = survivors.localCheckpoint(eager=True)
+    write_table(survivors, spec, mode="overwrite", dynamic=False)
+    shutil.rmtree(tomb.path, ignore_errors=True)
+
+
 def ann_ivf_topk_indexed(
     spark,
     spec,
@@ -906,6 +976,9 @@ def ann_ivf_topk_indexed(
     probed = scoped_persist(_probe_queries(queries, centroids, nprobe, id_col, vec_col))
     cells = [r.cell for r in probed.select("cell").distinct().collect()]
     idx = read_table(spark, spec).filter(F.col("cell").isin(cells))
+    # erased vectors (tombstone_ivf_vectors) never surface or hold a
+    # top-k slot — the anti-join precedes the rerank
+    idx = _apply_ivf_tombstones(spark, idx, spec)
     sims = (
         idx.join(F.broadcast(probed), on="cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))

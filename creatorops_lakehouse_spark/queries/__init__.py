@@ -142,17 +142,18 @@ _PIN_FIRST = (
     "events_session_windows",
     "orders_matview_incremental_verdict",
     "events_hll_distinct_events",
-    # r11/r12 rotation (VERDICT r11 item 6): the r11 hist/join rows were
-    # driver-checked in CORRECTNESS_r11 — swap in the CMS/MIN-MAX measure
-    # rows they displaced plus the r12 newcomers: rescan repair, the
-    # silver→gold cascade, and rolling curation
-    "orders_matview_cms_verdict",
-    "orders_matview_minmax_verdict",
-    "orders_matview_rescan_verdict",
-    "orders_matview_cascade_verdict",
+    # r12/r13 rotation (VERDICT r12 item 8): the r12 newcomers (rescan,
+    # cascade, variance, incremental curation, rolling IVF) were
+    # driver-checked in CORRECTNESS_r12 — swap in the r13 newcomers:
+    # CDF-at-write sidecars, the composite-key pruned rescan, and the
+    # delete-aware IVF index. docs_curation_incremental_verdict stays
+    # pinned one more round: r13 rewired its probe joins (hash-prefilter,
+    # persisted stages, flipped decontam broadcast), so the driver should
+    # re-hash the changed code path.
+    "orders_cdf_sidecar_verdict",
+    "orders_matview_rescan2_verdict",
+    "emb_ann_ivf_delete_verdict",
     "docs_curation_incremental_verdict",
-    "orders_matview_var_verdict",
-    "emb_ann_ivf_incremental_verdict",
 )
 
 

@@ -2783,3 +2783,303 @@ def orders_matview_var_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
         "grp long, n_rows long, sum_cents long, sq_cents string, "
         "var_num string, append_ok boolean, dml_diff_ok boolean",
     )
+
+
+_SQL_CDF_SIDECAR = """
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey % 3 AS band
+        FROM orders
+    ),
+    b01 AS (SELECT key, cents FROM o WHERE band <= 1),
+    b2  AS (SELECT key, cents FROM o WHERE band = 2)
+    SELECT key, cents, change_type,
+           TRUE AS sidecar_used, TRUE AS feeds_equal
+    FROM (
+        SELECT key, cents, 'insert' AS change_type FROM b2
+        UNION ALL
+        SELECT key, cents, 'delete' FROM b01
+        WHERE key BETWEEN 1200 AND 1800 OR key BETWEEN 2000 AND 2400
+        UNION ALL
+        SELECT key, cents, 'update_preimage' FROM b01 WHERE key <= 1000
+        UNION ALL
+        SELECT key, cents + 11, 'update_postimage' FROM b01 WHERE key <= 1000
+    )
+    """
+
+
+@query("orders_cdf_sidecar_verdict", oracle=_SQL_CDF_SIDECAR)
+def orders_cdf_sidecar_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-AT-WRITE under one hash (VERDICT r12 item 1,
+    sources/snapshots.py::_write_cdf_sidecar / _sidecar_span_diff): every
+    DML rewrite persists its removed/added rows as a per-commit change
+    sidecar — Delta's change-data files — and ``snapshot_diff`` assembles
+    a span's four-type feed from sidecars + appended dirs in O(changed
+    rows), with NO endpoint-version reads (pre-r13 every DML-touched
+    span paid an O(2×table) anti-join recompute; matview diff folds,
+    rescan repairs, and cascade stages all inherited it).
+
+    Lifecycle on an orders-derived snapshot table (row key = orderkey):
+    write band0 (key%3=0) → append band1 → v_from; then UPDATE
+    (key<=1000: cents+=11) → copy-on-write DELETE (1200<=key<=1800) →
+    merge-on-read DV DELETE (2000<=key<=2400) → append band2 → head.
+    The emitted feed is ``snapshot_diff(v_from, head,
+    detect_updates=True)``; in-engine booleans pin that the sidecar fast
+    path actually answered (``_sidecar_span_diff`` is not None — every
+    commit in the span is covered) and that it equals the anti-join
+    recompute row-for-row (exceptAll both ways). The oracle derives the
+    exact expected feed from raw ``orders`` and the DML predicates:
+    update pre/post images for every band0/1 key <= 1000, deletes for
+    both delete bands, inserts for band2 — a missed sidecar, a
+    mis-netted row, or a wrong image flips the hash at any SF. Eager
+    verdict harness (excluded from bench); scratch tree deleted."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _sidecar_span_diff,
+        current_version,
+        snapshot_delete_where,
+        snapshot_diff,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    rows = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("band"),
+    )
+    root = _tempfile.mkdtemp(prefix="snap_cdf_side_")
+    try:
+        spec = TableSpec("t.cdfsrc", root + "/t")
+        cols = ("key", "cents")
+        snapshot_write(rows.filter(F.col("band") == 0).select(*cols), spec)
+        snapshot_write(rows.filter(F.col("band") == 1).select(*cols), spec)
+        v_from = current_version(spec)
+        snapshot_update_where(
+            spark, spec, {"key": (None, 1000)}, {"cents": "cents + 11"}
+        )
+        snapshot_delete_where(spark, spec, {"key": (1200, 1800)})
+        snapshot_delete_where(spark, spec, {"key": (2000, 2400)}, rewrite=False)
+        snapshot_write(rows.filter(F.col("band") == 2).select(*cols), spec)
+        v_to = current_version(spec)
+
+        fast = _sidecar_span_diff(spark, spec, v_from, v_to, ["key"], True)
+        sidecar_used = fast is not None
+        slow = snapshot_diff(
+            spark, spec, v_from, v_to, ["key"],
+            detect_updates=True, use_sidecars=False,
+        )
+        feeds_equal = (
+            sidecar_used
+            and fast.exceptAll(slow).count() == 0
+            and slow.exceptAll(fast).count() == 0
+        )
+        feed = fast if sidecar_used else slow
+        out = feed.select(
+            F.col("key").cast("long").alias("key"),
+            F.col("cents").cast("long").alias("cents"),
+            F.col("_change_type").alias("change_type"),
+            F.lit(bool(sidecar_used)).alias("sidecar_used"),
+            F.lit(bool(feeds_equal)).alias("feeds_equal"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "key long, cents long, change_type string, "
+        "sidecar_used boolean, feeds_equal boolean",
+    )
+
+
+def _sql_matview_rescan2() -> str:
+    from creatorops_lakehouse_spark.operators.hll import estimate_numerator
+
+    num = estimate_numerator(7)
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               o_orderkey % 7 AS grp,
+               o_custkey % 3 AS sub,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_custkey AS cust
+        FROM orders
+    ),
+    surv AS (
+        SELECT * FROM o WHERE NOT (grp = 2 AND key <= 2000)
+    ),
+    h AS (
+        SELECT grp, sub,
+               CAST('0x' || substr(md5(CAST(cust AS VARCHAR)), 1, 15)
+                    AS BIGINT) AS h60
+        FROM surv
+    ),
+    reg AS (
+        SELECT grp, sub, h60 % 128 AS bucket,
+               MAX(CASE WHEN h60 // 128 = 0 THEN 54
+                        ELSE 54 - length(bin(h60 // 128)) END) AS rho
+        FROM h GROUP BY 1, 2, 3
+    ),
+    s AS (
+        SELECT grp, sub,
+               SUM(CAST(1 AS BIGINT) << (54 - rho))
+                   + CAST((128 - COUNT(*)) AS BIGINT)
+                     * (CAST(1 AS BIGINT) << 54) AS s54
+        FROM reg GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT grp, sub,
+               CAST(CAST('{num}' AS HUGEINT)
+                    // (CAST(s54 AS HUGEINT) * 1000000) AS BIGINT) AS nd_cust
+        FROM s
+    ),
+    base AS (
+        SELECT grp, sub, CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(cents) AS BIGINT) AS sum_cents,
+               CAST(MIN(key) AS BIGINT) AS min_key,
+               CAST(MAX(key) AS BIGINT) AS max_key
+        FROM surv GROUP BY 1, 2
+    )
+    SELECT b.grp, b.sub, b.n_rows, b.sum_cents, e.nd_cust,
+           b.min_key, b.max_key,
+           TRUE AS rescan_path_ok, TRUE AS pruned_ok,
+           TRUE AS regs_equal_full
+    FROM base b JOIN est e USING (grp, sub)
+    """
+
+
+@query("orders_matview_rescan2_verdict", oracle=_sql_matview_rescan2())
+def orders_matview_rescan2_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """COMPOSITE-KEY rescan repair with a PRUNED read under one hash
+    (VERDICT r12 item 3, sources/matview.py): pre-r13 the IN-set pruned
+    head read fired only for single-column group keys — any gold view on
+    the reference's real multi-key KPI grain (kpis_local.py:40-45) paid
+    a full head scan per repair. Now the refresh picks the MOST-PRUNING
+    physical key column (measured as planned commit dirs via the
+    manifest-stats probe, metadata-only) for the IN-set read and keeps
+    the exact multi-key null-safe semi-join as the residual.
+
+    Lifecycle: orders split into SEVEN per-grp commits (grp = key%7 — a
+    grp-clustered layout, so grp stats prune; sub = custkey%3 spans
+    every commit, the deliberately-wrong prune choice) → create the
+    (grp, sub) view with COUNT/SUM/HLL(cust)/MIN/MAX(key) → DELETE
+    grp=2 ∧ key<=2000 → refresh with on_dml='rescan_groups'. In-engine
+    booleans: the rescan mode fired; ``pruned_ok`` — the grp∈{{2}}
+    metadata probe plans a STRICT subset of the head's dirs (the prune
+    was available, so the repair read ∝ the touched band); and
+    ``regs_equal_full`` — repaired registers equal a from-scratch
+    sketch of the head bucket-for-bucket on the composite grain. The
+    oracle recomputes every (grp, sub) cell's state from raw orders
+    minus the delete predicate, HLL via the md5 register replay — a
+    wrong affected-set, an unpruned-but-wrong read, or a stale spliced
+    register flips the hash at any SF. Eager verdict harness (excluded
+    from bench); scratch tree deleted."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+    from creatorops_lakehouse_spark.operators.hll import hll_registers
+    from creatorops_lakehouse_spark.sources.matview import (
+        create_agg_view,
+        refresh_agg_view,
+    )
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        _read_manifest,
+        current_version,
+        pruned_dirs,
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    rows = scoped_persist(
+        load(spark, sf_dir, "orders").select(
+            F.col("o_orderkey").alias("key"),
+            (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+            F.col("o_custkey").alias("cust"),
+            (F.col("o_orderkey") % 7).alias("grp"),
+            (F.col("o_custkey") % 3).alias("sub"),
+        )
+    )
+    keys, sums, row_key = ["grp", "sub"], {"sum_cents": "cents"}, ["key"]
+    hlls = {"nd_cust": "cust"}
+    mm = dict(mins={"min_key": "key"}, maxs={"max_key": "key"})
+
+    root = _tempfile.mkdtemp(prefix="snap_mv_rescan2_")
+    try:
+        src = TableSpec("t.mvr2src", root + "/src")
+        view = TableSpec("t.mvr2view", root + "/view")
+        cols = ("key", "cents", "cust", "grp", "sub")
+        for g in range(7):  # grp-clustered commits: grp stats prune
+            snapshot_write(rows.filter(F.col("grp") == g).select(*cols), src)
+        create_agg_view(spark, src, view, keys, sums, hlls=hlls, **mm)
+
+        snapshot_delete_where(
+            spark, src, {"grp": (2, 2), "key": (None, 2000)}
+        )
+        _, mode_r = refresh_agg_view(
+            spark, src, view, keys, sums, row_key, hlls=hlls,
+            on_dml="rescan_groups", **mm
+        )
+        rescan_path_ok = mode_r == "incremental-diff-rescan"
+
+        head_v = current_version(src)
+        kept, _ = pruned_dirs(src, {}, head_v, eq_in={"grp": [2]})
+        total = len(_read_manifest(src, head_v)["dirs"])
+        pruned_ok = len(kept) < total
+
+        mat = snapshot_read(spark, view)
+        stored_long = mat.select(
+            "grp", "sub", F.explode("nd_cust_regs").alias("_r")
+        ).select(
+            "grp", "sub",
+            F.col("_r.bucket").alias("bucket"),
+            F.col("_r.rho").alias("_rs"),
+        )
+        full_long = hll_registers(
+            snapshot_read(spark, src), "cust", 7, ("grp", "sub")
+        ).withColumnRenamed("rho", "_rf")
+        n_mismatch = (
+            stored_long.join(
+                full_long, on=["grp", "sub", "bucket"], how="full_outer"
+            )
+            .filter(
+                F.col("_rs").isNull()
+                | F.col("_rf").isNull()
+                | (F.col("_rs") != F.col("_rf"))
+            )
+            .count()
+        )
+        out = mat.select(
+            "grp", "sub",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("sum_cents").cast("long").alias("sum_cents"),
+            F.col("nd_cust").cast("long").alias("nd_cust"),
+            F.col("min_key").cast("long").alias("min_key"),
+            F.col("max_key").cast("long").alias("max_key"),
+            F.lit(bool(rescan_path_ok)).alias("rescan_path_ok"),
+            F.lit(bool(pruned_ok)).alias("pruned_ok"),
+            F.lit(n_mismatch == 0).alias("regs_equal_full"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "grp long, sub long, n_rows long, sum_cents long, nd_cust long, "
+        "min_key long, max_key long, rescan_path_ok boolean, "
+        "pruned_ok boolean, regs_equal_full boolean",
+    )

@@ -1528,3 +1528,131 @@ def emb_ann_ivf_incremental_verdict(
         "query_id long, neighbor_id long, cos_sim double, rank int, "
         "index_equals_fresh boolean",
     )
+
+
+@query(
+    "emb_ann_ivf_delete_verdict",
+    oracle=f"""
+    WITH {_SQL_IVF_ASSIGN},
+    probes AS (
+        SELECT id AS query_id, v AS q_vec, cell FROM (
+            SELECT e.id, e.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY e.id ORDER BY
+                       -2 * list_inner_product(e.v, c.cv)
+                           + list_inner_product(c.cv, c.cv) ASC,
+                       c.cell ASC) AS rn
+            FROM corpus e CROSS JOIN c2 c WHERE e.id < {N_QUERIES}
+        ) WHERE rn <= 4
+    ),
+    sims AS (
+        SELECT p.query_id, a.id AS neighbor_id,
+               list_cosine_similarity(p.q_vec, a.v) AS cos_sim
+        FROM probes p JOIN cass a USING (cell)
+        WHERE a.id <> p.query_id AND a.id % 10 <> 7
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id, cos_sim, rank FROM (
+            SELECT query_id, neighbor_id, cos_sim,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id)
+                       AS rank
+            FROM sims
+        ) WHERE rank <= {TOP_K}
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank,
+           TRUE AS erased_never_returned,
+           TRUE AS compacted_equals_fresh,
+           TRUE AS post_compact_stable
+    FROM topk
+    """,
+)
+def emb_ann_ivf_delete_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-AWARE rolling IVF index under the end-to-end hash (VERDICT
+    r12 item 4, operators/similarity.py::tombstone_ivf_vectors /
+    compact_ivf_index): ``append_to_ivf_index`` handles growth; this row
+    pins the erasure leg — a vector erased from the corpus (forget-user,
+    DV delete on the embeddings table) must never surface from a probe
+    OR hold a top-k slot, without rewriting the index.
+
+    Lifecycle: build the cell-partitioned index on the FULL corpus under
+    the shared Lloyd quantizer → tombstone every vec_id ≡ 7 (mod 10)
+    (an id-set erasure, the forget-user shape) → probed top-k (nprobe=4,
+    exact-cosine rerank) → compact. In-engine booleans:
+    ``erased_never_returned`` (no returned neighbor carries an erased
+    id), ``compacted_equals_fresh`` (after compaction the index content
+    equals a fresh build over the survivors — two anti-joins on
+    (neighbor_id, cell)), and ``post_compact_stable`` (the probe answers
+    identically before and after compaction — the tombstone anti-join
+    and the materialized erasure are the same view). The oracle replays
+    the SAME Lloyd training + assignment + probe + rerank in SQL with
+    the erased ids excluded from the CORPUS side only — a leaked
+    tombstoned posting, a short top-k, or a compaction that dropped a
+    survivor flips the hash at any SF. Eager verdict harness (excluded
+    from bench); scratch index deleted before returning."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        _nearest_centroid,
+        ann_ivf_topk_indexed,
+        build_ivf_index,
+        compact_ivf_index,
+        tombstone_ivf_vectors,
+    )
+    from creatorops_lakehouse_spark.sources.tables import (
+        TableSpec,
+        read_table,
+    )
+
+    centroids, _ = _ivf_index_for(spark, sf_dir)  # same trained quantizer
+    emb = load(spark, sf_dir, "embeddings")
+    root = _tempfile.mkdtemp(prefix="snap_ivf_del_")
+    try:
+        spec = TableSpec("ivf.del_index", f"{root}/index", ("cell",))
+        build_ivf_index(emb, centroids, spec)
+        tombstone_ivf_vectors(
+            emb.filter(F.col("vec_id") % 10 == 7).select("vec_id"), spec
+        )
+        queries_df = emb.filter(F.col("vec_id") < N_QUERIES)
+        pre = ann_ivf_topk_indexed(
+            spark, spec, queries_df, centroids, k=TOP_K, nprobe=4
+        ).collect()
+        erased_never_returned = all(r.neighbor_id % 10 != 7 for r in pre)
+
+        compact_ivf_index(spark, spec)
+        survivors = emb.filter(F.col("vec_id") % 10 != 7)
+        fresh = survivors.select(
+            F.col("vec_id").alias("neighbor_id"),
+            _nearest_centroid(
+                F.col("embedding").cast("array<double>"), centroids
+            ).alias("cell"),
+        )
+        compacted = read_table(spark, spec).select("neighbor_id", "cell")
+        cols = ["neighbor_id", "cell"]
+        compacted_equals_fresh = (
+            compacted.join(fresh, cols, "left_anti").count() == 0
+            and fresh.join(compacted, cols, "left_anti").count() == 0
+        )
+        post = ann_ivf_topk_indexed(
+            spark, spec, queries_df, centroids, k=TOP_K, nprobe=4
+        ).collect()
+        post_compact_stable = {
+            (r.query_id, r.neighbor_id, r.rank) for r in pre
+        } == {(r.query_id, r.neighbor_id, r.rank) for r in post}
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        [
+            (
+                r.query_id, r.neighbor_id, r.cos_sim, r.rank,
+                bool(erased_never_returned),
+                bool(compacted_equals_fresh),
+                bool(post_compact_stable),
+            )
+            for r in pre
+        ],
+        "query_id long, neighbor_id long, cos_sim double, rank int, "
+        "erased_never_returned boolean, compacted_equals_fresh boolean, "
+        "post_compact_stable boolean",
+    )

@@ -1114,44 +1114,105 @@ def _refresh_once(
             # row sets are unchanged, so their canonical sorted-register
             # arrays are unchanged too).
             mode = "incremental-diff-rescan"
-            affected = cdf.select(*keys).distinct()
+            # NULL-keyed CDC noise guard (r12 ADVICE): the RECOMPUTED
+            # CDF's anti-joins can't match NULL row_keys, so an UNCHANGED
+            # null-keyed row surfaces as a cancelling delete+insert pair
+            # on every refresh — harmless to the linear folds (±1 cancels)
+            # but it would land its group in `affected` and trigger a
+            # needless rescan every time. Net ONLY the null-row_key slice
+            # (full-row ±1 fold; a cancelled pair nets to zero) — rows
+            # with non-null row_keys never produce spurious CDF rows, and
+            # the sidecar-assembled CDF is already netted.
+            _rk_null = F.lit(False)
+            for _k in row_key:
+                if _k in cdf.columns:
+                    _rk_null = _rk_null | F.col(_k).isNull()
+            _data_cols = [c for c in cdf.columns if c != "_change_type"]
+            _groupable = not any(
+                t.startswith("map<")
+                for c, t in cdf.dtypes
+                if c in _data_cols
+            )
+            if _groupable:
+                _noisy_net = (
+                    cdf.filter(_rk_null)
+                    .withColumn("_w2", w)
+                    .groupBy(*_data_cols)
+                    .agg(F.sum("_w2").alias("_n2"))
+                    .filter(F.col("_n2") != 0)
+                    .select(*keys)
+                )
+                affected = (
+                    cdf.filter(~_rk_null)
+                    .select(*keys)
+                    .unionByName(_noisy_net)
+                    .distinct()
+                )
+            else:  # map-typed column: netting can't group — keep the
+                # conservative (correct, possibly noisy) key set
+                affected = cdf.select(*keys).distinct()
             n_aff = affected.limit(_RESCAN_INLIST_MAX + 1).count()
             src_schema = snapshot_read(spark, src, version=v_now).columns
+            phys_keys = [k for k in keys if k in src_schema]
+            aff_rows = None
             if (
-                len(keys) == 1
-                and n_aff <= _RESCAN_INLIST_MAX
-                and keys[0] in src_schema
+                n_aff <= _RESCAN_INLIST_MAX
+                and phys_keys
                 and enrich is None
             ):
-                # small key set on a PHYSICAL source column: an IN-set
-                # stats/bloom-pruned read (snapshot_read_where eq_in) —
-                # on a layout clustered by the group key (hive partition
-                # or OPTIMIZE ZORDER BY) the scan plans ONLY the commit
-                # dirs that can contain the affected keys, making the
-                # repair I/O ∝ touched groups, not the table; read_where
-                # applies the exact residual isin itself
+                # small key set with at least one PHYSICAL source key
+                # column: an IN-set stats/bloom-pruned read
+                # (snapshot_read_where eq_in) — on a layout clustered by
+                # that column (hive partition or OPTIMIZE ZORDER BY) the
+                # scan plans ONLY the commit dirs that can contain the
+                # affected values, making the repair I/O ∝ touched
+                # groups, not the table. For a COMPOSITE group key
+                # (VERDICT r12 item 3 — the reference's 4–5-key KPI
+                # grain, kpis_local.py:40-45) the prune pushes the single
+                # MOST-PRUNING physical column's values — selectivity is
+                # measured where it matters, as the number of commit
+                # dirs the manifest stats/bloom would actually plan
+                # (metadata-only ``pruned_dirs`` probe per candidate, no
+                # data I/O) — and the exact multi-key null-safe
+                # semi-join below stays as the residual. Enriched views
+                # are excluded: enrich may overwrite any source column,
+                # so no physical-column prune is provably sound.
                 from creatorops_lakehouse_spark.sources.snapshots import (
+                    pruned_dirs,
                     snapshot_read_where,
                 )
 
-                vals = [r[0] for r in affected.collect()]
-                if any(v is None for v in vals):
-                    # a NULL group is a real GROUP BY group, but an
-                    # IN-list can't express it (isin(NULL) never
-                    # matches) — rescan it via the null-safe semi-join
-                    head_rows = snapshot_read(spark, src, version=v_now)
-                    aff_rows = _key_join(
-                        head_rows, affected, keys, "left_semi"
+                aff_local = affected.collect()  # ≤ _RESCAN_INLIST_MAX
+                best_col, best_vals, best_ndirs = None, None, None
+                for k in phys_keys:
+                    vals = {r[k] for r in aff_local}
+                    if None in vals:
+                        # a NULL group is a real GROUP BY group, but an
+                        # IN-list can't express it (isin(NULL) never
+                        # matches) — this column can't carry the prune
+                        continue
+                    kept, _ = pruned_dirs(
+                        src, {}, v_now, eq_in={k: list(vals)}
                     )
-                else:
-                    aff_rows = snapshot_read_where(
-                        spark, src, version=v_now, eq_in={keys[0]: vals}
+                    if best_ndirs is None or len(kept) < best_ndirs:
+                        best_col, best_vals, best_ndirs = k, vals, len(kept)
+                if best_col is not None:
+                    pruned = snapshot_read_where(
+                        spark, src, version=v_now,
+                        eq_in={best_col: list(best_vals)},
                     )
-            else:
-                # large key set, multi-key group, or an enriched view
-                # (the scan can't prove a derived/overwritten key
-                # prunable): distributed semi-join after enrichment
-                # (no driver materialization)
+                    if len(keys) == 1:
+                        # single-key: read_where's exact isin IS the
+                        # residual — no join needed
+                        aff_rows = pruned
+                    else:
+                        aff_rows = _key_join(
+                            pruned, affected, keys, "left_semi"
+                        )
+            if aff_rows is None:
+                # large key set, every physical key column carrying a
+                # NULL group, or an enriched view: distributed null-safe
+                # semi-join after enrichment (no driver materialization)
                 head_rows = snapshot_read(spark, src, version=v_now)
                 if enrich is not None:
                     head_rows = enrich(head_rows)
@@ -1223,10 +1284,27 @@ def _refresh_once(
         # least/greatest skip NULLs (a brand-new group has no old value;
         # an untouched group has no delta) — exactly the fold we want
         merged = _key_join(merged, mm.select(*keys, *mm_cols), keys, "left")
-    snapshot_write_txn(
-        merged, view, app_id=_app_id(view), txn_version=v_now,
-        mode="overwrite", expected_version=view_v,
-    )
+    # CDF-at-write for the VIEW's own commit (VERDICT r12 items 1/5): the
+    # groups this refresh could have touched are exactly the delta's keys
+    # (every fold path — sums, sketches, rescans, extremes — draws from
+    # the same delta/CDF key set; untouched groups rewrite verbatim in
+    # canonical form). Stamp the overwrite with those groups' pre/post
+    # state rows as a change sidecar, so a CASCADE child's snapshot_diff
+    # of this parent assembles in O(changed parent groups) instead of
+    # re-reading two full parent versions. Identical pre/post rows
+    # (zero-net groups) cancel at diff time.
+    merged = merged.persist()
+    try:
+        changed_keys = delta.select(*keys).distinct()
+        cdf_removed = _key_join(old, changed_keys, keys, "left_semi")
+        cdf_added = _key_join(merged, changed_keys, keys, "left_semi")
+        snapshot_write_txn(
+            merged, view, app_id=_app_id(view), txn_version=v_now,
+            mode="overwrite", expected_version=view_v,
+            cdf_parts=(cdf_removed, cdf_added),
+        )
+    finally:
+        merged.unpersist()
     return (v_now, mode)
 
 

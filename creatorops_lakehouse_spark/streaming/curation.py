@@ -40,17 +40,26 @@ def curation_ingest_stream(
     drains what exists and stops — the incremental-batch cadence; a
     long-lived trigger is the same body."""
     from creatorops_lakehouse_spark.curation import curate_increment
+    from creatorops_lakehouse_spark.operators.cache import (
+        release_scoped_caches,
+    )
 
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(source_dir)
+
+    def _admit(df, bid):
+        # each admission pins its batch-sized stage outputs; release them
+        # once the batch's state appends are committed, or a long-lived
+        # stream accumulates cached partitions across micro-batches
+        try:
+            curate_increment(spark, df, root, config, batch_id=int(bid))
+        finally:
+            release_scoped_caches()
+
     return (
-        stream.writeStream.foreachBatch(
-            lambda df, bid: curate_increment(
-                spark, df, root, config, batch_id=int(bid)
-            )
-        )
+        stream.writeStream.foreachBatch(_admit)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -379,3 +379,81 @@ def test_pq_encode_roundtrip_and_recall(spark):
     top1 = {r.query_id: r.neighbor_id for r in ann.collect()}
     # each planted near-duplicate is its query's exact nearest neighbor
     assert top1 == {i: 100 + i for i in range(5)}
+
+
+def test_ivf_tombstones_and_compaction(spark, tmp_path):
+    """VERDICT r12 item 4: the rolling IVF index is delete-aware —
+    tombstoned vectors (forget-user / DV-delete on the embeddings table)
+    never surface from a probe or hold a top-k slot, and compaction
+    leaves the index content-equal to a fresh build over the surviving
+    corpus."""
+    import os
+    import random
+
+    from creatorops_lakehouse_spark.operators.similarity import (
+        ann_ivf_topk_indexed,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        tombstone_ivf_vectors,
+        train_ivf_centroids,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec, read_table
+
+    rng = random.Random(23)
+    centers = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(6)]
+    rows = [
+        (i, [x + rng.gauss(0, 0.02) for x in centers[i % 6]])
+        for i in range(180)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).persist()
+    centroids = train_ivf_centroids(df, k=6, iters=3, dim=16)
+    spec = TableSpec("ivf.index", str(tmp_path / "ivf_index"), ("cell",))
+    build_ivf_index(df.filter(F.col("vec_id") < 120), centroids, spec)
+    append_to_ivf_index(df.filter(F.col("vec_id") >= 120), centroids, spec)
+
+    queries = df.filter(F.col("vec_id") < 3)
+    before = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk_indexed(
+            spark, spec, queries, centroids, k=3, nprobe=2
+        ).collect()
+    }
+    # erase the nearest neighbors the probe just returned (same-cluster
+    # ids) — the erased ids must vanish AND their top-k slots must be
+    # refilled by the next-best survivors, not left short
+    doomed = sorted({n for _, n in before})[:4]
+    tombstone_ivf_vectors(
+        spark.createDataFrame([(i,) for i in doomed], ["vec_id"]), spec
+    )
+    after = ann_ivf_topk_indexed(spark, spec, queries, centroids, k=3, nprobe=2)
+    got = after.collect()
+    assert all(r.neighbor_id not in doomed for r in got)
+    assert (
+        after.groupBy("query_id").count().agg(F.min("count")).collect()[0][0]
+        == 3
+    ), "tombstoned neighbors must not consume top-k slots"
+
+    # compaction: index == fresh build over the surviving corpus, the
+    # sidecar is gone, and probes answer identically
+    compact_ivf_index(spark, spec)
+    assert not os.path.isdir(str(tmp_path / "ivf_index_tombstones"))
+    survivors = df.filter(~F.col("vec_id").isin(doomed))
+    fresh = TableSpec("ivf.fresh", str(tmp_path / "ivf_fresh"), ("cell",))
+    build_ivf_index(survivors, centroids, fresh)
+    a = {
+        (r.neighbor_id, r.cell, tuple(round(x, 9) for x in r.c_vec))
+        for r in read_table(spark, spec).collect()
+    }
+    b = {
+        (r.neighbor_id, r.cell, tuple(round(x, 9) for x in r.c_vec))
+        for r in read_table(spark, fresh).collect()
+    }
+    assert a == b
+    post = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_ivf_topk_indexed(
+            spark, spec, queries, centroids, k=3, nprobe=2
+        ).collect()
+    }
+    assert post == {(q, n) for q, n in ((r.query_id, r.neighbor_id) for r in got)}

@@ -74,7 +74,7 @@ def main() -> None:
     print("base_rows,create_s,append_refresh_s,append_refresh_hll_s,"
           "append_refresh_cms_s,opt_noop_s,opt_noop_hll_s,"
           "postopt_append_hll_s,small_dml_s,rescan_hll_s,"
-          "dml_refresh_s,dml_refresh_cms_s,"
+          "dml_refresh_s,dml_refresh_cms_s,cascade_child_s,"
           "view_groups,mode_append,mode_dml")
     for mult in (1, 10, 100):
         n = mult * X
@@ -166,12 +166,42 @@ def main() -> None:
             dml_cms_s = time.time() - t0
             assert mode_d == "incremental-diff", mode_d
 
+            # depth-2 CASCADE (VERDICT r12 item 5): a gold view over the
+            # silver view. The child's one refresh here folds the
+            # parent's WHOLE commit history (creates + appends + DML
+            # refreshes) through snapshot_diff — with the r13 CDF-at-
+            # write sidecars on every parent overwrite, that span
+            # assembles in O(changed parent groups) with NO full parent
+            # version reads, so the child wall must stay flat while the
+            # FACT grows 100x (the parent's group count is
+            # scale-invariant by construction).
+            gview = TableSpec("r.gview", root + "/gview")
+
+            def enrich_child(df):
+                return df.withColumn("band", F.col("grp") % 10)
+
+            create_agg_view(
+                spark, view, gview, ["band"], {"sum_sv": "sum_val"},
+                enrich=enrich_child,
+            )
+            # one more fact append + parent refresh so the child has a
+            # fresh parent delta to fold
+            snapshot_write(rows(n + 2 * APPEND_ROWS, APPEND_ROWS), src)
+            refresh_agg_view(spark, src, view, keys, sums, row_key)
+            t0 = time.time()
+            _, mode_c = refresh_agg_view(
+                spark, view, gview, ["band"], {"sum_sv": "sum_val"},
+                row_key=["grp"], enrich=enrich_child,
+            )
+            cascade_child_s = time.time() - t0
+            assert mode_c == "incremental-diff", mode_c
+
             groups = snapshot_read(spark, view).count()
             print(
                 f"{n},{create_s:.2f},{append_s:.2f},{append_hll_s:.2f},"
                 f"{append_cms_s:.2f},{opt_s:.2f},{opt_hll_s:.2f},"
                 f"{postopt_append_s:.2f},{small_dml_s:.2f},{rescan_s:.2f},"
-                f"{dml_s:.2f},{dml_cms_s:.2f},"
+                f"{dml_s:.2f},{dml_cms_s:.2f},{cascade_child_s:.2f},"
                 f"{groups},{mode_a},{mode_d}"
             )
         finally:
