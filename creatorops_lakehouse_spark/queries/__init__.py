@@ -151,6 +151,7 @@ _PIN_FIRST = (
     # persisted stages, flipped decontam broadcast), so the driver should
     # re-hash the changed code path.
     "orders_cdf_sidecar_verdict",
+    "orders_table_changes_verdict",
     "orders_matview_rescan2_verdict",
     "emb_ann_ivf_delete_verdict",
     "docs_curation_incremental_verdict",

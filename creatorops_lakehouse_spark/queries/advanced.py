@@ -2801,7 +2801,7 @@ _SQL_CDF_SIDECAR = """
         SELECT key, cents, 'insert' AS change_type FROM b2
         UNION ALL
         SELECT key, cents, 'delete' FROM b01
-        WHERE key BETWEEN 1200 AND 1800 OR key BETWEEN 2000 AND 2400
+        WHERE key BETWEEN 1200 AND 1800 OR key BETWEEN 1050 AND 1150
         UNION ALL
         SELECT key, cents, 'update_preimage' FROM b01 WHERE key <= 1000
         UNION ALL
@@ -2824,7 +2824,7 @@ def orders_cdf_sidecar_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lifecycle on an orders-derived snapshot table (row key = orderkey):
     write band0 (key%3=0) → append band1 → v_from; then UPDATE
     (key<=1000: cents+=11) → copy-on-write DELETE (1200<=key<=1800) →
-    merge-on-read DV DELETE (2000<=key<=2400) → append band2 → head.
+    merge-on-read DV DELETE (1050<=key<=1150) → append band2 → head.
     The emitted feed is ``snapshot_diff(v_from, head,
     detect_updates=True)``; in-engine booleans pin that the sidecar fast
     path actually answered (``_sidecar_span_diff`` is not None — every
@@ -2866,7 +2866,7 @@ def orders_cdf_sidecar_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, spec, {"key": (None, 1000)}, {"cents": "cents + 11"}
         )
         snapshot_delete_where(spark, spec, {"key": (1200, 1800)})
-        snapshot_delete_where(spark, spec, {"key": (2000, 2400)}, rewrite=False)
+        snapshot_delete_where(spark, spec, {"key": (1050, 1150)}, rewrite=False)
         snapshot_write(rows.filter(F.col("band") == 2).select(*cols), spec)
         v_to = current_version(spec)
 
@@ -3082,4 +3082,104 @@ def orders_matview_rescan2_verdict(
         "grp long, sub long, n_rows long, sum_cents long, nd_cust long, "
         "min_key long, max_key long, rescan_path_ok boolean, "
         "pruned_ok boolean, regs_equal_full boolean",
+    )
+
+
+_SQL_TABLE_CHANGES = """
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey % 3 AS band
+        FROM orders
+    ),
+    b01 AS (SELECT key, cents FROM o WHERE band <= 1),
+    b2  AS (SELECT key, cents FROM o WHERE band = 2)
+    SELECT key, cents, change_type, commit_version,
+           TRUE AS feed_is_rowlevel
+    FROM (
+        SELECT key, cents, 'delete' AS change_type,
+               CAST(2 AS BIGINT) AS commit_version
+        FROM b01 WHERE key <= 1000
+        UNION ALL
+        SELECT key, cents + 11, 'insert', 2 FROM b01 WHERE key <= 1000
+        UNION ALL
+        SELECT key, cents, 'delete', 3 FROM b01
+        WHERE key BETWEEN 1200 AND 1800
+        UNION ALL
+        SELECT key, cents, 'delete', 4 FROM b01
+        WHERE key BETWEEN 1050 AND 1150
+        UNION ALL
+        SELECT key, cents, 'insert', 5 FROM b2
+    )
+    """
+
+
+@query("orders_table_changes_verdict", oracle=_SQL_TABLE_CHANGES)
+def orders_table_changes_verdict(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta ``table_changes`` parity under one hash
+    (sources/snapshots.py::snapshot_changes): the PER-COMMIT change
+    feed, each row stamped with ``_commit_version``, read VERBATIM from
+    the CDF-at-write sidecars with no version-pair recompute and no key
+    semantics — the shape CDC consumers page through. Same lifecycle as
+    ``orders_cdf_sidecar_verdict`` (append band0/1 → UPDATE key<=1000 →
+    COW DELETE 1200..1800 → DV DELETE 1050..1150 → append band2), but
+    the emission is the keyless row-level feed: an UPDATE surfaces as
+    its commit's verbatim pre-image 'delete' + post-image 'insert'
+    rows (Delta's change-data-file content), appends as 'insert' rows
+    from the appended dirs, with content-noop commits contributing
+    nothing. The oracle enumerates each commit's expected rows with its
+    exact version number — a row attributed to the wrong commit, a
+    missed sidecar, or a leaked noop commit flips the hash at any SF.
+    Eager verdict harness (excluded from bench); scratch tree
+    deleted."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        current_version,
+        snapshot_changes,
+        snapshot_delete_where,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    rows = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("band"),
+    )
+    root = _tempfile.mkdtemp(prefix="snap_tchanges_")
+    try:
+        spec = TableSpec("t.tchsrc", root + "/t")
+        cols = ("key", "cents")
+        snapshot_write(rows.filter(F.col("band") == 0).select(*cols), spec)
+        snapshot_write(rows.filter(F.col("band") == 1).select(*cols), spec)
+        v_from = current_version(spec)
+        snapshot_update_where(
+            spark, spec, {"key": (None, 1000)}, {"cents": "cents + 11"}
+        )
+        snapshot_delete_where(spark, spec, {"key": (1200, 1800)})
+        snapshot_delete_where(spark, spec, {"key": (1050, 1150)}, rewrite=False)
+        snapshot_write(rows.filter(F.col("band") == 2).select(*cols), spec)
+
+        out = snapshot_changes(spark, spec, v_from).select(
+            F.col("key").cast("long").alias("key"),
+            F.col("cents").cast("long").alias("cents"),
+            F.col("_change_type").alias("change_type"),
+            F.col("_commit_version").alias("commit_version"),
+            F.lit(True).alias("feed_is_rowlevel"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "key long, cents long, change_type string, commit_version long, "
+        "feed_is_rowlevel boolean",
     )

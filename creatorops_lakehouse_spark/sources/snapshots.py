@@ -2160,6 +2160,105 @@ def snapshot_diff(
     return out.unionByName(pre).unionByName(post)
 
 
+def snapshot_changes(
+    spark: SparkSession,
+    spec: TableSpec,
+    starting_version: int,
+    ending_version: int | None = None,
+    keys: list[str] | None = None,
+    detect_updates: bool = True,
+) -> DataFrame:
+    """Delta's ``table_changes`` reader: the PER-COMMIT change feed for
+    every version in ``(starting_version, ending_version]`` (head by
+    default), each row stamped with ``_commit_version`` and
+    ``_commit_timestamp`` next to ``_change_type`` — the shape CDC
+    consumers (replication, incremental ETL, audit) page through.
+
+    ``keys=None`` requires every commit in the span to carry a change
+    sidecar or be an append/content-noop (CDF-at-write is on by default
+    for every DML path, so this is the common case) and returns the
+    sidecar rows VERBATIM — exact row-level changes, no key semantics
+    needed, O(changed rows). Passing ``keys`` computes each commit's
+    key-level feed through :func:`snapshot_diff` instead (sidecar-fast
+    when covered, anti-join recompute otherwise) — use it when updates
+    must pair into pre/post images.
+
+    Commits without content changes (OPTIMIZE, constraint DDL, watermark
+    bumps) contribute no rows, matching Delta's dataChange=false
+    commits. Raises when a span manifest was vacuumed (Delta: change
+    data outside the retention horizon is unreadable) or, for
+    ``keys=None``, when a DML commit predates CDF-at-write (no sidecar
+    to read verbatim)."""
+    import pyspark.sql.functions as F
+
+    end = current_version(spec) if ending_version is None else ending_version
+    if end is None or starting_version > end:
+        raise ValueError(
+            f"snapshot_changes at {spec.path}: empty span "
+            f"({starting_version}, {ending_version})"
+        )
+    out = None
+    for v in range(starting_version + 1, end + 1):
+        m = _read_manifest(spec, v)  # raises if vacuumed past
+        stamp = m.get("committed_at")
+        if keys is not None:
+            part = snapshot_diff(spark, spec, v - 1, v, keys,
+                                 detect_updates=detect_updates)
+        else:
+            cdf_entry = m.get("cdf")
+            if cdf_entry is not None:
+                if cdf_entry.get("dir") is None:
+                    continue  # recorded zero-change commit
+                part = _read_cdf_sidecar(spark, spec, cdf_entry, m["schema"])
+                if part is None:
+                    raise ValueError(
+                        f"snapshot_changes at {spec.path}: v{v}'s change "
+                        "sidecar was reclaimed — pass keys= to recompute "
+                        "the feed from the version pair"
+                    )
+            else:
+                m_prev = _read_manifest(spec, v - 1)
+                prev_dirs = set(m_prev["dirs"])
+                if (
+                    not (prev_dirs - set(m["dirs"]))
+                    and m_prev.get("dv", []) == m.get("dv", [])
+                ):
+                    added = [d for d in m["dirs"] if d not in prev_dirs]
+                    if not added:
+                        continue
+                    part = _load_dirs(spark, spec, m, added).withColumn(
+                        "_change_type", F.lit("insert")
+                    )
+                elif m.get("mode") in _DIFF_NOOP_MODES:
+                    continue
+                else:
+                    raise ValueError(
+                        f"snapshot_changes at {spec.path}: v{v} "
+                        f"(mode={m.get('mode')!r}) changed content but "
+                        "carries no change sidecar (written before "
+                        "CDF-at-write, or write_cdf=False) — pass keys= "
+                        "to recompute its feed from the version pair"
+                    )
+        part = part.withColumn(
+            "_commit_version", F.lit(v).cast("long")
+        ).withColumn(
+            "_commit_timestamp",
+            F.lit(str(stamp)[:19] if stamp is not None else None).cast(
+                "timestamp"
+            ),
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # every commit in the span was a content-noop
+        m_end = _read_manifest(spec, end)
+        base = _empty_like(spark, spec, m_end)
+        return (
+            base.withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+            .withColumn("_commit_timestamp", F.lit(None).cast("timestamp"))
+        )
+    return out
+
+
 def _write_checkpoint(spec: TableSpec, n: int, manifests: dict[int, dict]) -> None:
     """Atomically (re)write c<n>.json. ``os.replace`` so readers see the
     old or new body, never a torn file."""
@@ -2301,8 +2400,13 @@ def vacuum_snapshots(
     for v in keep:
         live.update(_read_manifest(spec, v)["dirs"])
     doomed: set[str] = set()
+    dropped_cdf: set[str] = set()
     for v in drop:
-        doomed.update(d for d in _read_manifest(spec, v)["dirs"] if d not in live)
+        m_drop = _read_manifest(spec, v)
+        doomed.update(d for d in m_drop["dirs"] if d not in live)
+        cdf_d = (m_drop.get("cdf") or {}).get("dir")
+        if cdf_d:  # collected now — the manifest file is removed below
+            dropped_cdf.add(cdf_d)
     if orphan_grace_s is not None:
         import time
 
@@ -2416,10 +2520,15 @@ def vacuum_snapshots(
             if f"_bloom/{name}" not in live_sidecars:
                 with contextlib.suppress(FileNotFoundError):
                     os.remove(os.path.join(bdir, name))
-    # change sidecars (_cdf/) follow the same rule: keep what a surviving
-    # manifest references, reap the rest (dropped versions' sidecars and
-    # commit-race losers' orphans). Like blooms they are derived metadata
-    # — losing one only downgrades snapshot_diff to the recompute path.
+    # change sidecars (_cdf/) follow the DATA-DIR rule, not the bloom
+    # rule: reap ONLY what the DROPPED manifests referenced exclusively.
+    # A sidecar is written BEFORE its manifest commits, so "unreferenced
+    # by any manifest" does NOT mean orphaned — it may be an in-flight
+    # DML's sidecar one instant from being referenced (the chaos suite's
+    # vacuum-vs-DV-delete race); those wait for the orphan_grace_s sweep
+    # below, whose mtime window protects live writers exactly as it does
+    # for uncommitted data dirs. Losing a sidecar is only a downgrade
+    # (snapshot_diff recomputes), but never reap a live writer's.
     cdir = _cdf_sidecar_dir(spec)
     if os.path.isdir(cdir):
         live_cdf: set[str] = set()
@@ -2430,9 +2539,22 @@ def vacuum_snapshots(
                     live_cdf.add(d)
             except ValueError:  # raced another vacuum's drop
                 continue
-        for name in os.listdir(cdir):
-            if f"_cdf/{name}" not in live_cdf:
-                shutil.rmtree(os.path.join(cdir, name), ignore_errors=True)
+        doomed_cdf = set(dropped_cdf) - live_cdf
+        if orphan_grace_s is not None:
+            import time as _time
+
+            now2 = _time.time()
+            for name in os.listdir(cdir):
+                rel = f"_cdf/{name}"
+                full = os.path.join(cdir, name)
+                with contextlib.suppress(OSError):
+                    if (
+                        rel not in live_cdf
+                        and now2 - os.path.getmtime(full) >= orphan_grace_s
+                    ):
+                        doomed_cdf.add(rel)
+        for rel in doomed_cdf:
+            shutil.rmtree(os.path.join(spec.path, rel), ignore_errors=True)
     return deleted
 
 
@@ -3064,9 +3186,16 @@ def snapshot_delete_where(
                 spec, f"c{cur + 1}-{uuid.uuid4().hex[:8]}",
                 old.filter(doomed), None, head["schema"],
             )
-            n_del = spark.read.format("parquet").load(
-                os.path.join(spec.path, cdf_entry["dir"])
-            ).count()
+            try:
+                n_del = spark.read.format("parquet").load(
+                    os.path.join(spec.path, cdf_entry["dir"])
+                ).count()
+            except Exception:
+                # sidecar vanished under an aggressive concurrent vacuum
+                # (derived metadata — losing it is always tolerable):
+                # count from the source dirs and commit without the entry
+                cdf_entry = None
+                n_del = old.filter(doomed).count()
         else:
             n_del = old.filter(doomed).count()
         manifest = _metadata_commit_body(spec, cur, mode="delete_dv")

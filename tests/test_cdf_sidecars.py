@@ -240,3 +240,66 @@ def test_matview_refresh_stamps_view_commits_with_group_deltas(
         )
         assert fast is not None
         assert _feed(fast) == _feed(slow)
+
+
+def test_snapshot_changes_per_commit_feed(spark, tmp_path):
+    """table_changes parity: per-commit rows stamped with
+    _commit_version; verbatim sidecar rows without keys, key-level
+    pre/post images with keys; noop commits contribute nothing."""
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_changes,
+    )
+
+    spec = _mk(spark, tmp_path, [(i, "a", i * 10) for i in range(1, 8)])
+    snapshot_write(
+        spark.createDataFrame([(8, "b", 80)], ["id", "v", "cents"]), spec
+    )  # v1 append
+    snapshot_update_where(spark, spec, {"id": (2, 2)}, {"cents": "99"})  # v2
+    optimize_snapshots(spark, spec)  # v3 noop
+    snapshot_delete_where(spark, spec, {"id": (3, 3)})  # v4
+
+    # keyless: verbatim row-level changes straight from the sidecars
+    feed = {
+        (r.id, r.cents, r._change_type, r._commit_version)
+        for r in snapshot_changes(spark, spec, 0).collect()
+    }
+    assert feed == {
+        (8, 80, "insert", 1),
+        (2, 20, "delete", 2), (2, 99, "insert", 2),
+        (3, 30, "delete", 4),
+    }
+    # keyed: per-commit key-level feed with update images
+    keyed = {
+        (r.id, r.cents, r._change_type, r._commit_version)
+        for r in snapshot_changes(spark, spec, 0, keys=["id"]).collect()
+    }
+    assert keyed == {
+        (8, 80, "insert", 1),
+        (2, 20, "update_preimage", 2), (2, 99, "update_postimage", 2),
+        (3, 30, "delete", 4),
+    }
+    # bounded span; all-noop span is empty
+    assert {
+        r._commit_version
+        for r in snapshot_changes(spark, spec, 1, 2).collect()
+    } == {2}
+    assert snapshot_changes(spark, spec, 2, 3).count() == 0
+
+
+def test_snapshot_changes_refuses_uncovered_without_keys(spark, tmp_path):
+    import pytest as _pytest
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        snapshot_changes,
+    )
+
+    spec = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    snapshot_delete_where(spark, spec, {"id": (1, 1)}, write_cdf=False)
+    with _pytest.raises(ValueError, match="no change sidecar"):
+        snapshot_changes(spark, spec, 0).collect()
+    # keys= recomputes the same feed from the version pair
+    got = {
+        (r.id, r._change_type, r._commit_version)
+        for r in snapshot_changes(spark, spec, 0, keys=["id"]).collect()
+    }
+    assert got == {(1, "delete", 1)}

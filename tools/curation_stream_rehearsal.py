@@ -39,7 +39,6 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     from creatorops_lakehouse_spark.curation import (
-        curate_increment,
         incremental_clean_train,
         optimize_curation_state,
     )
@@ -82,11 +81,17 @@ def main() -> None:
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(src_dir)
     try:
-        # batch 0: seed the corpus through the SAME admission path
-        t0 = time.time()
-        curate_increment(spark, docs, root, batch_id=0)
-        seed_s = time.time() - t0
-        print(f"# seed admit ({n_docs} docs): {seed_s:.1f}s")
+        # the seed corpus is the STREAM's own first file (micro-batch 0)
+        # — seeding out-of-band would collide with the engine's batch-id
+        # sequence: the exactly-once contract would classify stream
+        # batch 0 as a replay of the seed and silently skip it
+        seed_rows = [
+            json.dumps({"doc_id": r.doc_id, "text": r.text, "lang": r.lang})
+            for r in docs.collect()
+        ]
+        with open(os.path.join(src_dir, "a_seed.json"), "w") as f:
+            f.write("\n".join(seed_rows))
+        print(f"# seed corpus: {n_docs} docs (stream micro-batch 0)")
         print("segment,batch_id,admit_ms,clean_train_rows")
 
         total_batches = N_SEGMENTS * BATCHES_PER_SEGMENT
@@ -125,9 +130,13 @@ def main() -> None:
                     f"{p['durationMs']['triggerExecution']},{ct}"
                 )
             # maintenance cadence between segments: pack state dirs +
-            # fold manifests so probe scans stay O(few dirs)
+            # fold manifests so probe scans stay O(few dirs). max_dirs=4
+            # so the pack actually FIRES at this batch cadence (the
+            # default 16 would skip at 12 batches) — admission semantics
+            # are unaffected (txn map survives the rewrite) and the
+            # subsequent segments' latencies prove it
             t0 = time.time()
-            optimize_curation_state(spark, root)
+            optimize_curation_state(spark, root, max_dirs=4)
             print(f"# segment {seg} optimize_curation_state: "
                   f"{time.time() - t0:.1f}s")
     finally:
