@@ -2259,6 +2259,71 @@ def snapshot_changes(
     return out
 
 
+def consume_changes(
+    spark: SparkSession,
+    src: TableSpec,
+    sink: TableSpec,
+    transform,
+    app_id: str = "cdc-consumer",
+    keys: list[str] | None = None,
+    detect_updates: bool = True,
+) -> tuple[int, int] | None:
+    """Exactly-once incremental CDC consumption — the pull-based form of
+    Delta's streaming change-feed reader: read :func:`snapshot_changes`
+    for every source commit SINCE the sink's recorded watermark, apply
+    ``transform(feed_df) -> rows_df``, and append the result to ``sink``
+    under the source head version as the txn watermark. Returns the
+    consumed ``(from_version, to_version]`` span, or None when the sink
+    is already caught up.
+
+    Exactly-once mechanics: the watermark IS the sink's txn map entry
+    for ``app_id`` (``snapshot_write_txn``) — the processed rows and the
+    new watermark land in ONE commit, so a consumer that crashes after
+    the append simply no-ops the redelivery, and one that crashes before
+    it re-reads the same span and produces the same rows (transform must
+    be deterministic). Two calls over (a,b] then (b,c] append exactly
+    what one call over (a,c] would — per-commit feeds compose by
+    construction.
+
+    First run (sink has no watermark): the source HEAD is processed as
+    an initial snapshot — every current row as an 'insert' stamped with
+    the head version (the streaming-CDF initial-snapshot convention);
+    per-commit granularity starts with the next call."""
+    import pyspark.sql.functions as F
+
+    v_now = current_version(src)
+    if v_now is None:
+        raise ValueError(f"no snapshots at {src.path}")
+    seen = (
+        last_txn_version(sink, app_id)
+        if current_version(sink) is not None
+        else None
+    )
+    if seen is not None and int(seen) >= v_now:
+        return None
+    if seen is None:
+        feed = (
+            snapshot_read(spark, src, version=v_now)
+            .withColumn("_change_type", F.lit("insert"))
+            .withColumn("_commit_version", F.lit(v_now).cast("long"))
+            .withColumn(
+                "_commit_timestamp", F.lit(None).cast("timestamp")
+            )
+        )
+        v_from = -1
+    else:
+        v_from = int(seen)
+        feed = snapshot_changes(
+            spark, src, v_from, v_now, keys=keys,
+            detect_updates=detect_updates,
+        )
+    snapshot_write_txn(
+        transform(feed), sink, app_id=app_id, txn_version=v_now,
+        mode="append",
+    )
+    return (v_from, v_now)
+
+
 def _write_checkpoint(spec: TableSpec, n: int, manifests: dict[int, dict]) -> None:
     """Atomically (re)write c<n>.json. ``os.replace`` so readers see the
     old or new body, never a torn file."""

@@ -303,3 +303,60 @@ def test_snapshot_changes_refuses_uncovered_without_keys(spark, tmp_path):
         for r in snapshot_changes(spark, spec, 0, keys=["id"]).collect()
     }
     assert got == {(1, "delete", 1)}
+
+
+def test_consume_changes_exactly_once(spark, tmp_path):
+    """Pull-based CDC consumer: initial snapshot, incremental spans that
+    compose, caught-up no-op, and crash-safe redelivery via the sink's
+    txn watermark."""
+    import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        consume_changes,
+        snapshot_changes,
+    )
+
+    src = _mk(spark, tmp_path, [(1, "a", 10), (2, "b", 20)])
+    sink = TableSpec("t.audit", str(tmp_path / "audit"))
+
+    def audit(feed):
+        return feed.select(
+            "id", "cents", "_change_type", "_commit_version"
+        )
+
+    # initial snapshot: head rows as inserts at the head version
+    assert consume_changes(spark, src, sink, audit) == (-1, 0)
+    assert {
+        (r.id, r._change_type, r._commit_version)
+        for r in snapshot_read(spark, sink).collect()
+    } == {(1, "insert", 0), (2, "insert", 0)}
+    # caught up: no-op
+    assert consume_changes(spark, src, sink, audit) is None
+
+    snapshot_update_where(spark, spec=src, ranges={"id": (1, 1)},
+                          set_exprs={"cents": "cents + 5"})  # v1
+    snapshot_write(
+        spark.createDataFrame([(3, "c", 30)], ["id", "v", "cents"]), src
+    )  # v2
+    assert consume_changes(spark, src, sink, audit) == (0, 2)
+    got = {
+        (r.id, r.cents, r._change_type, r._commit_version)
+        for r in snapshot_read(spark, sink).collect()
+    }
+    assert (1, 10, "delete", 1) in got and (1, 15, "insert", 1) in got
+    assert (3, 30, "insert", 2) in got
+
+    # redelivery of an already-consumed span no-ops through the txn map
+    n_before = snapshot_read(spark, sink).count()
+    assert consume_changes(spark, src, sink, audit) is None
+    assert snapshot_read(spark, sink).count() == n_before
+
+    # two incremental calls == the per-commit feed of the whole span
+    full = {
+        (r.id, r.cents, r._change_type, r._commit_version)
+        for r in snapshot_changes(spark, src, 0).collect()
+    }
+    incremental = {
+        t for t in got if t[3] > 0
+    }
+    assert incremental == full
