@@ -152,6 +152,7 @@ _PIN_FIRST = (
     # re-hash the changed code path.
     "orders_cdf_sidecar_verdict",
     "orders_table_changes_verdict",
+    "orders_cdc_consumer_verdict",
     "orders_matview_rescan2_verdict",
     "emb_ann_ivf_delete_verdict",
     "docs_curation_incremental_verdict",

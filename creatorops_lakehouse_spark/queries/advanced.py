@@ -3183,3 +3183,123 @@ def orders_table_changes_verdict(
         "key long, cents long, change_type string, commit_version long, "
         "feed_is_rowlevel boolean",
     )
+
+
+_SQL_CDC_CONSUMER = """
+    WITH o AS (
+        SELECT o_orderkey AS key,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                   AS cents,
+               o_orderkey % 3 AS band
+        FROM orders
+    ),
+    b0 AS (SELECT key, cents FROM o WHERE band = 0),
+    b1 AS (SELECT key, cents FROM o WHERE band = 1)
+    SELECT key, cents, change_type, commit_version,
+           TRUE AS caught_up_noop, TRUE AS replay_noop
+    FROM (
+        -- initial snapshot: the head (band0) as inserts at v0
+        SELECT key, cents, 'insert' AS change_type,
+               CAST(0 AS BIGINT) AS commit_version
+        FROM b0
+        UNION ALL
+        -- v1 append of band1
+        SELECT key, cents, 'insert', 1 FROM b1
+        UNION ALL
+        -- v2 update of key <= 1000 across both bands (pre/post images)
+        SELECT key, cents, 'delete', 2
+        FROM o WHERE band <= 1 AND key <= 1000
+        UNION ALL
+        SELECT key, cents + 11, 'insert', 2
+        FROM o WHERE band <= 1 AND key <= 1000
+        UNION ALL
+        -- v3 copy-on-write delete of 1200..1800 (cents untouched there)
+        SELECT key, cents, 'delete', 3
+        FROM o WHERE band <= 1 AND key BETWEEN 1200 AND 1800
+    )
+    """
+
+
+@query("orders_cdc_consumer_verdict", oracle=_SQL_CDC_CONSUMER)
+def orders_cdc_consumer_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once PULL-BASED CDC under one hash
+    (sources/snapshots.py::consume_changes): a consumer drains the
+    source's per-commit change feed into a SINK audit table, with the
+    watermark carried by the sink's own txn map — processed rows and
+    the watermark land in one commit, so redelivery no-ops and two
+    incremental drains compose to exactly the full span's feed.
+
+    Lifecycle: write band0 → consume (initial snapshot: head rows as
+    'insert' at v0) → append band1 AND update key<=1000 (cents+=11) →
+    consume (drains v1's appended rows + v2's verbatim pre/post sidecar
+    rows in ONE call) → copy-on-write DELETE 1200..1800 → consume →
+    final sink content hashed. In-engine booleans: ``caught_up_noop``
+    (a fourth consume returns None — watermark == head) and
+    ``replay_noop`` (the sink row count is unchanged by it). The oracle
+    enumerates every expected audit row with its exact commit version
+    from raw orders — a dropped span, a double-drained commit, or a
+    watermark that advanced without its rows flips the hash at any SF.
+    Eager verdict harness (excluded from bench); scratch tree
+    deleted."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from creatorops_lakehouse_spark.sources.snapshots import (
+        consume_changes,
+        snapshot_delete_where,
+        snapshot_read,
+        snapshot_update_where,
+        snapshot_write,
+    )
+    from creatorops_lakehouse_spark.sources.tables import TableSpec
+
+    rows = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice").cast("decimal(12,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("o_orderkey") % 3).alias("band"),
+    )
+    root = _tempfile.mkdtemp(prefix="snap_cdc_cons_")
+    try:
+        src = TableSpec("t.cdcsrc", root + "/src")
+        sink = TableSpec("t.cdcsink", root + "/sink")
+        cols = ("key", "cents")
+
+        def audit(feed):
+            return feed.select(
+                "key", "cents",
+                F.col("_change_type").alias("change_type"),
+                F.col("_commit_version").alias("commit_version"),
+            )
+
+        snapshot_write(rows.filter(F.col("band") == 0).select(*cols), src)
+        assert consume_changes(spark, src, sink, audit) == (-1, 0)
+        snapshot_write(rows.filter(F.col("band") == 1).select(*cols), src)
+        snapshot_update_where(
+            spark, src, {"key": (None, 1000)}, {"cents": "cents + 11"}
+        )
+        assert consume_changes(spark, src, sink, audit) == (0, 2)
+        snapshot_delete_where(spark, src, {"key": (1200, 1800)})
+        assert consume_changes(spark, src, sink, audit) == (2, 3)
+
+        n_before = snapshot_read(spark, sink).count()
+        caught_up_noop = consume_changes(spark, src, sink, audit) is None
+        replay_noop = snapshot_read(spark, sink).count() == n_before
+
+        out = snapshot_read(spark, sink).select(
+            F.col("key").cast("long").alias("key"),
+            F.col("cents").cast("long").alias("cents"),
+            "change_type",
+            F.col("commit_version").cast("long").alias("commit_version"),
+            F.lit(bool(caught_up_noop)).alias("caught_up_noop"),
+            F.lit(bool(replay_noop)).alias("replay_noop"),
+        ).collect()
+    finally:
+        _shutil.rmtree(root, ignore_errors=True)
+
+    return spark.createDataFrame(
+        out,
+        "key long, cents long, change_type string, commit_version long, "
+        "caught_up_noop boolean, replay_noop boolean",
+    )
