@@ -1925,7 +1925,29 @@ def _read_cdf_sidecar(
     if not os.path.isdir(full):
         return None
     schema = StructType.fromJson(schema_json).add("_change_type", "string")
-    return spark.read.schema(schema).format("parquet").load(full)
+    try:
+        return spark.read.schema(schema).format("parquet").load(full)
+    except Exception as e:  # noqa: BLE001
+        # the isdir check above raced a concurrent vacuum's reclaim: the
+        # dir vanished before Spark listed it — downgrade, don't fail
+        if _is_reclaimed_mid_read(e):
+            return None
+        raise
+
+
+def _is_reclaimed_mid_read(e: Exception) -> bool:
+    """True when an exception is a file/path-missing failure — the
+    signature of a concurrent vacuum reclaiming a span input between this
+    reader's plan and its execution (the chaos suite's refresher-vs-vacuum
+    race). Callers downgrade to the recompute path, which reads pinned
+    endpoint versions instead of per-commit files."""
+    txt = f"{type(e).__name__}: {e}"
+    return (
+        "FAILED_READ_FILE" in txt
+        or "FileNotFoundException" in txt
+        or "PATH_NOT_FOUND" in txt
+        or isinstance(e, FileNotFoundError)
+    )
 
 
 def _sidecar_span_diff(
@@ -2049,8 +2071,16 @@ def _sidecar_span_diff(
         .filter(F.col("_net") != 0)
     )
     # one materialization: the validation below and every caller branch
-    # read the checkpointed (small — O(changed rows)) result
-    net = net.localCheckpoint(eager=True)
+    # read the checkpointed (small — O(changed rows)) result. A sidecar
+    # or appended dir can be reclaimed by a concurrent vacuum between the
+    # per-commit plan construction above and this execution — that is a
+    # downgrade (recompute from the pinned endpoints), never a failure.
+    try:
+        net = net.localCheckpoint(eager=True)
+    except Exception as e:  # noqa: BLE001
+        if _is_reclaimed_mid_read(e):
+            return None
+        raise
     bad = (
         net.groupBy(*keys)
         .agg(
@@ -2532,9 +2562,11 @@ def vacuum_snapshots(
         full = os.path.join(spec.path, d)
         if os.path.isdir(full):
             # a concurrent vacuum may win the same doomed dir mid-walk;
-            # rmtree's internal listdir/unlink then races the loss —
-            # tolerate and move on (the dir is gone either way)
-            shutil.rmtree(full, ignore_errors=True)
+            # rename-then-delete tolerates that and, more importantly,
+            # makes the dir vanish ATOMICALLY for concurrent readers —
+            # plain rmtree unlinks files before the dir, and a reader
+            # listing in that window sees an existing-but-empty dir
+            _rmtree_atomic(full)
             deleted.append(d)
             # zorder subdir removal can leave an empty commit-dir husk
             parent = os.path.dirname(full)
@@ -2619,8 +2651,32 @@ def vacuum_snapshots(
                     ):
                         doomed_cdf.add(rel)
         for rel in doomed_cdf:
-            shutil.rmtree(os.path.join(spec.path, rel), ignore_errors=True)
+            # atomic disappearance matters doubly for change sidecars: a
+            # diff assembler reading an existing-but-half-emptied sidecar
+            # dir would silently net a WRONG (partial) change set; after
+            # the rename it either reads the full sidecar or falls back
+            _rmtree_atomic(os.path.join(spec.path, rel))
     return deleted
+
+
+def _rmtree_atomic(full: str) -> None:
+    """Reclaim a directory so concurrent readers observe it fully or not
+    at all: one atomic rename to a hidden tombstone, then delete the
+    tombstone. ``shutil.rmtree`` alone unlinks the files BEFORE removing
+    the dir — a reader whose existence check lands in that window plans a
+    scan over an empty dir (silent partial read), and one who listed
+    earlier fails mid-read on vanished files. The rename closes the first
+    window; :func:`_is_reclaimed_mid_read` handles the second."""
+    import shutil
+
+    parent, name = os.path.split(full.rstrip("/"))
+    tomb = os.path.join(parent, f".vac-{os.getpid()}-{name}")
+    try:
+        os.rename(full, tomb)
+    except OSError:  # already gone, or another vacuum won the rename
+        shutil.rmtree(full, ignore_errors=True)
+        return
+    shutil.rmtree(tomb, ignore_errors=True)
 
 
 def _rewrite_commit(

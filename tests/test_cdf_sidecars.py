@@ -360,3 +360,39 @@ def test_consume_changes_exactly_once(spark, tmp_path):
         t for t in got if t[3] > 0
     }
     assert incremental == full
+
+
+def test_sidecar_reclaimed_mid_read_falls_back(spark, tmp_path, monkeypatch):
+    """A vacuum reclaiming a change sidecar BETWEEN the span assembler's
+    plan construction and its execution must downgrade to the endpoint
+    recompute — never fail the refresh, never net a partial feed (the
+    chaos suite's refresher-vs-vacuum race, reproduced deterministically
+    by deleting the sidecar dir right after its lazy read is planned)."""
+    import shutil
+
+    from creatorops_lakehouse_spark.sources import snapshots as S
+
+    spec = _mk(spark, tmp_path, [(i, "a", i * 10) for i in range(1, 11)])
+    snapshot_delete_where(spark, spec, {"id": (1, 2)})  # v1 + sidecar
+    snapshot_update_where(
+        spark, spec, {"id": (5, 6)}, {"cents": "cents + 1"}
+    )  # v2 + sidecar
+    head = current_version(spec)
+    slow = _feed(
+        snapshot_diff(spark, spec, 0, head, ["id"], use_sidecars=False)
+    )
+
+    real = S._read_cdf_sidecar
+    hits = {"n": 0}
+
+    def racy(spark_, spec_, entry, schema_json):
+        df = real(spark_, spec_, entry, schema_json)
+        if df is not None and hits["n"] == 0:
+            hits["n"] += 1
+            shutil.rmtree(os.path.join(spec_.path, entry["dir"]))
+        return df
+
+    monkeypatch.setattr(S, "_read_cdf_sidecar", racy)
+    got = snapshot_diff(spark, spec, 0, head, ["id"])  # must not raise
+    assert hits["n"] == 1, "race seam never fired"
+    assert _feed(got) == slow
