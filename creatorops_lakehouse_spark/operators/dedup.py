@@ -421,6 +421,46 @@ def minhash_signature(base: F.Column, num_perm: int = 64) -> F.Column:
     return F.array(*[perm_min(a, b) for a, b in _perm_params(num_perm)])
 
 
+def _minhash_sigs_udf(num_perm: int):
+    """Arrow-batched pandas UDF: all ``num_perm`` permutation minima per
+    row in one numpy pass — the signature-computation twin of the audited
+    LSH/PQ matmul seams (operators/similarity.py).
+
+    Identical integer arithmetic to :func:`minhash_signature` — same
+    deterministic ``_perm_params`` (a, b), same ``(a·h + b) % (2^31−1)``
+    in int64 (operands < 2^31, so a·h+b < 2^62: no wraparound in either
+    engine) — hence bit-equal signatures, buckets, and pair sets. The
+    expression form costs ``num_perm`` separate array traversals
+    (higher-order functions get no common-subexpression elimination and
+    evaluate per element); here one (num_perm × len) vectorized matrix
+    per document amortizes to a few ns per (perm, shingle) cell. Only the
+    precomputed base-hash arrays cross the JVM→Python boundary — shingle
+    STRINGS never do (guide §4: pass only the columns the function
+    needs). An empty/NULL base array yields all-NULL minima, matching
+    ``array_min`` over an empty array."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    params = _perm_params(num_perm)
+    a_mat = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    b_mat = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    def _sigs(col):  # no annotations: Spark 4 rejects string-annotated
+        # signatures under `from __future__ import annotations`
+        out = []
+        for h in col:
+            if h is None or len(h) == 0:
+                out.append([None] * num_perm)
+                continue
+            hv = np.asarray(h, dtype=np.int64)[None, :]
+            m = (a_mat * hv + b_mat) % _MERSENNE_31
+            out.append(m.min(axis=1).tolist())
+        return pd.Series(out)
+
+    return pandas_udf(_sigs, "array<long>")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -634,7 +674,7 @@ def _band_buckets(
 
     sig = sets.withColumn(
         "_mh_base", minhash_base(F.col("toks"), hash_mode)
-    ).withColumn("sig", minhash_signature(F.col("_mh_base"), num_perm))
+    ).withColumn("sig", _minhash_sigs_udf(num_perm)(F.col("_mh_base")))
     return sig.select(
         "doc_id",
         F.explode(
@@ -832,17 +872,58 @@ def probe_minhash_index(
     return _verify_jaccard(cands, all_sets, threshold)
 
 
+def _simhash_votes_udf():
+    """Arrow-batched pandas UDF: fold a document's 64-bit shingle hashes
+    into its SimHash by per-bit majority vote in one numpy pass — the
+    third audited matmul-style seam next to the LSH signature and PQ
+    lookup folds.
+
+    Bit-identical to the explode + 32-lane SUM formulation it replaced:
+    numpy's ``>>`` on int64 is the same arithmetic shift as Spark's
+    ``shiftright``, the per-bit one-count is an exact integer, and the
+    majority test is the same strict ``2·ones > n``. An all-zero vote
+    (every bit minority) yields sig 0, exactly as before."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.int64)
+
+    def _fold(col):  # no annotations (Spark 4 signature inference)
+        out = []
+        for h in col:
+            hv = np.asarray(h, dtype=np.int64)
+            ones = ((hv[:, None] >> shifts) & np.int64(1)).sum(
+                axis=0, dtype=np.int64
+            )
+            sig = 0
+            for b in np.nonzero(2 * ones > len(hv))[0]:
+                sig |= 1 << int(b)
+            if sig >= 1 << 63:  # top bit set: wrap to signed int64
+                sig -= 1 << 64
+            out.append(sig)
+        return pd.Series(out)
+
+    return pandas_udf(_fold, "long")
+
+
 def simhash_table(
     sets: DataFrame, n_bits: int = 64, hash_mode: str = "xxhash64"
 ) -> DataFrame:
-    """(doc_id, simhash) via explode + sign-vote hash aggregation.
+    """(doc_id, simhash) — per-shingle 64-bit hashes in the JVM (one
+    ``transform`` over the shingle array), sign-vote fold per document in
+    an Arrow-batched numpy pass (:func:`_simhash_votes_udf`).
 
-    Spark-first formulation: explode shingles, hash each once, then one
-    hash aggregate with n_bits small SUM columns (map-side partial
-    aggregation, vectorized). The earlier array-fold formulation (aggregate
-    + 64-wide zip_with per shingle) built an expression tree deep enough to
-    kill executor tasks on long documents — per-bit aggregate columns keep
-    the generated code flat and the shuffle tiny (one row per doc).
+    SHUFFLE-FREE: the previous formulation exploded shingles and hash-
+    aggregated 32 packed SUM lanes per document — one exchange over the
+    corpus's full (doc, shingle-hash) mass and 64 shift/mask expressions
+    per exploded row (measured 2.0–3.0 s warm at sf0.1, the dominant cost
+    of every simhash query). Folding inside the document's own array rows
+    needs no regrouping at all: the table is one narrow projection of the
+    shingle-set table, and only (doc_id, hash-array) crosses the Python
+    boundary — shingle strings never do. Documents with empty/NULL
+    shingle sets are dropped, exactly as the explode form dropped them
+    (explode of an empty array emits no rows).
 
     ``hash_mode="md5"``: engine-shared 64-bit shingle hash assembled from
     the first 16 md5 hex chars as two 32-bit halves (hi<<32 | lo; a direct
@@ -851,42 +932,28 @@ def simhash_table(
     making the registered simhash row oracle-checkable; xxhash64 stays
     the prod default.
     """
-    if hash_mode == "md5":
-        hi = F.conv(F.substring(F.md5("s"), 1, 8), 16, 10).cast("long")
-        lo = F.conv(F.substring(F.md5("s"), 9, 8), 16, 10).cast("long")
-        h_col = F.shiftleft(hi, 32).bitwiseOR(lo)
-    else:
-        h_col = F.xxhash64("s")
-    hashed = sets.select("doc_id", F.explode("toks").alias("s")).select(
-        "doc_id", h_col.alias("h")
-    )
-    # pack 2 per-bit one-counts into 32-bit lanes of one long → 32 SUM
-    # columns instead of 64 (the 64-column variant spends ~10s in codegen
-    # compilation alone). 32-bit spacing keeps the packed sum inside int64
-    # up to 2^31 shingles per doc: the earlier 4×16-bit packing overflowed at
-    # 2^15 shingles (top lane shifted to bits 48-63), which book-length docs
-    # can hit — under ANSI the SUM would throw, otherwise corrupt silently.
     assert n_bits == 64
-    packed = []
-    for g in range(32):
-        lanes = None
-        for lane in range(2):
-            b = 2 * g + lane
-            one = F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
-            contrib = (one * F.lit(1 << (32 * lane))).cast("long")
-            lanes = contrib if lanes is None else lanes + contrib
-        packed.append(F.sum(lanes).alias(f"g{g}"))
-    votes = hashed.groupBy("doc_id").agg(F.count("*").alias("_n"), *packed)
-    sig = F.lit(0).cast("long")
-    for b in range(n_bits):
-        g, lane = b // 2, b % 2
-        ones = F.shiftright(F.col(f"g{g}"), 32 * lane).bitwiseAND(F.lit(0xFFFFFFFF))
-        bit = F.lit(1 << b).cast("long") if b < 63 else F.lit(-(1 << 63)).cast("long")
-        # bit set ⇔ ones > n/2 ⇔ votes (2*ones - n) > 0
-        sig = sig.bitwiseOR(
-            F.when(ones * 2 > F.col("_n"), bit).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("doc_id", sig.alias("simhash"))
+    if hash_mode == "md5":
+
+        def h_of(s):
+            hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+            lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+            return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+    else:
+
+        def h_of(s):
+            return F.xxhash64(s)
+
+    nonempty = sets.filter(
+        F.col("toks").isNotNull() & (F.size("toks") > 0)
+    )
+    return nonempty.select(
+        "doc_id",
+        _simhash_votes_udf()(F.transform(F.col("toks"), h_of)).alias(
+            "simhash"
+        ),
+    )
 
 
 def simhash_banded_pairs(

@@ -146,6 +146,7 @@ def label_propagation(
     iterations: int = 3,
     src: str = "src",
     dst: str = "dst",
+    broadcast_labels: bool | None = None,
 ) -> DataFrame:
     """Deterministic synchronous label propagation (community detection).
 
@@ -162,16 +163,31 @@ def label_propagation(
     integer counts, and the (count DESC, label ASC) argmax — no random
     visit order, unlike classic async LPA.
 
-    Scale shape: per superstep, one key-partitioned join (edges ⋈ labels
-    on dst) + one (node, label) count + one max_by argmax — all shuffles
-    on node ids, no global window, no driver data. ``iterations`` is
+    Scale shape: per superstep, one join (edges ⋈ labels on dst) + one
+    (node, label) count + one max_by argmax — shuffles on node ids, no
+    global window, no driver data. ``iterations`` is
     fixed and small (communities stabilize in a few sync rounds; more
     rounds oscillate two-colorings on bipartite graphs — the classic
     sync-LPA caveat, same reason Delta/GraphFrames cap LPA iterations).
     Lineage truncates per superstep (localCheckpoint) like pagerank's
     superstep loop. Returns (node, label).
+
+    Join strategy (``broadcast_labels``): the labels table is one row per
+    node — tiny next to the edge list — so below
+    ``operators/pagerank.py::BROADCAST_NODE_LIMIT`` nodes it is BROADCAST
+    into the per-superstep vote join and the winner fold-back, exactly as
+    pagerank broadcasts its ranks: the edge list is never re-shuffled per
+    superstep (only the (node, label) vote rows move, with map-side
+    partial counts). Above the limit both joins fall back to shuffles (a
+    10^9-node label table outgrows any broadcast). ``None`` auto-decides
+    from a one-off node count; the result is identical either way — join
+    strategy can't change the vote counts or the deterministic argmax.
     """
     import pyspark.sql.functions as F
+
+    from creatorops_lakehouse_spark.operators.pagerank import (
+        BROADCAST_NODE_LIMIT,
+    )
 
     nodes = (
         edges.select(F.col(src).alias("node"))
@@ -179,10 +195,16 @@ def label_propagation(
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label"))
+    if broadcast_labels is None:
+        broadcast_labels = nodes.count() <= BROADCAST_NODE_LIMIT
+
+    def side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_labels else df
+
     for _ in range(iterations):
         votes = (
             edges.join(
-                labels.withColumnRenamed("node", dst), dst
+                side(labels.withColumnRenamed("node", dst)), dst
             )
             .select(F.col(src).alias("node"), "label")
             .groupBy("node", "label")
@@ -199,7 +221,7 @@ def label_propagation(
             )
         ).select("node", F.col("w.label").alias("new_label"))
         labels = (
-            labels.join(winner, "node", "left")
+            labels.join(side(winner), "node", "left")
             .select(
                 "node",
                 F.coalesce("new_label", "label").alias("label"),

@@ -153,6 +153,70 @@ def epoch_order(
     )
 
 
+def epoch_orders(
+    df: DataFrame,
+    key_col: str,
+    epochs: list[int],
+    n_buckets: int = 1 << 32,
+    n_range_buckets: int = 64,
+) -> DataFrame:
+    """Every epoch's :func:`epoch_order` permutation in ONE two-phase
+    pass: (epoch, key_col, epoch_pos) for each listed epoch.
+
+    Running epoch_order per epoch costs one per-range counts collect and
+    one ranking-window job chain EACH; the permutations are independent,
+    so unioning the epochs up front collapses that to one collect
+    ((epoch, range) scalar rows) and one (epoch, range)-partitioned
+    window — the same salted-hash arithmetic per epoch, hence per-epoch
+    output bit-identical to epoch_order's. ``df`` must not already carry
+    an ``epoch`` column."""
+    width = max(1, -(-n_buckets // n_range_buckets))
+    spark = df.sparkSession
+    ep = F.broadcast(
+        spark.createDataFrame([(int(e),) for e in epochs], "epoch long")
+    )
+    eb = hash_bucket(
+        F.concat(
+            F.lit("e"),
+            F.col("epoch").cast("string"),
+            F.lit(":"),
+            F.col(key_col).cast("string"),
+        ),
+        n_buckets,
+    )
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    bucketed = scoped_persist(
+        df.crossJoin(ep)
+        .withColumn("_eb", eb)
+        .withColumn("_rb", F.expr(f"_eb div {width}"))
+    )
+    counts = {
+        (r.epoch, r._rb): r.c
+        for r in bucketed.groupBy("epoch", "_rb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets = []
+    for e in sorted({k[0] for k in counts}):
+        running = 0
+        for ee, rb in sorted(k for k in counts if k[0] == e):
+            offsets.append((ee, rb, running))
+            running += counts[(ee, rb)]
+    off_df = spark.createDataFrame(offsets, "epoch long, _rb long, _boff long")
+    w = Window.partitionBy("epoch", "_rb").orderBy(
+        F.col("_eb").asc(), F.col(key_col).asc()
+    )
+    return (
+        bucketed.join(F.broadcast(off_df), on=["epoch", "_rb"])
+        .withColumn(
+            "epoch_pos",
+            (F.col("_boff") + F.row_number().over(w) - 1).cast("long"),
+        )
+        .drop("_rb", "_eb", "_boff")
+    )
+
+
 def distributed_global_rank(
     df: DataFrame, order_cols: list[Column], rank_col: str = "_rank"
 ) -> tuple[DataFrame, int]:

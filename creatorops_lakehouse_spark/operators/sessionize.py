@@ -109,12 +109,13 @@ def sessionize_bucketed(
 
 def keyed_running_sum_bucketed(
     df: DataFrame,
-    value_col: str,
+    value_col: str | None = None,
     key_col: str = "user_id",
     ts_col: str = "ts",
     id_col: str = "event_id",
     out_col: str = "running_sum",
     bucket_s: int = 86400,
+    values: dict[str, str] | None = None,
 ) -> DataFrame:
     """``df`` + ``out_col`` = cumulative sum of ``value_col`` per key in
     (ts, id) order — the per-KEY twin of the global two-phase prefix sum
@@ -133,7 +134,17 @@ def keyed_running_sum_bucketed(
 
     ``value_col`` should be integral (exact addition is what makes the
     decomposition bit-equal to the global window — sum cents, not
-    dollars)."""
+    dollars).
+
+    ``values`` ({out_col: value_col}) computes SEVERAL running sums in
+    ONE two-phase pass — one local window, one summary window, one
+    join-back, instead of N of each plus N−1 re-join shuffles (the
+    previous two-measure consumer paid the whole operator twice and a
+    third shuffle to zip the results). ``value_col``/``out_col`` are the
+    single-measure shorthand and are ignored when ``values`` is given.
+    Per-measure arithmetic is unchanged, so each output column is
+    bit-identical to its single-measure run."""
+    measures = dict(values) if values is not None else {out_col: value_col}
     bucketed = df.withColumn(
         "_bkt",
         F.floor(
@@ -143,29 +154,37 @@ def keyed_running_sum_bucketed(
     w_local = Window.partitionBy(key_col, "_bkt").orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )
-    local = bucketed.withColumn(
-        "_lrun",
-        F.sum(value_col).over(
-            w_local.rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    cum = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    local = bucketed
+    for o, v in measures.items():
+        local = local.withColumn(f"_lrun_{o}", F.sum(v).over(cum))
     totals = bucketed.groupBy(key_col, "_bkt").agg(
-        F.sum(value_col).alias("_btot")  # bucket total (sign-safe — never
-        # max(running): negative values make the running series
-        # non-monotone)
+        *[
+            F.sum(v).alias(f"_btot_{o}")  # bucket total (sign-safe — never
+            # max(running): negative values make the running series
+            # non-monotone)
+            for o, v in measures.items()
+        ]
     )
     w_key = Window.partitionBy(key_col).orderBy(F.col("_bkt").asc())
-    offsets = totals.withColumn(
-        "_boff",
-        F.coalesce(
-            F.sum("_btot").over(w_key.rowsBetween(Window.unboundedPreceding, -1)),
-            F.lit(0),
-        ),
-    ).select(key_col, "_bkt", "_boff")
-    out = local.join(offsets, on=[key_col, "_bkt"]).withColumn(
-        out_col, F.col("_boff") + F.col("_lrun")
+    excl = w_key.rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals
+    for o in measures:
+        offsets = offsets.withColumn(
+            f"_boff_{o}",
+            F.coalesce(F.sum(f"_btot_{o}").over(excl), F.lit(0)),
+        )
+    offsets = offsets.select(
+        key_col, "_bkt", *[f"_boff_{o}" for o in measures]
     )
-    return out.drop("_bkt", "_lrun", "_boff")
+    out = local.join(offsets, on=[key_col, "_bkt"])
+    for o in measures:
+        out = out.withColumn(o, F.col(f"_boff_{o}") + F.col(f"_lrun_{o}"))
+    return out.drop(
+        "_bkt",
+        *[f"_lrun_{o}" for o in measures],
+        *[f"_boff_{o}" for o in measures],
+    )
 
 
 def keyed_lead_bucketed(

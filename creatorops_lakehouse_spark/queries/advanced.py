@@ -1368,18 +1368,17 @@ def events_running_totals_bucketed(spark: SparkSession, sf_dir: str) -> DataFram
         "user_id", "event_id", "ts",
         F.round(F.col("value") * 100).cast("long").alias("cents"),
     )
+    # event_seq is the same two-phase trick with value 1 — both measures
+    # ride ONE pass (one local window + one offsets window + one
+    # join-back) instead of two operator runs zipped by a third shuffle;
+    # per-measure arithmetic identical, so the output is bit-equal
     run = keyed_running_sum_bucketed(
-        ev, "cents", key_col="user_id", out_col="_run"
+        ev.withColumn("_one", F.lit(1)),
+        key_col="user_id",
+        values={"_run": "cents", "event_seq": "_one"},
     )
-    # event_seq needs the same two-phase trick: count rows per bucket and
-    # offset — reuse the operator with value 1
-    seq = keyed_running_sum_bucketed(
-        ev.withColumn("_one", F.lit(1)), "_one",
-        key_col="user_id", out_col="event_seq",
-    ).select("user_id", "event_id", "event_seq")
     return (
-        run.join(seq, on=["user_id", "event_id"])
-        .filter(F.col("event_seq") <= 20)
+        run.filter(F.col("event_seq") <= 20)
         .select(
             "user_id", "event_id",
             F.col("event_seq").cast("long").alias("event_seq"),

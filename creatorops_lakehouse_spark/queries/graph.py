@@ -523,7 +523,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = directed.unionByName(
         directed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    out = label_propagation(edges, iterations=_LPA_ITERS)
+    # ~16k nodes -> broadcast the per-superstep labels (same decision as
+    # the pagerank queries' broadcast_ranks=True; skips the auto count)
+    out = label_propagation(edges, iterations=_LPA_ITERS, broadcast_labels=True)
     return out.select(
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),

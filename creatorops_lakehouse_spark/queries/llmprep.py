@@ -390,11 +390,23 @@ def docs_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             rep["rep_bigram_bp"].alias("rep_bp"),
         )
     )
-    n1 = feat.count()
-    s2 = feat.filter(F.col("k") >= MIN_TOKENS)
-    n2 = s2.count()
-    s3 = s2.filter(F.col("rep_bp") <= MAX_REP_BP)
-    n3 = s3.count()
+    # Stages 1-3 are nested filters over the SAME persisted projection, so
+    # their three retention counts fold into ONE aggregate pass
+    # (conditional counts) instead of three sequential actions — the pass
+    # that materializes the persist also delivers all three numbers.
+    row = feat.agg(
+        F.count(F.lit(1)).alias("n1"),
+        F.count(F.when(F.col("k") >= MIN_TOKENS, 1)).alias("n2"),
+        F.count(
+            F.when(
+                (F.col("k") >= MIN_TOKENS) & (F.col("rep_bp") <= MAX_REP_BP), 1
+            )
+        ).alias("n3"),
+    ).collect()[0]
+    n1, n2, n3 = row.n1, row.n2, row.n3
+    s3 = feat.filter(
+        (F.col("k") >= MIN_TOKENS) & (F.col("rep_bp") <= MAX_REP_BP)
+    )
     s4 = scoped_persist(s3.groupBy("text").agg(F.min("doc_id").alias("doc_id")))
     n4 = s4.count()
     # Shingle sets are per-doc invariant, so the survivor pair graph is

@@ -712,19 +712,15 @@ def docs_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-reproducible across engines and runs (checkpoint-resumable
     ablations). Hash-checks the COMPLETE position assignment of
     {N_EPOCHS} epochs against the oracle's recomputation."""
-    from creatorops_lakehouse_spark.operators.sampling import epoch_order
+    from creatorops_lakehouse_spark.operators.sampling import epoch_orders
 
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    parts = [
-        epoch_order(docs, "doc_id", epoch=e).select(
-            F.lit(e).cast("long").alias("epoch"), "doc_id", "epoch_pos"
-        )
-        for e in range(N_EPOCHS)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    # all epochs in ONE two-phase pass (one counts collect + one ranking
+    # window instead of one of each per epoch); per-epoch positions are
+    # bit-identical to the per-epoch operator
+    return epoch_orders(docs, "doc_id", list(range(N_EPOCHS))).select(
+        "epoch", "doc_id", "epoch_pos"
+    )
 
 
 #: composite quality gate thresholds (symbol cap in basis points; length
