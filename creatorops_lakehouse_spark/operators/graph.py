@@ -130,7 +130,11 @@ def khop_frontier_sizes(
             .distinct()
             .join(side(visited), "node", "left_anti")
         )
-        visited = scoped_persist(visited.unionAll(frontier).distinct())
+        # no distinct: the frontier is distinct by construction and
+        # anti-joined against visited, so the union is duplicate-free —
+        # the old distinct() was a provable no-op costing one exchange
+        # per hop
+        visited = scoped_persist(visited.unionAll(frontier))
         rows.append(
             frontier.agg(F.count(F.lit(1)).cast("long").alias("n_new_nodes"))
             .select(F.lit(hop).cast("int").alias("hop"), "n_new_nodes")

@@ -4416,6 +4416,10 @@ def events_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_registers(ev.filter(F.col("event_id") % 2 == 0), "event_id"),
         hll_registers(ev.filter(F.col("event_id") % 2 == 1), "event_id"),
     )
+    # merge-audit as a ONE-ROW aggregate kept IN the plan (the sanctioned
+    # scalar-broadcast shape) instead of a separate driver count() action —
+    # same full_outer register comparison over the same hll_merge output,
+    # one fewer job per run
     mismatches = (
         whole.withColumnRenamed("rho", "_rw")
         .join(merged.withColumnRenamed("rho", "_rm"), "bucket", "full_outer")
@@ -4424,25 +4428,29 @@ def events_hll_distinct_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             | F.col("_rm").isNull()
             | (F.col("_rw") != F.col("_rm"))
         )
-        .count()
+        .agg(F.count(F.lit(1)).alias("_mm"))
     )
     est_row = hll_estimate(whole)
     exact = ev.agg(
         F.countDistinct("event_id").cast("long").alias("exact_distinct")
     )
-    out = est_row.crossJoin(F.broadcast(exact)).select(
-        "est",
-        "exact_distinct",
-        F.expr("10000 * ABS(est - exact_distinct) div exact_distinct").alias(
-            "err_bp"
-        ),
-        "n_buckets",
-        "max_rho",
-        "sum_rho",
-        F.lit(mismatches == 0).alias("merge_ok"),
-        (
-            F.expr("10000 * ABS(est - exact_distinct) div exact_distinct")
-            <= 2000
-        ).alias("within_bound"),
+    out = (
+        est_row.crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(mismatches))
+        .select(
+            "est",
+            "exact_distinct",
+            F.expr("10000 * ABS(est - exact_distinct) div exact_distinct").alias(
+                "err_bp"
+            ),
+            "n_buckets",
+            "max_rho",
+            "sum_rho",
+            (F.col("_mm") == 0).alias("merge_ok"),
+            (
+                F.expr("10000 * ABS(est - exact_distinct) div exact_distinct")
+                <= 2000
+            ).alias("within_bound"),
+        )
     )
     return out

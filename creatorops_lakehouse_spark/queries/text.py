@@ -1557,16 +1557,21 @@ def docs_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
         lambda t: t != F.lit(""),
     )
-    ex = (
+    # adjacent pairs IN-ROW: zip the token array against itself shifted by
+    # one (two slices) — the posexplode + per-doc lead() window this
+    # replaces shuffled and sorted the corpus's whole token mass just to
+    # look one element ahead inside an array it already had. Same pairs in
+    # the same order; single-token docs still drop out (empty slices).
+    n1 = F.greatest(F.size("ts") - 1, F.lit(0))
+    pairs = F.arrays_zip(
+        F.slice(F.col("ts"), 1, n1).alias("a"),
+        F.slice(F.col("ts"), 2, n1).alias("b"),
+    )
+    bi = (
         load(spark, sf_dir, "documents")
         .select("doc_id", toks.alias("ts"))
-        .select("doc_id", F.posexplode("ts").alias("i", "a"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("i")
-    bi = (
-        ex.withColumn("b", F.lead("a").over(w))
-        .filter(F.col("b").isNotNull())
-        .select("doc_id", "a", "b")
+        .select("doc_id", F.explode(pairs).alias("p"))
+        .select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
     )
     from creatorops_lakehouse_spark.operators.cache import scoped_persist
 
