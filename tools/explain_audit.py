@@ -97,6 +97,10 @@ def main() -> int:
             # cross join IS the output (|entities| * |days| rows, both
             # sides dimension-sized; the fact table never crosses)
             "events_daily_fill_forward",
+            # corpus x broadcast N_EPOCHS-row epoch spine (epoch_orders
+            # fuses all epochs into one two-phase pass; the cross join IS
+            # the per-epoch output multiplicity)
+            "docs_epoch_shuffle",
             # one-row n_docs scalar cross-joined for the exact integer
             # lift division; pair space already capped at C(40,2)
             "docs_token_cooccurrence_lift",
@@ -118,6 +122,16 @@ def main() -> int:
                 "emb_decontaminate",
                 "semantic",
                 "_pq_",
+                # r13 optimization round: MinHash signatures and SimHash
+                # sign-vote folds moved into Arrow-batched numpy seams
+                # (operators/dedup.py::_minhash_sigs_udf /
+                # _simhash_votes_udf) — every consumer of the banding or
+                # simhash-table projection now carries one ArrowEvalPython
+                "minhash",
+                "simhash",
+                "admission",  # streaming admission probes the MinHash index
+                "curation",  # curation near-dup probe (lsh mode) ditto
+                "dedup_verdict",  # incremental-dedup index probe ditto
             )
         ):
             # the sanctioned Arrow-batched Python seams: multimodal decode,
@@ -154,8 +168,12 @@ def main() -> int:
             "eval-matrix contamination scoring "
             "(operators/decontam.py::embedding_contamination — expression-"
             "level fold dots are interpreted per element and cost orders "
-            "more than one matmul per batch), and the PQ encode + ADC "
-            "lookup-table scan (similarity.py::_pq_encode_udf/pq_topk)."
+            "more than one matmul per batch), the PQ encode + ADC "
+            "lookup-table scan (similarity.py::_pq_encode_udf/pq_topk), "
+            "and the r13 MinHash-signature / SimHash sign-vote folds "
+            "(operators/dedup.py::_minhash_sigs_udf/_simhash_votes_udf — "
+            "one numpy pass replaces 64 interpreted array traversals, "
+            "resp. the explode+32-lane-SUM shuffle)."
         )
     return 1 if flagged else 0
 
