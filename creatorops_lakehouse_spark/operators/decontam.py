@@ -24,21 +24,85 @@ Scale design (100 TB corpus, small eval set):
 
 from __future__ import annotations
 
+import re
+
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from creatorops_lakehouse_spark.operators.text import _idiv, word_ngrams
 
 
+def _word_ngrams_udf(n: int):
+    """Arrow-batched pandas UDF: per-document distinct word ``n``-grams —
+    the decontamination twin of the dedup signature seams (guide §4.2:
+    hand whole batches to native code instead of interpreted expression
+    trees). The JVM ``word_ngrams`` expression chain (lower + regex split
+    + n zip_with slice-folds + array_distinct) is interpreted per element
+    and measured as the dominant cost of every decontamination pass;
+    CPython's C-level str.lower/re.split/str.join does the same corpus in
+    a small fraction of the time (r14: 0.19 s single-threaded for the
+    whole sf0.1 corpus vs a ~2 s JVM floor).
+
+    EXACT-equality contract with :func:`word_ngrams` (pinned by
+    tests/test_operators_decontam.py::test_word_ngrams_udf_contract over
+    the full ASCII alphabet — the driver corpus alphabet, verified
+    lowercase-ASCII + space at all three SFs):
+    - tokens: maximal ``[a-z0-9]+`` runs of the lowercased text (Python
+      str.lower == JVM lower == DuckDB lower on ASCII; the regex class is
+      pure ASCII, so every non-matching code point is a separator in all
+      three engines);
+    - documents with fewer than ``n`` tokens yield their whole token
+      sequence as ONE gram (the empty string for token-less documents);
+    - dict.fromkeys preserves first-occurrence order == array_distinct;
+    - NULL text yields a NULL array, matching the expression's null
+      propagation.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    split = re.compile("[^a-z0-9]+").split
+
+    def _grams(col):  # no annotations (Spark 4 signature inference)
+        out = []
+        for t in col:
+            if t is None:
+                out.append(None)  # word_ngrams(NULL) is NULL (propagated)
+                continue
+            toks = [x for x in split(t.lower()) if x]
+            if len(toks) < n:
+                out.append([" ".join(toks)])
+            else:
+                out.append(
+                    list(
+                        dict.fromkeys(
+                            " ".join(toks[i : i + n])
+                            for i in range(len(toks) - n + 1)
+                        )
+                    )
+                )
+        return pd.Series(out)
+
+    # nondeterministic marker (guide §4.4): Catalyst infers a
+    # size(..)>0 constraint from the downstream explode and pushes it
+    # below the projection, evaluating the gram UDF TWICE per corpus row
+    # (confirmed: stacked ArrowEvalPython (3)+(6) in the first r14
+    # after-plan). The marker pins one evaluation; values are unchanged
+    # (the function is deterministic in fact).
+    return pandas_udf(_grams, "array<string>").asNondeterministic()
+
+
 def eval_ngram_set(
     eval_df: DataFrame, text_col: str = "text", n: int = 5
 ) -> DataFrame:
     """Distinct word n-grams occurring anywhere in the eval set — the
-    (small) probe side of decontamination. One column ``gram``."""
+    (small) probe side of decontamination. One column ``gram``.
+
+    The gram array is materialized in its own projection before the
+    explode: a nondeterministic expression may live in a Project but not
+    inside a Generate."""
     return (
-        eval_df.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-        )
+        eval_df.select(_word_ngrams_udf(n)(F.col(text_col)).alias("_g"))
+        .select(F.explode("_g").alias("gram"))
         .distinct()
     )
 
@@ -63,11 +127,12 @@ def ngram_contamination(
     if broadcast_eval:
         grams = F.broadcast(grams)
     # Materialize the gram array as an ATTRIBUTE before exploding: putting
-    # size(word_ngrams(..)) next to explode(word_ngrams(..)) inlines the
-    # (interpreted, HOF-heavy) shingle expression into Generate's consume
-    # path, re-evaluating it per OUTPUT row — measured 45x slower at sf0.1.
+    # size(..) next to explode(..) of the same gram expression inlines it
+    # into Generate's consume path, re-evaluating it per OUTPUT row —
+    # measured 45x slower at sf0.1 with the expression form; the Arrow
+    # seam (one ArrowEvalPython projection) has the same requirement.
     exploded = corpus.select(
-        F.col(id_col), word_ngrams(F.col(text_col), n).alias("_grams")
+        F.col(id_col), _word_ngrams_udf(n)(F.col(text_col)).alias("_grams")
     ).select(
         F.col(id_col),
         F.size("_grams").cast("long").alias("n_grams"),

@@ -24,7 +24,18 @@ from pyspark.sql import DataFrame
 from creatorops_lakehouse_spark.operators.cache import scoped_persist
 
 
-def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+#: above this edge count the closing-edge semi join stops broadcasting
+#: (the relation is one (v, w) pair per edge — 2M edges ≈ 32 MB raw ≈ a
+#: few hundred MB built, the same budget as BROADCAST_NODE_LIMIT rows)
+BROADCAST_EDGE_LIMIT = 2_000_000
+
+
+def triangle_count(
+    edges: DataFrame,
+    a: str = "a",
+    b: str = "b",
+    broadcast_small: bool | None = None,
+) -> DataFrame:
     """Exact triangle count + global clustering coefficient over an
     undirected simple edge list (one row per edge, ``a < b``, no
     self-loops / duplicates — caller guarantees, e.g. via distinct()).
@@ -32,7 +43,24 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     Returns one row: (n_nodes, n_edges, n_wedges, n_triangles,
     clustering_ppm) with clustering_ppm = 3 * triangles * 10^6 div
     wedges (exact integer; 0 when the graph has no wedges).
+
+    Join strategy (``broadcast_small``, r14 — guide §3.1 broadcast the
+    provably small side, same discipline as pagerank/LPA/khop): the
+    degree table is one row per node and the closing-edge table one row
+    per edge — both tiny next to the WEDGE mass the degree-oriented join
+    produces (O(m^1.5)). Below ``BROADCAST_NODE_LIMIT`` nodes /
+    ``BROADCAST_EDGE_LIMIT`` edges they broadcast, so neither the edge
+    list (degree annotate) nor the wedge stream (closing semi join) is
+    ever exchanged for those joins; above the limits both fall back to
+    the shuffle path (a web-scale degree table outgrows any broadcast).
+    ``None`` auto-decides from one count of the persisted edge list and
+    one of the degree table; the count is identical either way — join
+    strategy cannot change which wedges close.
     """
+    from creatorops_lakehouse_spark.operators.pagerank import (
+        BROADCAST_NODE_LIMIT,
+    )
+
     e = scoped_persist(edges.select(F.col(a).alias("a"), F.col(b).alias("b")))
     # total degree per node (edges stored once per unordered pair)
     deg = scoped_persist(
@@ -41,10 +69,19 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
     )
+    if broadcast_small is None:
+        broadcast_small = (
+            e.count() <= BROADCAST_EDGE_LIMIT
+            and deg.count() <= BROADCAST_NODE_LIMIT
+        )
+
+    def side(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if broadcast_small else df
+
     # orient: lower (deg, id) -> higher (deg, id); total order via tiebreak
     da = deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))
     db = deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
-    ann = e.join(da, "a").join(db, "b")
+    ann = e.join(side(da), "a").join(side(db), "b")
     fwd = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
@@ -63,7 +100,7 @@ def triangle_count(edges: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
     closer = oriented.select(
         F.least("src", "dst").alias("v"), F.greatest("src", "dst").alias("w")
     )
-    tri = wedges.join(closer, ["v", "w"], "left_semi").agg(
+    tri = wedges.join(side(closer), ["v", "w"], "left_semi").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
     stats = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges")).crossJoin(
@@ -179,13 +216,24 @@ def label_propagation(
     Join strategy (``broadcast_labels``): the labels table is one row per
     node — tiny next to the edge list — so below
     ``operators/pagerank.py::BROADCAST_NODE_LIMIT`` nodes it is BROADCAST
-    into the per-superstep vote join and the winner fold-back, exactly as
-    pagerank broadcasts its ranks: the edge list is never re-shuffled per
-    superstep (only the (node, label) vote rows move, with map-side
-    partial counts). Above the limit both joins fall back to shuffles (a
-    10^9-node label table outgrows any broadcast). ``None`` auto-decides
-    from a one-off node count; the result is identical either way — join
-    strategy can't change the vote counts or the deterministic argmax.
+    into the per-superstep vote join, exactly as pagerank broadcasts its
+    ranks: the edge list is never re-shuffled per superstep (only the
+    (node, label) vote rows move, with map-side partial counts). Above
+    the limit the join falls back to a shuffle (a 10^9-node label table
+    outgrows any broadcast). ``None`` auto-decides from a one-off node
+    count; the result is identical either way — join strategy can't
+    change the vote counts or the deterministic argmax.
+
+    Fold-back note (r14 A/B, measured and kept as-is): a node appears in
+    the winner table exactly when it has ≥ 1 out-edge, so the
+    per-superstep ``labels ⋈ winner`` left-join is provably equivalent to
+    ``winner ∪ keep_self`` (keep_self = no-out-edge nodes' immutable
+    self-labels, computable once). The union form was built and A/B'd:
+    identical job count (16/run), 1× walls 2.93 s (join) vs 3.08-3.23 s
+    (union) back-to-back, 10× walls even (3.41 vs 3.42) — the fold join
+    is narrow on the broadcast path, so there is nothing to save at any
+    measured scale. The join form stays; the equivalence is pinned by
+    tests/test_graph_lpa.py::test_no_out_edge_node_keeps_seed_label.
     """
     import pyspark.sql.functions as F
 
@@ -214,6 +262,14 @@ def label_propagation(
             .groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("c"))
         )
+        # r14 A/B (VERDICT item 2, measured and REJECTED): fusing the two
+        # vote exchanges into one via repartition("node") before the
+        # (node, label) count — hashpartitioning(node) satisfies both
+        # aggregates' clustering — ran 3.287 s @ calib 0.65 vs 3.085 s @
+        # calib 0.838 for this two-exchange form (REPS=5, back-to-back):
+        # the repartition ships RAW vote rows with no map-side combine,
+        # and the exchange it saves only carries the already-combined
+        # (node, label, c) rows. Map-side combining wins; keep two.
         # argmax by (count DESC, label ASC) = MIN of struct(-c, label):
         # struct comparison is lexicographic, -c is always numeric (a
         # count), and the label field compares with its own type's order

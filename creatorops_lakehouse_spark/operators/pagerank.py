@@ -167,17 +167,6 @@ def pagerank(
             F.col(src).alias("e_src"), F.col(dst).alias("e_dst"), w_col.alias("w")
         )
     )
-    if weight is not None:
-        # Zero/negative/NULL weights poison the arithmetic silently: a
-        # node whose weights sum to 0 divides by zero (NULL under
-        # non-ANSI Spark, an ERROR in the DuckDB oracle) and its rank
-        # mass vanishes. Same fail-loud contract as the dangling check.
-        n_bad = e.filter((F.col("w") <= 0) | F.col("w").isNull()).count()
-        if n_bad:
-            raise ValueError(
-                f"pagerank: {n_bad} edge(s) with non-positive or NULL "
-                f"weight in column {weight!r}; weights must be >= 1"
-            )
     # Right-size the partitioning from the actual edge count (~250k edge
     # rows per task) BEFORE any other pass: an edge list assembled by
     # unions/joins inherits far too many tiny partitions, and every
@@ -185,7 +174,28 @@ def pagerank(
     # scans) would pay pure task-scheduling overhead. The count is the
     # only pass over the raw partitioning — it also materializes the
     # persisted edge list. coalesce (not repartition): narrow, no shuffle.
-    n_edges = e.count()
+    if weight is not None:
+        # Zero/negative/NULL weights poison the arithmetic silently: a
+        # node whose weights sum to 0 divides by zero (NULL under
+        # non-ANSI Spark, an ERROR in the DuckDB oracle) and its rank
+        # mass vanishes. Same fail-loud contract as the dangling check —
+        # fused into the sizing count (r14: one job instead of two).
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("w") <= 0) | F.col("w").isNull(), 1
+                ).otherwise(0)
+            ).alias("bad"),
+        ).first()
+        n_edges, n_bad = row.n, row.bad or 0
+        if n_bad:
+            raise ValueError(
+                f"pagerank: {n_bad} edge(s) with non-positive or NULL "
+                f"weight in column {weight!r}; weights must be >= 1"
+            )
+    else:
+        n_edges = e.count()
     parts = max(1, min(e.rdd.getNumPartitions(), -(-n_edges // 250_000)))
     e = e.coalesce(parts)
     # outdeg = total outgoing WEIGHT (== edge count when unweighted: the
@@ -240,8 +250,9 @@ def pagerank(
     # The node universe: every node has an out-edge (checked above), so
     # deg IS the node set, annotated with its per-node teleport mass —
     # uniform by default, restricted to the seed set for personalized
-    # PageRank. Persist-worthy: re-read every iteration for the no-inflow
-    # left join below. Coalesced like the edge table — K iterations over
+    # PageRank. Persist-worthy: re-read every iteration as the zero-row
+    # side of the inflow union. Coalesced like the edge table — K
+    # iterations over
     # a 32-partition 16k-row table would pay pure task scheduling, same
     # failure mode as the edge list.
     if seeds is None:
@@ -269,10 +280,36 @@ def pagerank(
             .cast("long")
             .alias("tele"),
         )
+    if mode == "redistribute":
+        # The dangling flag is attached to the node table ONCE (r14) —
+        # the per-iteration dangling-mass sum then filters the (small,
+        # checkpointed) ranks table instead of broadcast-joining the
+        # dangling set into every iteration's plan. The one-time attach
+        # join broadcasts under the same node-count decision as the
+        # per-iteration ranks (dangling ⊆ the node universe).
+        dang_flagged = dangling_nodes.withColumn("_dang", F.lit(True))
+        node_tele = node_tele.join(
+            F.broadcast(dang_flagged) if broadcast_ranks else dang_flagged,
+            "node",
+            "left",
+        ).select(
+            "node", "tele", F.coalesce("_dang", F.lit(False)).alias("_dang")
+        )
     nodes = scoped_persist(node_tele.coalesce(parts))
-    ranks = universe_nodes.select(
-        "node", F.lit(unit_scale).cast("long").alias("units")
+    ranks = nodes.select(
+        "node",
+        F.lit(unit_scale).cast("long").alias("units"),
+        *(["_dang"] if mode == "redistribute" else []),
     )
+    # Per-iteration shape (r14, guide §2.4 shared exchanges): units'(v) =
+    # tele(v) + damped(inflow(v)) previously needed a second broadcast
+    # (collect + hash-relation build EVERY iteration) to left-join the
+    # inflow aggregate back onto the node set. Unioning one (node, c=0,
+    # tele) row per node into the contribution stream computes the same
+    # thing in the aggregate itself: every node appears exactly once on
+    # the zero side, so sum(tele) == tele, sum(c) is unchanged by the
+    # zero rows, and no-inflow nodes get sum(c) = 0 — exactly the old
+    # coalesce(_, 0). One exchange, zero per-iteration broadcast builds.
     for _ in range(iters):
         share_df = None
         if mode == "redistribute":
@@ -283,60 +320,65 @@ def pagerank(
             # per-node uniform re-spread, floor-divided so the arithmetic
             # stays integer-exact against the unrolled SQL oracle.
             share_df = (
-                ranks.join(F.broadcast(dangling_nodes), "node")
+                ranks.filter(F.col("_dang"))
                 .agg(F.coalesce(F.sum("units"), F.lit(0)).alias("_dm"))
                 .select(
                     F.expr(f"_dm div {n_nodes}").cast("long").alias("_share")
                 )
             )
-        rhs = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = ed.join(rhs, ed.e_src == ranks.node).select(
+        rsel = ranks.select(F.col("node").alias("e_src"), "units")
+        rhs = F.broadcast(rsel) if broadcast_ranks else rsel
+        contrib = ed.join(rhs, "e_src").select(
             F.col("e_dst").alias("node"),
             F.expr("(units * w) div outdeg").alias("c"),
         )
-        if mode == "redistribute":
-            inflow = contrib.groupBy("node").agg(
-                F.sum("c").cast("long").alias("_sum_c")
+        both = contrib.select(
+            "node",
+            "c",
+            F.lit(0).cast("long").alias("tele"),
+            *(
+                [F.lit(False).alias("_dang")]
+                if mode == "redistribute"
+                else []
+            ),
+        ).unionByName(
+            nodes.select(
+                "node",
+                F.lit(0).cast("long").alias("c"),
+                "tele",
+                *(["_dang"] if mode == "redistribute" else []),
             )
-        else:
-            inflow = contrib.groupBy("node").agg(
-                F.expr(f"({d_num} * sum(c)) div {d_den}")
-                .cast("long")
-                .alias("_damped")
-            )
-        # Left-join back onto the full node set: a node with no in-edges
-        # receives exactly its teleport mass — dropping it (the aggregate
-        # alone) would also drop its OUT-edges from every later iteration,
-        # silently corrupting directed-graph ranks. On the broadcast path
-        # the aggregate side is broadcast; on the big-graph path both
-        # sides are node-partitioned so the join reuses the shuffle.
-        agg_side = F.broadcast(inflow) if broadcast_ranks else inflow
+        )
         if mode == "redistribute":
             # units' = tele + (d * (edge inflow + uniform dangling share)),
-            # composed OUTSIDE the aggregate so every node (even one with
+            # composed over the aggregate so every node (even one with
             # zero edge inflow) receives its dangling share.
             ranks = (
-                nodes.join(agg_side, "node", "left")
+                both.groupBy("node")
+                .agg(
+                    F.sum("tele").alias("_tele"),
+                    F.sum("c").alias("_sum_c"),
+                    F.max("_dang").alias("_dang"),
+                )
                 .crossJoin(F.broadcast(share_df))
                 .select(
                     "node",
                     (
-                        F.col("tele")
+                        F.col("_tele")
                         + F.expr(
-                            f"({d_num} * (coalesce(_sum_c, 0) + _share)) "
-                            f"div {d_den}"
+                            f"({d_num} * (_sum_c + _share)) div {d_den}"
                         )
                     )
                     .cast("long")
                     .alias("units"),
+                    "_dang",
                 )
             )
         else:
-            ranks = nodes.join(agg_side, "node", "left").select(
-                "node",
-                (F.col("tele") + F.coalesce(F.col("_damped"), F.lit(0)))
+            ranks = both.groupBy("node").agg(
+                F.expr(f"(sum(tele) + ({d_num} * sum(c)) div {d_den})")
                 .cast("long")
-                .alias("units"),
+                .alias("units")
             )
         # Cut lineage EVERY iteration: persist() alone keeps the logical
         # plan, so iteration k would re-optimize a k-deep join tree and

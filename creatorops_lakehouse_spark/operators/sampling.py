@@ -170,6 +170,10 @@ def epoch_orders(
     window — the same salted-hash arithmetic per epoch, hence per-epoch
     output bit-identical to epoch_order's. ``df`` must not already carry
     an ``epoch`` column."""
+    # fail loud (ADVICE r13): an existing `epoch` column would make the
+    # crossJoin/join silently ambiguous instead of erroring usefully
+    assert "epoch" not in df.columns, "epoch_orders: df already has 'epoch'"
+    assert epochs, "epoch_orders: empty epoch list"
     width = max(1, -(-n_buckets // n_range_buckets))
     spark = df.sparkSession
     ep = F.broadcast(
@@ -255,6 +259,101 @@ def distributed_global_rank(
         .drop("_pid", "_poff")
     )
     return ranked, running
+
+
+def distributed_global_ranks(
+    df: DataFrame,
+    key_col: str,
+    measures: dict[str, Column],
+    rank_suffix: str = "_rank",
+) -> tuple[DataFrame, int]:
+    """Exact 1-based global row_numbers for SEVERAL (value asc, key asc)
+    total orders in ONE range shuffle + ONE counts-collect + ONE window —
+    the multi-measure fusion of :func:`distributed_global_rank` (guide §2
+    shared exchanges / §1 fewer passes; the same trick
+    operators/sessionize.py::keyed_running_sum_bucketed landed for running
+    sums). Chaining per-measure rank calls costs one range shuffle, one
+    driver counts round-trip and one window EACH, with the rows growing
+    wider every round; the orders are independent, so melting to
+    ``(dim, value, key)`` — three narrow ints per (row, measure) — pays
+    one of each for all measures.
+
+    ``measures`` maps name → a LONG-castable Column whose ascending order
+    (with ``key_col`` as unique tiebreak) defines that measure's rank.
+    Callers with non-long order keys pass an order-preserving long image
+    (``unix_micros`` for timestamps, ``unix_date`` for dates).
+
+    Rank identity with the chained form: each dim's melted rows are the
+    same row set under the same (value, key) total order;
+    ``repartitionByRange`` on (dim, value, key) keeps range order ==
+    global order within each dim, the per-(dim, partition) counts
+    reconstruct exact exclusive offsets, and a (partition, dim) window
+    adds the local rank — bit-identical ranks to running
+    :func:`distributed_global_rank` once per measure.
+
+    Returns ``(wide_df, n_rows)``: ``wide_df`` has ``key_col``, one
+    ``<name><rank_suffix>`` long per measure, and one ``<name>_value``
+    (the measure's long image, so callers need not join the base table
+    back). The pivot is one conditional aggregate keyed on ``key_col``.
+    """
+    from creatorops_lakehouse_spark.operators.cache import scoped_persist
+
+    names = list(measures)
+    melted = df.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_d"),
+                        measures[n].cast("long").alias("_v"),
+                    )
+                    for i, n in enumerate(names)
+                ]
+            )
+        ).alias("_m"),
+    ).select(key_col, "_m._d", "_m._v")
+    parts = scoped_persist(
+        melted.repartitionByRange(
+            F.col("_d").asc(), F.col("_v").asc(), F.col(key_col).asc()
+        ).withColumn("_pid", F.spark_partition_id())
+    )
+    counts = {
+        (r._d, r._pid): r.c
+        for r in parts.groupBy("_d", "_pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    offsets = []
+    n_rows = 0
+    for d in range(len(names)):
+        running = 0
+        for dd, pid in sorted(k for k in counts if k[0] == d):
+            offsets.append((dd, pid, running))
+            running += counts[(dd, pid)]
+        n_rows = running  # identical per dim: each melts the same rows
+    off_df = df.sparkSession.createDataFrame(
+        offsets, "_d int, _pid int, _poff long"
+    )
+    w = Window.partitionBy("_pid", "_d").orderBy(
+        F.col("_v").asc(), F.col(key_col).asc()
+    )
+    ranked = parts.join(F.broadcast(off_df), on=["_d", "_pid"]).withColumn(
+        "_rk", (F.col("_poff") + F.row_number().over(w)).cast("long")
+    )
+    wide = ranked.groupBy(key_col).agg(
+        *[
+            F.max(F.when(F.col("_d") == i, F.col("_rk"))).alias(
+                f"{n}{rank_suffix}"
+            )
+            for i, n in enumerate(names)
+        ],
+        *[
+            F.max(F.when(F.col("_d") == i, F.col("_v"))).alias(f"{n}_value")
+            for i, n in enumerate(names)
+        ],
+    )
+    return wide, n_rows
 
 
 def ntile_from_rank(rank_col: str, n: int, k: int) -> Column:

@@ -229,8 +229,18 @@ def _pair_cosine_udf():
 def pair_cosine(a: Column, b: Column) -> Column:
     """Vectorized cosine for verification/rerank/baseline paths (see
     :func:`_pair_cosine_udf` — bit-identical to the expression fold and
-    the DuckDB oracle; zero-norm → -1.0)."""
-    return _pair_cosine_udf()(a.cast("array<double>"), b.cast("array<double>"))
+    the DuckDB oracle; zero-norm → -1.0).
+
+    Marked NON-DETERMINISTIC (r14, guide §4.4): it is deterministic in
+    fact, but a threshold filter on the UDF's output column (the
+    near-dup verify shape) otherwise gets pushed below the projection
+    and Catalyst duplicates the ArrowEvalPython node — every candidate
+    pair paid the cosine TWICE (confirmed in
+    plans/r14/emb_neardup_pairs_before.txt, nodes 33+36). The marker
+    pins one evaluation; output values are unchanged."""
+    return _pair_cosine_udf().asNondeterministic()(
+        a.cast("array<double>"), b.cast("array<double>")
+    )
 
 
 def _lsh_buckets_udf(tables: list[list[list[float]]]):

@@ -234,13 +234,20 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic customer-mart operator): per customer
     recency/frequency/monetary quartiles composed into a 3-digit segment
     code, rolled up to segment counts + exact cents mass. Each quartile
-    assignment uses operators/sampling.py::distributed_global_rank +
-    ntile_from_rank — three dimension-table range shuffles, NO
-    single-partition windows (at a 10^8-customer dimension the naive
-    NTILE window would be the scale-killer); the oracle runs native
-    NTILE over the identical (value, custkey) total orders."""
+    assignment uses operators/sampling.py::distributed_global_ranks +
+    ntile_from_rank — ONE melted range shuffle, ONE counts-collect and
+    ONE window for all three dimensions (r14: the chained per-dimension
+    distributed_global_rank form paid a range shuffle + driver
+    round-trip + window EACH, sequentially), and NO single-partition
+    windows (at a 10^8-customer dimension the naive NTILE window would
+    be the scale-killer); the oracle runs native NTILE over the
+    identical (value, custkey) total orders. recency is a timestamp —
+    ``unix_micros`` is its exact monotone long image, so the melted
+    (value, custkey) order matches the chained form's (recency, custkey)
+    order bit-for-bit; monetary_cents rides the pivot back out, so the
+    base table is never re-joined."""
     from creatorops_lakehouse_spark.operators.sampling import (
-        distributed_global_rank,
+        distributed_global_ranks,
         ntile_from_rank,
     )
 
@@ -255,14 +262,22 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("monetary_cents"),
         )
     )
-    cur, n = a, None
-    for dim, col in (("r", "recency"), ("f", "frequency"), ("m", "monetary_cents")):
-        cur, n = distributed_global_rank(
-            cur, [F.col(col).asc(), F.col("custkey").asc()], rank_col="_rk"
-        )
-        cur = cur.withColumn(
-            f"{dim}_quartile", ntile_from_rank("_rk", n, 4)
-        ).drop("_rk")
+    wide, n = distributed_global_ranks(
+        a,
+        "custkey",
+        {
+            "r": F.unix_micros(F.col("recency").cast("timestamp")),
+            "f": F.col("frequency"),
+            "m": F.col("monetary_cents"),
+        },
+        rank_suffix="_rk",
+    )
+    cur = wide.select(
+        ntile_from_rank("r_rk", n, 4).alias("r_quartile"),
+        ntile_from_rank("f_rk", n, 4).alias("f_quartile"),
+        ntile_from_rank("m_rk", n, 4).alias("m_quartile"),
+        F.col("m_value").alias("monetary_cents"),
+    )
     return (
         cur.select(
             (

@@ -208,9 +208,17 @@ def graph_triangles_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     li = load(spark, sf_dir, "lineitem")
+    # repartition by the SELF-JOIN key before the (l_orderkey, l_partkey)
+    # distinct (r14, guide §2.4 — operations keyed the same way share one
+    # exchange): hashpartitioning(l_orderkey) satisfies the distinct's
+    # (l_orderkey, l_partkey) clustering AND the wedge self-join's
+    # l_orderkey clustering, so the plan drops the per-side re-exchange
+    # the (l_orderkey, l_partkey)-keyed distinct forced before the join
+    # (Exchange+Sort per side on top of the distinct's own Exchange).
     lp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
         .distinct()
     )
     x = lp.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("a"))

@@ -54,6 +54,27 @@ def test_isolated_node_and_bipartite_oscillation(spark):
     assert (after2[1], after2[2]) == (1, 2)  # swapped back
 
 
+def test_no_out_edge_node_keeps_seed_label(spark):
+    """r14 fold-back rewrite: a node with NO out-edges never receives a
+    vote, so its label stays the seed self-label through every superstep
+    (the keep_self union leg); nodes WITH out-edges adopt winners."""
+    df = spark.createDataFrame([(1, 2), (2, 1), (3, 1)], ["src", "dst"])
+    # node 1,2: a 2-cycle; node 3 -> 1 has an out-edge, nothing points
+    # at 3, and a pure-sink case: edge (2, 9) makes 9 dst-only
+    df2 = spark.createDataFrame([(1, 2), (2, 1), (2, 9)], ["src", "dst"])
+    for frame, sink in ((df, None), (df2, 9)):
+        for iters in (1, 2, 3):
+            got = {
+                r.node: r.label
+                for r in label_propagation(frame, iterations=iters).collect()
+            }
+            if sink is not None:
+                assert got[sink] == sink  # dst-only node: seed label forever
+            assert set(got) == {r.src for r in frame.collect()} | {
+                r.dst for r in frame.collect()
+            }
+
+
 def test_string_node_ids(spark):
     """Labels may be any orderable type: the argmax is min(struct(-count,
     label)) so string ids order lexicographically (ADVICE r7: the previous

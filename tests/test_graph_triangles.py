@@ -36,3 +36,15 @@ def test_triangle_free_bipartite(spark):
     assert r.n_triangles == 0
     assert r.n_wedges > 0  # wedges exist (hubs see multiple rim nodes)...
     assert r.clustering_ppm == 0  # ...but none of them closes
+
+
+def test_broadcast_and_shuffle_paths_agree(spark):
+    """r14: the deg/closing-edge joins broadcast below the size limits
+    and fall back to shuffles above — both paths must count identically
+    (join strategy cannot change which wedges close)."""
+    edges = list(combinations(range(7), 2)) + [(10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(edges, ["a", "b"])
+    bc = triangle_count(df, broadcast_small=True).collect()[0]
+    sh = triangle_count(df, broadcast_small=False).collect()[0]
+    assert bc == sh
+    assert bc.n_triangles == 35 + 1  # C(7,3) + the separate triangle

@@ -96,6 +96,49 @@ def test_short_doc_whole_shingle(spark, eval_df):
     assert {r.doc_id for r in flagged.collect()} == {2}
 
 
+def test_word_ngrams_udf_contract(spark):
+    """r14 byte-level contract: the Arrow gram seam (_word_ngrams_udf)
+    must equal the JVM word_ngrams expression EXACTLY — same grams, same
+    first-occurrence order — over the full ASCII alphabet (the driver
+    corpus alphabet is lowercase ASCII + space at all three SFs; this
+    test pins the wider claim for every ASCII byte, upper/digit/punct
+    included, plus NULL/empty/short-doc edges)."""
+    from creatorops_lakehouse_spark.operators.decontam import (
+        _word_ngrams_udf,
+    )
+    from creatorops_lakehouse_spark.operators.text import word_ngrams
+
+    ascii_all = "".join(chr(c) for c in range(128))
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "UPPER Case MiXeD 123 tokens 456 with DIGITS and CAPS here"),
+        (3, ascii_all),
+        (4, ascii_all * 3),
+        (5, "tiny doc"),  # shorter than n -> whole-doc gram
+        (6, ""),  # token-less -> one empty gram
+        (7, "!!! ??? ..."),  # separators only -> one empty gram
+        (8, None),  # NULL text -> [NULL]
+        (9, "a b c d e a b c d e a b c d e"),  # duplicate grams: distinct
+        (10, "word " * 40),  # one repeated token -> one distinct gram
+        (11, "tabs\tand\nnewlines\rand  double  spaces"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for n in (2, 5):
+        got = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", _word_ngrams_udf(n)(F.col("text")).alias("g")
+            ).collect()
+        }
+        want = {
+            r.doc_id: r.g
+            for r in df.select(
+                "doc_id", word_ngrams(F.col("text"), n).alias("g")
+            ).collect()
+        }
+        assert got == want, f"gram seam diverges from expression at n={n}"
+
+
 # ---- embedding-space decontamination ----------------------------------
 
 
